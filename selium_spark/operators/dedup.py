@@ -1,0 +1,243 @@
+"""Deduplication operators for training-data pipelines (north star).
+
+Five families, each scale-designed:
+
+- exact: hash-groupBy on a normalized-text md5 — one shuffle on a
+  16-byte key, keeps min doc_id per group (deterministic survivor).
+- MinHash + LSH: k md5-minhashes over whitespace tokens, banded into
+  b band-keys; candidate pairs come from an equi-self-join on
+  (band_id, band_key) — the classic shuffle-friendly near-dup plan.
+  At 100 TB only the band join shuffles, and its keys are uniformly
+  distributed hashes (no skew).
+- SimHash: sign-aggregated per-bit token hashes -> 16-bit signature;
+  near-dups share signatures (or low Hamming distance).
+- n-gram Jaccard: exact verification on candidate pairs only (never
+  all-pairs at scale).
+- embedding cosine: near-dup by cosine >= threshold; all-pairs at
+  test SF, LSH/IVF-prefiltered at scale (see similarity.py).
+
+All hashing is md5 so the DuckDB oracle can reproduce every stage
+bit-for-bit (lexicographic min over fixed-width hex == numeric min).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, tokens
+
+
+# -- exact ---------------------------------------------------------------
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: survivor = min id per content
+    hash. Returns surviving rows (id + content hash + group size)."""
+    h = F.md5(normalize_text(text_col)).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "content_hash", "n_copies")
+    )
+
+
+# -- MinHash -------------------------------------------------------------
+def minhash_col(text_col: str | Column, seed: int) -> Column:
+    """One minhash: min md5 over tokens salted with the seed.
+
+    min over all tokens == min over distinct tokens, so no distinct
+    pass is needed; md5 hex is fixed-width so lexicographic min is the
+    numeric 128-bit min.
+    """
+    toks = tokens(text_col)
+    return F.array_min(
+        F.transform(toks, lambda t: F.md5(F.concat(t, F.lit(f"#{seed}"))))
+    )
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """k-minhash signature per document (columns mh0..mh{k-1})."""
+    out = df.select(
+        F.col(id_col),
+        *[minhash_col(text_col, i).alias(f"mh{i}") for i in range(k)],
+    )
+    return out
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split the k-signature into ``bands`` bands of
+    r = k/bands rows; docs sharing any band key are candidates.
+
+    Plan: signature (narrow) -> explode to (doc, band_id, band_key)
+    -> self equi-join on (band_id, band_key) -> distinct pairs.
+    The join keys are md5 hashes: uniform, skew-free at any scale.
+    """
+    assert k % bands == 0, "k must divide into bands"
+    r = k // bands
+    sig = minhash_signature(df, text_col, id_col, k)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    exploded = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band_id", "bk.band_key")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+# -- n-gram Jaccard ------------------------------------------------------
+def ngram_set(text_col: str | Column, n: int) -> Column:
+    """Distinct word n-grams of the normalized text (n=1 -> tokens)."""
+    toks = tokens(text_col)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| over distinct-element arrays (single double
+    division — cross-engine deterministic)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard verification over candidate pairs
+    (id_a, id_b). Joins the (small) doc-set twice — at scale candidates
+    are a tiny fraction of the corpus, so both joins broadcast or
+    shuffle on doc_id without skew."""
+    grams = df.select(F.col(id_col), ngram_set(text_col, n).alias("grams"))
+    out = (
+        pairs.join(grams.withColumnRenamed(id_col, "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+        .join(grams.withColumnRenamed(id_col, "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+        .withColumn("jaccard", jaccard(F.col("grams_a"), F.col("grams_b")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# -- SimHash -------------------------------------------------------------
+HEX = "0123456789abcdef"
+
+
+def simhash_bits(text_col: str | Column, n_bits: int = 16) -> list[Column]:
+    """Per-bit simhash signs: bit_i = 1 iff the sum over tokens of
+    (+1 if md5(token#i)'s first hex digit is even else -1) > 0.
+
+    Term frequency is kept (duplicates count), matching classic
+    SimHash. Expressed with instr-parity so DuckDB can reproduce it.
+    """
+    toks = tokens(text_col)
+    bits = []
+    for i in range(n_bits):
+        contrib = F.transform(
+            toks,
+            lambda t, i=i: F.when(
+                (F.instr(F.lit(HEX), F.substring(F.md5(F.concat(t, F.lit(f"@{i}"))), 1, 1)) % 2)
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+        bits.append(F.when(total > 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16) -> DataFrame:
+    """16-bit simhash as an integer + bit-string (near-dups share
+    signatures; group-by simhash ~ O(1) shuffle on a small int key)."""
+    bits = simhash_bits(text_col, n_bits)
+    value = F.lit(0)
+    for bit in bits:
+        value = value * F.lit(2) + bit
+    bitstr = F.concat(*[b.cast("string") for b in bits])
+    return df.select(
+        F.col(id_col),
+        value.alias("simhash"),
+        bitstr.alias("simhash_bits"),
+    )
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Documents sharing an identical simhash (candidate near-dup
+    groups), smallest id is the survivor."""
+    sh = simhash(df, text_col, id_col)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("survivor"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+# -- embedding near-dup --------------------------------------------------
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold.
+
+    Test-SF plan: all-pairs (self cross join pruned by id<). Scale
+    plan: prefilter candidates with similarity.ivf_assign buckets or
+    LSH, then verify exactly — documented in similarity.py; the exact
+    verification step is this same expression.
+    """
+    from .similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,128 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (north star).
+
+The Spark-side plumbing is real and tested — BinaryType payload column,
+typed metadata struct (schemas.MEDIA), Arrow-batched ``mapInPandas``
+operators with explicit output schemas, partition-count-preserving
+plans. The codec step itself (PIL/ffmpeg/librosa) is NOT in this
+container, so decode is gated: ``decoder="fake"`` runs a deterministic
+stand-in (md5-derived pixels/dims) used by tests and oracles;
+``decoder="real"`` raises NotImplementedError unless the optional libs
+import cleanly.
+
+Scale notes: binary payloads dominate row size, so operators here
+(a) never shuffle payload bytes — feature extraction happens before any
+groupBy; (b) use ``mapInPandas`` (streaming Arrow batches, bounded
+memory) rather than collect-style UDFs; (c) cap Arrow batch bytes via
+``spark.sql.execution.arrow.maxRecordsPerBatch`` in session.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # optional real decoders — not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:
+    _HAS_PIL = False
+
+DECODE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, content_md5 string, "
+    "width int, height int, n_frames int"
+)
+
+
+def attach_bytes(df: DataFrame, src_col: str, kind: str = "image") -> DataFrame:
+    """Build a media table from any string/binary column: payload bytes
+    + typed metadata struct (schemas.MEDIA shape)."""
+    payload = F.col(src_col).cast("binary")
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        payload.alias("bytes"),
+        F.struct(
+            F.lit(f"application/x-{kind}").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a codec: derives (width, height,
+    n_frames) from the md5 of the payload. Mirrors what a real decode
+    would return shape-wise; values are stable for oracle checks."""
+    h = hashlib.md5(payload).digest()
+    width = 16 + h[0] % 240
+    height = 16 + h[1] % 240
+    n_frames = 1 + h[2] % 8
+    return width, height, n_frames
+
+
+def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Decode/feature-extract binary media via Arrow-batched
+    ``mapInPandas``. Output schema is fixed (DECODE_SCHEMA) so the
+    plan is stable regardless of decoder.
+    """
+    if decoder == "real" and not _HAS_PIL:
+        raise NotImplementedError(
+            "real media decode needs PIL/ffmpeg, not available in this container; "
+            "use decoder='fake' for the deterministic stand-in"
+        )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["bytes"]
+            dims = [_fake_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "content_md5": [hashlib.md5(bytes(p)).hexdigest() for p in payloads],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
+                }
+            )
+
+    return df.mapInPandas(op, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = "media_id long, width int, height int, out_width int, out_height int"
+
+
+def resize_plan(decoded: DataFrame, max_side: int = 64) -> DataFrame:
+    """Resize planning (aspect-preserving fit into max_side^2) — pure
+    column math; the pixel work would live in the decode UDF."""
+    scale = F.least(
+        F.lit(max_side) / F.col("width"), F.lit(max_side) / F.col("height"), F.lit(1.0)
+    )
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1)).cast("int").alias("out_width"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1)).cast("int").alias("out_height"),
+    )
+
+
+def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling plan for video-kind media: explode frame indices
+    0..n_frames-1, keep every n-th (the decoded-frame fetch is the
+    stubbed codec step)."""
+    return (
+        decoded.select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias("frame_idx"),
+        )
+        .where(F.col("frame_idx") % every_n == 0)
+    )

@@ -1,0 +1,185 @@
+"""Relational completion operators (SURVEY §2.3 'absent' + §7.2 step 4).
+
+Selium's only join is the latest-value enrich (W3), its only set op is
+union (W6); everything else here is Spark-native surface we adopt so the
+engine covers the full relational oracle suite. Wrappers are deliberately
+thin — the point is the *plan* each produces at scale:
+
+- ``join``: lets Catalyst pick broadcast/SMJ/SHJ; ``broadcast=True``
+  forces the small-dim fast path (no shuffle of the fact table).
+- ``asof_join``: the scalable union+window formulation — ONE shuffle and
+  sort over (key, ts), no range cross-product. This is the batch twin of
+  selium's stateful latest-value enrich
+  (examples/orchestrator/src/lib.rs:244-287).
+- ``top_k_per_group``: window row_number, which AQE executes with a
+  partial top-k sort per partition before the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    how: str = "inner",
+    broadcast: bool = False,
+) -> DataFrame:
+    """Equi/theta join. ``broadcast=True`` hints the right side (use for
+    dims ≤ a few hundred MB; at 100 TB this is the difference between a
+    map-side join and shuffling the fact table)."""
+    r = F.broadcast(right) if broadcast else right
+    return left.join(r, on, how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """EXISTS — never widens rows, safe for dedup-style filters."""
+    return left.join(right, on, "left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on) -> DataFrame:
+    """NOT EXISTS."""
+    return left.join(right, on, "left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts: str,
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of join: for each left row, attach the most recent right row
+    with ``right.ts <= left.ts`` (optionally per ``by`` key).
+
+    Batch twin of W3 latest-value enrich (config stream applied to work
+    items, examples/orchestrator/src/lib.rs:244-287; 'latest config
+    wins' bias per SURVEY §7.4.6). Oracle: DuckDB ASOF JOIN.
+
+    Scale design: union the two sides tagged with a side marker, then a
+    single window sort on (by, ts, side) with ``last_value(ignorenulls)``
+    carries the latest right values forward. One shuffle, no range
+    explosion, spill-safe — survives 100× scale-up where a naive
+    range-join (left.ts >= right.ts cross filter) would not.
+    """
+    by = by or []
+    right_cols = right_cols or [c for c in right.columns if c != ts and c not in by]
+
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_is_left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    rhs = right.select(
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) if c not in by + [ts] else F.col(c)
+          for c in left.columns],
+        F.lit(0).alias("_is_left"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+    )
+    unioned = lhs.unionByName(rhs)
+
+    # Right rows sort before left rows at the same timestamp so a config
+    # with ts == work.ts applies to that work item (latest-wins bias).
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts).asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned
+    for c in right_cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
+        )
+    return out.where(F.col("_is_left") == 1).drop("_is_left")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Range join via bucketize + equi-join + residual filter, so the
+    join has an equi key and shuffles instead of nested-looping.
+
+    Each right interval is exploded to the buckets it overlaps; the
+    equi-join on (by, bucket) then prunes to candidates before the exact
+    ``lo <= val <= hi`` filter. Bucket width should approximate the
+    median interval length.
+    """
+    by = by or []
+    lb = left.withColumn("_bucket", F.floor(F.col(left_val) / F.lit(bucket_width)))
+    rb = right.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / F.lit(bucket_width)),
+                F.floor(F.col(right_hi) / F.lit(bucket_width)),
+            )
+        ),
+    )
+    cond = [lb["_bucket"] == rb["_bucket"]] + [lb[k] == rb[k] for k in by]
+    return (
+        lb.join(rb, cond)
+        .where((F.col(left_val) >= F.col(right_lo)) & (F.col(left_val) <= F.col(right_hi)))
+        .drop(lb["_bucket"])
+        .drop(rb["_bucket"])
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, keys: list[str], order_by: list[Column], k: int, rank_col: str = "rn"
+) -> DataFrame:
+    """Top-K per group via row_number window (partial sort per partition,
+    one shuffle on the group keys)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).where(F.col(rank_col) <= k)
+
+
+def distinct_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    return df.select(*subset).distinct() if subset else df.distinct()
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_rows(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)
+
+
+def rollup_agg(df: DataFrame, keys: list[str], *aggs: Column) -> DataFrame:
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, keys: list[str], *aggs: Column) -> DataFrame:
+    return df.cube(*keys).agg(*aggs)
+
+
+def dec_sum(col: str | Column, alias: str, scale_in: int = 2) -> Column:
+    """Bit-exact cross-engine SUM of fixed-point doubles.
+
+    Money-like columns in the test tables carry exactly ``scale_in``
+    decimal digits, so casting to DECIMAL before summing makes the sum
+    exact (order-independent) and the final cast back to DOUBLE is a
+    single deterministic rounding — identical in Spark and DuckDB.
+    Float sums of 60k+ rows differ between engines by ~1e-5 otherwise.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale_in})")).cast("double").alias(alias)
+
+
+def dec_avg(col: str | Column, alias: str, scale_in: int = 2) -> Column:
+    """Cross-engine-deterministic AVG: exact decimal sum, then one
+    double division."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(f"decimal(18,{scale_in})")).cast("double") / F.count(c)
+    ).alias(alias)

@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (north star).
+
+- ``cosine`` / ``dot``: JVM-side higher-order-function arithmetic over
+  ``array<float>`` (cast to double, sequential fold — deterministic and
+  reproducible in the DuckDB oracle).
+- ``brute_force_topk``: exact baseline — scan + per-partition partial
+  top-k via sort/limit (Spark's TakeOrderedAndProject), no shuffle of
+  the full score set.
+- ``ivf_assign`` / ``ivf_topk``: the scale path — coarse quantization
+  (IVF): every vector is assigned to its nearest centroid once
+  (one broadcast join against K centroids); a query probes only its
+  centroid's partition(s). At 100 TB this turns an O(N) scan per query
+  into O(N/K) with data clustered by ``cluster_id`` (partitionBy on
+  write), while staying exact within the probed cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dbl(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_dbl(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.
+
+    The literal array ships in the plan (no UDF, no broadcast var);
+    ordering ties break on id for determinism. Spark compiles the
+    sort+limit to TakeOrderedAndProject: each partition keeps k rows,
+    driver merges — no full shuffle.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cid_col: str = "centroid_id",
+    cvec_col: str = "centroid_vec",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (IVF coarse
+    quantization). One broadcast join (K centroids are tiny) + a
+    row_number over (vector) to pick the argmax — at scale this is a
+    single map-side pass; ties break on centroid id.
+    """
+    scored = emb.join(F.broadcast(centroids)).withColumn(
+        "c_score", F.round(cosine(F.col(vec_col), F.col(cvec_col)), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("c_score").desc(), F.col(cid_col).asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col(cid_col).alias("cluster_id"), F.col("c_score"))
+    )
+
+
+def make_centroids(
+    emb: DataFrame,
+    n: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic toy centroid pick: the first ``n`` vectors by id.
+    (A production build would run k-means; centroid *choice* only
+    affects recall, not the operator's plan shape.)"""
+    return (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(n)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: probe the ``n_probe`` centroids nearest the query,
+    exact-search only their clusters.
+
+    Scale plan: the assignment table is written partitioned by
+    ``cluster_id`` so the probe is a partition-pruned scan of
+    ~n_probe/K of the data; here the same plan runs on the fly.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_ids = [
+        r["centroid_id"]
+        for r in centroids.select(
+            "centroid_id", F.round(cosine(F.col("centroid_vec"), q), 6).alias("s")
+        )
+        .orderBy(F.col("s").desc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+        .collect()
+    ]
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    return (
+        assigned.where(F.col("cluster_id").isin(probe_ids))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

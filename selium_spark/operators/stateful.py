@@ -1,0 +1,103 @@
+"""Stateful streaming operators (SURVEY §2.3 W3, §7.2 step 6).
+
+W3 latest-value enrich: merge a slowly-changing config stream with a
+work stream; each work item is processed under the most recent config
+(config updates win races — the ``select!`` bias in
+examples/orchestrator/src/lib.rs:244-287, state apply :81-94).
+
+Streaming rendering: union the two streams tagged by side, group by the
+enrichment key, and keep {latest config} in
+``applyInPandasWithState`` state. Within a micro-batch rows are applied
+in timestamp order with config-before-work at equal timestamps, which
+matches the batch as-of-join oracle (SURVEY §7.4.6).
+
+Scale note: state is O(#keys x config width) — the config side is tiny
+by construction (slowly-changing); the work stream never accumulates in
+state. Shuffle is one hash partitioning on the key.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def tag_union(work: DataFrame, config: DataFrame, ts: str, key_cols: list[str]) -> DataFrame:
+    """Union work+config into one keyed stream with a side tag.
+
+    Columns of the other side are null-padded (same shape as the batch
+    as-of join's union stage in relational.asof_join).
+    """
+    wcols = set(work.columns)
+    ccols = set(config.columns)
+    w = work.withColumn("_side", F.lit("work"))
+    c = config.withColumn("_side", F.lit("config"))
+    for col, dtype in config.dtypes:
+        if col not in wcols:
+            w = w.withColumn(col, F.lit(None).cast(dtype))
+    for col, dtype in work.dtypes:
+        if col not in ccols:
+            c = c.withColumn(col, F.lit(None).cast(dtype))
+    return w.unionByName(c.select(*w.columns))
+
+
+def latest_enrich_stream(
+    tagged: DataFrame,
+    key_cols: list[str],
+    ts: str,
+    config_cols: list[str],
+    work_cols: list[str],
+    output_schema: str,
+) -> DataFrame:
+    """Streaming W3: apply latest-seen config to each work row.
+
+    ``tagged`` is the output of :func:`tag_union`. Output rows are work
+    rows with ``<config_col>_asof`` columns attached (null until the
+    first config arrives — same as the as-of join oracle).
+    """
+
+    state_fields = ", ".join(f"{c} string" for c in config_cols)
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            current = dict(zip(config_cols, state.get))
+        else:
+            current = {c: None for c in config_cols}
+        out = []
+        for pdf in pdfs:
+            # config rows sort before work rows at equal ts -> latest-wins
+            pdf = pdf.sort_values([ts, "_side"]).reset_index(drop=True)
+            for _, row in pdf.iterrows():
+                if row["_side"] == "config":
+                    current = {c: row[c] for c in config_cols}
+                else:
+                    rec = {c: row[c] for c in work_cols}
+                    for c in config_cols:
+                        rec[f"{c}_asof"] = current[c]
+                    out.append(rec)
+        state.update(tuple(None if v is None else str(v) for v in current.values()))
+        if out:
+            yield pd.DataFrame(out)
+
+    _ = state_fields
+    return tagged.groupBy(*key_cols).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType=", ".join(f"{c} string" for c in config_cols),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def dedup_within_watermark(df: DataFrame, keys: list[str], ts: str, watermark: str) -> DataFrame:
+    """Streaming exact dedup with bounded state
+    (``dropDuplicatesWithinWatermark``) — state is pruned past the
+    watermark, so memory is O(keys within the watermark horizon), not
+    O(all history). The scale-safe streaming twin of batch dedup."""
+    return df.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)

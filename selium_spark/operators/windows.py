@@ -1,0 +1,156 @@
+"""Windowing / aggregation operators (SURVEY §2.3, W1-W8).
+
+Selium's only window is a processing-time tumbling window collecting a
+``Vec<T>`` (examples/log-analyser/src/window.rs:23-67); its only
+aggregation is the windowed count-by-category with thresholds
+(examples/log-analyser/src/lib.rs:103-125). We default to event-time +
+watermark (better semantics, replay-testable — SURVEY §7.4.1) and also
+expose the Spark-native sliding/session variants the reference lacks.
+
+All operators are shuffle-aware: windowed groupBys shuffle once on the
+(window, keys) grouping; partial aggregation (map-side combine) is
+automatic for the count/sum aggregates used here, so at 100 TB the
+shuffle carries only per-partition partials, not raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> "GroupedWindow":
+    """W1 tumbling window: group rows into fixed event-time buckets.
+
+    Reference: ``windowed(stream, duration)``
+    examples/log-analyser/src/window.rs:23-67 (processing-time there;
+    event-time here per SURVEY §7.4.1 — pass a ``current_timestamp()``
+    stamped column for processing-time fidelity).
+    """
+    wdf = df.withWatermark(ts_col, watermark) if watermark else df
+    cols = [F.window(F.col(ts_col), duration).alias("window")] + [
+        F.col(k) for k in (keys or [])
+    ]
+    return GroupedWindow(wdf.groupBy(*cols))
+
+
+def sliding(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> "GroupedWindow":
+    """Sliding window (Spark-native; absent from the reference —
+    adopted per SURVEY §2.3 'absent' decision record)."""
+    wdf = df.withWatermark(ts_col, watermark) if watermark else df
+    cols = [F.window(F.col(ts_col), duration, slide).alias("window")] + [
+        F.col(k) for k in (keys or [])
+    ]
+    return GroupedWindow(wdf.groupBy(*cols))
+
+
+def session(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> "GroupedWindow":
+    """Session window with inactivity gap (Spark-native)."""
+    wdf = df.withWatermark(ts_col, watermark) if watermark else df
+    cols = [F.session_window(F.col(ts_col), gap).alias("window")] + [
+        F.col(k) for k in (keys or [])
+    ]
+    return GroupedWindow(wdf.groupBy(*cols))
+
+
+class GroupedWindow:
+    """Thin agg surface over a windowed grouping."""
+
+    def __init__(self, grouped):
+        self._grouped = grouped
+
+    def agg(self, *exprs: Column) -> DataFrame:
+        return self._grouped.agg(*exprs)
+
+    def count_where(self, **conds: Column) -> DataFrame:
+        """Named conditional counts within each window —
+        ``count_where(errors=.., warnings=..)``."""
+        aggs = [
+            F.count(F.when(cond, F.lit(1))).alias(name) for name, cond in conds.items()
+        ]
+        return self._grouped.agg(*aggs)
+
+
+def window_threshold_alerts(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    conds: dict[str, Column],
+    alert_when: Column,
+    watermark: str | None = None,
+) -> DataFrame:
+    """W2 windowed count-by-category + threshold alert.
+
+    Reference: ``analyse_window`` counts Error/Warn per window and emits
+    an alert when errors > 10 or warnings > 50
+    (examples/log-analyser/src/lib.rs:103-125, thresholds :31-32).
+
+    ``conds`` maps count-column name -> row predicate; ``alert_when`` is
+    a predicate over those count columns.
+    """
+    counted = tumbling(df, ts_col, duration, watermark=watermark).count_where(**conds)
+    return counted.where(alert_when)
+
+
+def route(df: DataFrame, routes: dict[str, Column | None]) -> dict[str, DataFrame]:
+    """W4 routing fan-out: one input, N named output branches; ``None``
+    predicate means "all rows" (the audit tap).
+
+    Reference: ``result_router`` — every verdict to audit, blocked
+    verdicts also to alerts (examples/waf/src/lib.rs:216-233). Reading
+    a DataFrame twice is free (taps don't consume); for one-pass
+    streaming, pair with ``engine.foreach_batch_routes``.
+    """
+    return {
+        name: (df if pred is None else df.where(pred)) for name, pred in routes.items()
+    }
+
+
+def take_n(df: DataFrame, n: int) -> DataFrame:
+    """W5 bounded consume: read until N records received.
+
+    Reference: orchestrator result loop counting until task_count
+    (examples/orchestrator/src/lib.rs:153-176). Batch: ``limit``;
+    streaming tests stop the query after the count trigger.
+    """
+    return df.limit(n)
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """W6 merge of N sources by name (schema-aligned union).
+
+    Reference: subscriber connected to every atlas pattern match
+    (examples/log-analyser/src/lib.rs:48-54).
+    """
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, dfs)
+
+
+def stamp_processing_time(df: DataFrame, col: str = "proc_ts") -> DataFrame:
+    """W7/W8 wall-clock stamp (``current_timestamp``), for
+    processing-time-window fidelity when requested.
+
+    Reference: time driver now()/sleep
+    (system/kernel/src/drivers/time.rs:41-75).
+    """
+    return df.withColumn(col, F.current_timestamp())

@@ -1,0 +1,52 @@
+"""Streaming replay harness (SURVEY §5.3): run a batch table through
+the streaming engine and return the final result as a batch DataFrame.
+
+This is the signature test move borrowed from the reference — *assert
+pipeline behavior by subscribing to its output streams*
+(tests/request-reply/tests/request_reply.rs:386-414) — rendered as:
+parquet-dir file-stream -> user transform -> memory sink, driven to
+completion with an ``availableNow`` trigger (which also reproduces
+selium's emit-partial-window-on-stream-end behavior, SURVEY §7.4.1).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def replay_to_memory(
+    spark: SparkSession,
+    source_path: str,
+    schema,
+    transform: Callable[[DataFrame], DataFrame],
+    output_mode: str = "append",
+    max_files_per_trigger: int | None = None,
+    timeout_s: float = 300.0,
+) -> DataFrame:
+    """Replay a parquet dir/file as a stream, apply ``transform``, sink
+    to memory, block until drained, return the sink's contents."""
+    name = f"replay_{uuid.uuid4().hex[:8]}"
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(source_path)
+    out = transform(stream)
+    with tempfile.TemporaryDirectory(prefix="selium_ckpt_") as ckpt:
+        query = (
+            out.writeStream.queryName(name)
+            .outputMode(output_mode)
+            .format("memory")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination(timeout_s)
+        if query.isActive:
+            query.stop()
+        # materialize before the checkpoint dir disappears
+        sink = spark.table(name)
+        return spark.createDataFrame(sink.collect(), sink.schema)
