@@ -1,0 +1,92 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": total_sec, "unit": "sec",
+ "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop sink (count() would let
+column pruning skip projection work for map-only queries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from selium_spark import get_spark  # noqa: E402
+from selium_spark.suite import QUERIES  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: one per operator family; heavy all-pairs ops are covered
+# by their scale-path variants (LSH / IVF), not brute force.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q_window_rank_customers",
+    "q_range_join_quantity",
+    "t1_map_chain",
+    "t4_classify_waf",
+    "t11_http_scan",
+    "w1_tumbling_daily",
+    "w2_threshold_alerts",
+    "w3_latest_enrich",
+    "m3_fanout_assign",
+    "text_quality",
+    "text_fingerprints",
+    "dedup_exact_docs",
+    "dedup_lsh_candidates",
+    "dedup_simhash_docs",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "mm_decode_features",
+    "stream_window_counts",
+]
+
+
+def run_one(spark, name: str) -> float:
+    t0 = time.time()
+    df = QUERIES[name](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    spark = get_spark(app_name="selium_bench", cpus=CPUS, shuffle_partitions=CPUS)
+    # warm the JVM / parquet footers with one tiny action
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        try:
+            timings[name] = round(run_one(spark, name), 3)
+        except Exception as exc:  # keep the line parseable even on failure
+            timings[name] = -1.0
+            print(f"bench error {name}: {exc}", file=sys.stderr)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time",
+                "value": round(sum(t for t in timings.values() if t >= 0), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every suite query on Spark AND its DuckDB oracle at sf0.01,
+canonicalizes (sorted rows, columns sorted by name, doubles rounded to
+1e-9), and reports per-query match/mismatch with first differing row.
+
+Usage: python scripts/check_correctness.py [name ...] [--sf DIR]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+from selium_spark import get_spark  # noqa: E402
+from selium_spark.catalog import StreamCatalog  # noqa: E402
+from selium_spark.suite import ORACLES, QUERIES  # noqa: E402
+
+
+def canon_rows(rows, cols, round_decimals=9):
+    out = []
+    for row in rows:
+        vals = []
+        for c in cols:
+            v = row[c]
+            if isinstance(v, float):
+                vals.append("nan" if math.isnan(v) else round(v, round_decimals))
+            elif hasattr(v, "isoformat"):
+                vals.append(v.isoformat())
+            elif isinstance(v, (list, tuple)):
+                vals.append(tuple(v))
+            elif isinstance(v, (bytes, bytearray, memoryview)):
+                vals.append(bytes(v))
+            else:
+                vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = "/root/testdata/sf0.01"
+    if "--sf" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+    names = args or list(QUERIES)
+
+    spark = get_spark(app_name="check_correctness", cpus=16, shuffle_partitions=16)
+    con = duckdb.connect()
+    for t in StreamCatalog.TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    n_pass = n_fail = 0
+    for name in names:
+        fn = QUERIES[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sorted(sdf.columns)
+            s_rows = canon_rows([r.asDict() for r in sdf.collect()], s_cols)
+        except Exception:
+            print(f"FAIL {name}: spark raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        sql = ORACLES.get(name)
+        if sql is None:
+            print(f"pass {name} (rows-only: {len(s_rows)} rows) [{time.time()-t0:.1f}s]")
+            n_pass += 1
+            continue
+        try:
+            ddf = con.sql(sql).df()
+        except Exception:
+            print(f"FAIL {name}: duckdb raised")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        d_cols = sorted(ddf.columns.tolist())
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        d_rows = canon_rows(
+            [dict(zip(ddf.columns, row)) for row in ddf.itertuples(index=False)], d_cols
+        )
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+            if a != b:
+                bad = (i, a, b)
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
+            n_fail += 1
+        else:
+            print(f"pass {name} ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail / {len(names)}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -45,28 +45,38 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 # -- MinHash -------------------------------------------------------------
-def minhash_col(text_col: str | Column, seed: int) -> Column:
-    """One minhash: min md5 over tokens salted with the seed.
+def minhash_col(items: Column, seed: int) -> Column:
+    """One minhash: min md5 over the shingle set, salted with the seed.
 
-    min over all tokens == min over distinct tokens, so no distinct
+    min over all shingles == min over distinct shingles, so no distinct
     pass is needed; md5 hex is fixed-width so lexicographic min is the
     numeric 128-bit min.
     """
-    toks = tokens(text_col)
     return F.array_min(
-        F.transform(toks, lambda t: F.md5(F.concat(t, F.lit(f"#{seed}"))))
+        F.transform(items, lambda t: F.md5(F.concat(t, F.lit(f"#{seed}"))))
     )
 
 
 def minhash_signature(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """k-minhash signature per document (columns mh0..mh{k-1})."""
-    out = df.select(
+    """k-minhash signature per document (columns mh0..mh{k-1}) over word
+    ``shingle_n``-grams (3-grams by default: unigram sets over a small
+    vocabulary are near-identical across documents, so shingles carry
+    the similarity signal)."""
+    # Materialize the shingle set once, then derive the k minhashes from
+    # the column reference: CollapseProject keeps the expensive
+    # tokenize+shingle expression single-evaluation instead of inlining
+    # it into all k minhash expressions.
+    grams = df.select(F.col(id_col), ngram_set(text_col, shingle_n).alias("_grams"))
+    return grams.select(
         F.col(id_col),
-        *[minhash_col(text_col, i).alias(f"mh{i}") for i in range(k)],
+        *[minhash_col(F.col("_grams"), i).alias(f"mh{i}") for i in range(k)],
     )
-    return out
 
 
 def lsh_candidate_pairs(
@@ -75,6 +85,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     k: int = 8,
     bands: int = 4,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """LSH banding: split the k-signature into ``bands`` bands of
     r = k/bands rows; docs sharing any band key are candidates.
@@ -85,7 +96,7 @@ def lsh_candidate_pairs(
     """
     assert k % bands == 0, "k must divide into bands"
     r = k // bands
-    sig = minhash_signature(df, text_col, id_col, k)
+    sig = minhash_signature(df, text_col, id_col, k, shingle_n)
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])).alias(
             f"band{b}"
@@ -104,6 +115,10 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band_id", "bk.band_key")
+    # The band table is tiny (k hashes per doc) next to the corpus; at
+    # any scale you materialize it once rather than recompute the
+    # signature pipeline for both sides of the self-join.
+    exploded = exploded.persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -128,7 +143,9 @@ def ngram_set(text_col: str | Column, n: int) -> Column:
     toks = tokens(text_col)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    # floor at 1 (not 0): Spark's sequence(1, 0) would DESCEND; a doc
+    # shorter than n tokens yields one short gram (same in the oracle).
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.array_distinct(grams)
 
@@ -176,16 +193,18 @@ def simhash_bits(text_col: str | Column, n_bits: int = 16) -> list[Column]:
     SimHash. Expressed with instr-parity so DuckDB can reproduce it.
     """
     toks = tokens(text_col)
+
+    def contrib_fn(salt: str):
+        # single-arg lambda: a two-arg lambda would make transform()
+        # pass the array index as the second argument
+        return lambda t: F.when(
+            (F.instr(F.lit(HEX), F.substring(F.md5(F.concat(t, F.lit(salt))), 1, 1)) % 2) == 1,
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+
     bits = []
     for i in range(n_bits):
-        contrib = F.transform(
-            toks,
-            lambda t, i=i: F.when(
-                (F.instr(F.lit(HEX), F.substring(F.md5(F.concat(t, F.lit(f"@{i}"))), 1, 1)) % 2)
-                == 1,
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        )
+        contrib = F.transform(toks, contrib_fn(f"@{i}"))
         total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
         bits.append(F.when(total > 0, F.lit(1)).otherwise(F.lit(0)))
     return bits
@@ -201,7 +220,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bit
     bitstr = F.concat(*[b.cast("string") for b in bits])
     return df.select(
         F.col(id_col),
-        value.alias("simhash"),
+        value.cast("long").alias("simhash"),
         bitstr.alias("simhash_bits"),
     )
 

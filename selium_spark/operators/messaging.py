@@ -59,7 +59,12 @@ def subscribe_batch(catalog: StreamCatalog, uri: str, expected_hash: str | None 
     return catalog.read(uri, expected_hash=expected_hash)
 
 
-def fanout(df: DataFrame, n_workers: int, worker_col: str = "worker") -> DataFrame:
+def fanout(
+    df: DataFrame,
+    n_workers: int,
+    worker_col: str = "worker",
+    assignment: F.Column | None = None,
+) -> DataFrame:
     """M3 Fanout: each record to exactly one of N consumers.
 
     Reference: ``Fanout::<Connection>::create``
@@ -71,7 +76,8 @@ def fanout(df: DataFrame, n_workers: int, worker_col: str = "worker") -> DataFra
     SURVEY §7.4.2: exclusivity here is per-row-deterministic rather
     than race-based — a *stronger* guarantee.
     """
-    assignment = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_workers))
+    if assignment is None:
+        assignment = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_workers))
     return df.withColumn(worker_col, assignment).repartition(n_workers, F.col(worker_col))
 
 

@@ -181,5 +181,5 @@ def dec_avg(col: str | Column, alias: str, scale_in: int = 2) -> Column:
     double division."""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.sum(c.cast(f"decimal(18,{scale_in})")).cast("double") / F.count(c)
+        F.sum(c.cast(f"decimal(18,{scale_in})")).cast("double") / F.count(F.lit(1))
     ).alias(alias)

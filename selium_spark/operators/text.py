@@ -121,11 +121,27 @@ def fingerprint_md5(col: str | Column) -> Column:
 def min_shingle_fingerprint(col: str | Column, shingle_len: int = 8) -> Column:
     """Winnowing-style fingerprint: minimum md5 over all character
     shingles of the normalized text (rolling-hash analogue; robust to
-    local edits away from the minimizing shingle)."""
-    norm = normalize_text(col)
+    local edits away from the minimizing shingle).
+
+    NOTE: ``col`` is evaluated per shingle position — pass an already-
+    materialized normalized column (see fingerprint_table) rather than
+    a raw-text expression in hot paths.
+    """
+    norm = F.col(col) if isinstance(col, str) else col
     positions = F.sequence(
         F.lit(1), F.greatest(F.length(norm) - F.lit(shingle_len - 1), F.lit(1))
     )
     return F.array_min(
         F.transform(positions, lambda i: F.md5(norm.substr(i, F.lit(shingle_len))))
+    )
+
+
+def fingerprint_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Both fingerprints with the normalization materialized once: the
+    regex-normalize runs once per doc, not once per shingle."""
+    normed = df.select(F.col(id_col), normalize_text(text_col).alias("_norm"))
+    return normed.select(
+        F.col(id_col),
+        F.md5(F.col("_norm")).alias("fp_md5"),
+        min_shingle_fingerprint(F.col("_norm"), 8).alias("fp_min_shingle"),
     )

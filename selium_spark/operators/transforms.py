@@ -158,7 +158,12 @@ def scan_http_frames(df: DataFrame, raw_col: str) -> DataFrame:
             "body",
             F.when(
                 F.instr(raw, "\r\n\r\n") > 0,
-                F.expr(f"substring({raw_col}, instr({raw_col}, '\r\n\r\n') + 4)"),
+                # char(13)||char(10) instead of literal CR/LF so the SQL
+                # string survives the expression parser
+                F.expr(
+                    f"substring({raw_col}, instr({raw_col}, "
+                    "char(13)||char(10)||char(13)||char(10)) + 4)"
+                ),
             ),
         )
     )

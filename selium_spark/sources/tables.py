@@ -18,7 +18,18 @@ TABLES = (
 ).split()
 
 
+def ensure_nanos_as_long(spark: SparkSession) -> None:
+    """Runtime-settable conf required to scan TIMESTAMP(NANOS) parquet
+    (events.ts) on sessions not built by selium_spark.session.get_spark."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        ensure_nanos_as_long(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

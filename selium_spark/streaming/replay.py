@@ -29,10 +29,17 @@ def replay_to_memory(
 ) -> DataFrame:
     """Replay a parquet dir/file as a stream, apply ``transform``, sink
     to memory, block until drained, return the sink's contents."""
+    import os
+
     name = f"replay_{uuid.uuid4().hex[:8]}"
     reader = spark.readStream.schema(schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # FileStreamSource needs a directory; a single-file source becomes
+    # parent dir + glob filter on the file name
+    if os.path.isfile(source_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(source_path))
+        source_path = os.path.dirname(source_path)
     stream = reader.load(source_path)
     out = transform(stream)
     with tempfile.TemporaryDirectory(prefix="selium_ckpt_") as ckpt:

@@ -1,0 +1,1228 @@
+"""The engine's query suite + DuckDB oracle twins.
+
+Every entry is one operator from SURVEY.md §2 (or a north-star
+extension) exercised end-to-end on the driver testdata. Each Spark
+callable takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names AND values match the paired ANSI-SQL oracle exactly
+(driver protocol: sorted rows, columns sorted by name, doubles rounded
+to 1e-9).
+
+Cross-engine determinism rules used throughout:
+- money/quantity doubles carry exactly 2 decimals -> cast to DECIMAL
+  before SUM so the sum is exact and order-independent; cast back to
+  DOUBLE once (identical rounding in both engines).
+- all content hashing is md5 (hex string; fixed width, so lexicographic
+  min == numeric min) — reproducible in DuckDB.
+- every ORDER BY ... LIMIT has a total tie-break key.
+- ratio/score arithmetic uses a fixed expression order of exact
+  integers / identical doubles, so IEEE evaluation agrees bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, messaging, multimodal, relational, similarity, text
+from .operators import transforms, windows
+from .sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB side)
+# ---------------------------------------------------------------------------
+
+# whitespace tokens of trimmed text, empties removed — mirror of text.tokens()
+SQL_TOKS = r"list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')"
+
+# word 3-gram shingles over toks (mirror of dedup.ngram_set(text, 3))
+SQL_GRAMS3 = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(toks) - 2, 1)), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))"
+CHARGE = DISC_PRICE + " * CAST(1 + l_tax AS DECIMAL(4,2))"
+
+
+def _hex_nibble(expr: str, pos: int) -> str:
+    """SQL: value 0-15 of hex digit ``pos`` (1-based) of a hex string."""
+    return f"(strpos('0123456789abcdef', substr({expr}, {pos}, 1)) - 1)"
+
+
+def _hex_byte(expr: str, byte_idx: int) -> str:
+    """SQL: value 0-255 of byte ``byte_idx`` (0-based) of a hex digest."""
+    p = 2 * byte_idx + 1
+    return f"({_hex_nibble(expr, p)} * 16 + {_hex_nibble(expr, p + 1)})"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side shared expressions
+# ---------------------------------------------------------------------------
+
+
+def _disc_price() -> F.Column:
+    return F.expr(DISC_PRICE)
+
+
+def _charge() -> F.Column:
+    return F.expr(CHARGE)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# 1. Relational suite (SURVEY §7.2 step 4 — Spark-native completion)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan -> filter (pushed to parquet) -> 2-key
+    groupBy with 8 aggregates (map-side partial agg; one shuffle on a
+    6-value key space)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-12-01"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            relational.dec_sum("l_quantity", "sum_qty"),
+            relational.dec_sum("l_extendedprice", "sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("double").alias("sum_charge"),
+            relational.dec_avg("l_quantity", "avg_qty"),
+            relational.dec_avg("l_extendedprice", "avg_price"),
+            relational.dec_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM({DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM({CHARGE}) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> two joins -> group ->
+    top-10. customer is the small side (broadcast); orders/lineitem
+    join shuffles on orderkey."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1997-06-01"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1997-06-01"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_Q3 = f"""
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join. region/nation broadcast;
+    the fact-side joins shuffle on their keys; the c_nationkey =
+    s_nationkey colocation predicate rides the supplier join."""
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+SQL_Q5 = f"""
+SELECT n_name, CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+agg — all predicates push to
+    the parquet reader (check PushedFilters in explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.expr("CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+SQL_Q6 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        F.count(F.lit(1)).alias("n_items"),
+        relational.dec_sum("l_quantity", "sum_qty"),
+    )
+
+
+SQL_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return relational.top_k_per_group(
+        cust.select("c_mktsegment", "c_custkey", "c_acctbal"),
+        ["c_mktsegment"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        3,
+    )
+
+
+SQL_WINDOW_RANK = """
+SELECT c_mktsegment, c_custkey, c_acctbal,
+  CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS INT) AS rn
+FROM customer QUALIFY rn <= 3
+"""
+
+
+def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relational.distinct_rows(
+        _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"]
+    )
+
+
+SQL_DISTINCT = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
+
+
+def q_setops_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    ord_cust = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return relational.intersect(cust, ord_cust)
+
+
+SQL_SETOPS_ACTIVE = (
+    "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey AS c_custkey FROM orders"
+)
+
+
+def q_setops_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers who never placed a high-value (>350k) order."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    big = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 350000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.subtract(big)
+
+
+SQL_SETOPS_INACTIVE = """
+SELECT c_custkey FROM customer
+EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 350000
+"""
+
+
+def q_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS: customers with at least one open ('O') order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return relational.semi_join(
+        cust, orders, cust.c_custkey == orders.o_custkey
+    ).select("c_custkey", "c_name")
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+
+def q_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: customers with no open ('O') order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return relational.anti_join(
+        cust, orders, cust.c_custkey == orders.o_custkey
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+"""
+
+
+def q_range_join_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (bucketize + equi-join + residual filter): lineitem
+    quantities vs part-size intervals [p_size, p_size+4]."""
+    sizes = _t(spark, sf_dir, "part").select("p_size").distinct()
+    intervals = sizes.select(
+        F.col("p_size"),
+        F.col("p_size").cast("double").alias("lo"),
+        (F.col("p_size") + 4).cast("double").alias("hi"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_quantity")
+    joined = relational.range_join(li, intervals, "l_quantity", "lo", "hi", bucket_width=5.0)
+    return joined.groupBy("p_size").agg(F.count(F.lit(1)).alias("n_items"))
+
+
+SQL_RANGE_JOIN = """
+SELECT p_size, COUNT(*) AS n_items
+FROM (SELECT DISTINCT p_size FROM part) s
+JOIN lineitem ON l_quantity >= p_size AND l_quantity <= p_size + 4
+GROUP BY p_size
+"""
+
+
+# ---------------------------------------------------------------------------
+# 2. Selium operator parity over the events stream table (SURVEY §2.2-2.4)
+# ---------------------------------------------------------------------------
+
+
+def t1_map_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 map chain: the data-pipeline double/add_five transforms
+    (examples/data-pipeline/src/lib.rs:47,64)."""
+    ev = _t(spark, sf_dir, "events")
+    return transforms.map_rows(
+        ev.select("event_id", "value"),
+        doubled=F.col("value") * 2,
+        plus_five=F.col("value") + 5,
+    )
+
+
+SQL_T1 = "SELECT event_id, value, value * 2 AS doubled, value + 5 AS plus_five FROM events"
+
+
+def t2_filter_even(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 filter: even-keyed records (data-pipeline lib.rs:82)."""
+    ev = _t(spark, sf_dir, "events")
+    return transforms.where(ev.select("event_id", "event_type"), F.col("event_id") % 2 == 0)
+
+
+SQL_T2 = "SELECT event_id, event_type FROM events WHERE event_id % 2 = 0"
+
+
+def t4_classify_waf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 classify: WAF-style verdict with reason
+    (examples/waf/src/lib.rs:101-110)."""
+    ev = _t(spark, sf_dir, "events")
+    return transforms.classify(
+        ev.select("event_id", "event_type", "value"),
+        out_col="decision",
+        rules=[(F.col("event_type") == "error", "block"), (F.col("value") > 90, "review")],
+        default="allow",
+        reason_col="reason",
+        reasons=["error event", "large value"],
+    ).select("event_id", "decision", "reason")
+
+
+SQL_T4 = """
+SELECT event_id,
+  CASE WHEN event_type = 'error' THEN 'block' WHEN value > 90 THEN 'review' ELSE 'allow' END AS decision,
+  CASE WHEN event_type = 'error' THEN 'error event' WHEN value > 90 THEN 'large value' ELSE 'default' END AS reason
+FROM events
+"""
+
+
+def t5_decode_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 decode: JSON wire bytes -> typed struct, checked (null on
+    parse failure; FlatMsg::decode analogue)."""
+    ev = _t(spark, sf_dir, "events")
+    out = transforms.decode_json(ev, "props", "k INT", out_col="decoded")
+    return out.select("event_id", F.col("decoded.k").alias("k"))
+
+
+SQL_T5 = "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events"
+
+
+def t6_encode_wire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 encode: typed struct -> JSON wire string (FlatMsg::encode
+    analogue; compact key:value, no spaces)."""
+    ev = _t(spark, sf_dir, "events")
+    return transforms.encode_json(
+        ev.select("event_id", "event_type"), ["event_id", "event_type"]
+    )
+
+
+SQL_T6 = """
+SELECT event_id, event_type,
+  '{"event_id":' || event_id || ',"event_type":"' || event_type || '"}' AS encoded
+FROM events
+"""
+
+
+def t10_parse_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 parse+validate: JSON body field check (rest-api
+    lib.rs:106-130; 'k' plays the secret)."""
+    ev = _t(spark, sf_dir, "events")
+    out = transforms.parse_and_validate(
+        ev.select("event_id", "props"),
+        "props",
+        "k INT",
+        {"k_in_range": F.col("_parsed.k") < 50},
+    )
+    return out.select("event_id", "k_in_range", "valid")
+
+
+SQL_T10 = """
+SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) < 50 AS k_in_range,
+  CAST(json_extract_string(props, '$.k') AS INTEGER) < 50 AS valid
+FROM events
+"""
+
+
+def t11_http_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 byte-protocol scan: parse raw HTTP-ish frames synthesized
+    from events (rest-api lib.rs:52-104 framing state machine, rendered
+    as string surgery over row-framed records)."""
+    ev = _t(spark, sf_dir, "events")
+    raw = F.concat(
+        F.lit("GET /api/"),
+        F.col("event_type"),
+        F.lit("/"),
+        F.col("event_id").cast("string"),
+        F.lit(" HTTP/1.1\r\nHost: x\r\nContent-Length: "),
+        F.length("props").cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col("props"),
+    )
+    df = ev.select("event_id", raw.alias("raw"))
+    return transforms.scan_http_frames(df, "raw").select(
+        "event_id", "method", "path", "content_length", "body"
+    )
+
+
+SQL_T11 = """
+SELECT event_id, 'GET' AS method,
+  '/api/' || event_type || '/' || event_id AS path,
+  CAST(length(props) AS BIGINT) AS content_length,
+  props AS body
+FROM events
+"""
+
+
+def w1_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 tumbling window (event-time): daily counts + value sums per
+    event type (log-analyser window.rs:23-67)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = windows.tumbling(ev, "ts", "1 day", keys=["event_type"]).agg(
+        F.count(F.lit(1)).alias("n"),
+        relational.dec_sum("value", "sum_value"),
+    )
+    return agg.select(
+        F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+    )
+
+
+SQL_W1 = """
+SELECT date_trunc('day', ts) AS window_start, event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def w2_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 windowed count + threshold: the log-analyser alert query
+    (errors > 5 or signups > 6 per hour; reference thresholds at
+    examples/log-analyser/src/lib.rs:31-32)."""
+    ev = _t(spark, sf_dir, "events")
+    alerts = windows.window_threshold_alerts(
+        ev,
+        "ts",
+        "1 hour",
+        conds={
+            "errors": F.col("event_type") == "error",
+            "signups": F.col("event_type") == "signup",
+        },
+        alert_when=(F.col("errors") > 5) | (F.col("signups") > 6),
+    )
+    return alerts.select(F.col("window.start").alias("window_start"), "errors", "signups")
+
+
+SQL_W2 = """
+SELECT date_trunc('hour', ts) AS window_start,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS errors,
+  COUNT(*) FILTER (WHERE event_type = 'signup') AS signups
+FROM events GROUP BY 1
+HAVING errors > 5 OR signups > 6
+"""
+
+
+def w3_latest_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 latest-value enrich (batch twin of the orchestrator config
+    join, examples/orchestrator/src/lib.rs:244-287): each non-signup
+    event enriched with the user's most recent signup value at-or-before
+    its timestamp. Single shuffle+sort as-of join — see
+    relational.asof_join."""
+    ev = _t(spark, sf_dir, "events")
+    work = ev.where(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    config = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    out = relational.asof_join(work, config, ts="ts", by=["user_id"], right_cols=["signup_value"])
+    # coalesce: NULL doubles round-trip differently through pandas (NaN);
+    # -1.0 marks 'no signup yet' deterministically in both engines
+    return out.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.coalesce(F.col("signup_value_asof"), F.lit(-1.0)).alias("last_signup_value"),
+    )
+
+
+SQL_W3 = """
+SELECT w.event_id, w.user_id, w.value, coalesce(c.value, -1.0) AS last_signup_value
+FROM (SELECT * FROM events WHERE event_type <> 'signup') w
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') c
+  ON w.user_id = c.user_id AND w.ts >= c.ts
+"""
+
+
+def w4_route_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 routing fan-out, alert branch: every verdict -> audit; blocked
+    -> alerts (examples/waf/src/lib.rs:216-233). This query returns the
+    alerts branch (the audit branch is t4 itself)."""
+    verdicts = t4_classify_waf(spark, sf_dir)
+    branches = windows.route(
+        verdicts, {"audit": None, "alerts": F.col("decision") == "block"}
+    )
+    return branches["alerts"]
+
+
+SQL_W4 = """
+SELECT event_id, 'block' AS decision, 'error event' AS reason
+FROM events WHERE event_type = 'error'
+"""
+
+
+def w5_take_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 bounded consume: first 100 events by id (orchestrator
+    lib.rs:153-176 counts results until task_count)."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.take_n(ev.select("event_id", "event_type").orderBy("event_id"), 100)
+
+
+SQL_W5 = "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 100"
+
+
+def w6_union_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 merge of N matching sources (log-analyser lib.rs:48-54):
+    two filtered 'channels' unioned by name."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    errors = ev.where(F.col("event_type") == "error")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return windows.union_all(errors, purchases)
+
+
+SQL_W6 = """
+SELECT event_id, event_type, value FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+"""
+
+
+def m3_fanout_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 Fanout: deterministic exactly-one-worker assignment + per-
+    worker load (examples/load-balancer/src/lib.rs:21-35)."""
+    ev = _t(spark, sf_dir, "events")
+    assigned = messaging.fanout(
+        ev.select("event_id", "value"), 4, assignment=(F.col("event_id") % 4)
+    )
+    return assigned.groupBy("worker").agg(
+        F.count(F.lit(1)).alias("n"), relational.dec_sum("value", "sum_value")
+    )
+
+
+SQL_M3 = """
+SELECT event_id % 4 AS worker, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def m4_request_reply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 request/reply, batch twin: click events are requests; replies
+    carry the FlatResult envelope (request_id, payload, error) —
+    schemas/result.fbs, encoding.rs:64-81."""
+    ev = _t(spark, sf_dir, "events")
+    requests = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("request_id"), "value"
+    )
+
+    def handler(reqs: DataFrame) -> DataFrame:
+        return reqs.select(
+            "request_id",
+            F.concat(F.lit("ok:"), F.col("request_id").cast("string")).alias("payload"),
+            F.when(F.col("value") < 1, F.lit("bad request")).alias("error"),
+        )
+
+    replies = messaging.request_reply_batch(requests, handler)
+    return replies.select(
+        "request_id", F.col("payload").cast("string").alias("payload_str"), "error"
+    )
+
+
+SQL_M4 = """
+SELECT event_id AS request_id,
+  CASE WHEN value < 1 THEN NULL ELSE 'ok:' || event_id END AS payload_str,
+  CASE WHEN value < 1 THEN 'bad request' END AS error
+FROM events WHERE event_type = 'click'
+"""
+
+
+# ---------------------------------------------------------------------------
+# 3. Text analysis (north star)
+# ---------------------------------------------------------------------------
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+SQL_TEXT_STATS = rf"""
+SELECT doc_id,
+  CAST(len({SQL_TOKS}) AS INT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+  CAST(length(text) AS INT) AS n_chars_calc
+FROM documents
+"""
+
+
+def _sql_stopword_ratio(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+    return (
+        f"len(list_filter(toks, t -> list_contains([{words}], lower(t))))::DOUBLE"
+        f" / greatest(len(toks), 1)"
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id("text").alias("pred_lang"))
+
+
+SQL_LANGID = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+r AS (SELECT doc_id,
+  {_sql_stopword_ratio("en")} AS r_en,
+  {_sql_stopword_ratio("de")} AS r_de,
+  {_sql_stopword_ratio("fr")} AS r_fr,
+  {_sql_stopword_ratio("es")} AS r_es
+FROM t)
+SELECT doc_id,
+  CASE WHEN greatest(r_en, r_de, r_fr, r_es) <= 0.05 THEN 'unknown'
+       WHEN r_es >= greatest(r_fr, r_de, r_en) THEN 'es'
+       WHEN r_fr >= greatest(r_de, r_en) THEN 'fr'
+       WHEN r_de >= r_en THEN 'de'
+       ELSE 'en' END AS pred_lang
+FROM r
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = text.quality_score(docs, "text")
+    return out.select(
+        "doc_id", "n_tokens", "punct_ratio", "digit_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text, {SQL_TOKS} AS toks, greatest(length(text), 1)::DOUBLE AS safe_chars
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) / safe_chars AS punct_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) / safe_chars AS digit_ratio,
+    {_sql_stopword_ratio("en")} AS stopword_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens, punct_ratio, digit_ratio, stopword_ratio,
+  least(n_tokens / 64.0, 1.0) * 0.4
+  + least(stopword_ratio * 4.0, 1.0) * 0.3
+  + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+  + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1 AS quality_score
+FROM f
+"""
+
+
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return text.fingerprint_table(docs)
+
+
+SQL_FINGERPRINTS = r"""
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm FROM documents
+)
+SELECT doc_id, md5(norm) AS fp_md5,
+  list_aggregate(list_transform(generate_series(1, greatest(length(norm) - 7, 1)),
+                                i -> md5(substr(norm, i, 8))), 'min') AS fp_min_shingle
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# 4. Deduplication (north star)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT min(doc_id) AS doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+  COUNT(*) AS n_copies
+FROM documents GROUP BY content_hash
+"""
+
+
+def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signature(_t(spark, sf_dir, "documents"), k=8, shingle_n=3)
+
+
+def _sql_minhash(i: int) -> str:
+    return f"list_aggregate(list_transform(grams, g -> md5(g || '#{i}')), 'min') AS mh{i}"
+
+
+SQL_MINHASH_SIGS = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, {SQL_GRAMS3} AS grams FROM t)
+SELECT doc_id, {", ".join(_sql_minhash(i) for i in range(8))}
+FROM g
+"""
+
+
+def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=3
+    )
+
+
+SQL_LSH_PAIRS = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, {SQL_GRAMS3} AS grams FROM t),
+sig AS (SELECT doc_id, {", ".join(_sql_minhash(i) for i in range(8))} FROM g),
+banded AS (
+  SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, k=8, bands=4, shingle_n=3)
+    return dedup.ngram_jaccard_pairs(docs, pairs, n=3, threshold=0.2).withColumn(
+        "jaccard", F.round(F.col("jaccard"), 9)
+    )
+
+
+SQL_JACCARD = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, {SQL_GRAMS3} AS grams FROM t),
+sig AS (SELECT doc_id, {", ".join(_sql_minhash(i) for i in range(8))} FROM g),
+banded AS (
+  SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+  round(len(list_intersect(ga.grams, gb.grams))::DOUBLE
+    / greatest(len(list_distinct(ga.grams || gb.grams)), 1), 9) AS jaccard
+FROM pairs
+JOIN g ga ON ga.doc_id = id_a
+JOIN g gb ON gb.doc_id = id_b
+WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE
+    / greatest(len(list_distinct(ga.grams || gb.grams)), 1) >= 0.2
+"""
+
+
+def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_t(spark, sf_dir, "documents"), n_bits=16)
+
+
+def _sql_simhash_bit(i: int) -> str:
+    return (
+        "CASE WHEN list_aggregate(list_transform(toks, t -> "
+        f"CASE WHEN strpos('0123456789abcdef', substr(md5(t || '@{i}'), 1, 1)) % 2 = 1 "
+        "THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END"
+    )
+
+
+SQL_SIMHASH = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+bits AS (SELECT doc_id, {", ".join(f"{_sql_simhash_bit(i)} AS b{i}" for i in range(16))} FROM t)
+SELECT doc_id,
+  {" + ".join(f"b{i} * {2 ** (15 - i)}" for i in range(16))} AS simhash,
+  {" || ".join(f"CAST(b{i} AS VARCHAR)" for i in range(16))} AS simhash_bits
+FROM bits
+"""
+
+
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.8). All-pairs at test SF;
+    the scale path prefilters with IVF buckets (similarity.ivf_assign)
+    before this exact verification."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(emb, threshold=0.8)
+
+
+SQL_COSINE_AB = (
+    "list_aggregate(list_transform(generate_series(1, len(va)), i -> va[i]::DOUBLE * vb[i]::DOUBLE), 'sum')"
+    " / (sqrt(list_aggregate(list_transform(generate_series(1, len(va)), i -> va[i]::DOUBLE * va[i]::DOUBLE), 'sum'))"
+    " * sqrt(list_aggregate(list_transform(generate_series(1, len(vb)), i -> vb[i]::DOUBLE * vb[i]::DOUBLE), 'sum')))"
+)
+
+SQL_EMB_NEARDUP = f"""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round({SQL_COSINE_AB}, 6) AS cosine
+FROM p WHERE round({SQL_COSINE_AB}, 6) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# 5. Similarity search (north star)
+# ---------------------------------------------------------------------------
+
+
+def _query_vec_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of vec_id 0 (brute force baseline).
+    Cross-join with the broadcast single-row query vector; sort+limit
+    compiles to TakeOrderedAndProject (per-partition top-k, no full
+    shuffle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec_df(spark, sf_dir)
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+SQL_ANN_BRUTE = f"""
+WITH q AS (SELECT embedding AS vb FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, e.embedding AS va, q.vb FROM embeddings e CROSS JOIN q
+)
+SELECT vec_id, round({SQL_COSINE_AB}, 6) AS score
+FROM s ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign vectors to 8 deterministic centroids, probe the
+    2 centroids nearest the query, exact-search their clusters (the
+    100 TB path: cluster-partitioned storage + partition pruning)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = similarity.make_centroids(emb, n=8)
+    query_vec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    return similarity.ivf_topk(emb, centroids, query_vec, k=10, n_probe=2)
+
+
+SQL_ANN_IVF = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    round({SQL_COSINE_AB.replace("va", "e.embedding").replace("vb", "c.cvec")}, 6) AS c_score
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cluster_id FROM assign_scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, centroid_id ASC) = 1
+),
+probes AS (
+  SELECT centroid_id FROM cents CROSS JOIN q
+  ORDER BY round({SQL_COSINE_AB.replace("va", "cvec").replace("vb", "qv")}, 6) DESC, centroid_id ASC
+  LIMIT 2
+)
+SELECT a.vec_id,
+  round({SQL_COSINE_AB.replace("va", "a.embedding").replace("vb", "q.qv")}, 6) AS score
+FROM assigned a CROSS JOIN q
+WHERE a.cluster_id IN (SELECT centroid_id FROM probes)
+ORDER BY score DESC, a.vec_id ASC LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# 6. Multimodal plumbing (north star; deterministic fake decode)
+# ---------------------------------------------------------------------------
+
+
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media pipeline: attach bytes -> Arrow-batched mapInPandas
+    decode (deterministic stand-in codec) -> typed features."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_bytes(docs, "text", kind="image")
+    return multimodal.decode_media(media, decoder="fake")
+
+
+SQL_MM_DECODE = f"""
+SELECT doc_id AS media_id, 'image' AS kind,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  md5(text) AS content_md5,
+  CAST(16 + {_hex_byte("md5(text)", 0)} % 240 AS INT) AS width,
+  CAST(16 + {_hex_byte("md5(text)", 1)} % 240 AS INT) AS height,
+  CAST(1 + {_hex_byte("md5(text)", 2)} % 8 AS INT) AS n_frames
+FROM documents
+"""
+
+
+def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = mm_decode_features(spark, sf_dir)
+    return multimodal.resize_plan(decoded, max_side=64)
+
+
+SQL_MM_RESIZE = f"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+    16 + {_hex_byte("md5(text)", 0)} % 240 AS width,
+    16 + {_hex_byte("md5(text)", 1)} % 240 AS height
+  FROM documents
+)
+SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+  CAST(greatest(floor(width * least(64.0 / width, 64.0 / height, 1.0)), 1) AS INT) AS out_width,
+  CAST(greatest(floor(height * least(64.0 / width, 64.0 / height, 1.0)), 1) AS INT) AS out_height
+FROM d
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    decoded = mm_decode_features(spark, sf_dir)
+    return multimodal.frame_sample(decoded, every_n=2)
+
+
+SQL_MM_FRAMES = f"""
+SELECT media_id, frame_idx FROM (
+  WITH d AS (
+    SELECT doc_id AS media_id, 1 + {_hex_byte("md5(text)", 2)} % 8 AS n_frames FROM documents
+  )
+  SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1)) AS INT) AS frame_idx FROM d
+) WHERE frame_idx % 2 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# 7. Streaming twins (replayed through Structured Streaming)
+# ---------------------------------------------------------------------------
+
+
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 streaming twin: events replayed as a file stream through the
+    same tumbling aggregation into a memory sink (SURVEY §5.3)."""
+    from .streaming.replay import replay_to_memory
+    from pyspark.sql import types as T
+
+    from .sources.tables import ensure_nanos_as_long
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = stream
+        if isinstance(schema["ts"].dataType, T.LongType):
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = windows.tumbling(ev, "ts", "1 day", keys=["event_type"]).agg(
+            F.count(F.lit(1)).alias("n"),
+            relational.dec_sum("value", "sum_value"),
+        )
+        return agg.select(
+            F.col("window.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+
+    return replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform, output_mode="complete"
+    )
+
+
+def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 streaming twin (log-analyser alert pipeline end-to-end)."""
+    from .streaming.replay import replay_to_memory
+    from pyspark.sql import types as T
+
+    from .sources.tables import ensure_nanos_as_long
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = stream
+        if isinstance(schema["ts"].dataType, T.LongType):
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        alerts = windows.window_threshold_alerts(
+            ev,
+            "ts",
+            "1 hour",
+            conds={
+                "errors": F.col("event_type") == "error",
+                "signups": F.col("event_type") == "signup",
+            },
+            alert_when=(F.col("errors") > 5) | (F.col("signups") > 6),
+        )
+        return alerts.select(
+            F.col("window.start").alias("window_start"), "errors", "signups"
+        )
+
+    return replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform, output_mode="complete"
+    )
+
+
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state: the events table
+    duplicated (two 'writers') then deduplicated by key within the
+    watermark horizon."""
+    from .streaming.replay import replay_to_memory
+    from pyspark.sql import types as T
+
+    from .sources.tables import ensure_nanos_as_long
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = stream
+        if isinstance(schema["ts"].dataType, T.LongType):
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        doubled = ev.unionByName(ev)  # two writers publishing the same frames
+        from .operators.stateful import dedup_within_watermark
+
+        return dedup_within_watermark(doubled, ["event_id"], "ts", "60 days").select(
+            "event_id", "event_type"
+        )
+
+    return replay_to_memory(spark, f"{sf_dir}/events.parquet", schema, transform)
+
+
+SQL_STREAM_DEDUP = "SELECT event_id, event_type FROM events"
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # relational
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_revenue_forecast": q6_revenue_forecast,
+    "q_rollup_returns": q_rollup_returns,
+    "q_topk_orders": q_topk_orders,
+    "q_window_rank_customers": q_window_rank_customers,
+    "q_distinct_segments": q_distinct_segments,
+    "q_setops_active_customers": q_setops_active_customers,
+    "q_setops_inactive_customers": q_setops_inactive_customers,
+    "q_semi_join_customers": q_semi_join_customers,
+    "q_anti_join_customers": q_anti_join_customers,
+    "q_range_join_quantity": q_range_join_quantity,
+    # selium parity
+    "t1_map_chain": t1_map_chain,
+    "t2_filter_even": t2_filter_even,
+    "t4_classify_waf": t4_classify_waf,
+    "t5_decode_typed": t5_decode_typed,
+    "t6_encode_wire": t6_encode_wire,
+    "t10_parse_validate": t10_parse_validate,
+    "t11_http_scan": t11_http_scan,
+    "w1_tumbling_daily": w1_tumbling_daily,
+    "w2_threshold_alerts": w2_threshold_alerts,
+    "w3_latest_enrich": w3_latest_enrich,
+    "w4_route_blocked": w4_route_blocked,
+    "w5_take_n": w5_take_n,
+    "w6_union_pattern": w6_union_pattern,
+    "m3_fanout_assign": m3_fanout_assign,
+    "m4_request_reply": m4_request_reply,
+    # text
+    "text_token_stats": text_token_stats,
+    "text_langid": text_langid,
+    "text_quality": text_quality,
+    "text_fingerprints": text_fingerprints,
+    # dedup
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_minhash_sigs": dedup_minhash_sigs,
+    "dedup_lsh_candidates": dedup_lsh_candidates,
+    "dedup_jaccard_verified": dedup_jaccard_verified,
+    "dedup_simhash_docs": dedup_simhash_docs,
+    "dedup_embedding_neardup": dedup_embedding_neardup,
+    # similarity
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    # multimodal
+    "mm_decode_features": mm_decode_features,
+    "mm_resize_plan": mm_resize_plan,
+    "mm_frame_sample": mm_frame_sample,
+    # streaming twins
+    "stream_window_counts": stream_window_counts,
+    "stream_threshold_alerts": stream_threshold_alerts,
+    "stream_dedup_exact": stream_dedup_exact,
+}
+
+ORACLES: dict[str, str] = {
+    "q1_pricing_summary": SQL_Q1,
+    "q3_shipping_priority": SQL_Q3,
+    "q5_local_supplier_volume": SQL_Q5,
+    "q6_revenue_forecast": SQL_Q6,
+    "q_rollup_returns": SQL_ROLLUP,
+    "q_topk_orders": SQL_TOPK,
+    "q_window_rank_customers": SQL_WINDOW_RANK,
+    "q_distinct_segments": SQL_DISTINCT,
+    "q_setops_active_customers": SQL_SETOPS_ACTIVE,
+    "q_setops_inactive_customers": SQL_SETOPS_INACTIVE,
+    "q_semi_join_customers": SQL_SEMI,
+    "q_anti_join_customers": SQL_ANTI,
+    "q_range_join_quantity": SQL_RANGE_JOIN,
+    "t1_map_chain": SQL_T1,
+    "t2_filter_even": SQL_T2,
+    "t4_classify_waf": SQL_T4,
+    "t5_decode_typed": SQL_T5,
+    "t6_encode_wire": SQL_T6,
+    "t10_parse_validate": SQL_T10,
+    "t11_http_scan": SQL_T11,
+    "w1_tumbling_daily": SQL_W1,
+    "w2_threshold_alerts": SQL_W2,
+    "w3_latest_enrich": SQL_W3,
+    "w4_route_blocked": SQL_W4,
+    "w5_take_n": SQL_W5,
+    "w6_union_pattern": SQL_W6,
+    "m3_fanout_assign": SQL_M3,
+    "m4_request_reply": SQL_M4,
+    "text_token_stats": SQL_TEXT_STATS,
+    "text_langid": SQL_LANGID,
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_fingerprints": SQL_FINGERPRINTS,
+    "dedup_exact_docs": SQL_DEDUP_EXACT,
+    "dedup_minhash_sigs": SQL_MINHASH_SIGS,
+    "dedup_lsh_candidates": SQL_LSH_PAIRS,
+    "dedup_jaccard_verified": SQL_JACCARD,
+    "dedup_simhash_docs": SQL_SIMHASH,
+    "dedup_embedding_neardup": SQL_EMB_NEARDUP,
+    "ann_bruteforce_topk": SQL_ANN_BRUTE,
+    "ann_ivf_topk": SQL_ANN_IVF,
+    "mm_decode_features": SQL_MM_DECODE,
+    "mm_resize_plan": SQL_MM_RESIZE,
+    "mm_frame_sample": SQL_MM_FRAMES,
+    "stream_window_counts": SQL_W1,
+    "stream_threshold_alerts": SQL_W2,
+    "stream_dedup_exact": SQL_STREAM_DEDUP,
+    # (streaming latest-enrich is covered rows-only in tests; its batch
+    # twin w3_latest_enrich carries the oracle)
+}
