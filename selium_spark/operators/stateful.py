@@ -58,9 +58,26 @@ def latest_enrich_stream(
     ``tagged`` is the output of :func:`tag_union`. Output rows are work
     rows with ``<config_col>_asof`` columns attached (null until the
     first config arrives — same as the as-of join oracle).
-    """
 
-    state_fields = ", ".join(f"{c} string" for c in config_cols)
+    Config values travel as a string envelope (cast JVM-side, so ints
+    stay '100' not '100.0') — the generic analogue of selium's byte
+    frames; callers re-type downstream. Work columns keep their
+    declared types: the union's null-padding makes pandas widen them to
+    float64, so they are coerced back to the output schema before the
+    Arrow hand-off.
+    """
+    from pyspark.sql import types as T
+
+    for c in config_cols:
+        tagged = tagged.withColumn(c, F.col(c).cast("string"))
+
+    out_struct = T._parse_datatype_string(output_schema)
+    assert isinstance(out_struct, T.StructType)
+    int_cols = [
+        f.name
+        for f in out_struct.fields
+        if isinstance(f.dataType, (T.LongType, T.IntegerType, T.ShortType, T.ByteType))
+    ]
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -75,17 +92,20 @@ def latest_enrich_stream(
             pdf = pdf.sort_values([ts, "_side"]).reset_index(drop=True)
             for _, row in pdf.iterrows():
                 if row["_side"] == "config":
-                    current = {c: row[c] for c in config_cols}
+                    current = {c: (None if pd.isna(row[c]) else row[c]) for c in config_cols}
                 else:
                     rec = {c: row[c] for c in work_cols}
                     for c in config_cols:
                         rec[f"{c}_asof"] = current[c]
                     out.append(rec)
-        state.update(tuple(None if v is None else str(v) for v in current.values()))
+        state.update(tuple(current[c] for c in config_cols))
         if out:
-            yield pd.DataFrame(out)
+            out_df = pd.DataFrame(out)
+            for c in int_cols:
+                if c in out_df.columns:
+                    out_df[c] = out_df[c].astype("Int64")
+            yield out_df
 
-    _ = state_fields
     return tagged.groupBy(*key_cols).applyInPandasWithState(
         fn,
         outputStructType=output_schema,

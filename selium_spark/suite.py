@@ -1116,6 +1116,239 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_DEDUP = "SELECT event_id, event_type FROM events"
 
 
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS (left-semi) against a filtered fact, then
+    count by priority — the semi join never widens rows, so the shuffle
+    carries only order keys."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01")) & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    # TPC-H's commit<receipt predicate has no columns here; "an order
+    # with a 4th line item" plays the EXISTS-side filter instead
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_linenumber") >= 4)
+    out = relational.semi_join(orders, li, orders.o_orderkey == li.l_orderkey)
+    return (
+        out.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_linenumber >= 4)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+    lineitem filter pushes to the scan; the join shuffles on orderkey
+    then custkey; top-20 via TakeOrderedAndProject."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+SQL_Q10 = f"""
+SELECT c_custkey, c_name, c_acctbal, CAST(SUM({DISC_PRICE}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: join + conditional aggregate ratio (PROMO parts
+    share of revenue). part is broadcast; ratio = one double division
+    of two exact decimal sums."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.expr(DISC_PRICE)).otherwise(F.lit(0).cast("decimal(12,2)"))
+    ).cast("double")
+    total = F.sum(_disc_price()).cast("double")
+    return joined.agg((F.lit(100.0) * promo / total).alias("promo_revenue_pct"))
+
+
+SQL_Q14 = f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+  / CAST(SUM({DISC_PRICE}) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg
+    quantity threshold) rendered as an aggregate-then-join — the
+    scalable form: one extra shuffle on partkey instead of a correlated
+    rescan per row."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#4")
+    avg_qty = (
+        li.groupBy("l_partkey")
+        .agg((F.lit(0.2) * relational.dec_avg("l_quantity", "aq")).alias("threshold"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (relational.dec_sum("l_extendedprice", "s") / F.lit(7.0)).alias("avg_yearly")
+        )
+    )
+
+
+SQL_Q17 = """
+WITH t AS (
+  SELECT l_partkey, 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)) AS threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN t USING (l_partkey)
+WHERE p_brand = 'Brand#4' AND l_quantity < threshold
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts by priority x status (manual-CASE oracle)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_PIVOT = """
+SELECT o_orderpriority,
+  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions with exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return relational.cube_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        F.count(F.lit(1)).alias("n_items"),
+        relational.dec_sum("l_extendedprice", "sum_price"),
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+def w1b_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 day, 6-hour slide): each event lands in 4
+    windows (Spark-native; absent from the reference, adopted per
+    SURVEY §2.3)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = windows.sliding(ev, "ts", "1 day", "6 hours").agg(F.count(F.lit(1)).alias("n"))
+    return agg.select(F.col("window.start").alias("window_start"), "n")
+
+
+SQL_W1B = """
+SELECT window_start, COUNT(*) AS n FROM (
+  SELECT ts, date_trunc('hour', ts) - (EXTRACT(hour FROM ts)::INT % 6) * INTERVAL 1 HOUR
+         - unnest([0, 6, 12, 18]) * INTERVAL 1 HOUR AS window_start
+  FROM events
+)
+WHERE ts >= window_start AND ts < window_start + INTERVAL 24 HOUR
+GROUP BY window_start
+"""
+
+
+def w1c_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window per user (30-minute inactivity gap). Oracle uses
+    the lag/cumsum sessionization identity."""
+    ev = _t(spark, sf_dir, "events")
+    agg = windows.session(ev, "ts", "30 minutes", keys=["user_id"]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return agg.select(
+        "user_id", F.col("window.start").alias("session_start"), "n"
+    )
+
+
+SQL_W1C = """
+WITH g AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id FROM g
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def stream_latest_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 streaming: applyInPandasWithState latest-value enrich over the
+    replayed events stream (rows-only check; the batch as-of twin
+    w3_latest_enrich carries the value oracle)."""
+    import tempfile
+
+    from .operators.stateful import latest_enrich_stream, tag_union
+    from .streaming.replay import replay_to_memory
+
+    ev = _t(spark, sf_dir, "events")
+    work = ev.where(F.col("event_type") != "signup").select("event_id", "user_id", "ts")
+    config = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    tagged = tag_union(work, config, "ts", ["user_id"])
+    tmp = tempfile.mkdtemp(prefix="selium_tagged_")
+    tagged.write.mode("overwrite").parquet(tmp)
+    schema = spark.read.parquet(tmp).schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return latest_enrich_stream(
+            stream,
+            key_cols=["user_id"],
+            ts="ts",
+            config_cols=["signup_value"],
+            work_cols=["event_id"],
+            output_schema="event_id long, signup_value_asof string",
+        )
+
+    return replay_to_memory(spark, tmp, schema, transform)
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1135,6 +1368,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semi_join_customers": q_semi_join_customers,
     "q_anti_join_customers": q_anti_join_customers,
     "q_range_join_quantity": q_range_join_quantity,
+    "q4_order_priority": q4_order_priority,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "q_pivot_status": q_pivot_status,
+    "q_cube_sales": q_cube_sales,
+    "w1b_sliding_windows": w1b_sliding_windows,
+    "w1c_session_windows": w1c_session_windows,
     # selium parity
     "t1_map_chain": t1_map_chain,
     "t2_filter_even": t2_filter_even,
@@ -1174,6 +1415,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window_counts": stream_window_counts,
     "stream_threshold_alerts": stream_threshold_alerts,
     "stream_dedup_exact": stream_dedup_exact,
+    "stream_latest_enrich": stream_latest_enrich,
 }
 
 ORACLES: dict[str, str] = {
@@ -1190,6 +1432,14 @@ ORACLES: dict[str, str] = {
     "q_semi_join_customers": SQL_SEMI,
     "q_anti_join_customers": SQL_ANTI,
     "q_range_join_quantity": SQL_RANGE_JOIN,
+    "q4_order_priority": SQL_Q4,
+    "q10_returned_items": SQL_Q10,
+    "q14_promo_revenue": SQL_Q14,
+    "q17_small_quantity_revenue": SQL_Q17,
+    "q_pivot_status": SQL_PIVOT,
+    "q_cube_sales": SQL_CUBE,
+    "w1b_sliding_windows": SQL_W1B,
+    "w1c_session_windows": SQL_W1C,
     "t1_map_chain": SQL_T1,
     "t2_filter_even": SQL_T2,
     "t4_classify_waf": SQL_T4,

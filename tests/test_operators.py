@@ -1,0 +1,172 @@
+"""Operator unit tests on tiny in-memory DataFrames (SURVEY §5 layer 1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from selium_spark.operators import dedup, relational, similarity, text, transforms, windows
+
+
+def test_map_rows_and_where(spark):
+    df = spark.range(10).withColumnRenamed("id", "value")
+    out = transforms.map_rows(df, doubled=F.col("value") * 2)
+    assert [r.doubled for r in out.orderBy("value").collect()] == [x * 2 for x in range(10)]
+    evens = transforms.where(df, F.col("value") % 2 == 0)
+    assert evens.count() == 5
+
+
+def test_filter_map_drops_errors(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "boom"), (3, None)], "id INT, error STRING"
+    )
+    out = transforms.filter_map(df)
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+    assert "error" not in out.columns
+
+
+def test_classify_first_match_wins(spark):
+    df = spark.createDataFrame([("/admin/x",), ("/ok",)], "path STRING")
+    out = transforms.classify(
+        df,
+        "decision",
+        rules=[(F.col("path").contains("/admin"), "block")],
+        default="allow",
+        reason_col="reason",
+        reasons=["admin path"],
+    )
+    rows = {r.path: (r.decision, r.reason) for r in out.collect()}
+    assert rows["/admin/x"] == ("block", "admin path")
+    assert rows["/ok"] == ("allow", "default")
+
+
+def test_decode_encode_roundtrip(spark):
+    df = spark.createDataFrame([(1, '{"k": 7}')], "id INT, body STRING")
+    decoded = transforms.decode_json(df, "body", "k INT")
+    assert decoded.first()["decoded"]["k"] == 7
+    encoded = transforms.encode_json(df.select("id"), ["id"])
+    assert encoded.first()["encoded"] == '{"id":1}'
+    bad = transforms.decode_json(
+        spark.createDataFrame([(1, "not json")], "id INT, body STRING"), "body", "k INT"
+    )
+    # PERMISSIVE parse: malformed input -> struct of nulls
+    assert bad.first()["decoded"]["k"] is None
+
+
+def test_scan_http_frames(spark):
+    raw = "POST /login HTTP/1.1\r\nContent-Length: 4\r\n\r\nbody"
+    df = spark.createDataFrame([(raw,)], "raw STRING")
+    row = transforms.scan_http_frames(df, "raw").first()
+    assert (row.method, row.path, row.content_length, row.body) == ("POST", "/login", 4, "body")
+
+
+def test_tumbling_window_counts(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:05", "a"), ("2024-01-01 00:00:55", "a"), ("2024-01-01 00:01:10", "b")],
+        "ts STRING, k STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windows.tumbling(df, "ts", "1 minute").count_where(
+        n_a=F.col("k") == "a", n_b=F.col("k") == "b"
+    )
+    rows = sorted(out.collect(), key=lambda r: r.window.start)
+    assert (rows[0].n_a, rows[0].n_b) == (2, 0)
+    assert (rows[1].n_a, rows[1].n_b) == (0, 1)
+
+
+def test_session_window(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "u"), ("2024-01-01 00:00:30", "u"), ("2024-01-01 01:00:00", "u")],
+        "ts STRING, user STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windows.session(df, "ts", "5 minutes", keys=["user"]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert sorted(r.n for r in out.collect()) == [1, 2]
+
+
+def test_route_branches(spark):
+    df = spark.createDataFrame([(1, "block"), (2, "allow")], "id INT, d STRING")
+    branches = windows.route(df, {"audit": None, "alerts": F.col("d") == "block"})
+    assert branches["audit"].count() == 2
+    assert branches["alerts"].count() == 1
+
+
+def test_asof_join_latest_wins(spark):
+    work = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10"), (2, "2024-01-01 00:00:20"), (3, "2024-01-01 00:00:05")],
+        "id INT, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    config = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:08"), (200, "2024-01-01 00:00:20")],
+        "mult INT, ts STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = relational.asof_join(work, config, ts="ts")
+    got = {r.id: r.mult_asof for r in out.collect()}
+    # id=3 predates all configs; id=1 sees 100; id=2 sees 200 (equal-ts
+    # config applies: latest-wins bias, SURVEY §7.4.6)
+    assert got == {1: 100, 2: 200, 3: None}
+
+
+def test_top_k_and_range_join(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 9)], "g STRING, v INT"
+    )
+    top2 = relational.top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
+    assert sorted((r.g, r.v) for r in top2.collect()) == [("a", 2), ("a", 3), ("b", 9)]
+
+    left = spark.createDataFrame([(5.0,), (11.0,)], "v DOUBLE")
+    right = spark.createDataFrame([(0.0, 6.0, "lo"), (10.0, 20.0, "hi")], "lo DOUBLE, hi DOUBLE, tag STRING")
+    rj = relational.range_join(left, right, "v", "lo", "hi", bucket_width=5.0)
+    assert sorted((r.v, r.tag) for r in rj.collect()) == [(5.0, "lo"), (11.0, "hi")]
+
+
+def test_dedup_exact_survivor(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")], "doc_id LONG, text STRING"
+    )
+    out = dedup.dedup_exact(df)
+    rows = {r.doc_id: r.n_copies for r in out.collect()}
+    assert rows == {1: 2, 3: 1}  # min-id survivor, normalized match
+
+
+def test_minhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        "doc_id LONG, text STRING",
+    )
+    pairs = dedup.lsh_candidate_pairs(df, k=8, bands=4).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    verified = dedup.ngram_jaccard_pairs(
+        df, dedup.lsh_candidate_pairs(df, k=8, bands=4), n=3, threshold=0.99
+    ).collect()
+    assert len(verified) == 1 and verified[0].jaccard == 1.0
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "the quick brown fox leaps"), (3, "zzz qqq ppp")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r.simhash_bits for r in dedup.simhash(df).collect()}
+    ham_12 = sum(a != b for a, b in zip(rows[1], rows[2]))
+    ham_13 = sum(a != b for a, b in zip(rows[1], rows[3]))
+    assert ham_12 < ham_13
+
+
+def test_cosine_and_topk(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = similarity.brute_force_topk(df, [1.0, 0.0], k=2)
+    assert [r.vec_id for r in out.collect()] == [0, 1]
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat and it is a cat"), (2, "der hund ist ein hund und das ist gut")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r.pred for r in df.select("doc_id", text.lang_id("text").alias("pred")).collect()}
+    assert got == {1: "en", 2: "de"}
+    q = text.quality_score(df).select("doc_id", "quality_score").collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in q)

@@ -1,0 +1,190 @@
+"""Streaming layer tests: engine lifecycle, stateful enrich,
+request/reply, routing, loss accounting (SURVEY §5 layers 3-4)."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from selium_spark import Engine, StreamCatalog
+from selium_spark.operators import messaging, stateful
+from selium_spark.streaming.replay import replay_to_memory
+
+
+def _write_events(spark, path, rows, schema="id LONG, ts STRING, v INT"):
+    df = spark.createDataFrame(rows, schema).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_replay_matches_batch(spark, tmp_path):
+    path = str(tmp_path / "src")
+    batch = _write_events(
+        spark,
+        path,
+        [(1, "2024-01-01 00:00:01", 5), (2, "2024-01-01 00:10:01", 7), (3, "2024-01-01 00:10:02", 9)],
+    )
+    schema = spark.read.parquet(path).schema
+
+    def transform(stream):
+        return stream.groupBy(F.window("ts", "10 minutes").alias("w")).agg(
+            F.sum("v").alias("total")
+        )
+
+    streamed = replay_to_memory(spark, path, schema, transform, output_mode="complete")
+    batch_res = {
+        (r.w.start, r.total)
+        for r in batch.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.sum("v").alias("total"))
+        .collect()
+    }
+    stream_res = {(r.w.start, r.total) for r in streamed.collect()}
+    assert batch_res == stream_res
+
+
+def test_engine_start_drain_stop(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(spark, src, [(1, "2024-01-01 00:00:01", 5)])
+    cat = StreamCatalog(spark)
+    cat.insert("sel://t/src", src)
+    sink_dir = str(tmp_path / "sink")
+    spark.createDataFrame([], cat.get("sel://t/src").schema).write.parquet(sink_dir)
+    cat.insert("sel://t/sink", sink_dir)
+
+    eng = Engine(spark, cat)
+    df = cat.read_stream("sel://t/src")
+    handle = eng.start(
+        "copy",
+        df,
+        sink_uri="sel://t/sink",
+        checkpoint=str(tmp_path / "ckpt"),
+        mode="park",
+    )
+    handle.query.processAllAvailable()
+    assert spark.read.parquet(sink_dir).count() >= 1
+    # loss listener saw input rows for the named query
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline and "copy" not in eng.loss_listener.rows_by_query:
+        time.sleep(0.2)
+    assert eng.loss_listener.rows_by_query.get("copy", 0) >= 1
+    eng.stop("copy")
+    assert not handle.query.isActive
+
+
+def test_latest_enrich_stream_matches_asof(spark, tmp_path):
+    """W3 streaming == batch as-of oracle on the same slice."""
+    work_rows = [(1, "2024-01-01 00:00:10", "w"), (2, "2024-01-01 00:00:30", "w")]
+    config_rows = [(100, "2024-01-01 00:00:05", "c"), (200, "2024-01-01 00:00:20", "c")]
+    work = spark.createDataFrame(work_rows, "id LONG, ts STRING, side STRING").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).select("id", "ts")
+    config = spark.createDataFrame(config_rows, "mult LONG, ts STRING, side STRING").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).select("mult", "ts")
+
+    # single enrichment key (global config), streaming via one group
+    work_k = work.withColumn("k", F.lit(1))
+    config_k = config.withColumn("k", F.lit(1))
+    tagged_path = str(tmp_path / "tagged")
+    tagged_batch = stateful.tag_union(work_k, config_k, "ts", ["k"])
+    tagged_batch.write.mode("overwrite").parquet(tagged_path)
+    schema = spark.read.parquet(tagged_path).schema
+
+    def transform(stream):
+        return stateful.latest_enrich_stream(
+            stream,
+            key_cols=["k"],
+            ts="ts",
+            config_cols=["mult"],
+            work_cols=["id"],
+            output_schema="id long, mult_asof string",
+        )
+
+    out = replay_to_memory(spark, tagged_path, schema, transform)
+    got = {r.id: r.mult_asof for r in out.collect()}
+    assert got == {1: "100", 2: "200"}
+
+
+def test_request_reply_stream(spark, tmp_path):
+    req_path = str(tmp_path / "req")
+    _write_events(
+        spark,
+        req_path,
+        [(1, "2024-01-01 00:00:01", 5), (2, "2024-01-01 00:00:02", -1)],
+        schema="request_id LONG, ts STRING, v INT",
+    )
+    cat = StreamCatalog(spark)
+    cat.insert("sel://rr/requests", req_path)
+    reply_dir = str(tmp_path / "replies")
+    from selium_spark.schemas import FLAT_RESULT
+
+    spark.createDataFrame([], FLAT_RESULT).write.parquet(reply_dir)
+    cat.insert("sel://rr/replies", reply_dir, schema=FLAT_RESULT)
+
+    def handler(reqs):
+        return reqs.select(
+            "request_id",
+            F.concat(F.lit("echo:"), F.col("request_id").cast("string")).alias("payload"),
+            F.when(F.col("v") < 0, F.lit("negative")).alias("error"),
+        )
+
+    q = messaging.request_reply_stream(
+        cat,
+        cat.read_stream("sel://rr/requests"),
+        handler,
+        "sel://rr/replies",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    replies = {r.request_id: (bytes(r.payload) if r.payload else None, r.error)
+               for r in spark.read.parquet(reply_dir).collect()}
+    assert replies[1] == (b"echo:1", None)
+    assert replies[2] == (None, "negative")  # FlatResult error envelope
+
+
+def test_foreach_batch_routes(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _write_events(
+        spark, src,
+        [(1, "2024-01-01 00:00:01", 5), (2, "2024-01-01 00:00:02", 95)],
+    )
+    cat = StreamCatalog(spark)
+    cat.insert("sel://waf/in", src)
+    schema = cat.get("sel://waf/in").schema
+    for name in ("audit", "alerts"):
+        d = str(tmp_path / name)
+        spark.createDataFrame([], schema).write.parquet(d)
+        cat.insert(f"sel://waf/{name}", d)
+
+    eng = Engine(spark, cat)
+    handle = eng.foreach_batch_routes(
+        "router",
+        cat.read_stream("sel://waf/in"),
+        routes={
+            "audit": (None, "sel://waf/audit"),
+            "alerts": (lambda df: df.where(F.col("v") > 90), "sel://waf/alerts"),
+        },
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    handle.query.processAllAvailable()
+    handle.stop()
+    assert spark.read.parquet(str(tmp_path / "audit")).count() == 2
+    alerts = spark.read.parquet(str(tmp_path / "alerts")).collect()
+    assert len(alerts) == 1 and alerts[0].id == 2
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "dup")
+    _write_events(
+        spark, src,
+        [(1, "2024-01-01 00:00:01", 5), (1, "2024-01-01 00:00:01", 5), (2, "2024-01-01 00:00:02", 6)],
+    )
+    schema = spark.read.parquet(src).schema
+
+    def transform(stream):
+        return stateful.dedup_within_watermark(stream, ["id"], "ts", "1 hour").select("id")
+
+    out = replay_to_memory(spark, src, schema, transform)
+    assert sorted(r.id for r in out.collect()) == [1, 2]
