@@ -31,8 +31,11 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_revenue_forecast",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
     "q_window_rank_customers",
     "q_range_join_quantity",
+    "w1c_session_windows",
     "t1_map_chain",
     "t4_classify_waf",
     "t11_http_scan",
