@@ -1349,6 +1349,37 @@ def stream_latest_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return replay_to_memory(spark, tmp, schema, transform)
 
+
+def s10_lcg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 + T1 + T2: the complete data-pipeline example — LCG generator
+    -> double -> add_five -> keep evens (examples/data-pipeline/
+    src/lib.rs:17-87), bit-reproducible against a recursive-CTE oracle.
+    Arithmetic wraps signed-i32 exactly like the reference's release
+    build (BIGINT + explicit wrap: Spark 4 ANSI mode would error on a
+    raw int overflow)."""
+    from .sources.generator import lcg_generator
+
+    gen = lcg_generator(spark, 10_000)
+
+    def wrap32(col: F.Column) -> F.Column:
+        return (
+            (col.cast("bigint") + F.lit(2**31)) % F.lit(2**32)
+            + F.lit(2**32)
+        ) % F.lit(2**32) - F.lit(2**31)
+
+    out = transforms.map_rows(
+        gen,
+        doubled=wrap32(F.col("value").cast("bigint") * F.lit(2)).cast("int"),
+    )
+    out = transforms.map_rows(
+        out, plus_five=wrap32(F.col("doubled").cast("bigint") + F.lit(5)).cast("int")
+    )
+    # the 'even' consumer subscribes to the generator stream
+    # (data-pipeline lib.rs:81-87); x2 output is trivially all-even
+    return transforms.where(out, F.col("value") % 2 == 0).select(
+        "seq", "value", "doubled", "plus_five"
+    )
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1392,6 +1423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w6_union_pattern": w6_union_pattern,
     "m3_fanout_assign": m3_fanout_assign,
     "m4_request_reply": m4_request_reply,
+    "s10_lcg_pipeline": s10_lcg_pipeline,
     # text
     "text_token_stats": text_token_stats,
     "text_langid": text_langid,
@@ -1455,6 +1487,14 @@ ORACLES: dict[str, str] = {
     "w6_union_pattern": SQL_W6,
     "m3_fanout_assign": SQL_M3,
     "m4_request_reply": SQL_M4,
+    "s10_lcg_pipeline": __import__("selium_spark.sources.generator", fromlist=["sql_lcg_oracle"]).sql_lcg_oracle(10_000).replace(
+        "SELECT seq, CAST(value AS INT) AS value FROM g",
+        """SELECT seq, CAST(value AS INT) AS value,
+  CAST(((value * 2 + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648 AS INT) AS doubled,
+  CAST((((((value * 2 + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648) + 5 + 2147483648) % 4294967296 + 4294967296) % 4294967296 - 2147483648 AS INT) AS plus_five
+FROM g
+WHERE value % 2 = 0"""
+    ),
     "text_token_stats": SQL_TEXT_STATS,
     "text_langid": SQL_LANGID,
     "text_quality": SQL_TEXT_QUALITY,
