@@ -138,11 +138,19 @@ class StreamCatalog:
         ``drop`` -> caller should run with `latest` semantics and no
         checkpoint; loss is surfaced by the engine's metrics listener.
         """
+        import os
+
         entry = self.check(uri, expected_hash) if expected_hash else self.get(uri)
         reader = self.spark.readStream.schema(entry.schema).format(entry.fmt)
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-        return reader.load(entry.path)
+        path = entry.path
+        # FileStreamSource requires a directory; single-file endpoints
+        # become parent dir + glob filter
+        if os.path.isfile(path):
+            reader = reader.option("pathGlobFilter", os.path.basename(path))
+            path = os.path.dirname(path)
+        return reader.load(path)
 
     def subscribe_pattern(self, pattern: str) -> DataFrame:
         """Merge of every endpoint matching a glob (W6 union; reference
@@ -160,6 +168,16 @@ class StreamCatalog:
         dfs = [self.read_stream(e.uri) for e in entries]
         return reduce(DataFrame.unionByName, dfs)
 
+    # -- capability sessions (P4) ----------------------------------------
+    def restrict(self, allowed: list[str]) -> "RestrictedCatalog":
+        """Capability view: a catalog handle that can only touch the
+        given URI globs. Mirrors selium's capability sessions / per-
+        process entitlements (system/abi/src/hostcalls.rs:122-157;
+        deny-stubs subsystem/wasmtime/src/lib.rs:295-312): a query built
+        against the restricted view simply cannot name other streams.
+        """
+        return RestrictedCatalog(self, allowed)
+
     # -- convenience: register the driver testdata tables ----------------
     TESTDATA_TABLES = (
         "region nation customer supplier part orders lineitem events documents embeddings"
@@ -168,3 +186,48 @@ class StreamCatalog:
     def register_testdata(self, sf_dir: str, prefix: str = "sel://testdata") -> None:
         for name in self.TESTDATA_TABLES:
             self.insert(f"{prefix}/{name}", f"{sf_dir}/{name}.parquet")
+
+
+class CapabilityError(PermissionError):
+    """URI access outside the session's capability set."""
+
+
+class RestrictedCatalog:
+    """Deny-by-default view over a StreamCatalog (see
+    StreamCatalog.restrict)."""
+
+    def __init__(self, base: StreamCatalog, allowed: list[str]):
+        self._base = base
+        self._allowed = list(allowed)
+
+    def _check(self, uri: str) -> None:
+        if not any(fnmatch.fnmatch(uri, pat) for pat in self._allowed):
+            raise CapabilityError(f"capability set {self._allowed} does not grant {uri!r}")
+
+    def get(self, uri: str) -> StreamEntry:
+        self._check(uri)
+        return self._base.get(uri)
+
+    def lookup(self, pattern: str) -> list[StreamEntry]:
+        return [e for e in self._base.lookup(pattern) if self._is_allowed(e.uri)]
+
+    def _is_allowed(self, uri: str) -> bool:
+        return any(fnmatch.fnmatch(uri, pat) for pat in self._allowed)
+
+    def read(self, uri: str, expected_hash: str | None = None) -> DataFrame:
+        self._check(uri)
+        return self._base.read(uri, expected_hash)
+
+    def read_stream(self, uri: str, **kw) -> DataFrame:
+        self._check(uri)
+        return self._base.read_stream(uri, **kw)
+
+    def subscribe_pattern(self, pattern: str) -> DataFrame:
+        from functools import reduce
+
+        entries = self.lookup(pattern)
+        if not entries:
+            raise KeyError(f"no granted catalog entries match {pattern!r}")
+        return reduce(
+            DataFrame.unionByName, [self.read_stream(e.uri) for e in entries]
+        )

@@ -92,7 +92,44 @@ class Engine:
         self.catalog = catalog or StreamCatalog(spark)
         self.queries: dict[str, QueryHandle] = {}
         self.loss_listener = LossMetricsListener()
+        self._singletons: dict[str, object] = {}
         spark.streams.addListener(self.loss_listener)
+
+    # -- singletons (P3) --------------------------------------------------
+    def register_singleton(self, name: str, value) -> None:
+        """P3: publish a well-known shared resource (reference:
+        hostcalls.rs:200-211; guest lookup context.rs:44-72). DataFrames
+        are additionally exposed as global temp views so SQL sees them."""
+        self._singletons[name] = value
+        if isinstance(value, DataFrame) and not value.isStreaming:
+            value.createOrReplaceGlobalTempView(name)
+
+    def singleton(self, name: str):
+        return self._singletons[name]
+
+    # -- guest log stream (S11/S12) ---------------------------------------
+    def log_stream(self) -> DataFrame:
+        """S11: every query's progress/telemetry as a Drop-mode stream
+        (the guests' tracing channel, system/userland/src/logging.rs:
+        278-313 — 512 KiB Drop ring there; bounded in-memory rows here).
+        Returns a batch DataFrame of LogRecord-shaped rows accumulated
+        by the listener; lossy by contract (Drop mode)."""
+        from pyspark.sql import functions as F
+
+        rows = [
+            (name, int(p.get("batchId", -1)), int(p.get("numInputRows") or 0))
+            for name, p in self.loss_listener.last_progress.items()
+        ]
+        return self.spark.createDataFrame(
+            rows, "query STRING, batch_id LONG, num_input_rows LONG"
+        ).withColumn("ts", F.current_timestamp())
+
+    def console_sink(self, df: DataFrame, name: str = "console"):
+        """S12: host tails a stream and renders it (forward_log_stream,
+        system/runtime/src/modules.rs:747-767)."""
+        return (
+            df.writeStream.queryName(name).format("console").outputMode("append").start()
+        )
 
     def start(
         self,

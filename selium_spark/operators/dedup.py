@@ -185,26 +185,27 @@ def ngram_jaccard_pairs(
 HEX = "0123456789abcdef"
 
 
-def simhash_bits(text_col: str | Column, n_bits: int = 16) -> list[Column]:
-    """Per-bit simhash signs: bit_i = 1 iff the sum over tokens of
-    (+1 if md5(token#i)'s first hex digit is even else -1) > 0.
+def simhash_bits(hashes: Column, n_bits: int = 16) -> list[Column]:
+    """Per-bit simhash signs over a materialized md5-per-token array:
+    bit_i = 1 iff the sum over tokens of (+1 if hex digit i of
+    md5(token) is even-positioned in the hex alphabet else -1) > 0.
 
-    Term frequency is kept (duplicates count), matching classic
-    SimHash. Expressed with instr-parity so DuckDB can reproduce it.
+    One md5 per token feeds all 16 bits (classic SimHash uses one
+    feature hash per token and reads its bits). Term frequency is kept
+    (duplicates count). Expressed with instr-parity so DuckDB can
+    reproduce it.
     """
-    toks = tokens(text_col)
 
-    def contrib_fn(salt: str):
+    def contrib_fn(pos: int):
         # single-arg lambda: a two-arg lambda would make transform()
         # pass the array index as the second argument
-        return lambda t: F.when(
-            (F.instr(F.lit(HEX), F.substring(F.md5(F.concat(t, F.lit(salt))), 1, 1)) % 2) == 1,
-            F.lit(1),
+        return lambda h: F.when(
+            (F.instr(F.lit(HEX), F.substring(h, pos, 1)) % 2) == 1, F.lit(1)
         ).otherwise(F.lit(-1))
 
     bits = []
     for i in range(n_bits):
-        contrib = F.transform(toks, contrib_fn(f"@{i}"))
+        contrib = F.transform(hashes, contrib_fn(i + 1))
         total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
         bits.append(F.when(total > 0, F.lit(1)).otherwise(F.lit(0)))
     return bits
@@ -212,13 +213,21 @@ def simhash_bits(text_col: str | Column, n_bits: int = 16) -> list[Column]:
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16) -> DataFrame:
     """16-bit simhash as an integer + bit-string (near-dups share
-    signatures; group-by simhash ~ O(1) shuffle on a small int key)."""
-    bits = simhash_bits(text_col, n_bits)
+    signatures; group-by simhash ~ O(1) shuffle on a small int key).
+
+    The md5-per-token array is materialized in its own projection so
+    the 16 bit-aggregates reference one computed column instead of
+    re-tokenizing/re-hashing 16x (CollapseProject would inline it)."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda t: F.md5(t)).alias("_hashes"),
+    )
+    bits = simhash_bits(F.col("_hashes"), n_bits)
     value = F.lit(0)
     for bit in bits:
         value = value * F.lit(2) + bit
     bitstr = F.concat(*[b.cast("string") for b in bits])
-    return df.select(
+    return hashed.select(
         F.col(id_col),
         value.cast("long").alias("simhash"),
         bitstr.alias("simhash_bits"),

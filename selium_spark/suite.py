@@ -847,15 +847,16 @@ def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_simhash_bit(i: int) -> str:
     return (
-        "CASE WHEN list_aggregate(list_transform(toks, t -> "
-        f"CASE WHEN strpos('0123456789abcdef', substr(md5(t || '@{i}'), 1, 1)) % 2 = 1 "
+        "CASE WHEN list_aggregate(list_transform(hs, h -> "
+        f"CASE WHEN strpos('0123456789abcdef', substr(h, {i + 1}, 1)) % 2 = 1 "
         "THEN 1 ELSE -1 END), 'sum') > 0 THEN 1 ELSE 0 END"
     )
 
 
 SQL_SIMHASH = f"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
-bits AS (SELECT doc_id, {", ".join(f"{_sql_simhash_bit(i)} AS b{i}" for i in range(16))} FROM t)
+h AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs FROM t),
+bits AS (SELECT doc_id, {", ".join(f"{_sql_simhash_bit(i)} AS b{i}" for i in range(16))} FROM h)
 SELECT doc_id,
   {" + ".join(f"b{i} * {2 ** (15 - i)}" for i in range(16))} AS simhash,
   {" || ".join(f"CAST(b{i} AS VARCHAR)" for i in range(16))} AS simhash_bits

@@ -1,0 +1,89 @@
+"""P3 singletons, S11 log stream, S3 drop-mode loss accounting."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from selium_spark import Engine, StreamCatalog
+
+
+def test_singletons(spark):
+    eng = Engine(spark)
+    cfg = {"window": "1 hour"}
+    eng.register_singleton("alert_config", cfg)
+    assert eng.singleton("alert_config") is cfg
+    df = spark.range(3)
+    eng.register_singleton("shared_range", df)
+    assert spark.table("global_temp.shared_range").count() == 3
+
+
+def test_log_stream_records_progress(spark, tmp_path):
+    src = str(tmp_path / "src")
+    spark.range(10).write.parquet(src)
+    cat = StreamCatalog(spark)
+    cat.insert("sel://logs/in", src)
+    eng = Engine(spark, cat)
+    handle = eng.start(
+        "logged_query",
+        cat.read_stream("sel://logs/in"),
+        checkpoint=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    handle.query.awaitTermination(120)
+    import time
+
+    rows = {}
+    for _ in range(50):  # listener events are delivered asynchronously
+        rows = {r.query: r.num_input_rows for r in eng.log_stream().collect()}
+        if rows.get("logged_query"):
+            break
+        time.sleep(0.2)
+    assert rows.get("logged_query") == 10
+    if handle.query.isActive:
+        handle.stop()
+
+
+def test_drop_mode_weak_reader_loss_is_reported(spark, tmp_path):
+    """S3 weak reader: a drop-mode query that starts late misses
+    backlog; the loss is observable (consumed < published), mirroring
+    ChannelError::ReaderBehind — loss surfaces, never silent."""
+    src = str(tmp_path / "topic")
+    # publisher writes 2 frame-batches before the weak reader attaches
+    spark.range(0, 50).write.mode("append").parquet(src)
+    spark.range(50, 100).write.mode("append").parquet(src)
+
+    cat = StreamCatalog(spark)
+    cat.insert("sel://weak/topic", src, mode="drop")
+    eng = Engine(spark, cat)
+
+    # weak subscribe: latestFirst + tiny trigger budget, no replay
+    # guarantee; here we bound consumption to 1 file per (single) trigger
+    stream = (
+        spark.readStream.schema(cat.get("sel://weak/topic").schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "true")
+        .parquet(src)
+    )
+    handle = eng.start(
+        "weak_reader",
+        stream,
+        checkpoint=str(tmp_path / "ckpt"),  # positional trigger bookkeeping
+        trigger_available_now=False,
+        output_mode="append",
+    )
+    # one micro-batch only, then terminate (the reader is lapped)
+    deadline_rows = None
+    import time
+
+    for _ in range(100):
+        time.sleep(0.2)
+        consumed = eng.loss_listener.rows_by_query.get("weak_reader", 0)
+        if consumed:
+            deadline_rows = consumed
+            break
+    handle.stop()
+    published = spark.read.parquet(src).count()
+    assert published == 100
+    assert deadline_rows is not None and deadline_rows < published
+    loss = published - deadline_rows
+    assert loss > 0  # ReaderBehind(n) analogue: loss quantified, not hidden
