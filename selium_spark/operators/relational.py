@@ -134,6 +134,49 @@ def range_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the (large, possibly skewed) left side gets
+    a random-ish deterministic salt 0..N-1 appended to the key; the
+    small-to-medium right side is replicated N ways. A hot key's rows
+    then spread over N reducers instead of one.
+
+    Use when AQE's skew-join splitting isn't available (e.g. the skew
+    is in a stateful/streaming stage) or when a single key exceeds what
+    one task can hold. Salt is xxhash64-derived from the whole left row
+    -> uniform, no extra column needed from the caller.
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    lsalted = left.withColumn("_salt", salt)
+    rsalted = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = lsalted.join(rsalted, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def bucketed_table(
+    df: DataFrame, name: str, key: str, n_buckets: int = 16, sort: bool = True
+) -> DataFrame:
+    """Write ``df`` as a bucketed (and optionally sorted) table and
+    return the re-read handle. Two tables bucketed the same way join
+    WITHOUT a shuffle or sort — at 100 TB this is the difference
+    between re-shuffling the fact table per join and a zero-exchange
+    sort-merge join. (Requires a session catalog; local spark-warehouse
+    works.)"""
+    spark = df.sparkSession
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(name)
+    return spark.table(name)
+
+
 def top_k_per_group(
     df: DataFrame, keys: list[str], order_by: list[Column], k: int, rank_col: str = "rn"
 ) -> DataFrame:

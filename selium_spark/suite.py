@@ -1381,6 +1381,87 @@ def s10_lcg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq", "value", "doubled", "plus_five"
     )
 
+
+def q_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per day-window (partial distinct is
+    expanded by Catalyst into a two-stage aggregate — scale-safe)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = windows.tumbling(ev, "ts", "1 day").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(F.col("window.start").alias("window_start"), "n_users", "n_events")
+
+
+SQL_DISTINCT_USERS = """
+SELECT date_trunc('day', ts) AS window_start,
+  COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def pipeline_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data prep: quality-score -> filter -> exact
+    dedup survivor join -> fingerprint + language tag. One declarative
+    plan: the filter prunes before the dedup shuffle; the survivor
+    semi-join never widens rows; everything before the single
+    content-hash shuffle is map-side."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = text.quality_score(docs, "text")
+    kept = scored.where(F.col("quality_score") >= 0.5).select(
+        "doc_id", "text", F.round(F.col("quality_score"), 9).alias("quality_score")
+    )
+    survivors = dedup.dedup_exact(kept).select("doc_id")
+    out = kept.join(survivors, "doc_id")
+    return out.select(
+        "doc_id",
+        "quality_score",
+        text.lang_id("text").alias("pred_lang"),
+        text.fingerprint_md5("text").alias("fp_md5"),
+    )
+
+
+SQL_DATA_PREP = f"""
+WITH t AS (
+  SELECT doc_id, text, {SQL_TOKS} AS toks, greatest(length(text), 1)::DOUBLE AS safe_chars
+  FROM documents
+), f AS (
+  SELECT doc_id, text, toks,
+    len(toks) AS n_tokens,
+    length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) / safe_chars AS punct_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) / safe_chars AS digit_ratio,
+    {_sql_stopword_ratio("en")} AS stopword_ratio
+  FROM t
+), q AS (
+  SELECT doc_id, text, toks,
+    least(n_tokens / 64.0, 1.0) * 0.4
+    + least(stopword_ratio * 4.0, 1.0) * 0.3
+    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+    + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1 AS quality_score
+  FROM f
+), kept AS (
+  SELECT * FROM q WHERE quality_score >= 0.5
+), survivors AS (
+  SELECT min(doc_id) AS doc_id
+  FROM kept GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+), r AS (
+  SELECT doc_id,
+    {_sql_stopword_ratio("en")} AS r_en, {_sql_stopword_ratio("de")} AS r_de,
+    {_sql_stopword_ratio("fr")} AS r_fr, {_sql_stopword_ratio("es")} AS r_es
+  FROM kept
+)
+SELECT k.doc_id, round(k.quality_score, 9) AS quality_score,
+  CASE WHEN greatest(r_en, r_de, r_fr, r_es) <= 0.05 THEN 'unknown'
+       WHEN r_es >= greatest(r_fr, r_de, r_en) THEN 'es'
+       WHEN r_fr >= greatest(r_de, r_en) THEN 'fr'
+       WHEN r_de >= r_en THEN 'de'
+       ELSE 'en' END AS pred_lang,
+  md5(trim(regexp_replace(lower(k.text), '\\s+', ' ', 'g'))) AS fp_md5
+FROM kept k
+JOIN survivors USING (doc_id)
+JOIN r ON r.doc_id = k.doc_id
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1430,6 +1511,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_fingerprints": text_fingerprints,
+    "q_distinct_users_daily": q_distinct_users_daily,
+    "pipeline_data_prep": pipeline_data_prep,
     # dedup
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_minhash_sigs": dedup_minhash_sigs,
@@ -1500,6 +1583,8 @@ WHERE value % 2 = 0"""
     "text_langid": SQL_LANGID,
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprints": SQL_FINGERPRINTS,
+    "q_distinct_users_daily": SQL_DISTINCT_USERS,
+    "pipeline_data_prep": SQL_DATA_PREP,
     "dedup_exact_docs": SQL_DEDUP_EXACT,
     "dedup_minhash_sigs": SQL_MINHASH_SIGS,
     "dedup_lsh_candidates": SQL_LSH_PAIRS,

@@ -1,0 +1,43 @@
+"""Scale-path operators: salted join correctness, bucketed zero-shuffle
+join, IVF assignment sanity."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from selium_spark.operators import relational
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(100)] + [("cold", i) for i in range(5)],
+        "k STRING, v INT",
+    )
+    right = spark.createDataFrame([("hot", 10), ("cold", 20)], "k STRING, mult INT")
+    plain = left.join(right, "k").select("k", "v", "mult")
+    salted = relational.salted_join(left, right, "k", salt_buckets=4).select("k", "v", "mult")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+        b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+        ta = relational.bucketed_table(a, "bt_a", "k", n_buckets=4)
+        tb = relational.bucketed_table(b, "bt_b", "k", n_buckets=4)
+        joined = ta.join(tb, "k")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffle
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
