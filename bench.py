@@ -51,6 +51,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "mm_decode_features",
+    "pipeline_data_prep",
     "stream_window_counts",
 ]
 
@@ -64,8 +65,18 @@ def run_one(spark, name: str) -> float:
 
 def main() -> None:
     spark = get_spark(app_name="selium_bench", cpus=CPUS, shuffle_partitions=CPUS)
-    # warm the JVM / parquet footers with one tiny action
-    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+    # warm the JVM: parquet reader, codegen'd agg + join paths (JIT cost
+    # lands here, not in the first measured query)
+    from pyspark.sql import functions as F
+
+    region = spark.read.parquet(f"{SF_DIR}/region.parquet")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)), F.sum(F.col("n_nationkey").cast("decimal(18,2)")))
+        .collect()
+    )
     timings: dict[str, float] = {}
     for name in HEADLINE:
         try:

@@ -46,11 +46,10 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 # -- MinHash -------------------------------------------------------------
 def minhash_col(items: Column, seed: int) -> Column:
-    """One minhash: min md5 over the shingle set, salted with the seed.
-
-    min over all shingles == min over distinct shingles, so no distinct
-    pass is needed; md5 hex is fixed-width so lexicographic min is the
-    numeric 128-bit min.
+    """One standalone minhash: min md5 over the shingle set, salted
+    with the seed. min over all shingles == min over distinct shingles,
+    so no distinct pass is needed; md5 hex is fixed-width so
+    lexicographic min is the numeric 128-bit min.
     """
     return F.array_min(
         F.transform(items, lambda t: F.md5(F.concat(t, F.lit(f"#{seed}"))))
@@ -67,15 +66,38 @@ def minhash_signature(
     """k-minhash signature per document (columns mh0..mh{k-1}) over word
     ``shingle_n``-grams (3-grams by default: unigram sets over a small
     vocabulary are near-identical across documents, so shingles carry
-    the similarity signal)."""
-    # Materialize the shingle set once, then derive the k minhashes from
-    # the column reference: CollapseProject keeps the expensive
-    # tokenize+shingle expression single-evaluation instead of inlining
-    # it into all k minhash expressions.
+    the similarity signal).
+
+    Hash-budget design: ceil(k/4) salted md5s per shingle, concatenated
+    and materialized in ONE array traversal; each minhash is the min of
+    a disjoint fixed-width 8-hex-char (32-bit) slice. md5 bits are
+    independent, so the slices act as k independent hash functions at a
+    quarter of the md5 cost. The expensive tokenize+shingle+hash
+    expression lives in its own projection so CollapseProject can't
+    inline (and re-evaluate) it per minhash column.
+    """
+    n_md5 = (k + 3) // 4
     grams = df.select(F.col(id_col), ngram_set(text_col, shingle_n).alias("_grams"))
-    return grams.select(
+    hashed = grams.select(
         F.col(id_col),
-        *[minhash_col(F.col("_grams"), i).alias(f"mh{i}") for i in range(k)],
+        F.transform(
+            F.col("_grams"),
+            lambda g: F.concat(
+                *[F.md5(F.concat(g, F.lit(f"#{s}"))) for s in range(n_md5)]
+            ),
+        ).alias("_h"),
+    )
+    return hashed.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_h"),
+                    (lambda off: lambda s: F.substring(s, off, 8))(8 * i + 1),
+                )
+            ).alias(f"mh{i}")
+            for i in range(k)
+        ],
     )
 
 
@@ -143,10 +165,17 @@ def ngram_set(text_col: str | Column, n: int) -> Column:
     toks = tokens(text_col)
     if n == 1:
         return F.array_distinct(toks)
-    # floor at 1 (not 0): Spark's sequence(1, 0) would DESCEND; a doc
-    # shorter than n tokens yields one short gram (same in the oracle).
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    # zip_with chain instead of per-position slice+concat (an O(n*k)
+    # array-copy pattern that dominated shingling cost): each zip pads
+    # the shorter side with null and concat_ws skips nulls, so trailing
+    # entries become short grams — sliced off to the oracle's
+    # greatest(len - n + 1, 1) count (a doc shorter than n tokens keeps
+    # its one short gram, same as the oracle).
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.slice(grams, 1, F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
     return F.array_distinct(grams)
 
 

@@ -774,14 +774,19 @@ def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash(i: int) -> str:
-    return f"list_aggregate(list_transform(grams, g -> md5(g || '#{i}')), 'min') AS mh{i}"
+    # slice i of the concatenated 2-md5 shingle hash (see
+    # dedup.minhash_signature hash-budget design)
+    return (
+        f"list_aggregate(list_transform(hs, s -> substr(s, {8 * i + 1}, 8)), 'min') AS mh{i}"
+    )
 
 
 SQL_MINHASH_SIGS = f"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
-g AS (SELECT doc_id, {SQL_GRAMS3} AS grams FROM t)
+g AS (SELECT doc_id, {SQL_GRAMS3} AS grams FROM t),
+h AS (SELECT doc_id, list_transform(grams, g -> md5(g || '#0') || md5(g || '#1')) AS hs FROM g)
 SELECT doc_id, {", ".join(_sql_minhash(i) for i in range(8))}
-FROM g
+FROM h
 """
 
 
@@ -794,7 +799,8 @@ def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_LSH_PAIRS = f"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
 g AS (SELECT doc_id, {SQL_GRAMS3} AS grams FROM t),
-sig AS (SELECT doc_id, {", ".join(_sql_minhash(i) for i in range(8))} FROM g),
+h AS (SELECT doc_id, list_transform(grams, g -> md5(g || '#0') || md5(g || '#1')) AS hs FROM g),
+sig AS (SELECT doc_id, {", ".join(_sql_minhash(i) for i in range(8))} FROM h),
 banded AS (
   SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key FROM sig
   UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
@@ -818,7 +824,8 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JACCARD = f"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
 g AS (SELECT doc_id, {SQL_GRAMS3} AS grams FROM t),
-sig AS (SELECT doc_id, {", ".join(_sql_minhash(i) for i in range(8))} FROM g),
+h AS (SELECT doc_id, list_transform(grams, g -> md5(g || '#0') || md5(g || '#1')) AS hs FROM g),
+sig AS (SELECT doc_id, {", ".join(_sql_minhash(i) for i in range(8))} FROM h),
 banded AS (
   SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key FROM sig
   UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
