@@ -43,13 +43,30 @@ class SchemaMismatchError(ValueError):
     """
 
 
+def _canonicalize(dt: T.DataType) -> T.DataType:
+    """Schema identity = the (name, type) tree: nullability flags and
+    field metadata are normalized away (Spark flips nullable freely
+    across parquet round-trips and createDataFrame paths)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _canonicalize(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_canonicalize(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_canonicalize(dt.keyType), _canonicalize(dt.valueType), True)
+    return dt
+
+
 def schema_hash(schema: T.StructType) -> str:
     """16-byte content hash of a canonical schema JSON (blake2b-128).
 
     Same role as the reference's 16-byte BLAKE3 .fbs content hash
     (``system/userland/macros/src/schema.rs:48-50``).
     """
-    canonical = json.dumps(schema.jsonValue(), sort_keys=True, separators=(",", ":"))
+    canonical = json.dumps(
+        _canonicalize(schema).jsonValue(), sort_keys=True, separators=(",", ":")
+    )
     return hashlib.blake2b(canonical.encode(), digest_size=16).hexdigest()
 
 

@@ -38,6 +38,16 @@ def publish(
     mode = mode or entry.mode
     if source_id is not None:
         df = df.withColumn("source_id", F.lit(source_id))
+    # strict schema identity on publish, mirroring the subscribe-side
+    # gate (SchemaDescriptor equality, encoding.rs:56-62): a publisher
+    # whose schema hash differs from the endpoint's is refused
+    from ..catalog import SchemaMismatchError, schema_hash
+
+    df_hash = schema_hash(df.schema)
+    if df_hash != entry.hash:
+        raise SchemaMismatchError(
+            f"publish to {uri}: dataframe schema hash {df_hash} != endpoint {entry.hash}"
+        )
     if df.isStreaming:
         writer = df.writeStream.format(entry.fmt).outputMode("append")
         if mode == "park":

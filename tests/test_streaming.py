@@ -188,3 +188,51 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
 
     out = replay_to_memory(spark, src, schema, transform)
     assert sorted(r.id for r in out.collect()) == [1, 2]
+
+
+def test_publish_schema_gate(spark, tmp_path):
+    """Publish-side strict schema identity (SchemaDescriptor equality on
+    both ends of the channel)."""
+    import pytest
+
+    from selium_spark.catalog import SchemaMismatchError
+
+    src = str(tmp_path / "pub")
+    good = spark.createDataFrame([(1, "a")], "id LONG, name STRING")
+    good.write.parquet(src)
+    cat = StreamCatalog(spark)
+    cat.insert("sel://pub/topic", src)
+    messaging.publish(cat, good, "sel://pub/topic")  # same schema: ok
+    assert spark.read.parquet(src).count() == 2
+    bad = spark.createDataFrame([(1, 2.0)], "id LONG, name DOUBLE")
+    with pytest.raises(SchemaMismatchError):
+        messaging.publish(cat, bad, "sel://pub/topic")
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Spark-native stream-stream inner join (requests x replies within
+    the watermark horizon) — the correlation side of M4 rendered as a
+    join instead of foreachBatch."""
+    reqs_dir = str(tmp_path / "reqs")
+    reps_dir = str(tmp_path / "reps")
+    _write_events(spark, reqs_dir, [(1, "2024-01-01 00:00:01", 5), (2, "2024-01-01 00:00:02", 6)],
+                  schema="request_id LONG, ts STRING, v INT")
+    _write_events(spark, reps_dir, [(1, "2024-01-01 00:00:03", 50)],
+                  schema="request_id LONG, ts STRING, result INT")
+    req_schema = spark.read.parquet(reqs_dir).schema
+    rep_schema = spark.read.parquet(reps_dir).schema
+
+    reqs = (spark.readStream.schema(req_schema).parquet(reqs_dir)
+            .withWatermark("ts", "1 minute").withColumnRenamed("ts", "req_ts"))
+    reps = (spark.readStream.schema(rep_schema).parquet(reps_dir)
+            .withWatermark("ts", "1 minute").withColumnRenamed("ts", "rep_ts"))
+    joined = reqs.join(reps, "request_id").select("request_id", "v", "result")
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (joined.writeStream.queryName("ssjoin").format("memory")
+             .option("checkpointLocation", ckpt).trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = [tuple(r) for r in spark.table("ssjoin").collect()]
+    assert rows == [(1, 5, 50)]
