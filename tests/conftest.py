@@ -72,3 +72,10 @@ def assert_df_matches_duck(spark_df, duck_con, sql, round_decimals=9):
     assert len(sc) == len(dc), f"row count: spark={len(sc)} duck={len(dc)}"
     for i, (a, b) in enumerate(zip(sc, dc)):
         assert a == b, f"row {i} differs:\n  spark={a}\n  duck ={b}"
+
+
+@pytest.fixture(scope="session")
+def spark_h(spark):
+    """Alias fixture for hypothesis tests (function-scoped @given can't
+    take the session fixture name directly in older plugin combos)."""
+    return spark

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis) for operator semantics that have
+clean reference models: as-of join vs a brute-force per-row scan,
+wrap-around arithmetic vs Python ints, jaccard bounds, LSH soundness
+(identical docs always collide)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from selium_spark.sources.generator import LCG_A, LCG_C, lcg_values
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**31), max_value=2**31 - 1), st.integers(1, 20))
+def test_lcg_wrap_matches_python_model(seed, n):
+    vals = lcg_values(n, seed)
+    state = seed
+    for i in range(n):
+        state = ((state * LCG_A + LCG_C + 2**31) % 2**32) - 2**31
+        assert vals[i] == state
+        assert -(2**31) <= vals[i] < 2**31
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(0, 100), min_size=1, max_size=8),  # work ts
+    st.lists(st.tuples(st.integers(0, 100), st.integers(0, 999)), min_size=0, max_size=6),
+)
+def test_asof_join_matches_bruteforce(spark_h, work_ts, configs):
+    """asof_join == per-row 'latest config with ts <= work.ts'."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators.relational import asof_join
+
+    spark = spark_h
+    # dedupe config timestamps: equal-ts configs have no defined winner
+    seen = set()
+    configs = [c for c in configs if not (c[0] in seen or seen.add(c[0]))]
+
+    work = spark.createDataFrame(
+        [(i, float(t)) for i, t in enumerate(work_ts)], "id LONG, ts DOUBLE"
+    )
+    if configs:
+        config = spark.createDataFrame(
+            [(float(t), v) for t, v in configs], "ts DOUBLE, val LONG"
+        )
+    else:
+        config = spark.createDataFrame([], "ts DOUBLE, val LONG")
+
+    got = {
+        r.id: r.val_asof
+        for r in asof_join(work, config, ts="ts", right_cols=["val"]).collect()
+    }
+
+    def expected(t):
+        eligible = [(ct, v) for ct, v in configs if ct <= t]
+        return max(eligible)[1] if eligible else None
+
+    for i, t in enumerate(work_ts):
+        assert got[i] == expected(t), (work_ts, configs)
+    _ = F
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abc ", min_size=1, max_size=30), min_size=2, max_size=2)
+)
+def test_jaccard_bounds_and_identity(spark_h, texts):
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators.dedup import jaccard, ngram_set
+
+    spark = spark_h
+    df = spark.createDataFrame([(texts[0], texts[1])], "a STRING, b STRING")
+    row = df.select(
+        jaccard(ngram_set(F.col("a"), 2), ngram_set(F.col("b"), 2)).alias("j_ab"),
+        jaccard(ngram_set(F.col("a"), 2), ngram_set(F.col("a"), 2)).alias("j_aa"),
+    ).first()
+    assert 0.0 <= row.j_ab <= 1.0
+    if texts[0].strip():
+        assert row.j_aa == 1.0  # identity for non-empty shingle sets
+    else:
+        assert row.j_aa == 0.0  # convention: empty vs empty = 0 (greatest(|union|,1))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.text(alphabet="abcdef ", min_size=5, max_size=60))
+def test_lsh_identical_docs_always_candidates(spark_h, text_val):
+    from selium_spark.operators.dedup import lsh_candidate_pairs
+
+    spark = spark_h
+    df = spark.createDataFrame(
+        [(1, text_val), (2, text_val)], "doc_id LONG, text STRING"
+    )
+    pairs = lsh_candidate_pairs(df, k=8, bands=4).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}

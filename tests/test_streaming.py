@@ -236,3 +236,28 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
         q.awaitTermination(120)
         rows = [tuple(r) for r in spark.table("ssjoin").collect()]
     assert rows == [(1, 5, 50)]
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Session windows in a streaming replay (Spark-native surface the
+    reference lacks; batch twin is w1c_session_windows)."""
+    src = str(tmp_path / "sess")
+    _write_events(
+        spark, src,
+        [(1, "2024-01-01 00:00:00", 1), (1, "2024-01-01 00:01:00", 1),
+         (1, "2024-01-01 02:00:00", 1), (2, "2024-01-01 00:00:30", 1)],
+        schema="user LONG, ts STRING, v INT",
+    )
+    schema = spark.read.parquet(src).schema
+
+    def transform(stream):
+        return (
+            stream.withWatermark("ts", "0 seconds")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user", F.col("w.start").alias("start"), "n")
+        )
+
+    out = replay_to_memory(spark, src, schema, transform, output_mode="complete")
+    got = sorted((r.user, r.n) for r in out.collect())
+    assert got == [(1, 1), (1, 2), (2, 1)]
