@@ -274,6 +274,66 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+# -- duplicate-group clustering ------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs into duplicate groups: each node gets the
+    minimum reachable id as ``group_id`` (the canonical survivor).
+
+    Distributed label propagation (Pregel-lite): labels start as self,
+    every iteration each node takes the min label among itself and its
+    neighbors, until a fixpoint. Iterations = graph diameter, which for
+    dedup graphs (dense cliques of near-identical docs) is tiny; each
+    iteration is one shuffle join on node id. Labels are persisted per
+    round so lineage doesn't recompute the whole chain.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("group_id", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("group_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.group_id") != F.col("o.group_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", "group_id")
+
+
 # -- embedding near-dup --------------------------------------------------
 def embedding_neardup_pairs(
     emb: DataFrame,

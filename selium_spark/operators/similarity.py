@@ -106,6 +106,58 @@ def make_centroids(
     )
 
 
+def ivf_index_write(
+    emb: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: assignment table written
+    ``partitionBy(cluster_id)`` so a probe is a partition-pruned scan
+    (~n_probe/K of the files) — THE 100 TB ANN layout. One pass over
+    the corpus; no shuffle beyond the write's own partitioning."""
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    (
+        assigned.select(id_col, vec_col, "cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+
+
+def ivf_index_topk(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a materialized IVF index: pick the n_probe
+    nearest centroids, scan ONLY their partitions (partition pruning —
+    verify `PartitionFilters` in the plan), exact-rank within."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_ids = [
+        r["centroid_id"]
+        for r in centroids.select(
+            "centroid_id", F.round(cosine(F.col("centroid_vec"), q), 6).alias("s")
+        )
+        .orderBy(F.col("s").desc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+        .collect()
+    ]
+    index = spark.read.parquet(index_path)
+    return (
+        index.where(F.col("cluster_id").isin(probe_ids))
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     centroids: DataFrame,

@@ -1633,6 +1633,44 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 40)
 """
 
+
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group clustering: LSH candidate pairs -> connected
+    components -> (doc, group survivor). Oracle: recursive-CTE min-label
+    reachability over the same edge set."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, k=8, bands=4, shingle_n=3)
+    return dedup.connected_components(pairs)
+
+
+SQL_DEDUP_GROUPS = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, {SQL_GRAMS3} AS grams FROM t),
+h AS (SELECT doc_id, list_transform(grams, g -> md5(g || '#0') || md5(g || '#1')) AS hs FROM g),
+sig AS (SELECT doc_id, {", ".join(_sql_minhash(i) for i in range(8))} FROM h),
+banded AS (
+  SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(id, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, MIN(label) AS group_id FROM reach GROUP BY id
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1695,6 +1733,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_verified": dedup_jaccard_verified,
     "dedup_simhash_docs": dedup_simhash_docs,
     "dedup_embedding_neardup": dedup_embedding_neardup,
+    "dedup_groups": dedup_groups,
     # similarity
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1770,6 +1809,7 @@ WHERE value % 2 = 0"""
     "dedup_jaccard_verified": SQL_JACCARD,
     "dedup_simhash_docs": SQL_SIMHASH,
     "dedup_embedding_neardup": SQL_EMB_NEARDUP,
+    "dedup_groups": SQL_DEDUP_GROUPS,
     "ann_bruteforce_topk": SQL_ANN_BRUTE,
     "ann_ivf_topk": SQL_ANN_IVF,
     "mm_decode_features": SQL_MM_DECODE,

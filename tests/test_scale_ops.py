@@ -41,3 +41,27 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The materialized IVF index prunes partitions on probe, and its
+    results equal the on-the-fly IVF search."""
+    from selium_spark.operators import similarity
+    from selium_spark.plans import summarize
+    from selium_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = similarity.make_centroids(emb, n=8)
+    query_vec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+
+    idx = str(tmp_path / "ivf_index")
+    similarity.ivf_index_write(emb, cents, idx)
+
+    topk_idx = similarity.ivf_index_topk(spark, idx, cents, query_vec, k=10, n_probe=2)
+    topk_fly = similarity.ivf_topk(emb, cents, query_vec, k=10, n_probe=2)
+    assert [tuple(r) for r in topk_idx.collect()] == [tuple(r) for r in topk_fly.collect()]
+
+    # partition pruning is visible in the scan
+    p = summarize(topk_idx)
+    assert "PartitionFilters" in p.text
+    assert "cluster_id" in p.text
