@@ -1671,6 +1671,124 @@ reach(id, label) AS (
 SELECT id, MIN(label) AS group_id FROM reach GROUP BY id
 """
 
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median, p90) per priority — Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation definition; inputs are exact 2-decimal doubles."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_PERCENTILES = """
+SELECT o_orderpriority,
+  quantile_cont(o_totalprice, 0.5) AS median_price,
+  quantile_cont(o_totalprice, 0.9) AS p90_price,
+  MIN(o_totalprice) AS min_price,
+  MAX(o_totalprice) AS max_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def t_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function breadth over customer names (the §2.2
+    allowlist plus the Spark-native surface a switching user expects)."""
+    cust = _t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.upper(name).alias("upper_name"),
+        F.lower(name).alias("lower_name"),
+        F.length(name).alias("name_len"),
+        F.substring(name, 1, 8).alias("prefix8"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(name, F.lit("Customer"), F.lit("Cust")).alias("replaced"),
+        F.concat_ws("-", F.lit("c"), F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias("tagged"),
+        F.reverse(name).alias("reversed_name"),
+        F.translate(name, "#", "_").alias("translated"),
+        F.instr(name, "#").alias("hash_pos"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT c_custkey,
+  upper(c_name) AS upper_name,
+  lower(c_name) AS lower_name,
+  CAST(length(c_name) AS INT) AS name_len,
+  substr(c_name, 1, 8) AS prefix8,
+  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+  replace(c_name, 'Customer', 'Cust') AS replaced,
+  'c' || '-' || c_mktsegment || '-' || c_custkey AS tagged,
+  reverse(c_name) AS reversed_name,
+  replace(c_name, '#', '_') AS translated,
+  CAST(strpos(c_name, '#') AS INT) AS hash_pos
+FROM customer
+"""
+
+
+def t_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function breadth over orders (extract/trunc/add/diff)."""
+    orders = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.quarter(d).alias("q"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.date_add(d.cast("date"), 30).cast("timestamp").alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias("days_to_y2k"),
+        F.dayofweek(d).alias("dow"),
+    )
+
+
+SQL_DATETIME_FUNCS = """
+SELECT o_orderkey,
+  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS d,
+  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+  date_trunc('month', o_orderdate) AS month_start,
+  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due_date,
+  CAST(DATE '2000-01-01' - CAST(o_orderdate AS DATE) AS INT) AS days_to_y2k,
+  CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INT) AS dow
+FROM orders
+"""
+
+
+def t_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-column function breadth over embeddings: size/slice/
+    element_at/higher-order transform + posexplode flattening."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    flat = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    return flat.select(
+        "vec_id",
+        (F.col("pos") + 1).alias("dim"),  # 1-based like SQL ordinality
+        F.col("val").cast("double").alias("val"),
+        F.round(F.col("val").cast("double") * 2, 6).alias("val_x2"),
+    )
+
+
+SQL_ARRAY_FUNCS = """
+SELECT vec_id, CAST(i AS INT) AS dim,
+  embedding[i]::DOUBLE AS val,
+  round(embedding[i]::DOUBLE * 2, 6) AS val_x2
+FROM (SELECT * FROM embeddings WHERE vec_id < 50) e,
+     unnest(generate_series(1, len(embedding))) AS t(i)
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1700,6 +1818,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q_pivot_status": q_pivot_status,
     "q_cube_sales": q_cube_sales,
+    "q_percentiles": q_percentiles,
+    "t_string_functions": t_string_functions,
+    "t_datetime_functions": t_datetime_functions,
+    "t_array_functions": t_array_functions,
     "w1b_sliding_windows": w1b_sliding_windows,
     "w1c_session_windows": w1c_session_windows,
     # selium parity
@@ -1772,6 +1894,10 @@ ORACLES: dict[str, str] = {
     "q17_small_quantity_revenue": SQL_Q17,
     "q_pivot_status": SQL_PIVOT,
     "q_cube_sales": SQL_CUBE,
+    "q_percentiles": SQL_PERCENTILES,
+    "t_string_functions": SQL_STRING_FUNCS,
+    "t_datetime_functions": SQL_DATETIME_FUNCS,
+    "t_array_functions": SQL_ARRAY_FUNCS,
     "w1b_sliding_windows": SQL_W1B,
     "w1c_session_windows": SQL_W1C,
     "t1_map_chain": SQL_T1,
