@@ -1789,6 +1789,46 @@ FROM (SELECT * FROM embeddings WHERE vec_id < 50) e,
      unnest(generate_series(1, len(embedding))) AS t(i)
 """
 
+
+def t_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (~1/8 of events): the reproducible
+    down-sampling a training-data pipeline needs (same rows at every
+    scale, no RNG state). md5-based so the oracle reproduces it."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.instr(
+        F.lit("0123456789abcdef"), F.substring(F.md5(F.col("event_id").cast("string")), 1, 1)
+    ) - 1
+    return ev.where(bucket < 2).select("event_id", "event_type", "value")
+
+
+SQL_HASH_SAMPLE = """
+SELECT event_id, event_type, value FROM events
+WHERE strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1 < 2
+"""
+
+
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: exactly 50 events per event_type, chosen by
+    deterministic hash order (rebalancing skewed classes — a core
+    training-data op). One shuffle on the strata key."""
+    ev = _t(spark, sf_dir, "events")
+    ranked = relational.top_k_per_group(
+        ev.select("event_id", "event_type"),
+        ["event_type"],
+        [F.md5(F.col("event_id").cast("string")).asc(), F.col("event_id").asc()],
+        50,
+        rank_col="rn",
+    )
+    return ranked.select("event_id", "event_type")
+
+
+SQL_STRATIFIED = """
+SELECT event_id, event_type FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY event_type ORDER BY md5(CAST(event_id AS VARCHAR)) ASC, event_id ASC
+) <= 50
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1822,6 +1862,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_string_functions": t_string_functions,
     "t_datetime_functions": t_datetime_functions,
     "t_array_functions": t_array_functions,
+    "t_hash_sample": t_hash_sample,
+    "t_stratified_sample": t_stratified_sample,
     "w1b_sliding_windows": w1b_sliding_windows,
     "w1c_session_windows": w1c_session_windows,
     # selium parity
@@ -1898,6 +1940,8 @@ ORACLES: dict[str, str] = {
     "t_string_functions": SQL_STRING_FUNCS,
     "t_datetime_functions": SQL_DATETIME_FUNCS,
     "t_array_functions": SQL_ARRAY_FUNCS,
+    "t_hash_sample": SQL_HASH_SAMPLE,
+    "t_stratified_sample": SQL_STRATIFIED,
     "w1b_sliding_windows": SQL_W1B,
     "w1c_session_windows": SQL_W1C,
     "t1_map_chain": SQL_T1,
