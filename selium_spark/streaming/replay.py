@@ -26,9 +26,17 @@ def replay_to_memory(
     output_mode: str = "append",
     max_files_per_trigger: int | None = None,
     timeout_s: float = 300.0,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Replay a parquet dir/file as a stream, apply ``transform``, sink
-    to memory, block until drained, return the sink's contents."""
+    to memory, block until drained, return the sink's contents.
+
+    ``shuffle_partitions`` sizes the stateful-operator state-store count
+    for THIS query (the conf is captured at query start, then restored).
+    Streaming state stores cost per-partition commit overhead every
+    micro-batch — size to state volume, not core count: 8 handles test
+    SFs; a 100 TB deployment raises it with its key cardinality.
+    """
     import os
 
     name = f"replay_{uuid.uuid4().hex[:8]}"
@@ -42,18 +50,25 @@ def replay_to_memory(
         source_path = os.path.dirname(source_path)
     stream = reader.load(source_path)
     out = transform(stream)
-    with tempfile.TemporaryDirectory(prefix="selium_ckpt_") as ckpt:
-        query = (
-            out.writeStream.queryName(name)
-            .outputMode(output_mode)
-            .format("memory")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination(timeout_s)
-        if query.isActive:
-            query.stop()
-        # materialize before the checkpoint dir disappears
-        sink = spark.table(name)
-        return spark.createDataFrame(sink.collect(), sink.schema)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        with tempfile.TemporaryDirectory(prefix="selium_ckpt_") as ckpt:
+            query = (
+                out.writeStream.queryName(name)
+                .outputMode(output_mode)
+                .format("memory")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination(timeout_s)
+            if query.isActive:
+                query.stop()
+            # materialize before the checkpoint dir disappears
+            sink = spark.table(name)
+            return spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)

@@ -1058,7 +1058,8 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return replay_to_memory(
-        spark, f"{sf_dir}/events.parquet", schema, transform, output_mode="complete"
+        spark, f"{sf_dir}/events.parquet", schema, transform, output_mode="complete",
+        shuffle_partitions=8,
     )
 
 
@@ -1091,7 +1092,8 @@ def stream_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return replay_to_memory(
-        spark, f"{sf_dir}/events.parquet", schema, transform, output_mode="complete"
+        spark, f"{sf_dir}/events.parquet", schema, transform, output_mode="complete",
+        shuffle_partitions=8,
     )
 
 
@@ -1118,7 +1120,9 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type"
         )
 
-    return replay_to_memory(spark, f"{sf_dir}/events.parquet", schema, transform)
+    return replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform, shuffle_partitions=8
+    )
 
 
 SQL_STREAM_DEDUP = "SELECT event_id, event_type FROM events"
@@ -1355,7 +1359,7 @@ def stream_latest_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             output_schema="event_id long, signup_value_asof string",
         )
 
-    return replay_to_memory(spark, tmp, schema, transform)
+    return replay_to_memory(spark, tmp, schema, transform, shuffle_partitions=8)
 
 
 def s10_lcg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
