@@ -185,6 +185,32 @@ class StreamCatalog:
         dfs = [self.read_stream(e.uri) for e in entries]
         return reduce(DataFrame.unionByName, dfs)
 
+    # -- persistence (metastore story) ------------------------------------
+    def save(self, path: str) -> None:
+        """Persist the catalog as JSON (at scale: a metastore table).
+        Only metadata travels — no data moves through the catalog."""
+        payload = [
+            {
+                "uri": e.uri,
+                "path": e.path,
+                "schema": e.schema.jsonValue(),
+                "mode": e.mode,
+                "fmt": e.fmt,
+            }
+            for e in self._entries.values()
+        ]
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "StreamCatalog":
+        cat = cls(spark)
+        with open(path) as f:
+            for e in json.load(f):
+                schema = T.StructType.fromJson(e["schema"])
+                cat.insert(e["uri"], e["path"], schema=schema, mode=e["mode"], fmt=e["fmt"])
+        return cat
+
     # -- capability sessions (P4) ----------------------------------------
     def restrict(self, allowed: list[str]) -> "RestrictedCatalog":
         """Capability view: a catalog handle that can only touch the

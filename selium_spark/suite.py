@@ -1833,6 +1833,35 @@ QUALIFY row_number() OVER (
 ) <= 50
 """
 
+
+def udaf_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (§2.6 UDAF surface): per-user Shannon entropy of
+    the event-type distribution via groupBy().applyInPandas, verified
+    against a SQL oracle computing the same ordered term sum."""
+    from .operators.udaf import grouped_entropy
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_entropy(ev, "user_id", "event_type")
+
+
+SQL_UDAF_ENTROPY = """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+), t AS (
+  SELECT user_id, SUM(n) AS tot FROM c GROUP BY 1
+), terms AS (
+  SELECT c.user_id, c.event_type, (n::DOUBLE / tot) AS p
+  FROM c JOIN t USING (user_id)
+), ordered AS (
+  SELECT user_id, list_aggregate(
+    list_transform(list_sort(list({'et': event_type, 'p': p})), r -> -r.p * log2(r.p)),
+    'sum') AS entropy
+  FROM terms GROUP BY user_id
+)
+SELECT o.user_id, t.tot AS n_events, round(o.entropy, 6) AS entropy
+FROM ordered o JOIN t ON o.user_id = t.user_id
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1868,6 +1897,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "t_array_functions": t_array_functions,
     "t_hash_sample": t_hash_sample,
     "t_stratified_sample": t_stratified_sample,
+    "udaf_user_entropy": udaf_user_entropy,
     "w1b_sliding_windows": w1b_sliding_windows,
     "w1c_session_windows": w1c_session_windows,
     # selium parity
@@ -1946,6 +1976,7 @@ ORACLES: dict[str, str] = {
     "t_array_functions": SQL_ARRAY_FUNCS,
     "t_hash_sample": SQL_HASH_SAMPLE,
     "t_stratified_sample": SQL_STRATIFIED,
+    "udaf_user_entropy": SQL_UDAF_ENTROPY,
     "w1b_sliding_windows": SQL_W1B,
     "w1c_session_windows": SQL_W1C,
     "t1_map_chain": SQL_T1,
