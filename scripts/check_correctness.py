@@ -44,11 +44,13 @@ def canon_rows(rows, cols, round_decimals=9):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
-    if "--sf" in sys.argv:
-        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
-    names = args or list(QUERIES)
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    names = argv or list(QUERIES)
 
     spark = get_spark(app_name="check_correctness", cpus=16, shuffle_partitions=16)
     con = duckdb.connect()

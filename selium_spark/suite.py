@@ -1862,6 +1862,91 @@ SELECT o.user_id, t.tot AS n_events, round(o.entropy, 6) AS entropy
 FROM ordered o JOIN t ON o.user_id = t.user_id
 """
 
+
+def q21_multi_line_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS against the same fact —
+    suppliers on multi-supplier orders where THEY returned items but no
+    co-supplier did. Both subqueries become semi/anti joins on the
+    order key (no correlated rescans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    # l1: this supplier's returned items
+    l1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    # exists: another supplier on the same order
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ).distinct()
+    # not exists: another supplier on the same order who ALSO returned
+    l3 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+        .distinct()
+    )
+    cand = l1.join(
+        l2, (l1.l_orderkey == F.col("o2")) & (l1.l_suppkey != F.col("s2")), "left_semi"
+    )
+    cand = cand.join(
+        l3, (cand.l_orderkey == F.col("o3")) & (cand.l_suppkey != F.col("s3")), "left_anti"
+    )
+    return (
+        cand.join(sup, cand.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+SQL_Q21 = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC LIMIT 20
+"""
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average balance) +
+    anti join — above-average-balance customers with no high-value
+    order. The scalar aggregate
+    broadcasts as a 1-row cross join; the anti join shuffles keys only."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        relational.dec_avg("c_acctbal", "avg_bal")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    big_orders = orders.where(F.col("o_totalprice") > 300000)
+    no_orders = relational.anti_join(rich, big_orders, rich.c_custkey == big_orders.o_custkey)
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        relational.dec_sum("c_acctbal", "totacctbal"),
+    )
+
+
+SQL_Q22 = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS ab
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_nationkey
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1886,6 +1971,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q8_market_share": q8_market_share,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "q21_multi_line_no_returns": q21_multi_line_no_returns,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -1965,6 +2052,8 @@ ORACLES: dict[str, str] = {
     "q8_market_share": SQL_Q8,
     "q18_large_volume_customers": SQL_Q18,
     "q19_disjunctive_predicates": SQL_Q19,
+    "q21_multi_line_no_returns": SQL_Q21,
+    "q22_global_sales_opportunity": SQL_Q22,
     "q10_returned_items": SQL_Q10,
     "q14_promo_revenue": SQL_Q14,
     "q17_small_quantity_revenue": SQL_Q17,

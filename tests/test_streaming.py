@@ -261,3 +261,27 @@ def test_streaming_session_window(spark, tmp_path):
     out = replay_to_memory(spark, src, schema, transform, output_mode="complete")
     got = sorted((r.user, r.n) for r in out.collect())
     assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_processing_time_window_fidelity(spark, tmp_path):
+    """SURVEY §7.4.1: selium windows on wall clock; the engine offers
+    processing-time fidelity by stamping current_timestamp at ingest
+    and windowing on the stamp. In a single availableNow replay every
+    row lands in 'now'-ish windows — we assert the stamp drives the
+    window, not the (old) event time."""
+    from selium_spark.operators import windows
+
+    src = str(tmp_path / "pt")
+    _write_events(spark, src, [(1, "2020-01-01 00:00:00", 1), (2, "2020-01-02 00:00:00", 2)])
+    schema = spark.read.parquet(src).schema
+
+    def transform(stream):
+        stamped = windows.stamp_processing_time(stream)
+        agg = windows.tumbling(stamped, "proc_ts", "1 hour").agg(F.count(F.lit(1)).alias("n"))
+        return agg.select(F.col("window.start").alias("w"), "n")
+
+    out = replay_to_memory(spark, src, schema, transform, output_mode="complete")
+    rows = out.collect()
+    # both 2020-dated events land in one current-time window
+    assert len(rows) == 1 and rows[0].n == 2
+    assert rows[0].w.year >= 2026
