@@ -56,7 +56,7 @@ def get_spark(
         # reader rejects; read as long and normalize in sources.tables
         # (ns -> us truncation, matching DuckDB's timestamp semantics).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.shuffle.spill.compress", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1947,6 +1947,55 @@ WHERE c_acctbal > ab
 GROUP BY c_nationkey
 """
 
+
+def stream_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks (Spark-native surface):
+    per-user click/purchase events joined within the replay horizon.
+    With availableNow over a bounded replay the result equals the batch
+    join, which is the oracle."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = stream
+        from pyspark.sql import types as T
+
+        if isinstance(schema["ts"].dataType, T.LongType):
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        clicks = (
+            ev.where(F.col("event_type") == "click")
+            .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
+            .withWatermark("click_ts", "60 days")
+        )
+        purchases = (
+            ev.where(F.col("event_type") == "purchase")
+            .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts"))
+            .withWatermark("purchase_ts", "60 days")
+        )
+        joined = clicks.join(
+            purchases,
+            (clicks.user_id == purchases.user_id)
+            & (purchases.purchase_ts > clicks.click_ts)
+            & (purchases.purchase_ts <= clicks.click_ts + F.expr("INTERVAL 1 DAY")),
+        )
+        return joined.select(clicks.user_id, "click_id", "purchase_id")
+
+    return replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform, shuffle_partitions=8
+    )
+
+
+SQL_STREAM_JOIN = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 DAY
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2031,6 +2080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_threshold_alerts": stream_threshold_alerts,
     "stream_dedup_exact": stream_dedup_exact,
     "stream_latest_enrich": stream_latest_enrich,
+    "stream_join_clicks_purchases": stream_join_clicks_purchases,
 }
 
 ORACLES: dict[str, str] = {
@@ -2112,6 +2162,7 @@ WHERE value % 2 = 0"""
     "stream_window_counts": SQL_W1,
     "stream_threshold_alerts": SQL_W2,
     "stream_dedup_exact": SQL_STREAM_DEDUP,
+    "stream_join_clicks_purchases": SQL_STREAM_JOIN,
     # (streaming latest-enrich is covered rows-only in tests; its batch
     # twin w3_latest_enrich carries the oracle)
 }

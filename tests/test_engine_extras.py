@@ -87,3 +87,25 @@ def test_drop_mode_weak_reader_loss_is_reported(spark, tmp_path):
     assert deadline_rows is not None and deadline_rows < published
     loss = published - deadline_rows
     assert loss > 0  # ReaderBehind(n) analogue: loss quantified, not hidden
+
+
+def test_concurrent_named_queries(spark, tmp_path):
+    """Two engine queries run concurrently over the same source (the
+    multi-process selium runtime shape: N guests on one channel)."""
+    src = str(tmp_path / "multi")
+    spark.range(100).withColumn("v", F.col("id") * 2).write.parquet(src)
+    cat = StreamCatalog(spark)
+    cat.insert("sel://multi/in", src)
+    eng = Engine(spark, cat)
+    h1 = eng.start("consumer_a", cat.read_stream("sel://multi/in").where(F.col("id") % 2 == 0),
+                   checkpoint=str(tmp_path / "c1"), trigger_available_now=True)
+    h2 = eng.start("consumer_b", cat.read_stream("sel://multi/in").where(F.col("id") % 2 == 1),
+                   checkpoint=str(tmp_path / "c2"), trigger_available_now=True)
+    h1.query.awaitTermination(120)
+    h2.query.awaitTermination(120)
+    a = spark.table("consumer_a").count()
+    b = spark.table("consumer_b").count()
+    assert (a, b) == (50, 50)  # taps don't consume: both saw everything
+    for h in (h1, h2):
+        if h.query.isActive:
+            h.stop()
