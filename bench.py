@@ -89,6 +89,12 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
+    # streaming replay throughput (rows/s through the windowed pipeline)
+    stream_rps = None
+    t_stream = timings.get("stream_window_counts", -1)
+    if t_stream and t_stream > 0:
+        n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+        stream_rps = round(n_events / t_stream)
     print(
         json.dumps(
             {
@@ -97,6 +103,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "stream_rows_per_sec": stream_rps,
             }
         )
     )
