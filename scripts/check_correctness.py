@@ -50,9 +50,26 @@ def main() -> int:
         i = argv.index("--sf")
         sf_dir = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+    plain = "--plain" in argv
+    if plain:
+        argv.remove("--plain")
     names = argv or list(QUERIES)
 
-    spark = get_spark(app_name="check_correctness", cpus=16, shuffle_partitions=16)
+    if plain:
+        # driver-faithful mode: a bare session with none of our confs
+        # (catches anything that silently depends on session.get_spark)
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark(app_name="check_correctness", cpus=16, shuffle_partitions=16)
     con = duckdb.connect()
     for t in StreamCatalog.TESTDATA_TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
