@@ -66,6 +66,73 @@ def brute_force_topk(
     )
 
 
+def rhp_signature(
+    emb: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH signature: bit_i = sign(v . p_i) for
+    ``n_planes`` pseudo-random hyperplanes.
+
+    Planes are md5-derived (component j of plane i = hex nibble of
+    md5('plane#i#j') - 7.5) so they are deterministic, identical on
+    every executor WITHOUT broadcasting state, and reproducible in the
+    DuckDB oracle. Cosine-similar vectors agree on most bits, so equal
+    signatures are near-neighbor candidates (Charikar's SimHash for
+    real vectors). One narrow pass; the bucket groupBy shuffles only
+    (id, signature).
+    """
+    import hashlib
+
+    def plane(i: int) -> list[float]:
+        return [
+            (int(hashlib.md5(f"plane#{i}#{j}".encode()).hexdigest()[0], 16) - 7.5)
+            for j in range(dim)
+        ]
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = []
+    for i in range(n_planes):
+        p = plane(i)
+        proj = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(c) for c in p]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1)).otherwise(F.lit(0)))
+    sig = F.concat(*[b.cast("string") for b in bits])
+    return emb.select(F.col(id_col), sig.alias("rhp_sig"))
+
+
+def rhp_candidate_pairs(
+    emb: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-neighbor candidates: vectors sharing the full
+    random-hyperplane signature (the scale path that prefilters before
+    exact cosine verification — see dedup.embedding_neardup_pairs)."""
+    sig = rhp_signature(emb, n_planes, id_col, vec_col, dim).persist()
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.rhp_sig") == F.col("b.rhp_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.rhp_sig").alias("rhp_sig"),
+        )
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: DataFrame,

