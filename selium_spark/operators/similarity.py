@@ -157,6 +157,56 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means as declarative DataFrame ops (no MLlib, no RDDs):
+    per iteration, (1) assign each vector to its max-cosine centroid —
+    one broadcast join, and (2) recompute centroids as per-cluster
+    dimension means — posexplode -> groupBy(cluster, dim) avg ->
+    re-assemble arrays. Deterministic: init = first k vectors by id,
+    fixed iteration count, argmax ties break on centroid id.
+
+    Scale: each iteration is one broadcast join + one shuffle keyed on
+    (cluster_id, dim) — k*dim groups, tiny; the corpus is scanned, never
+    shuffled. Empty clusters keep their previous centroid.
+    """
+    centroids = make_centroids(emb, n=k, id_col=id_col, vec_col=vec_col)
+    for _ in range(iterations):
+        assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+        dims = assigned.select(
+            "cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "v")
+        )
+        means = (
+            dims.groupBy("cluster_id", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                F.col("cluster_id").alias("centroid_id"),
+                F.transform(F.col("dm"), lambda s: s["m"].cast("float")).alias(
+                    "centroid_vec"
+                ),
+            )
+        )
+        # empty clusters fall back to their previous centroid
+        centroids = (
+            centroids.alias("prev")
+            .join(means.alias("new"), "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new.centroid_vec"), F.col("prev.centroid_vec")).alias(
+                    "centroid_vec"
+                ),
+            )
+        )
+    return centroids
+
+
 def make_centroids(
     emb: DataFrame,
     n: int = 8,

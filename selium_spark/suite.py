@@ -2071,6 +2071,69 @@ SQL_ANN_RECALL = (
     .replace("{AQ}", SQL_COSINE_AB.replace("va", "a.embedding").replace("vb", "q2.qv"))
 )
 
+
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-priority aggregates to long
+    (metric, value) rows via stack — the inverse of q_pivot_status."""
+    orders = _t(spark, sf_dir, "orders")
+    wide = orders.groupBy("o_orderpriority").agg(
+        relational.dec_sum("o_totalprice", "total_price"),
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+    )
+    return wide.selectExpr(
+        "o_orderpriority",
+        "stack(2, 'total_price', total_price, 'n_orders', n_orders) AS (metric, value)",
+    )
+
+
+SQL_UNPIVOT = """
+WITH wide AS (
+  SELECT o_orderpriority,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+    CAST(COUNT(*) AS DOUBLE) AS n_orders
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, metric, value
+FROM wide UNPIVOT (value FOR metric IN (total_price, n_orders))
+"""
+
+
+def q_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth: lag/lead/ntile/percent_rank/cume_dist
+    and a running sum over each customer's order history."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+    ).na.fill({"prev_price": -1.0, "next_price": -1.0})
+
+
+SQL_WINDOW_FUNCS = """
+SELECT o_custkey, o_orderkey,
+  coalesce(lag(o_totalprice) OVER w, -1.0) AS prev_price,
+  coalesce(lead(o_totalprice) OVER w, -1.0) AS next_price,
+  CAST(ntile(4) OVER w AS INT) AS quartile,
+  round(percent_rank() OVER w, 9) AS pct_rank,
+  round(cume_dist() OVER w, 9) AS cume,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2101,6 +2164,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "q_pivot_status": q_pivot_status,
+    "q_unpivot_metrics": q_unpivot_metrics,
+    "q_window_functions": q_window_functions,
     "q_cube_sales": q_cube_sales,
     "q_percentiles": q_percentiles,
     "t_string_functions": t_string_functions,
@@ -2185,6 +2250,8 @@ ORACLES: dict[str, str] = {
     "q14_promo_revenue": SQL_Q14,
     "q17_small_quantity_revenue": SQL_Q17,
     "q_pivot_status": SQL_PIVOT,
+    "q_unpivot_metrics": SQL_UNPIVOT,
+    "q_window_functions": SQL_WINDOW_FUNCS,
     "q_cube_sales": SQL_CUBE,
     "q_percentiles": SQL_PERCENTILES,
     "t_string_functions": SQL_STRING_FUNCS,

@@ -65,3 +65,23 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     p = summarize(topk_idx)
     assert "PartitionFilters" in p.text
     assert "cluster_id" in p.text
+
+
+def test_kmeans_centroids_improve_clustering(spark):
+    """Lloyd iterations reduce within-cluster scatter vs the naive
+    first-k init, and keep k centroids of the right shape."""
+    from selium_spark.operators import similarity
+    from selium_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    naive = similarity.make_centroids(emb, n=8)
+    trained = similarity.kmeans_centroids(emb, k=8, iterations=3)
+    rows = trained.collect()
+    assert len(rows) == 8 and all(len(r.centroid_vec) == 64 for r in rows)
+
+    def mean_best_cosine(cents):
+        assigned = similarity.ivf_assign(emb, cents)
+        return assigned.agg(F.avg("c_score")).first()[0]
+
+    # higher mean max-cosine == tighter clusters
+    assert mean_best_cosine(trained) > mean_best_cosine(naive)
