@@ -101,6 +101,40 @@ def minhash_signature(
     )
 
 
+def banded_keys(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding stage: (id, band_id, band_key) rows — pure JVM
+    expressions, so it runs identically on batch and streaming inputs
+    (the streaming twin feeds stateful.streaming_lsh_pairs)."""
+    assert k % bands == 0, "k must divide into bands"
+    r = k // bands
+    sig = minhash_signature(df, text_col, id_col, k, shingle_n)
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band_id", "bk.band_key")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -116,27 +150,7 @@ def lsh_candidate_pairs(
     -> self equi-join on (band_id, band_key) -> distinct pairs.
     The join keys are md5 hashes: uniform, skew-free at any scale.
     """
-    assert k % bands == 0, "k must divide into bands"
-    r = k // bands
-    sig = minhash_signature(df, text_col, id_col, k, shingle_n)
-    band_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"mh{b * r + i}") for i in range(r)])).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    exploded = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_key"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band_id", "bk.band_key")
+    exploded = banded_keys(df, text_col, id_col, k, bands, shingle_n)
     # The band table is tiny (k hashes per doc) next to the corpus; at
     # any scale you materialize it once rather than recompute the
     # signature pipeline for both sides of the self-join.

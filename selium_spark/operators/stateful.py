@@ -115,6 +115,59 @@ def latest_enrich_stream(
     )
 
 
+def streaming_lsh_pairs(
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    band_key: str = "band_key",
+    max_state_ids: int = 10_000,
+) -> DataFrame:
+    """Incremental near-dup detection on a document stream: candidate
+    pairs are emitted the moment a document lands in a band bucket that
+    already holds other documents.
+
+    ``banded`` is a stream of (id, band_id, band_key) rows (the
+    JVM-side output of dedup.lsh_candidate_pairs' banding stage);
+    state per band bucket = the id set seen so far (capped —
+    overflowing buckets are near-identical swarms where more pairs add
+    no information). Emission: each arriving id pairs with every
+    already-seen id in its bucket, so over a full replay the emitted
+    set equals the batch LSH candidate pairs.
+
+    Scale: state is keyed by uniform md5 band keys (no skew); per-key
+    state is a short id list. This is the streaming twin of the batch
+    band self-join.
+    """
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen: list[int] = list(state.get[0]) if state.exists else []
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for doc in sorted(pdf[id_col].tolist()):
+                doc = int(doc)
+                if doc in seen:
+                    continue
+                for other in seen:
+                    lo, hi = (other, doc) if other < doc else (doc, other)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                if len(seen) < max_state_ids:
+                    seen.append(doc)
+        state.update(([int(x) for x in seen],))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return banded.groupBy(band_key).applyInPandasWithState(
+        fn,
+        outputStructType="id_a long, id_b long",
+        stateStructType="ids array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def dedup_within_watermark(df: DataFrame, keys: list[str], ts: str, watermark: str) -> DataFrame:
     """Streaming exact dedup with bounded state
     (``dropDuplicatesWithinWatermark``) — state is pruned past the

@@ -285,3 +285,40 @@ def test_processing_time_window_fidelity(spark, tmp_path):
     # both 2020-dated events land in one current-time window
     assert len(rows) == 1 and rows[0].n == 2
     assert rows[0].w.year >= 2026
+
+
+def test_streaming_lsh_pairs_equal_batch(spark, tmp_path):
+    """Incremental streaming MinHash-LSH dedup: over a full replay the
+    emitted candidate pairs equal the batch band self-join."""
+    from selium_spark.operators.dedup import banded_keys, lsh_candidate_pairs
+    from selium_spark.operators.stateful import streaming_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),      # exact dup of 1
+            (3, "a b c d e f g zz"),     # near dup
+            (4, "q w e r t y u i"),
+            (5, "q w e r t y u i"),      # exact dup of 4
+            (6, "totally different words here now"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    batch_pairs = {
+        (r.id_a, r.id_b) for r in lsh_candidate_pairs(docs, k=8, bands=4).collect()
+    }
+
+    from selium_spark.streaming.replay import replay_to_memory
+
+    def transform(stream):
+        banded = banded_keys(stream, k=8, bands=4)
+        return streaming_lsh_pairs(banded)
+
+    out = replay_to_memory(spark, src, schema, transform, shuffle_partitions=4)
+    stream_pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert stream_pairs == batch_pairs
+    assert (1, 2) in stream_pairs and (4, 5) in stream_pairs
