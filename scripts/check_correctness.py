@@ -53,6 +53,9 @@ def main() -> int:
     plain = "--plain" in argv
     if plain:
         argv.remove("--plain")
+    timed = "--time" in argv
+    if timed:
+        argv.remove("--time")
     names = argv or list(QUERIES)
 
     if plain:
@@ -87,11 +90,13 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        spark_s = time.time() - t0
         sql = ORACLES.get(name)
         if sql is None:
-            print(f"pass {name} (rows-only: {len(s_rows)} rows) [{time.time()-t0:.1f}s]")
+            print(f"pass {name} (rows-only: {len(s_rows)} rows) [{spark_s:.1f}s]")
             n_pass += 1
             continue
+        t1 = time.time()
         try:
             ddf = con.sql(sql).df()
         except Exception:
@@ -120,7 +125,8 @@ def main() -> int:
             print(f"FAIL {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
             n_fail += 1
         else:
-            print(f"pass {name} ({len(s_rows)} rows) [{time.time()-t0:.1f}s]")
+            extra = f" spark={spark_s:.2f}s duck={time.time()-t1:.2f}s" if timed else ""
+            print(f"pass {name} ({len(s_rows)} rows) [{time.time()-t0:.1f}s]{extra}")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail / {len(names)}")
     return 1 if n_fail else 0
