@@ -171,6 +171,43 @@ class Engine:
         for name in list(self.queries):
             self.stop(name)
 
+    def idempotent_foreach_batch(
+        self,
+        name: str,
+        df: DataFrame,
+        write_fn: Callable[[DataFrame, int], None],
+        checkpoint: str,
+        ledger_dir: str,
+    ) -> QueryHandle:
+        """Exactly-once custom sink: ``write_fn(batch_df, epoch_id)``
+        runs at most once per epoch, enforced by an epoch ledger on
+        disk. After a crash between sink-write and checkpoint-commit,
+        the replayed epoch is skipped instead of double-written — the
+        standard idempotent-foreachBatch pattern for sinks without
+        transactional semantics.
+        """
+        import os
+
+        os.makedirs(ledger_dir, exist_ok=True)
+
+        def _process(batch_df: DataFrame, epoch_id: int) -> None:
+            marker = os.path.join(ledger_dir, f"epoch_{epoch_id}")
+            if os.path.exists(marker):
+                return  # epoch already written: replay after crash
+            write_fn(batch_df, epoch_id)
+            with open(marker, "w") as f:
+                f.write("done")
+
+        q = (
+            df.writeStream.queryName(name)
+            .foreachBatch(_process)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        handle = QueryHandle(name=name, query=q, mode="park")
+        self.queries[name] = handle
+        return handle
+
     def foreach_batch_routes(
         self,
         name: str,

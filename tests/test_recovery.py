@@ -56,3 +56,44 @@ def test_catalog_save_load_roundtrip(spark, catalog, tmp_path):
         assert loaded.get(uri).hash == catalog.get(uri).hash
         assert loaded.get(uri).mode == catalog.get(uri).mode
     assert loaded.read("sel://testdata/nation").count() > 0
+
+
+def test_idempotent_foreach_batch_skips_replayed_epoch(spark, tmp_path):
+    """Epoch-ledger sink: a replayed epoch (crash between sink write
+    and checkpoint commit) is skipped, not double-written."""
+    from selium_spark import Engine
+
+    src = str(tmp_path / "src")
+    spark.range(5).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    eng = Engine(spark)
+    out: list[tuple[int, int]] = []
+
+    ledger = str(tmp_path / "ledger")
+
+    def write_fn(batch_df, epoch_id):
+        out.append((epoch_id, batch_df.count()))
+
+    h = eng.idempotent_foreach_batch(
+        "idem",
+        spark.readStream.schema(schema).parquet(src),
+        write_fn,
+        checkpoint=str(tmp_path / "ckpt"),
+        ledger_dir=ledger,
+    )
+    h.query.processAllAvailable()
+    h.stop()
+    assert out == [(0, 5)]
+
+    # simulate checkpoint loss (the replay scenario): same ledger, fresh
+    # checkpoint -> epoch 0 re-fires but the ledger suppresses the write
+    h2 = eng.idempotent_foreach_batch(
+        "idem2",
+        spark.readStream.schema(schema).parquet(src),
+        write_fn,
+        checkpoint=str(tmp_path / "ckpt2"),
+        ledger_dir=ledger,
+    )
+    h2.query.processAllAvailable()
+    h2.stop()
+    assert out == [(0, 5)]  # no second write
