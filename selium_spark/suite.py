@@ -217,6 +217,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 
 
 def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with exact decimal sums."""
     li = _t(spark, sf_dir, "lineitem")
     return relational.rollup_agg(
         li,
@@ -234,6 +235,8 @@ FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
 
 
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by value (TakeOrderedAndProject: per-partition
+    top-k, no full sort)."""
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.select("o_orderkey", "o_totalprice")
@@ -249,6 +252,8 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 
 
 def q_window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per segment via row_number window (one shuffle on the
+    group key)."""
     cust = _t(spark, sf_dir, "customer")
     return relational.top_k_per_group(
         cust.select("c_mktsegment", "c_custkey", "c_acctbal"),
@@ -266,6 +271,7 @@ FROM customer QUALIFY rn <= 3
 
 
 def q_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (two-stage hash aggregate)."""
     return relational.distinct_rows(
         _t(spark, sf_dir, "customer"), ["c_nationkey", "c_mktsegment"]
     )
@@ -275,6 +281,7 @@ SQL_DISTINCT = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
 
 
 def q_setops_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of customer keys with ordering customer keys."""
     cust = _t(spark, sf_dir, "customer").select("c_custkey")
     ord_cust = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
     return relational.intersect(cust, ord_cust)
@@ -659,6 +666,8 @@ FROM events WHERE event_type = 'click'
 
 
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens +
+    char lengths (north-star text analysis)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -686,6 +695,8 @@ def _sql_stopword_ratio(lang: str) -> str:
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID by per-language stopword ratios
+    (argmax with deterministic tie-break)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", text.lang_id("text").alias("pred_lang"))
 
@@ -709,6 +720,8 @@ FROM r
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/digit/stopword features folded
+    into a [0,1] score, all JVM-side expressions."""
     docs = _t(spark, sf_dir, "documents")
     out = text.quality_score(docs, "text")
     return out.select(
@@ -738,6 +751,8 @@ FROM f
 
 
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: whole-doc md5 + winnowing-style min
+    shingle hash (normalization materialized once per doc)."""
     docs = _t(spark, sf_dir, "documents")
     return text.fingerprint_table(docs)
 
@@ -759,6 +774,8 @@ FROM t
 
 
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text md5, min-id
+    survivor."""
     return dedup.dedup_exact(_t(spark, sf_dir, "documents"))
 
 
@@ -770,6 +787,8 @@ FROM documents GROUP BY content_hash
 
 
 def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-minhash signatures over word 3-gram shingles (md5-sliced
+    hash budget; see dedup.minhash_signature)."""
     return dedup.minhash_signature(_t(spark, sf_dir, "documents"), k=8, shingle_n=3)
 
 
@@ -791,6 +810,8 @@ FROM h
 
 
 def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding: candidate near-dup pairs from the band
+    self-join (uniform md5 keys, skew-free)."""
     return dedup.lsh_candidate_pairs(
         _t(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=3
     )
@@ -814,6 +835,8 @@ FROM banded a JOIN banded b
 
 
 def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard verification over the LSH candidates
+    (never all-pairs)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.lsh_candidate_pairs(docs, k=8, bands=4, shingle_n=3)
     return dedup.ngram_jaccard_pairs(docs, pairs, n=3, threshold=0.2).withColumn(
@@ -849,6 +872,7 @@ WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE
 
 
 def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures (one md5 per token feeds all bits)."""
     return dedup.simhash(_t(spark, sf_dir, "documents"), n_bits=16)
 
 
@@ -996,6 +1020,8 @@ FROM documents
 
 
 def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning over decoded media (pure
+    column math on the decode output)."""
     decoded = mm_decode_features(spark, sf_dir)
     return multimodal.resize_plan(decoded, max_side=64)
 
@@ -1015,6 +1041,8 @@ FROM d
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling plan for video-kind media (explode
+    frame indices)."""
     decoded = mm_decode_features(spark, sf_dir)
     return multimodal.frame_sample(decoded, every_n=2)
 
