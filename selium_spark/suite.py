@@ -2162,6 +2162,68 @@ FROM orders WHERE o_custkey < 200
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """
 
+
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute
+    group, excluding a NOT-IN supplier set (rendered as an anti join —
+    the scalable form of NOT IN)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size").isin(1, 5, 9, 13))
+    # exclude suppliers with any negative account balance (the
+    # 'complaints' NOT IN set of Q16)
+    bad_sup = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+    )
+    pairs = relational.anti_join(pairs, bad_sup, pairs.l_suppkey == bad_sup.s_suppkey)
+    return (
+        pairs.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 5, 9, 13)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows in Structured Streaming (30-minute gap per
+    user), replayed to completion — oracle is the same lag/cumsum
+    sessionization identity as the batch twin w1c."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = stream
+        from pyspark.sql import types as T
+
+        if isinstance(schema["ts"].dataType, T.LongType):
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = windows.session(ev, "ts", "30 minutes", keys=["user_id"]).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return agg.select("user_id", F.col("window.start").alias("session_start"), "n")
+
+    return replay_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        transform,
+        output_mode="complete",
+        shuffle_partitions=8,
+    )
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2187,6 +2249,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q21_multi_line_no_returns": q21_multi_line_no_returns,
+    "q16_parts_supplier_counts": q16_parts_supplier_counts,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
@@ -2251,6 +2314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup_exact": stream_dedup_exact,
     "stream_latest_enrich": stream_latest_enrich,
     "stream_join_clicks_purchases": stream_join_clicks_purchases,
+    "stream_session_windows": stream_session_windows,
 }
 
 ORACLES: dict[str, str] = {
@@ -2273,6 +2337,7 @@ ORACLES: dict[str, str] = {
     "q18_large_volume_customers": SQL_Q18,
     "q19_disjunctive_predicates": SQL_Q19,
     "q21_multi_line_no_returns": SQL_Q21,
+    "q16_parts_supplier_counts": SQL_Q16,
     "q22_global_sales_opportunity": SQL_Q22,
     "q10_returned_items": SQL_Q10,
     "q14_promo_revenue": SQL_Q14,
@@ -2337,6 +2402,7 @@ WHERE value % 2 = 0"""
     "stream_threshold_alerts": SQL_W2,
     "stream_dedup_exact": SQL_STREAM_DEDUP,
     "stream_join_clicks_purchases": SQL_STREAM_JOIN,
+    "stream_session_windows": SQL_W1C,
     # (streaming latest-enrich is covered rows-only in tests; its batch
     # twin w3_latest_enrich carries the oracle)
 }
