@@ -56,11 +56,20 @@ HEADLINE = [
 ]
 
 
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+
 def run_one(spark, name: str) -> float:
     t0 = time.time()
     df = QUERIES[name](spark, SF_DIR)
     df.write.format("noop").mode("overwrite").save()
     return time.time() - t0
+
+
+def p50(xs: list[float]) -> float:
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
 
 
 def main() -> None:
@@ -77,10 +86,14 @@ def main() -> None:
         .agg(F.count(F.lit(1)), F.sum(F.col("n_nationkey").cast("decimal(18,2)")))
         .collect()
     )
+    # p50 over RUNS repetitions per query: run-to-run JIT/GC noise on a
+    # shared box swamps the ~100 ms deltas we tune for, and the median is
+    # robust to a single slow outlier (SURVEY §8 TODO 7).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         try:
-            timings[name] = round(run_one(spark, name), 3)
+            samples = [run_one(spark, name) for _ in range(RUNS)]
+            timings[name] = round(p50(samples), 3)
         except Exception as exc:  # keep the line parseable even on failure
             timings[name] = -1.0
             print(f"bench error {name}: {exc}", file=sys.stderr)
@@ -103,6 +116,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs_per_query": RUNS,
                 "stream_rows_per_sec": stream_rps,
             }
         )

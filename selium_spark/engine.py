@@ -38,11 +38,14 @@ class LossMetricsListener(StreamingQueryListener):
     def __init__(self) -> None:
         self.rows_by_query: dict[str, int] = {}
         self.last_progress: dict[str, dict] = {}
+        self.state_by_query: dict[str, list[dict]] = {}
 
     def onQueryStarted(self, event) -> None:  # noqa: N802
         pass
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
+        from .streaming.state import state_metrics
+
         p = event.progress
         name = p.name or p.id
         self.rows_by_query[name] = self.rows_by_query.get(name, 0) + int(
@@ -52,6 +55,15 @@ class LossMetricsListener(StreamingQueryListener):
             "numInputRows": p.numInputRows,
             "batchId": p.batchId,
         }
+        # state-store observability: unbounded state (missing watermark)
+        # shows up here as monotonically growing rows_total, long before
+        # it is an executor OOM at scale
+        try:
+            metrics = state_metrics(p)
+        except Exception:
+            metrics = []
+        if metrics:
+            self.state_by_query[name] = metrics
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         pass

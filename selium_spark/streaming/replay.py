@@ -27,6 +27,7 @@ def replay_to_memory(
     max_files_per_trigger: int | None = None,
     timeout_s: float = 300.0,
     shuffle_partitions: int | None = None,
+    state_store: str | None = None,
 ) -> DataFrame:
     """Replay a parquet dir/file as a stream, apply ``transform``, sink
     to memory, block until drained, return the sink's contents.
@@ -36,8 +37,15 @@ def replay_to_memory(
     Streaming state stores cost per-partition commit overhead every
     micro-batch — size to state volume, not core count: 8 handles test
     SFs; a 100 TB deployment raises it with its key cardinality.
+
+    ``state_store`` selects the provider for THIS query ('rocksdb' for
+    disk-backed bounded-memory state — the 100 TB configuration; None
+    keeps the session default).
     """
+    import contextlib
     import os
+
+    from .state import state_store_provider
 
     name = f"replay_{uuid.uuid4().hex[:8]}"
     reader = spark.readStream.schema(schema).format("parquet")
@@ -53,8 +61,11 @@ def replay_to_memory(
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    provider_ctx = (
+        state_store_provider(spark, state_store) if state_store else contextlib.nullcontext()
+    )
     try:
-        with tempfile.TemporaryDirectory(prefix="selium_ckpt_") as ckpt:
+        with tempfile.TemporaryDirectory(prefix="selium_ckpt_") as ckpt, provider_ctx:
             query = (
                 out.writeStream.queryName(name)
                 .outputMode(output_mode)

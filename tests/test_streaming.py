@@ -322,3 +322,82 @@ def test_streaming_lsh_pairs_equal_batch(spark, tmp_path):
     stream_pairs = {(r.id_a, r.id_b) for r in out.collect()}
     assert stream_pairs == batch_pairs
     assert (1, 2) in stream_pairs and (4, 5) in stream_pairs
+
+
+def test_rocksdb_state_store_matches_default(spark, tmp_path):
+    """SURVEY §8 TODO 2: the RocksDB provider (disk-backed state, the
+    100 TB configuration) produces identical results to the default
+    HDFS-backed provider, and the session conf is restored after."""
+    from selium_spark.streaming.state import PROVIDER_CONF
+
+    path = str(tmp_path / "src")
+    _write_events(
+        spark,
+        path,
+        [(1, "2024-01-01 00:00:01", 5), (2, "2024-01-01 00:10:01", 7), (3, "2024-01-01 00:10:02", 9)],
+    )
+    schema = spark.read.parquet(path).schema
+
+    def transform(stream):
+        return stream.groupBy(F.window("ts", "10 minutes").alias("w")).agg(
+            F.sum("v").alias("total")
+        )
+
+    default_res = {
+        (r.w.start, r.total)
+        for r in replay_to_memory(
+            spark, path, schema, transform, output_mode="complete", shuffle_partitions=4
+        ).collect()
+    }
+    rocks_res = {
+        (r.w.start, r.total)
+        for r in replay_to_memory(
+            spark,
+            path,
+            schema,
+            transform,
+            output_mode="complete",
+            shuffle_partitions=4,
+            state_store="rocksdb",
+        ).collect()
+    }
+    assert rocks_res == default_res and len(rocks_res) == 2
+    assert spark.conf.get(PROVIDER_CONF, None) in (None, "")
+
+
+def test_state_metrics_observed(spark, tmp_path):
+    """State-store metrics (rows in state / memory) surface through the
+    engine's listener — the ReaderBehind-style observability for
+    streaming state (unbounded state visible before it's an OOM)."""
+    from selium_spark.streaming.state import state_metrics
+
+    src = str(tmp_path / "src")
+    _write_events(spark, src, [(1, "2024-01-01 00:00:01", 5), (2, "2024-01-01 00:10:01", 7)])
+    cat = StreamCatalog(spark)
+    cat.insert("sel://sm/src", src)
+    eng = Engine(spark, cat)
+    agg = (
+        cat.read_stream("sel://sm/src")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.sum("v").alias("total"))
+    )
+    handle = eng.start(
+        "state_metrics_q",
+        agg,
+        checkpoint=str(tmp_path / "ckpt_sm"),
+        output_mode="complete",
+    )
+    try:
+        handle.query.processAllAvailable()
+        direct = state_metrics(handle.query.lastProgress)
+        assert direct and direct[0]["rows_total"] == 2
+        deadline = time.monotonic() + 10
+        while (
+            time.monotonic() < deadline
+            and "state_metrics_q" not in eng.loss_listener.state_by_query
+        ):
+            time.sleep(0.2)
+        listener_seen = eng.loss_listener.state_by_query.get("state_metrics_q")
+        assert listener_seen and listener_seen[0]["rows_total"] == 2
+    finally:
+        eng.stop("state_metrics_q")
