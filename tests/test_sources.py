@@ -69,3 +69,64 @@ def test_capability_catalog_works_with_engine(spark, catalog, tmp_path):
     assert spark.table("capq").count() > 0
     if handle.query.isActive:
         handle.stop()
+
+
+def test_kafka_options_and_gating(spark):
+    """Kafka adapter (SURVEY §8 TODO 4): option-building semantics are
+    pure-python-tested; DataFrame entry points fail clearly without the
+    connector jar (import-gated, per driver environment rules)."""
+    from selium_spark.sources import kafka
+
+    park = kafka.reader_options("b1:9092,b2:9092", "events", mode="park",
+                                max_offsets_per_trigger=10_000)
+    assert park["startingOffsets"] == "earliest"
+    assert park["failOnDataLoss"] == "true"
+    assert park["maxOffsetsPerTrigger"] == "10000"
+    drop = kafka.reader_options("b1:9092", "events", mode="drop")
+    # weak reader: laps (expired offsets) are skipped, not fatal
+    assert drop["startingOffsets"] == "latest"
+    assert drop["failOnDataLoss"] == "false"
+    try:
+        kafka.reader_options("b", "t", mode="weak")
+        raise AssertionError("bad mode accepted")
+    except ValueError:
+        pass
+    assert kafka.writer_options("b1:9092", "alerts")["topic"] == "alerts"
+    if not kafka.kafka_available(spark):
+        try:
+            kafka.read_stream(spark, "b1:9092", "events")
+            raise AssertionError("expected RuntimeError without kafka jar")
+        except RuntimeError as exc:
+            assert "--packages" in str(exc)
+
+
+def test_socket_source_live(spark, tmp_path):
+    """S7 live mode: a TCP line server feeds Spark's socket source; the
+    engine sees each line as one frame with an ingest timestamp."""
+    import time as _time
+
+    from selium_spark.sources.socket_source import LineServer, socket_lines
+
+    with LineServer() as srv:
+        stream = socket_lines(spark, srv.host, srv.port)
+        query = (
+            stream.writeStream.queryName("socket_live")
+            .format("memory")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            assert srv.wait_consumer(30), "socket source never connected"
+            srv.send_lines(["alpha", "beta", "gamma"])
+            deadline = _time.monotonic() + 60
+            while _time.monotonic() < deadline:
+                query.processAllAvailable()
+                got = {r.value for r in spark.table("socket_live").collect()}
+                if {"alpha", "beta", "gamma"} <= got:
+                    break
+                _time.sleep(0.5)
+            rows = spark.table("socket_live").collect()
+            assert {r.value for r in rows} >= {"alpha", "beta", "gamma"}
+            assert all(r.ingest_ts is not None for r in rows)
+        finally:
+            query.stop()
