@@ -2288,6 +2288,246 @@ WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 ORDER BY s_suppkey
 """
 
+
+# The testdata star schema has no partsupp table, so the five
+# partsupp-centric TPC-H shapes (Q2/Q9/Q11/Q12's shipmode/Q20) run as
+# analogues over the *derived* part-supplier relation
+# DISTINCT(l_partkey, l_suppkey) — same plan shapes (correlated min,
+# multi-dim profit, group-threshold-vs-scalar, conditional counts,
+# nested IN), adapted predicates. With these, all 22 TPC-H query
+# shapes are represented in the oracle-checked suite.
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated per-part MIN over eligible suppliers
+    in a region. Rendered scalably as aggregate-then-join (one shuffle
+    on partkey) instead of a correlated rescan; supplier/nation/region
+    dims broadcast."""
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "EUROPE")
+    )
+    cand = (
+        F.broadcast(part)
+        .join(ps, F.col("p_partkey") == F.col("l_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    min_bal = cand.groupBy(F.col("p_partkey").alias("mb_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        cand.join(
+            min_bal,
+            (F.col("p_partkey") == F.col("mb_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "s_suppkey")
+        .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey").asc(), F.col("s_suppkey").asc())
+        .limit(100)
+    )
+
+
+SQL_Q2 = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name
+  FROM part
+  JOIN ps ON p_partkey = l_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, s_suppkey
+FROM cand
+QUALIFY s_acctbal = MIN(s_acctbal) OVER (PARTITION BY p_partkey)
+ORDER BY s_acctbal DESC, p_partkey ASC, s_suppkey ASC LIMIT 100
+"""
+
+
+# profit analogue: margin = disc_price - 10% of retail-price * qty
+# (stands in for ps_supplycost, which the schema lacks); exact decimal
+# arithmetic end-to-end, one final cast to double
+PROFIT = (
+    f"({DISC_PRICE} - CAST(0.10 AS DECIMAL(4,2)) * CAST(p_retailprice AS DECIMAL(12,2))"
+    " * CAST(l_quantity AS DECIMAL(12,2)))"
+)
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: multi-way join (fact + 2 broadcast dims + orders)
+    then 2-dim aggregate (supplier nation x order year) of a derived
+    profit measure. part filter prunes before the join; the one big
+    shuffle is the groupBy on (nation, year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    sup = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(F.expr(PROFIT)).cast("double").alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+SQL_Q9 = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(SUM({PROFIT}) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value restricted to one nation's
+    suppliers, kept only where the group's value exceeds a threshold
+    derived from the grand total (scalar subquery). TPC-H's fixed
+    fraction is scale-DEpendent (0 rows past a certain SF), so the
+    threshold here is 2x the mean part value — same plan shape
+    (aggregate + broadcast one scalar row + filter), non-degenerate at
+    every SF. Sums are exact decimals cast once to double."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup_n7 = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(sup_n7), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_disc_price()).alias("val_dec"))
+    )
+    mean = val.agg(
+        (F.sum("val_dec").cast("double") / F.count(F.lit(1))).alias("mean_d")
+    )
+    return (
+        val.crossJoin(F.broadcast(mean))
+        .where(F.col("val_dec").cast("double") > F.lit(2.0) * F.col("mean_d"))
+        .select(F.col("l_partkey"), F.col("val_dec").cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), F.col("l_partkey").asc())
+    )
+
+
+SQL_Q11 = f"""
+WITH v AS (
+  SELECT l_partkey, SUM({DISC_PRICE}) AS val_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val_dec AS DOUBLE) AS value
+FROM v
+WHERE CAST(val_dec AS DOUBLE)
+      > 2.0 * (SELECT CAST(SUM(val_dec) AS DOUBLE) / COUNT(*) FROM v)
+ORDER BY value DESC, l_partkey ASC
+"""
+
+
+def q12_ship_quarter_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-to-orders join, then conditional counts
+    (urgent vs not) grouped by a lineitem shipping attribute — ship
+    quarter stands in for l_shipmode (absent from the schema). The
+    year filter pushes to the parquet scan; one shuffle on a 4-value
+    key."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.quarter("l_shipdate").alias("ship_quarter"))
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("ship_quarter")
+    )
+
+
+SQL_Q12 = """
+SELECT CAST(quarter(l_shipdate) AS INTEGER) AS ship_quarter,
+  COUNT(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+  COUNT(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY ship_quarter ORDER BY ship_quarter
+"""
+
+
+def q20_excess_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN — suppliers of one nation whose
+    shipped volume of a part family exceeds a relative threshold
+    (1.2x the per-supplier average, so the predicate is
+    scale-invariant). Inner aggregate shuffles on suppkey; the outer
+    membership test is a semi join against that small set."""
+    li = _t(spark, sf_dir, "lineitem")
+    red_parts = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    shipped = (
+        li.join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty"))
+    )
+    avg_qty = shipped.agg(F.avg("qty").alias("avg_qty"))
+    qualifying = (
+        shipped.crossJoin(F.broadcast(avg_qty))
+        .where(F.col("qty") > F.lit(1.2) * F.col("avg_qty"))
+        .select("l_suppkey")
+    )
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .where(F.col("n_name") == "NATION_3")
+    )
+    return (
+        relational.semi_join(sup, qualifying, sup.s_suppkey == qualifying.l_suppkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_Q20 = """
+WITH shipped AS (
+  SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM shipped
+    WHERE qty > 1.2 * (SELECT AVG(qty) FROM shipped)
+  )
+ORDER BY s_suppkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2317,6 +2557,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q11_important_stock": q11_important_stock,
+    "q12_ship_quarter_priority": q12_ship_quarter_priority,
+    "q20_excess_inventory": q20_excess_inventory,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -2407,6 +2652,11 @@ ORACLES: dict[str, str] = {
     "q13_customer_distribution": SQL_Q13,
     "q15_top_supplier": SQL_Q15,
     "q22_global_sales_opportunity": SQL_Q22,
+    "q2_min_cost_supplier": SQL_Q2,
+    "q9_product_type_profit": SQL_Q9,
+    "q11_important_stock": SQL_Q11,
+    "q12_ship_quarter_priority": SQL_Q12,
+    "q20_excess_inventory": SQL_Q20,
     "q10_returned_items": SQL_Q10,
     "q14_promo_revenue": SQL_Q14,
     "q17_small_quantity_revenue": SQL_Q17,

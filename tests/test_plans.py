@@ -56,3 +56,33 @@ def test_q1_scan_prunes_to_agg_columns(spark):
     cols = p.scan_columns()
     assert "l_orderkey" not in cols and "l_partkey" not in cols
     assert {"l_returnflag", "l_linestatus", "l_quantity"} <= cols
+
+
+def test_q2_broadcasts_dims_no_cartesian(spark):
+    # part + supplier/nation/region broadcast; the only shuffles are the
+    # ps-distinct and the per-part min aggregate
+    p = plan_of(spark, "q2_min_cost_supplier")
+    assert p.n_broadcast_joins >= 3
+    assert not p.has_cartesian
+
+
+def test_q9_filter_prunes_before_join(spark):
+    p = plan_of(spark, "q9_product_type_profit")
+    # p_name LIKE filter pushes into the part scan (dim pruned before
+    # broadcast), and part/supplier/nation all broadcast
+    assert any("p_name" in f for f in p.pushed_filters)
+    assert p.n_broadcast_joins >= 3
+
+
+def test_q12_year_filter_pushes_to_scan(spark):
+    p = plan_of(spark, "q12_ship_quarter_priority")
+    assert any("l_shipdate" in f for f in p.pushed_filters)
+    assert p.n_hash_aggregates >= 2  # partial + final conditional counts
+
+
+def test_q11_scalar_broadcast_not_cartesian_explosion(spark):
+    # the one-row mean joins as a BROADCAST nested loop (fine: 1 row),
+    # never a shuffled CartesianProduct of the full value table
+    p = plan_of(spark, "q11_important_stock")
+    assert "CartesianProduct" not in p.text
+    assert "BroadcastNestedLoopJoin" in p.text
