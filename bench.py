@@ -33,6 +33,8 @@ HEADLINE = [
     "q6_revenue_forecast",
     "q10_returned_items",
     "q17_small_quantity_revenue",
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
     "q_window_rank_customers",
     "q_range_join_quantity",
     "w1c_session_windows",
