@@ -5,28 +5,35 @@ Selium's entire compute model is sandboxed guest programs over typed
 streams (``#[entrypoint]``, invoked at subsystem/wasmtime/src/
 lib.rs:444-453; capability deny-stubs at :295-312). The Spark-native
 rendering: a WASM module executed *inside a vectorized pandas_udf* —
-Arrow batches in, Arrow batches out, one instantiation per executor —
-so the sandboxing story (no ambient authority inside the UDF; the
-module can only see the batch it is handed) carries over, and the
+Arrow batches in, Arrow batches out, one instantiation per executor
+task — so the sandboxing story (no ambient authority inside the UDF;
+the module can only see the batch it is handed) carries over, and the
 module artifact distributes like any Spark file (S13: the module
 store, subsystem/filesystem-store/src/driver.rs:17-21, maps to
 ``spark.sparkContext.addFile``).
 
-``wasmtime`` is not installed in this container, so the host is
-import-gated: with wasmtime present, scalar i64->i64 / f64->f64
-exports run for real; without it, construction raises a clear
-NotImplementedError unless ``fallback`` (a plain Python callable
-standing in for the wasm export, used by tests) is provided — the
-Spark-side plumbing (batching, schema, distribution) is identical in
-both paths and is what the tests pin down.
+Execution tiers, best available first:
+
+1. ``wasmtime`` (if a wheel is importable): the real engine runs the
+   module bytes, one instance per task.
+2. The pure-Python scalar interpreter (wasm_interp.py): parses and
+   executes the SAME bytes — no external deps, deterministic, covers
+   the straight-line numeric profile scalar UDF modules use. This is
+   the tier active in this container; checked-in precompiled modules
+   live in wasm_modules.py.
+3. ``fallback``: a plain Python callable standing in for the export
+   (kept for tests that pin the Spark-side plumbing independently of
+   the module format).
 """
 
 from __future__ import annotations
 
-from typing import Callable, Iterator
+from typing import Callable, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import functions as F
+
+from selium_spark.functions.wasm_interp import ScalarWasmFunction
 
 try:  # optional: real WASM engine
     import wasmtime  # type: ignore
@@ -43,38 +50,60 @@ def wasm_pandas_udf(
     func_name: str,
     return_type: str = "long",
     fallback: Callable | None = None,
+    arity: int | None = None,
 ):
     """Build a vectorized UDF hosting a scalar WASM export.
 
     module_bytes: the .wasm binary (distributed to executors inside the
     closure — for large modules, ship via addFile and load lazily).
     func_name: exported function name, scalar numeric signature.
-    fallback: Python stand-in when wasmtime is unavailable.
+    fallback: Python stand-in used only when module_bytes is None.
+    arity: argument count; inferred from the module when present.
     """
     if return_type not in _SUPPORTED:
         raise ValueError(f"unsupported return type {return_type!r}")
-    if not _HAS_WASMTIME and fallback is None:
-        raise NotImplementedError(
-            "wasmtime is not installed in this environment; pass fallback= "
-            "to run the same plumbing with a Python stand-in"
-        )
 
-    if _HAS_WASMTIME and module_bytes is not None:
-        def make_fn():
-            engine = wasmtime.Engine()
-            store = wasmtime.Store(engine)
-            module = wasmtime.Module(engine, module_bytes)
-            instance = wasmtime.Instance(store, module, [])  # no imports: no ambient authority
-            func = instance.exports(store)[func_name]
-            return lambda x: func(store, x)
-    else:
+    if module_bytes is not None:
+        # Parse on the driver: fails fast on a bad module / export name,
+        # and pins the arity for the UDF shape below.
+        parsed = ScalarWasmFunction.from_module(module_bytes, func_name)
+        arity = parsed.arity
+        if _HAS_WASMTIME:
+            def make_fn():
+                engine = wasmtime.Engine()
+                store = wasmtime.Store(engine)
+                module = wasmtime.Module(engine, module_bytes)
+                # no imports: no ambient authority inside the guest
+                instance = wasmtime.Instance(store, module, [])
+                func = instance.exports(store)[func_name]
+                return lambda *xs: func(store, *xs)
+        else:
+            def make_fn():
+                return ScalarWasmFunction.from_module(module_bytes, func_name)
+    elif fallback is not None:
+        arity = arity or 1
+
         def make_fn():
             return fallback
+    else:
+        raise NotImplementedError(
+            "no module bytes given; pass module_bytes (runs on wasmtime or "
+            "the built-in scalar interpreter) or fallback="
+        )
 
-    @F.pandas_udf(return_type)
-    def udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        fn = make_fn()  # one instantiation per task, reused across batches
-        for s in batches:
-            yield s.map(fn)
+    if arity == 1:
+        @F.pandas_udf(return_type)
+        def udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            fn = make_fn()  # one instantiation per task, reused across batches
+            for s in batches:
+                yield s.map(fn)
+    else:
+        @F.pandas_udf(return_type)
+        def udf(batches: Iterator[Tuple[pd.Series, ...]]) -> Iterator[pd.Series]:
+            fn = make_fn()
+            for cols in batches:
+                yield pd.Series(
+                    [fn(*vals) for vals in zip(*cols)], dtype="object"
+                )
 
     return udf

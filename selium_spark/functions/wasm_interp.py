@@ -1,0 +1,287 @@
+"""Minimal pure-Python WebAssembly interpreter for scalar UDF modules.
+
+Selium executes user compute as sandboxed wasm guests (entrypoint
+dispatch at subsystem/wasmtime/src/lib.rs:444-453; the guest sees no
+ambient authority — capability deny-stubs at :295-312). Our Spark
+rendering runs the module inside a vectorized pandas_udf
+(functions/wasm.py). The container has no wasmtime wheel, so this
+module makes the checked-in ``.wasm`` bytes executable anyway: it
+parses the real binary format (type/function/export/code sections,
+LEB128) and interprets the straight-line numeric opcode subset that
+scalar UDF modules need — i64/f64 arithmetic, locals, ``select``,
+comparisons, sign-correct two's-complement wrap-around.
+
+This is NOT a general wasm runtime (no memory, tables, calls, or
+control flow beyond ``select``); it is a deterministic host for the
+scalar-function profile, and the sandbox property is trivially true —
+the interpreter exposes no imports at all. With wasmtime installed,
+functions/wasm.py runs the SAME bytes on the real engine instead.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+_U64 = 1 << 64
+_I64_MAX = (1 << 63) - 1
+
+I32, I64, F32, F64 = 0x7F, 0x7E, 0x7D, 0x7C
+_VALTYPE_NAMES = {I32: "i32", I64: "i64", F32: "f32", F64: "f64"}
+
+
+def _wrap64(v: int) -> int:
+    """Two's-complement wrap to signed i64."""
+    v &= _U64 - 1
+    return v - _U64 if v > _I64_MAX else v
+
+
+class _Reader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def byte(self) -> int:
+        b = self.data[self.pos]
+        self.pos += 1
+        return b
+
+    def take(self, n: int) -> bytes:
+        out = self.data[self.pos : self.pos + n]
+        if len(out) != n:
+            raise ValueError("truncated wasm module")
+        self.pos += n
+        return out
+
+    def uleb(self) -> int:
+        result = shift = 0
+        while True:
+            b = self.byte()
+            result |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return result
+            shift += 7
+
+    def sleb(self) -> int:
+        result = shift = 0
+        while True:
+            b = self.byte()
+            result |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                if b & 0x40:
+                    result -= 1 << shift
+                return result
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.data)
+
+
+@dataclass(frozen=True)
+class WasmFunc:
+    """One exported scalar function: decoded signature + body bytes."""
+
+    name: str
+    params: tuple[int, ...]  # valtype bytes
+    results: tuple[int, ...]
+    locals: tuple[int, ...]  # declared (non-param) locals, expanded
+    body: bytes  # instruction stream including trailing 0x0b
+
+
+def parse_module(module_bytes: bytes) -> dict[str, WasmFunc]:
+    """Decode a wasm binary's exported functions.
+
+    Validates magic/version and the section framing; ignores sections
+    this profile doesn't use (skipped by their declared size, like any
+    conforming decoder).
+    """
+    r = _Reader(module_bytes)
+    if r.take(4) != b"\x00asm":
+        raise ValueError("not a wasm module (bad magic)")
+    if r.take(4) != b"\x01\x00\x00\x00":
+        raise ValueError("unsupported wasm version")
+
+    types: list[tuple[tuple[int, ...], tuple[int, ...]]] = []
+    func_type_idx: list[int] = []
+    exports: dict[str, int] = {}
+    codes: list[tuple[tuple[int, ...], bytes]] = []
+
+    while not r.eof():
+        sec_id = r.byte()
+        size = r.uleb()
+        body = _Reader(r.take(size))
+        if sec_id == 1:  # type section
+            for _ in range(body.uleb()):
+                if body.byte() != 0x60:
+                    raise ValueError("expected functype")
+                params = tuple(body.byte() for _ in range(body.uleb()))
+                results = tuple(body.byte() for _ in range(body.uleb()))
+                types.append((params, results))
+        elif sec_id == 3:  # function section
+            func_type_idx = [body.uleb() for _ in range(body.uleb())]
+        elif sec_id == 7:  # export section
+            for _ in range(body.uleb()):
+                name = body.take(body.uleb()).decode("utf-8")
+                kind = body.byte()
+                idx = body.uleb()
+                if kind == 0:  # func export
+                    exports[name] = idx
+        elif sec_id == 10:  # code section
+            for _ in range(body.uleb()):
+                code = _Reader(body.take(body.uleb()))
+                local_types: list[int] = []
+                for _ in range(code.uleb()):
+                    n = code.uleb()
+                    local_types.extend([code.byte()] * n)
+                codes.append((tuple(local_types), bytes(code.data[code.pos :])))
+        # other sections (custom, import, memory, ...) skipped by size
+
+    out: dict[str, WasmFunc] = {}
+    for name, idx in exports.items():
+        if idx >= len(codes):  # imported function — out of profile
+            continue
+        params, results = types[func_type_idx[idx]]
+        local_types, instrs = codes[idx]
+        out[name] = WasmFunc(name, params, results, local_types, instrs)
+    return out
+
+
+def _trunc_div(a: int, b: int) -> int:
+    if b == 0:
+        raise ZeroDivisionError("wasm i64.div_s by zero")
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def _trunc_rem(a: int, b: int) -> int:
+    if b == 0:
+        raise ZeroDivisionError("wasm i64.rem_s by zero")
+    return a - _trunc_div(a, b) * b
+
+
+class ScalarWasmFunction:
+    """Callable interpreting one exported function's body per invocation.
+
+    Straight-line numeric profile: locals, constants, i64/f64
+    arithmetic, comparisons (producing i32 0/1), ``select``. Raises
+    NotImplementedError at call time on an opcode outside the profile,
+    naming it — so an unsupported module fails loudly, not wrongly.
+    """
+
+    def __init__(self, func: WasmFunc):
+        self.func = func
+        self.arity = len(func.params)
+
+    @classmethod
+    def from_module(cls, module_bytes: bytes, name: str) -> "ScalarWasmFunction":
+        funcs = parse_module(module_bytes)
+        if name not in funcs:
+            raise KeyError(
+                f"export {name!r} not found; module exports: {sorted(funcs)}"
+            )
+        return cls(funcs[name])
+
+    def __call__(self, *args):
+        f = self.func
+        if len(args) != len(f.params):
+            raise TypeError(f"{f.name} expects {len(f.params)} args, got {len(args)}")
+        locals_: list = []
+        for vt, a in zip(f.params, args):
+            locals_.append(float(a) if vt == F64 else _wrap64(int(a)))
+        for vt in f.locals:
+            locals_.append(0.0 if vt == F64 else 0)
+
+        stack: list = []
+        r = _Reader(f.body)
+        push = stack.append
+        pop = stack.pop
+        while True:
+            op = r.byte()
+            if op == 0x0B:  # end
+                break
+            elif op == 0x20:  # local.get
+                push(locals_[r.uleb()])
+            elif op == 0x21:  # local.set
+                locals_[r.uleb()] = pop()
+            elif op == 0x22:  # local.tee
+                locals_[r.uleb()] = stack[-1]
+            elif op == 0x1B:  # select
+                c = pop()
+                b = pop()
+                a = pop()
+                push(a if c else b)
+            elif op == 0x42:  # i64.const
+                push(r.sleb())
+            elif op == 0x44:  # f64.const
+                push(struct.unpack("<d", r.take(8))[0])
+            elif op == 0x7C:  # i64.add
+                b = pop(); push(_wrap64(pop() + b))
+            elif op == 0x7D:  # i64.sub
+                b = pop(); push(_wrap64(pop() - b))
+            elif op == 0x7E:  # i64.mul
+                b = pop(); push(_wrap64(pop() * b))
+            elif op == 0x7F:  # i64.div_s
+                b = pop(); push(_wrap64(_trunc_div(pop(), b)))
+            elif op == 0x81:  # i64.rem_s
+                b = pop(); push(_trunc_rem(pop(), b))
+            elif op == 0x83:  # i64.and
+                b = pop(); push(_wrap64(pop() & b))
+            elif op == 0x84:  # i64.or
+                b = pop(); push(_wrap64(pop() | b))
+            elif op == 0x85:  # i64.xor
+                b = pop(); push(_wrap64(pop() ^ b))
+            elif op == 0x86:  # i64.shl
+                b = pop() & 63; push(_wrap64(pop() << b))
+            elif op == 0x87:  # i64.shr_s
+                b = pop() & 63; push(pop() >> b)
+            elif op == 0x88:  # i64.shr_u
+                b = pop() & 63; push(_wrap64((pop() & (_U64 - 1)) >> b))
+            elif op == 0x50:  # i64.eqz
+                push(1 if pop() == 0 else 0)
+            elif op == 0x51:  # i64.eq
+                b = pop(); push(1 if pop() == b else 0)
+            elif op == 0x52:  # i64.ne
+                b = pop(); push(1 if pop() != b else 0)
+            elif op == 0x53:  # i64.lt_s
+                b = pop(); push(1 if pop() < b else 0)
+            elif op == 0x55:  # i64.gt_s
+                b = pop(); push(1 if pop() > b else 0)
+            elif op == 0x57:  # i64.le_s
+                b = pop(); push(1 if pop() <= b else 0)
+            elif op == 0x59:  # i64.ge_s
+                b = pop(); push(1 if pop() >= b else 0)
+            elif op == 0xA0:  # f64.add
+                b = pop(); push(pop() + b)
+            elif op == 0xA1:  # f64.sub
+                b = pop(); push(pop() - b)
+            elif op == 0xA2:  # f64.mul
+                b = pop(); push(pop() * b)
+            elif op == 0xA3:  # f64.div
+                b = pop(); push(pop() / b)
+            elif op == 0x99:  # f64.abs
+                push(abs(pop()))
+            elif op == 0x9A:  # f64.neg
+                push(-pop())
+            elif op == 0x9F:  # f64.sqrt
+                push(pop() ** 0.5)
+            elif op == 0xA4:  # f64.min
+                b = pop(); a = pop(); push(min(a, b))
+            elif op == 0xA5:  # f64.max
+                b = pop(); a = pop(); push(max(a, b))
+            elif op == 0xB9:  # f64.convert_i64_s
+                push(float(pop()))
+            elif op == 0xB0:  # i64.trunc_f64_s
+                push(_wrap64(int(pop())))
+            else:
+                raise NotImplementedError(
+                    f"wasm opcode 0x{op:02x} outside the scalar-UDF profile"
+                )
+        result = pop()
+        if f.results and f.results[0] == F64:
+            return float(result)
+        return result
+
+    def signature(self) -> str:
+        p = ", ".join(_VALTYPE_NAMES.get(t, hex(t)) for t in self.func.params)
+        res = ", ".join(_VALTYPE_NAMES.get(t, hex(t)) for t in self.func.results)
+        return f"{self.func.name}({p}) -> ({res})"

@@ -1,0 +1,142 @@
+"""Precompiled ``.wasm`` scalar-UDF modules (SURVEY §8 TODO #2).
+
+No wat toolchain ships in this container, so the binaries are emitted
+by ``_assemble`` — a ~40-line encoder for the exact binary layout the
+spec mandates (magic, type/function/export/code sections, LEB128).
+The emitted bytes are REAL wasm-MVP modules: `tests/test_wasm.py`
+pins their sha256 golden digests, round-trips them through the binary
+parser in wasm_interp.py, and (when a wasmtime wheel is present) runs
+the identical bytes on the real engine.
+
+Each module's WAT source is shown in its docstring for auditability.
+These are the guest programs for the wasm-UDF suite queries — the
+Spark analogue of selium's ``#[entrypoint]`` guests (invoked at
+subsystem/wasmtime/src/lib.rs:444-453).
+"""
+
+from __future__ import annotations
+
+import struct
+
+I32, I64, F32, F64 = 0x7F, 0x7E, 0x7D, 0x7C
+
+# -- opcode mnemonics used by the module bodies ---------------------------
+LOCAL_GET = 0x20
+I64_CONST, I64_ADD, I64_MUL = 0x42, 0x7C, 0x7E
+F64_CONST, F64_SUB, F64_MUL = 0x44, 0xA1, 0xA2
+END = 0x0B
+
+
+def _uleb(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _sleb(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        done = (n == 0 and not b & 0x40) or (n == -1 and b & 0x40)
+        out.append(b if done else b | 0x80)
+        if done:
+            return bytes(out)
+
+
+def i64_const(v: int) -> bytes:
+    return bytes([I64_CONST]) + _sleb(v)
+
+
+def f64_const(v: float) -> bytes:
+    return bytes([F64_CONST]) + struct.pack("<d", v)
+
+
+def local_get(i: int) -> bytes:
+    return bytes([LOCAL_GET]) + _uleb(i)
+
+
+def _section(sec_id: int, body: bytes) -> bytes:
+    return bytes([sec_id]) + _uleb(len(body)) + body
+
+
+def _vec(items: list[bytes]) -> bytes:
+    return _uleb(len(items)) + b"".join(items)
+
+
+def _assemble(funcs: list[tuple[str, list[int], list[int], bytes]]) -> bytes:
+    """Emit a wasm-MVP binary from (name, param_types, result_types,
+    body) tuples. One functype per function; no imports, memory, or
+    locals beyond params (the scalar straight-line profile)."""
+    types = _vec(
+        [b"\x60" + _vec([bytes([t]) for t in p]) + _vec([bytes([t]) for t in r])
+         for _, p, r, _ in funcs]
+    )
+    func_decls = _vec([_uleb(i) for i in range(len(funcs))])
+    exports = _vec(
+        [_uleb(len(n.encode())) + n.encode() + b"\x00" + _uleb(i)
+         for i, (n, _, _, _) in enumerate(funcs)]
+    )
+    codes = _vec(
+        [_uleb(len(body) + 1) + b"\x00" + body  # 0 local decls, then expr
+         for _, _, _, body in funcs]
+    )
+    return (
+        b"\x00asm\x01\x00\x00\x00"
+        + _section(1, types)
+        + _section(3, func_decls)
+        + _section(7, exports)
+        + _section(10, codes)
+    )
+
+
+# Knuth MMIX LCG constants — also used by sources/generator.py's oracle.
+LCG_A = 6364136223846793005
+LCG_C = 1442695040888963407
+
+#: WAT::
+#:   (module
+#:     (func (export "add1") (param i64) (result i64)
+#:       local.get 0  i64.const 1  i64.add)
+#:     (func (export "lcg2") (param i64) (result i64)
+#:       local.get 0
+#:       i64.const 6364136223846793005  i64.mul
+#:       i64.const 1442695040888963407  i64.add
+#:       i64.const 6364136223846793005  i64.mul
+#:       i64.const 1442695040888963407  i64.add)
+#:     (func (export "disc_price") (param f64 f64) (result f64)
+#:       f64.const 1.0  local.get 1  f64.sub
+#:       local.get 0    f64.mul))
+SCALAR_MODULE: bytes = _assemble(
+    [
+        (
+            "add1",
+            [I64],
+            [I64],
+            local_get(0) + i64_const(1) + bytes([I64_ADD, END]),
+        ),
+        (
+            "lcg2",
+            [I64],
+            [I64],
+            local_get(0)
+            + i64_const(LCG_A) + bytes([I64_MUL])
+            + i64_const(LCG_C) + bytes([I64_ADD])
+            + i64_const(LCG_A) + bytes([I64_MUL])
+            + i64_const(LCG_C) + bytes([I64_ADD, END]),
+        ),
+        (
+            "disc_price",
+            [F64, F64],
+            [F64],
+            f64_const(1.0) + local_get(1) + bytes([F64_SUB])
+            + local_get(0) + bytes([F64_MUL, END]),
+        ),
+    ]
+)

@@ -2529,6 +2529,99 @@ ORDER BY s_suppkey
 
 
 # ---------------------------------------------------------------------------
+# wasm guest queries (SURVEY §2.6 — sandboxed per-row compute; the
+# checked-in precompiled module runs on wasmtime when available, else
+# on the built-in scalar interpreter. Guest dispatch mirrors
+# subsystem/wasmtime/src/lib.rs:444-453.)
+# ---------------------------------------------------------------------------
+
+
+def wasm_udf_add1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checked-in wasm guest ``add1`` applied per row inside a
+    vectorized pandas_udf, then aggregated exactly (BIGINT sums are
+    order-free, so the oracle comparison is bit-exact)."""
+    from selium_spark.functions.wasm import wasm_pandas_udf
+    from selium_spark.functions.wasm_modules import SCALAR_MODULE
+
+    add1 = wasm_pandas_udf(SCALAR_MODULE, "add1", "long")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", add1(F.col("l_quantity").cast("long")).alias("q1"))
+        .groupBy("l_returnflag")
+        .agg(F.sum("q1").alias("sum_qty_plus1"), F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_WASM_ADD1 = """
+SELECT l_returnflag,
+  SUM(CAST(l_quantity AS BIGINT) + 1) AS sum_qty_plus1,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def wasm_udf_lcg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasm guest ``lcg2`` (two Knuth-MMIX LCG rounds with i64
+    wrap-around — real overflow semantics inside the guest) hashes
+    o_orderkey into 16 buckets; bucket histogram is the output. The
+    oracle reproduces the mod-2^64 arithmetic in HUGEINT; bucket =
+    h mod 16 is wrap-invariant since 2^64 ≡ 0 (mod 16)."""
+    from selium_spark.functions.wasm import wasm_pandas_udf
+    from selium_spark.functions.wasm_modules import SCALAR_MODULE
+
+    lcg2 = wasm_pandas_udf(SCALAR_MODULE, "lcg2", "long")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(F.pmod(lcg2(F.col("o_orderkey")), F.lit(16)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+SQL_WASM_LCG = """
+SELECT CAST(h2 % 16 AS BIGINT) AS bucket, COUNT(*) AS n
+FROM (
+  SELECT (6364136223846793005::HUGEINT *
+          ((6364136223846793005::HUGEINT * o_orderkey + 1442695040888963407)
+           % 18446744073709551616::HUGEINT)
+          + 1442695040888963407) % 18446744073709551616::HUGEINT AS h2
+  FROM orders
+)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def wasm_udf_disc_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-argument f64 wasm guest: net price per line item. Per-row
+    IEEE double results are bit-identical across engines (same op
+    order: 1-disc, then multiply), so no decimal laundering needed."""
+    from selium_spark.functions.wasm import wasm_pandas_udf
+    from selium_spark.functions.wasm_modules import SCALAR_MODULE
+
+    dp = wasm_pandas_udf(SCALAR_MODULE, "disc_price", "double")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dp("l_extendedprice", "l_discount").alias("net_price"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+SQL_WASM_DISC = """
+SELECT l_orderkey, l_linenumber,
+  l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+WHERE l_orderkey < 200
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2626,6 +2719,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_latest_enrich": stream_latest_enrich,
     "stream_join_clicks_purchases": stream_join_clicks_purchases,
     "stream_session_windows": stream_session_windows,
+    # wasm guest programs (§2.6)
+    "wasm_udf_add1": wasm_udf_add1,
+    "wasm_udf_lcg_bucket": wasm_udf_lcg_bucket,
+    "wasm_udf_disc_price": wasm_udf_disc_price,
 }
 
 ORACLES: dict[str, str] = {
@@ -2723,4 +2820,7 @@ WHERE value % 2 = 0"""
     "stream_session_windows": SQL_W1C,
     # (streaming latest-enrich is covered rows-only in tests; its batch
     # twin w3_latest_enrich carries the oracle)
+    "wasm_udf_add1": SQL_WASM_ADD1,
+    "wasm_udf_lcg_bucket": SQL_WASM_LCG,
+    "wasm_udf_disc_price": SQL_WASM_DISC,
 }

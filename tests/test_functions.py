@@ -11,7 +11,6 @@ from selium_spark.functions import (
     split_once,
     wasm_pandas_udf,
 )
-from selium_spark.functions.wasm import _HAS_WASMTIME
 from selium_spark.sources.generator import lcg_values
 
 
@@ -41,10 +40,11 @@ def test_lcg_matches_reference_recurrence():
     assert vals[0] == s
 
 
-def test_wasm_udf_requires_engine_or_fallback():
-    if not _HAS_WASMTIME:
-        with pytest.raises(NotImplementedError):
-            wasm_pandas_udf(b"\x00asm", "f", "long")
+def test_wasm_udf_rejects_bad_module_and_requires_some_impl():
+    with pytest.raises(ValueError):  # truncated binary fails fast on driver
+        wasm_pandas_udf(b"\x00asm", "f", "long")
+    with pytest.raises(NotImplementedError):  # nothing to execute
+        wasm_pandas_udf(None, "f", "long")
 
 
 def test_wasm_udf_plumbing_with_fallback(spark):

@@ -1,0 +1,118 @@
+"""WASM guest-program stack: binary format, interpreter, Spark UDF.
+
+Pins (a) the checked-in precompiled module bytes (golden sha256 — the
+'wat->wasm bytes checked in' item from SURVEY §8), (b) the parser /
+interpreter semantics including two's-complement wrap, and (c) the
+end-to-end pandas_udf path on real DataFrames. When a wasmtime wheel
+is present the same bytes also run on the real engine and must agree
+with the interpreter.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from selium_spark.functions.wasm import _HAS_WASMTIME, wasm_pandas_udf
+from selium_spark.functions.wasm_interp import (
+    ScalarWasmFunction,
+    parse_module,
+)
+from selium_spark.functions.wasm_modules import LCG_A, LCG_C, SCALAR_MODULE
+
+GOLDEN_SHA256 = "4c43f9142f5134a51f976634173397041cda9091a4f8e50343a0956c4e396541"
+
+
+def _wrap64(v: int) -> int:
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def test_module_bytes_are_pinned():
+    assert SCALAR_MODULE[:8] == b"\x00asm\x01\x00\x00\x00"
+    assert hashlib.sha256(SCALAR_MODULE).hexdigest() == GOLDEN_SHA256
+
+
+def test_parse_module_exports_and_signatures():
+    funcs = parse_module(SCALAR_MODULE)
+    assert set(funcs) == {"add1", "lcg2", "disc_price"}
+    assert ScalarWasmFunction(funcs["add1"]).signature() == "add1(i64) -> (i64)"
+    assert (
+        ScalarWasmFunction(funcs["disc_price"]).signature()
+        == "disc_price(f64, f64) -> (f64)"
+    )
+
+
+def test_parse_rejects_garbage():
+    with pytest.raises(ValueError):
+        parse_module(b"\x00asm")  # truncated
+    with pytest.raises(ValueError):
+        parse_module(b"notwasm!" + SCALAR_MODULE)
+
+
+def test_interpreter_add1_wraps_two_complement():
+    add1 = ScalarWasmFunction.from_module(SCALAR_MODULE, "add1")
+    assert add1(41) == 42
+    assert add1(-1) == 0
+    assert add1(2**63 - 1) == -(2**63)  # i64.add wraps, never raises
+
+
+def test_interpreter_lcg2_matches_python_reference():
+    lcg2 = ScalarWasmFunction.from_module(SCALAR_MODULE, "lcg2")
+    for x in (0, 1, 2, 12345, -7, 2**62, 2**63 - 1, -(2**63)):
+        h1 = _wrap64(LCG_A * x + LCG_C)
+        assert lcg2(x) == _wrap64(LCG_A * h1 + LCG_C)
+
+
+def test_interpreter_f64_binary_op():
+    dp = ScalarWasmFunction.from_module(SCALAR_MODULE, "disc_price")
+    assert dp(100.0, 0.05) == 100.0 * (1 - 0.05)
+    assert dp(0.0, 0.0) == 0.0
+
+
+def test_interpreter_unknown_export_and_opcode():
+    with pytest.raises(KeyError):
+        ScalarWasmFunction.from_module(SCALAR_MODULE, "nope")
+    # a body using an out-of-profile opcode (0x10 = call) fails loudly
+    funcs = parse_module(SCALAR_MODULE)
+    bad = funcs["add1"].__class__(
+        name="bad", params=(0x7E,), results=(0x7E,),
+        locals=(), body=b"\x10\x00\x0b",
+    )
+    with pytest.raises(NotImplementedError):
+        ScalarWasmFunction(bad)(1)
+
+
+def test_wasm_udf_runs_checked_in_module_on_spark(spark):
+    add1 = wasm_pandas_udf(SCALAR_MODULE, "add1", "long")
+    lcg2 = wasm_pandas_udf(SCALAR_MODULE, "lcg2", "long")
+    df = spark.range(100).select(
+        add1(F.col("id")).alias("plus1"), lcg2(F.col("id")).alias("h")
+    )
+    rows = df.collect()
+    assert [r.plus1 for r in rows] == [i + 1 for i in range(100)]
+    assert rows[3].h == _wrap64(LCG_A * _wrap64(LCG_A * 3 + LCG_C) + LCG_C)
+
+
+def test_wasm_udf_two_arg_f64(spark):
+    dp = wasm_pandas_udf(SCALAR_MODULE, "disc_price", "double")
+    df = spark.createDataFrame(
+        [(100.0, 0.05), (20.0, 0.0)], "price DOUBLE, disc DOUBLE"
+    ).select(dp("price", "disc").alias("net"))
+    assert sorted(r.net for r in df.collect()) == [20.0, 95.0]
+
+
+@pytest.mark.skipif(not _HAS_WASMTIME, reason="wasmtime wheel not installed")
+def test_wasmtime_agrees_with_interpreter():
+    import wasmtime
+
+    engine = wasmtime.Engine()
+    store = wasmtime.Store(engine)
+    module = wasmtime.Module(engine, SCALAR_MODULE)
+    inst = wasmtime.Instance(store, module, [])
+    real = inst.exports(store)["lcg2"]
+    ours = ScalarWasmFunction.from_module(SCALAR_MODULE, "lcg2")
+    for x in (0, 7, 2**62, -(2**63)):
+        assert real(store, x) == ours(x)
