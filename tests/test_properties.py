@@ -94,3 +94,41 @@ def test_lsh_identical_docs_always_candidates(spark_h, text_val):
     )
     pairs = lsh_candidate_pairs(df, k=8, bands=4).collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# wasm binary codec + interpreter (no Spark needed)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=0, max_value=2**64 - 1))
+def test_uleb_roundtrip(n):
+    from selium_spark.functions.wasm_interp import _Reader
+    from selium_spark.functions.wasm_modules import _uleb
+
+    assert _Reader(_uleb(n)).uleb() == n
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_sleb_roundtrip(n):
+    from selium_spark.functions.wasm_interp import _Reader
+    from selium_spark.functions.wasm_modules import _sleb
+
+    assert _Reader(_sleb(n)).sleb() == n
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_wasm_lcg2_wraps_like_model(x):
+    from selium_spark.functions.wasm_interp import ScalarWasmFunction
+    from selium_spark.functions.wasm_modules import LCG_A, LCG_C, SCALAR_MODULE
+
+    def wrap(v):
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    lcg2 = ScalarWasmFunction.from_module(SCALAR_MODULE, "lcg2")
+    assert lcg2(x) == wrap(LCG_A * wrap(LCG_A * x + LCG_C) + LCG_C)
+    assert -(2**63) <= lcg2(x) <= 2**63 - 1
