@@ -14,14 +14,19 @@ store, subsystem/filesystem-store/src/driver.rs:17-21, maps to
 
 Execution tiers, best available first:
 
-1. ``wasmtime`` (if a wheel is importable): the real engine runs the
-   module bytes, one instance per task.
-2. The pure-Python scalar interpreter (wasm_interp.py): parses and
-   executes the SAME bytes — no external deps, deterministic, covers
-   the straight-line numeric profile scalar UDF modules use. This is
-   the tier active in this container; checked-in precompiled modules
-   live in wasm_modules.py.
-3. ``fallback``: a plain Python callable standing in for the export
+1. Vectorized numpy kernel (wasm_interp.compile_vectorized): the
+   straight-line body is symbolically executed once into whole-batch
+   array ops (uint64 wrap arithmetic == wasm i64 semantics) — the
+   Arrow batch never drops to per-row Python. This is the scale path
+   and handles every checked-in module.
+2. ``wasmtime`` (if a wheel is importable): the real engine runs the
+   module bytes per row — used for bodies the vectorizer declines
+   (out-of-profile opcodes), and cross-checked against tier 1 in
+   tests when present.
+3. The pure-Python scalar interpreter (wasm_interp.ScalarWasmFunction):
+   same bytes, no external deps — the reference semantics all tiers
+   are tested against.
+4. ``fallback``: a plain Python callable standing in for the export
    (kept for tests that pin the Spark-side plumbing independently of
    the module format).
 """
@@ -68,6 +73,29 @@ def wasm_pandas_udf(
         # and pins the arity for the UDF shape below.
         parsed = ScalarWasmFunction.from_module(module_bytes, func_name)
         arity = parsed.arity
+        try:
+            from selium_spark.functions.wasm_interp import (
+                compile_vectorized,
+                parse_module,
+            )
+
+            vec = compile_vectorized(parse_module(module_bytes)[func_name])
+        except NotImplementedError:
+            vec = None
+        if vec is not None:
+            if arity == 1:
+                @F.pandas_udf(return_type)
+                def vudf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+                    for s in batches:
+                        yield pd.Series(vec(s.to_numpy()))
+            else:
+                @F.pandas_udf(return_type)
+                def vudf(
+                    batches: Iterator[Tuple[pd.Series, ...]]
+                ) -> Iterator[pd.Series]:
+                    for cols in batches:
+                        yield pd.Series(vec(*[c.to_numpy() for c in cols]))
+            return vudf
         if _HAS_WASMTIME:
             def make_fn():
                 engine = wasmtime.Engine()

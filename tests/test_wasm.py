@@ -116,3 +116,41 @@ def test_wasmtime_agrees_with_interpreter():
     ours = ScalarWasmFunction.from_module(SCALAR_MODULE, "lcg2")
     for x in (0, 7, 2**62, -(2**63)):
         assert real(store, x) == ours(x)
+
+
+def test_vectorized_kernel_matches_scalar_interpreter():
+    import numpy as np
+
+    from selium_spark.functions.wasm_interp import compile_vectorized
+
+    funcs = parse_module(SCALAR_MODULE)
+    xs = np.array(
+        [0, 1, -1, 7, -7, 2**62, -(2**62), 2**63 - 1, -(2**63), 123456789],
+        dtype=np.int64,
+    )
+    for name in ("add1", "lcg2"):
+        vec = compile_vectorized(funcs[name])
+        scalar = ScalarWasmFunction(funcs[name])
+        got = vec(xs)
+        assert got.dtype == np.int64
+        assert [int(v) for v in got] == [scalar(int(x)) for x in xs]
+    vec = compile_vectorized(funcs["disc_price"])
+    price = np.array([100.0, 20.0, 0.0, 1e12], dtype=np.float64)
+    disc = np.array([0.05, 0.0, 0.5, 0.25], dtype=np.float64)
+    scalar = ScalarWasmFunction(funcs["disc_price"])
+    assert [float(v) for v in vec(price, disc)] == [
+        scalar(float(p), float(d)) for p, d in zip(price, disc)
+    ]
+
+
+def test_vectorized_kernel_rejects_out_of_profile_body():
+    import pytest as _pytest
+
+    from selium_spark.functions.wasm_interp import WasmFunc, compile_vectorized
+
+    bad = WasmFunc(
+        name="bad", params=(0x7E,), results=(0x7E,), locals=(),
+        body=b"\x10\x00\x0b",  # call — not straight-line
+    )
+    with _pytest.raises(NotImplementedError):
+        compile_vectorized(bad)
