@@ -35,6 +35,7 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q2_min_cost_supplier",
     "q9_product_type_profit",
+    "wasm_udf_lcg_bucket",
     "q_window_rank_customers",
     "q_range_join_quantity",
     "w1c_session_windows",
