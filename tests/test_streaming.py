@@ -401,3 +401,33 @@ def test_state_metrics_observed(spark, tmp_path):
         assert listener_seen and listener_seen[0]["rows_total"] == 2
     finally:
         eng.stop("state_metrics_q")
+
+
+def test_wasm_guest_over_stream_matches_batch(spark, tmp_path):
+    """The reference's compute model verbatim: a sandboxed wasm guest
+    transforming a stream (subsystem/wasmtime/src/lib.rs:444-453) —
+    here the checked-in lcg2 module hashing a streamed column inside a
+    vectorized pandas_udf, aggregated per hash bucket. Streamed result
+    must equal the batch run of the identical plan."""
+    from selium_spark.functions.wasm import wasm_pandas_udf
+    from selium_spark.functions.wasm_modules import SCALAR_MODULE
+
+    path = str(tmp_path / "src")
+    rows = [(i, f"2024-01-01 00:0{i % 6}:0{i % 10}", i * 3 + 1) for i in range(40)]
+    batch = _write_events(spark, path, rows)
+    schema = spark.read.parquet(path).schema
+    lcg2 = wasm_pandas_udf(SCALAR_MODULE, "lcg2", "long")
+
+    def transform(df):
+        return (
+            df.select(F.pmod(lcg2(F.col("id")), F.lit(8)).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    streamed = replay_to_memory(
+        spark, path, schema, transform, output_mode="complete", shuffle_partitions=4
+    )
+    assert {(r.bucket, r.n) for r in streamed.collect()} == {
+        (r.bucket, r.n) for r in transform(batch).collect()
+    }
