@@ -22,7 +22,9 @@ I32, I64, F32, F64 = 0x7F, 0x7E, 0x7D, 0x7C
 
 # -- opcode mnemonics used by the module bodies ---------------------------
 LOCAL_GET = 0x20
+SELECT = 0x1B
 I64_CONST, I64_ADD, I64_MUL = 0x42, 0x7C, 0x7E
+I64_LT_S, I64_GT_S = 0x53, 0x55
 F64_CONST, F64_SUB, F64_MUL = 0x44, 0xA1, 0xA2
 END = 0x0B
 
@@ -112,7 +114,16 @@ LCG_C = 1442695040888963407
 #:       i64.const 1442695040888963407  i64.add)
 #:     (func (export "disc_price") (param f64 f64) (result f64)
 #:       f64.const 1.0  local.get 1  f64.sub
-#:       local.get 0    f64.mul))
+#:       local.get 0    f64.mul)
+#:     (func (export "clamp") (param i64 i64 i64) (result i64)
+#:       ;; branchless least(greatest(x, lo), hi); max recomputed in
+#:       ;; place of a local.tee to stay in the no-locals profile
+#:       local.get 0  local.get 1  local.get 0  local.get 1
+#:       i64.gt_s  select                      ;; m = max(x, lo)
+#:       local.get 2
+#:       local.get 0  local.get 1  local.get 0  local.get 1
+#:       i64.gt_s  select                      ;; m again
+#:       local.get 2  i64.lt_s  select))       ;; m if m < hi else hi
 SCALAR_MODULE: bytes = _assemble(
     [
         (
@@ -137,6 +148,18 @@ SCALAR_MODULE: bytes = _assemble(
             [F64],
             f64_const(1.0) + local_get(1) + bytes([F64_SUB])
             + local_get(0) + bytes([F64_MUL, END]),
+        ),
+        (
+            "clamp",
+            [I64, I64, I64],
+            [I64],
+            # max(x, lo) twice (no locals), then min with hi via select
+            (local_get(0) + local_get(1) + local_get(0) + local_get(1)
+             + bytes([I64_GT_S, SELECT]))
+            + local_get(2)
+            + (local_get(0) + local_get(1) + local_get(0) + local_get(1)
+               + bytes([I64_GT_S, SELECT]))
+            + local_get(2) + bytes([I64_LT_S, SELECT, END]),
         ),
     ]
 )

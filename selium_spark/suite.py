@@ -2621,6 +2621,40 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+def wasm_udf_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-argument wasm guest using branchless select + signed
+    comparisons: clamp floor(o_totalprice) into [50000, 200000], then
+    an exact BIGINT aggregate per clamped-range membership."""
+    from selium_spark.functions.wasm import wasm_pandas_udf
+    from selium_spark.functions.wasm_modules import SCALAR_MODULE
+
+    clamp = wasm_pandas_udf(SCALAR_MODULE, "clamp", "long")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            clamp(
+                F.floor("o_totalprice"), F.lit(50_000), F.lit(200_000)
+            ).alias("clamped")
+        )
+        .groupBy((F.col("clamped") == 50_000).alias("at_floor"),
+                 (F.col("clamped") == 200_000).alias("at_ceil"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("clamped").alias("sum_clamped"))
+        .orderBy("at_floor", "at_ceil")
+    )
+
+
+SQL_WASM_CLAMP = """
+SELECT clamped = 50000 AS at_floor, clamped = 200000 AS at_ceil,
+  COUNT(*) AS n, SUM(clamped) AS sum_clamped
+FROM (
+  SELECT least(greatest(CAST(FLOOR(o_totalprice) AS BIGINT), 50000), 200000) AS clamped
+  FROM orders
+)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2723,6 +2757,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wasm_udf_add1": wasm_udf_add1,
     "wasm_udf_lcg_bucket": wasm_udf_lcg_bucket,
     "wasm_udf_disc_price": wasm_udf_disc_price,
+    "wasm_udf_clamp": wasm_udf_clamp,
 }
 
 ORACLES: dict[str, str] = {
@@ -2823,4 +2858,5 @@ WHERE value % 2 = 0"""
     "wasm_udf_add1": SQL_WASM_ADD1,
     "wasm_udf_lcg_bucket": SQL_WASM_LCG,
     "wasm_udf_disc_price": SQL_WASM_DISC,
+    "wasm_udf_clamp": SQL_WASM_CLAMP,
 }

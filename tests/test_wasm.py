@@ -22,7 +22,7 @@ from selium_spark.functions.wasm_interp import (
 )
 from selium_spark.functions.wasm_modules import LCG_A, LCG_C, SCALAR_MODULE
 
-GOLDEN_SHA256 = "4c43f9142f5134a51f976634173397041cda9091a4f8e50343a0956c4e396541"
+GOLDEN_SHA256 = "edb290f65a95cc9e006186a8309db336e59e116d16892bfeac0254d8c5c5f796"
 
 
 def _wrap64(v: int) -> int:
@@ -37,7 +37,7 @@ def test_module_bytes_are_pinned():
 
 def test_parse_module_exports_and_signatures():
     funcs = parse_module(SCALAR_MODULE)
-    assert set(funcs) == {"add1", "lcg2", "disc_price"}
+    assert set(funcs) == {"add1", "lcg2", "disc_price", "clamp"}
     assert ScalarWasmFunction(funcs["add1"]).signature() == "add1(i64) -> (i64)"
     assert (
         ScalarWasmFunction(funcs["disc_price"]).signature()
@@ -154,3 +154,35 @@ def test_vectorized_kernel_rejects_out_of_profile_body():
     )
     with _pytest.raises(NotImplementedError):
         compile_vectorized(bad)
+
+
+def test_clamp_guest_select_and_comparisons():
+    """Pins the branchless select/i64-comparison opcodes in BOTH
+    execution paths (scalar interpreter and vectorized kernel)."""
+    import numpy as np
+
+    from selium_spark.functions.wasm_interp import compile_vectorized
+
+    funcs = parse_module(SCALAR_MODULE)
+    scalar = ScalarWasmFunction(funcs["clamp"])
+    vec = compile_vectorized(funcs["clamp"])
+    cases = [
+        (5, 1, 10), (0, 1, 10), (99, 1, 10), (-5, -3, 3), (7, 7, 7),
+        (2**62, -10, 10), (-(2**62), -10, 10), (2**63 - 1, 0, 2**63 - 1),
+    ]
+    for x, lo, hi in cases:
+        assert scalar(x, lo, hi) == min(max(x, lo), hi)
+    out = vec(
+        np.array([c[0] for c in cases], np.int64),
+        np.array([c[1] for c in cases], np.int64),
+        np.array([c[2] for c in cases], np.int64),
+    )
+    assert [int(v) for v in out] == [min(max(x, lo), hi) for x, lo, hi in cases]
+
+
+def test_clamp_guest_on_spark(spark):
+    clamp = wasm_pandas_udf(SCALAR_MODULE, "clamp", "long")
+    df = spark.range(10).select(
+        clamp(F.col("id"), F.lit(3), F.lit(6)).alias("c")
+    )
+    assert [r.c for r in df.collect()] == [3, 3, 3, 3, 4, 5, 6, 6, 6, 6]
