@@ -1,0 +1,186 @@
+"""Approximate-analytics sketches for 100 TB-scale cardinality and
+join pruning (north-star extension; complements dedup.py/similarity.py).
+
+At 100 TB, exact ``COUNT(DISTINCT)`` shuffles every distinct key and a
+fact-dim join shuffles the whole fact table. These operators trade a
+bounded, tunable error for plans whose shuffled bytes are *constant* in
+the input size:
+
+- **KMV (k-minimum-values) distinct estimator**: keep the k smallest
+  md5 hashes of the key. Distributed as a per-partition top-k merge
+  (``ORDER BY h LIMIT k`` = Spark TakeOrderedAndProject — no full
+  shuffle, k rows cross the wire per partition). Estimate
+  ``(k-1) / U_k`` where ``U_k`` is the k-th smallest hash scaled to
+  (0,1]; relative error ~ 1/sqrt(k).
+- **Deterministic HyperLogLog (m=64 registers)**: bucket = first hex
+  byte of md5 mod m, rank = leading-zero count of the next 52 bits + 1
+  (computed as ``53 - length(bin(v))`` — identical in Spark and DuckDB).
+  Registers merge with ``max`` (associative, order-free); the register
+  *sum* is kept in integer space (``sum(2^(52 - M_j))`` as BIGINT, each
+  term exact) so the final estimate is one double division — bit-exact
+  across engines, immune to float-summation order.
+- **Bloom-filter semi-join pruning**: j=2 md5-derived bit positions per
+  dim key; the probe side keeps rows whose positions are all present.
+  On Spark this is two *broadcast* left-semi joins on the tiny position
+  set — the 100 TB fact table is pruned map-side, before any shuffle,
+  which is exactly what Spark's own runtime bloom-filter join
+  (spark.sql.optimizer.runtime.bloomFilter) does; this operator makes
+  the construction explicit, deterministic, and oracle-checkable.
+
+Everything hashes with md5 (the one hash both engines share) and all
+float arithmetic is a single division of exactly-represented integers,
+so the DuckDB oracles reproduce every stage bit-for-bit.
+
+Reference parity: the reference engine exposes count-distinct only as
+exact hash aggregation (selium/src/...); sketches are the scale path the
+driver mandate adds on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 13 hex chars = 52 bits: fits a double's mantissa AND a BIGINT in both
+# engines, so every hash-derived integer is exactly representable
+# everywhere it travels.
+_HEX_BITS = 52
+_HEX_CHARS = 13
+
+
+def _hash52(col: Column, offset: int = 1) -> Column:
+    """md5-derived 52-bit integer, identical in Spark and DuckDB
+    (``CAST('0x' || substr(md5(x), offset, 13) AS BIGINT)``)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), offset, _HEX_CHARS), 16, 10
+    ).cast("long")
+
+
+# -- KMV -----------------------------------------------------------------
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """One-row DataFrame: KMV estimate of ``count(distinct col)``
+    alongside the exact count (for error reporting).
+
+    Scale plan: the ``LIMIT k`` over sorted hashes is TakeOrdered —
+    each partition ships at most k 8-byte hashes; no shuffle of the
+    distinct-key set. If fewer than k distinct hashes exist the
+    estimator IS the exact count (small-range branch).
+    """
+    hashes = (
+        df.select(_hash52(F.col(col)).alias("hv"))
+        .where(F.col("hv").isNotNull())
+        .distinct()
+    )
+    top = (
+        hashes.orderBy("hv")
+        .limit(k)
+        .agg(F.max("hv").alias("kth"), F.count(F.lit(1)).alias("n_top"))
+    )
+    truth = df.agg(F.count_distinct(F.col(col)).alias("true_distinct"))
+    scale = float((k - 1) * (1 << _HEX_BITS))
+    return (
+        top.crossJoin(truth)
+        .select(
+            F.lit(k).alias("k"),
+            F.col("kth").alias("kth_hash"),
+            F.when(F.col("n_top") < k, F.col("n_top").cast("double"))
+            .otherwise(F.lit(scale) / F.col("kth").cast("double"))
+            .alias("est_distinct"),
+            F.col("true_distinct"),
+        )
+    )
+
+
+# -- HyperLogLog ---------------------------------------------------------
+HLL_M = 64
+# alpha_64 = 0.7213 / (1 + 1.079/64) — written as the standard rounded
+# constant so both engines parse the identical double literal.
+HLL_ALPHA = 0.709
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """64 HLL registers for ``col``: (bucket, mj). Missing buckets are
+    materialized as 0 so register math is total. Merge-able across
+    partitions/frames with ``max`` (the whole point of HLL)."""
+    h = F.md5(F.col(col).cast("string"))
+    bucket = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M).alias("b")
+    v = F.conv(F.substring(h, 3, _HEX_CHARS), 16, 10).cast("long")
+    # rank = leading zeros of the 52-bit value + 1; bin() drops leading
+    # zeros in both engines so rank = 53 - length(bin(v)). v = 0 maps to
+    # 52 (prob 2^-52; deterministic either way).
+    rank = (F.lit(_HEX_BITS + 1) - F.length(F.bin(v))).alias("r")
+    observed = (
+        df.select(bucket, rank)
+        .groupBy("b")
+        .agg(F.max("r").alias("mj"))
+    )
+    buckets = df.sparkSession.range(HLL_M).select(F.col("id").alias("b"))
+    return (
+        buckets.join(observed, "b", "left")
+        .select("b", F.coalesce("mj", F.lit(0)).alias("mj"))
+    )
+
+
+def hll_distinct(df: DataFrame, col: str) -> DataFrame:
+    """One-row DataFrame: deterministic-HLL estimate vs exact distinct.
+
+    The register sum stays integer (``sum(2^(52-mj))`` — exact BIGINT,
+    order-independent); the estimate is alpha * m^2 * 2^52 / S, one
+    double division of exactly-shared operands. No small-range linear
+    counting branch: it needs ln(), whose last ulp differs across libm
+    builds — out of scope for a bit-exact oracle (documented trade)."""
+    regs = hll_registers(df, col)
+    s = regs.agg(
+        F.sum(F.expr(f"shiftleft(1L, {_HEX_BITS} - mj)")).alias("s_int"),
+        F.sum(F.when(F.col("mj") == 0, 1).otherwise(0)).alias("empty_regs"),
+    )
+    truth = df.agg(F.count_distinct(F.col(col)).alias("true_distinct"))
+    return s.crossJoin(truth).select(
+        F.lit(HLL_M).alias("m"),
+        F.col("s_int"),
+        F.col("empty_regs"),
+        (
+            F.lit(HLL_ALPHA)
+            * F.lit(float(HLL_M * HLL_M))
+            * F.lit(float(1 << _HEX_BITS))
+            / F.col("s_int").cast("double")
+        ).alias("est_distinct"),
+        F.col("true_distinct"),
+    )
+
+
+# -- Bloom-filter join pruning -------------------------------------------
+def bloom_positions(dim: DataFrame, key: str, m: int = 1024) -> DataFrame:
+    """The filter itself: the distinct set of j=2 bit positions over
+    the dim keys. Size <= 2·|dim| rows of one long — broadcastable for
+    any dim that is broadcastable, i.e. always when bloom pruning is
+    the right plan."""
+    kc = F.col(key)
+    p1 = (_hash52(kc, 1) % m).alias("pos")
+    p2 = (_hash52(kc, 1 + _HEX_CHARS) % m).alias("pos")
+    return dim.select(p1).union(dim.select(p2)).distinct()
+
+
+def bloom_prune(
+    fact: DataFrame, key: str, positions: DataFrame, m: int = 1024
+) -> DataFrame:
+    """Keep fact rows whose j=2 positions are all set. Two broadcast
+    left-semi joins: the fact table is filtered map-side with ZERO
+    shuffle of the fact — at 100 TB this runs inside the scan stage,
+    upstream of whatever join/agg follows (false positives are then
+    removed by the real join; correctness never depends on the filter).
+    """
+    kc = F.col(key)
+    probed = fact.withColumn("_bf_p1", _hash52(kc, 1) % m).withColumn(
+        "_bf_p2", _hash52(kc, 1 + _HEX_CHARS) % m
+    )
+    pos = positions.select(F.col("pos"))
+    return (
+        probed.join(
+            F.broadcast(pos.withColumnRenamed("pos", "_bf_p1")), "_bf_p1", "left_semi"
+        )
+        .join(
+            F.broadcast(pos.withColumnRenamed("pos", "_bf_p2")), "_bf_p2", "left_semi"
+        )
+        .drop("_bf_p1", "_bf_p2")
+    )

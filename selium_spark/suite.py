@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators import dedup, messaging, multimodal, relational, similarity, text
-from .operators import transforms, windows
+from .operators import sketches, transforms, windows
 from .sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -2655,6 +2655,142 @@ ORDER BY 1, 2
 """
 
 
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) cardinality sketch over orders.o_custkey:
+    k=256 smallest 52-bit md5 hashes -> (k-1)/U_k estimate, reported
+    next to the exact distinct count. The distributed plan is
+    TakeOrdered (per-partition top-k, k rows per partition shipped) —
+    the 100 TB alternative to shuffling every distinct key. At sf0.001
+    there are fewer than k distinct keys, exercising the exact branch;
+    sf0.01+ exercises the estimator branch."""
+    o = _t(spark, sf_dir, "orders")
+    return sketches.kmv_distinct(o, "o_custkey", k=256)
+
+
+SQL_SKETCH_KMV = """
+WITH hs AS (
+  SELECT DISTINCT
+    CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13) AS BIGINT) AS hv
+  FROM orders
+),
+top AS (
+  SELECT max(hv) AS kth, COUNT(*) AS n_top
+  FROM (SELECT hv FROM hs ORDER BY hv LIMIT 256)
+),
+tru AS (SELECT COUNT(DISTINCT o_custkey) AS true_distinct FROM orders)
+SELECT 256 AS k, kth AS kth_hash,
+  CASE WHEN n_top < 256 THEN CAST(n_top AS DOUBLE)
+       ELSE CAST(1148417904979476480 AS DOUBLE) / CAST(kth AS DOUBLE) END
+    AS est_distinct,
+  true_distinct
+FROM top, tru
+"""
+
+
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog (m=64) over orders.o_custkey. Bucket =
+    first md5 byte mod 64; rank = leading zeros of the next 52 bits + 1
+    via 53 - length(bin(v)) (identical in both engines). The register
+    sum stays in BIGINT space (every 2^(52-mj) term exact) so the
+    estimate is a single double division — bit-exact cross-engine with
+    no float-summation order dependence. Registers merge with max:
+    the sketch unions across partitions, days, or tables for free."""
+    o = _t(spark, sf_dir, "orders")
+    return sketches.hll_distinct(o, "o_custkey")
+
+
+SQL_SKETCH_HLL = """
+WITH obs AS (
+  SELECT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2) AS BIGINT) % 64 AS b,
+         max(53 - length(bin(
+           CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 3, 13) AS BIGINT)
+         ))) AS mj
+  FROM orders GROUP BY 1
+),
+regs AS (
+  SELECT t.b, COALESCE(obs.mj, 0) AS mj
+  FROM range(0, 64) t(b) LEFT JOIN obs ON t.b = obs.b
+),
+agg AS (
+  SELECT CAST(SUM(CAST(1 AS BIGINT) << (52 - mj)) AS BIGINT) AS s_int,
+         CAST(SUM(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT) AS empty_regs
+  FROM regs
+),
+tru AS (SELECT COUNT(DISTINCT o_custkey) AS true_distinct FROM orders)
+SELECT 64 AS m, s_int, empty_regs,
+  0.709 * CAST(4096 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+    / CAST(s_int AS DOUBLE) AS est_distinct,
+  true_distinct
+FROM agg, tru
+"""
+
+
+def sketch_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: j=2 md5 bit positions (m=1024)
+    from the small dim (BUILDING customers with high balance) prune the
+    orders fact via two BROADCAST left-semi joins — zero shuffle of the
+    fact side. Reports fact size, bloom-pass count, true matches, and
+    false positives (bloom guarantees no false negatives; the real join
+    downstream removes the false positives)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    dim = c.where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000)
+    ).select("c_custkey")
+    pos = sketches.bloom_positions(dim, "c_custkey", m=1024)
+    passed = sketches.bloom_prune(o, "o_custkey", pos, m=1024)
+    true_match = passed.join(
+        dim.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+    )
+    return (
+        o.agg(F.count(F.lit(1)).alias("n_fact"))
+        .crossJoin(passed.agg(F.count(F.lit(1)).alias("n_pass")))
+        .crossJoin(true_match.agg(F.count(F.lit(1)).alias("n_true")))
+        .select(
+            "n_fact",
+            "n_pass",
+            "n_true",
+            (F.col("n_pass") - F.col("n_true")).alias("n_false_pos"),
+        )
+    )
+
+
+SQL_SKETCH_BLOOM = """
+WITH dim AS (
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000
+),
+pos AS (
+  SELECT DISTINCT pos FROM (
+    SELECT CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13) AS BIGINT) % 1024 AS pos
+    FROM dim
+    UNION ALL
+    SELECT CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 14, 13) AS BIGINT) % 1024 AS pos
+    FROM dim
+  )
+),
+pass AS (
+  SELECT o_custkey FROM (
+    SELECT o_custkey,
+      CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13) AS BIGINT) % 1024 AS p1,
+      CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 14, 13) AS BIGINT) % 1024 AS p2
+    FROM orders
+  )
+  WHERE p1 IN (SELECT pos FROM pos) AND p2 IN (SELECT pos FROM pos)
+),
+tp AS (
+  SELECT COUNT(*) AS n_true FROM pass
+  WHERE o_custkey IN (SELECT c_custkey FROM dim)
+)
+SELECT
+  (SELECT COUNT(*) FROM orders) AS n_fact,
+  (SELECT COUNT(*) FROM pass) AS n_pass,
+  n_true,
+  (SELECT COUNT(*) FROM pass) - n_true AS n_false_pos
+FROM tp
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2758,6 +2894,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wasm_udf_lcg_bucket": wasm_udf_lcg_bucket,
     "wasm_udf_disc_price": wasm_udf_disc_price,
     "wasm_udf_clamp": wasm_udf_clamp,
+    "sketch_kmv_distinct": sketch_kmv_distinct,
+    "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_bloom_prune": sketch_bloom_prune,
 }
 
 ORACLES: dict[str, str] = {
@@ -2859,4 +2998,7 @@ WHERE value % 2 = 0"""
     "wasm_udf_lcg_bucket": SQL_WASM_LCG,
     "wasm_udf_disc_price": SQL_WASM_DISC,
     "wasm_udf_clamp": SQL_WASM_CLAMP,
+    "sketch_kmv_distinct": SQL_SKETCH_KMV,
+    "sketch_hll_distinct": SQL_SKETCH_HLL,
+    "sketch_bloom_prune": SQL_SKETCH_BLOOM,
 }
