@@ -48,7 +48,7 @@ _HEX_BITS = 52
 _HEX_CHARS = 13
 
 
-def _hash52(col: Column, offset: int = 1) -> Column:
+def hash52(col: Column, offset: int = 1) -> Column:
     """md5-derived 52-bit integer, identical in Spark and DuckDB
     (``CAST('0x' || substr(md5(x), offset, 13) AS BIGINT)``)."""
     return F.conv(
@@ -67,7 +67,7 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
     estimator IS the exact count (small-range branch).
     """
     hashes = (
-        df.select(_hash52(F.col(col)).alias("hv"))
+        df.select(hash52(F.col(col)).alias("hv"))
         .where(F.col("hv").isNotNull())
         .distinct()
     )
@@ -98,10 +98,11 @@ HLL_M = 64
 HLL_ALPHA = 0.709
 
 
-def hll_registers(df: DataFrame, col: str) -> DataFrame:
-    """64 HLL registers for ``col``: (bucket, mj). Missing buckets are
-    materialized as 0 so register math is total. Merge-able across
-    partitions/frames with ``max`` (the whole point of HLL)."""
+def hll_register_updates(df: DataFrame, col: str) -> DataFrame:
+    """Observed HLL registers for ``col``: (b, mj), only buckets that
+    saw a value. This is the *incremental* stage: pure groupBy/max, so
+    it runs unchanged inside Structured Streaming (complete/update
+    mode) — the register state is 64 longs regardless of input size."""
     h = F.md5(F.col(col).cast("string"))
     bucket = (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M).alias("b")
     v = F.conv(F.substring(h, 3, _HEX_CHARS), 16, 10).cast("long")
@@ -109,11 +110,14 @@ def hll_registers(df: DataFrame, col: str) -> DataFrame:
     # zeros in both engines so rank = 53 - length(bin(v)). v = 0 maps to
     # 52 (prob 2^-52; deterministic either way).
     rank = (F.lit(_HEX_BITS + 1) - F.length(F.bin(v))).alias("r")
-    observed = (
-        df.select(bucket, rank)
-        .groupBy("b")
-        .agg(F.max("r").alias("mj"))
-    )
+    return df.select(bucket, rank).groupBy("b").agg(F.max("r").alias("mj"))
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """All 64 HLL registers for ``col``: (b, mj). Missing buckets are
+    materialized as 0 so register math is total. Merge-able across
+    partitions/frames with ``max`` (the whole point of HLL)."""
+    observed = hll_register_updates(df, col)
     buckets = df.sparkSession.range(HLL_M).select(F.col("id").alias("b"))
     return (
         buckets.join(observed, "b", "left")
@@ -156,8 +160,8 @@ def bloom_positions(dim: DataFrame, key: str, m: int = 1024) -> DataFrame:
     any dim that is broadcastable, i.e. always when bloom pruning is
     the right plan."""
     kc = F.col(key)
-    p1 = (_hash52(kc, 1) % m).alias("pos")
-    p2 = (_hash52(kc, 1 + _HEX_CHARS) % m).alias("pos")
+    p1 = (hash52(kc, 1) % m).alias("pos")
+    p2 = (hash52(kc, 1 + _HEX_CHARS) % m).alias("pos")
     return dim.select(p1).union(dim.select(p2)).distinct()
 
 
@@ -171,8 +175,8 @@ def bloom_prune(
     removed by the real join; correctness never depends on the filter).
     """
     kc = F.col(key)
-    probed = fact.withColumn("_bf_p1", _hash52(kc, 1) % m).withColumn(
-        "_bf_p2", _hash52(kc, 1 + _HEX_CHARS) % m
+    probed = fact.withColumn("_bf_p1", hash52(kc, 1) % m).withColumn(
+        "_bf_p2", hash52(kc, 1 + _HEX_CHARS) % m
     )
     pos = positions.select(F.col("pos"))
     return (

@@ -2791,6 +2791,206 @@ FROM tp
 """
 
 
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA: estimate |A ∪ B|, |A ∩ B| and Jaccard
+    between two key sets (custkeys of finished vs open orders) from two
+    k=256 sketches alone — no join of the underlying sets. At 100 TB
+    this compares table overlaps with k hashes per side crossing the
+    wire; the exact counts ride along for error reporting. Merged
+    sketch = k smallest of the union of the two top-k sets; est_inter =
+    (|merged ∩ A ∩ B| / |merged|) · est_union (Beyer et al., the
+    standard KMV set-operation estimator)."""
+    o = _t(spark, sf_dir, "orders")
+    k = 256
+    scale = float((k - 1) * (1 << 52))
+
+    def topk(status: str) -> DataFrame:
+        return (
+            o.where(F.col("o_orderstatus") == status)
+            .select(sketches.hash52(F.col("o_custkey")).alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(k)
+        )
+
+    sa, sb = topk("F"), topk("O")
+    merged = sa.union(sb).distinct().orderBy("hv").limit(k)
+    in_both = merged.join(sa, "hv", "left_semi").join(sb, "hv", "left_semi")
+    dim_f = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    dim_o = o.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    est_union = F.when(
+        F.col("n_m") < k, F.col("n_m").cast("double")
+    ).otherwise(F.lit(scale) / F.col("kth").cast("double"))
+    est_jacc = F.col("n_i").cast("double") / F.col("n_m").cast("double")
+    return (
+        merged.agg(F.max("hv").alias("kth"), F.count(F.lit(1)).alias("n_m"))
+        .crossJoin(in_both.agg(F.count(F.lit(1)).alias("n_i")))
+        .crossJoin(
+            o.where(F.col("o_orderstatus").isin("F", "O"))
+            .agg(F.count_distinct("o_custkey").alias("true_union"))
+        )
+        .crossJoin(
+            dim_f.join(dim_o, "o_custkey", "left_semi")
+            .agg(F.count(F.lit(1)).alias("true_intersection"))
+        )
+        .select(
+            F.lit(k).alias("k"),
+            F.col("n_m").alias("n_merged"),
+            est_union.alias("est_union"),
+            (est_jacc * est_union).alias("est_intersection"),
+            est_jacc.alias("est_jaccard"),
+            "true_union",
+            "true_intersection",
+        )
+    )
+
+
+SQL_SKETCH_KMV_SETOPS = """
+WITH sa AS (
+  SELECT hv FROM (
+    SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13) AS BIGINT) AS hv
+    FROM orders WHERE o_orderstatus = 'F'
+  ) ORDER BY hv LIMIT 256
+),
+sb AS (
+  SELECT hv FROM (
+    SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13) AS BIGINT) AS hv
+    FROM orders WHERE o_orderstatus = 'O'
+  ) ORDER BY hv LIMIT 256
+),
+merged AS (
+  SELECT hv FROM (
+    SELECT DISTINCT hv FROM (SELECT hv FROM sa UNION ALL SELECT hv FROM sb)
+  ) ORDER BY hv LIMIT 256
+),
+m AS (SELECT max(hv) AS kth, COUNT(*) AS n_m FROM merged),
+i AS (
+  SELECT COUNT(*) AS n_i FROM merged
+  WHERE hv IN (SELECT hv FROM sa) AND hv IN (SELECT hv FROM sb)
+),
+tu AS (
+  SELECT COUNT(DISTINCT o_custkey) AS true_union FROM orders
+  WHERE o_orderstatus IN ('F', 'O')
+),
+ti AS (
+  SELECT COUNT(*) AS true_intersection FROM (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  ) WHERE o_custkey IN (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  )
+)
+SELECT 256 AS k, n_m AS n_merged,
+  CASE WHEN n_m < 256 THEN CAST(n_m AS DOUBLE)
+       ELSE CAST(1148417904979476480 AS DOUBLE) / CAST(kth AS DOUBLE) END
+    AS est_union,
+  (CAST(n_i AS DOUBLE) / CAST(n_m AS DOUBLE)) *
+  (CASE WHEN n_m < 256 THEN CAST(n_m AS DOUBLE)
+        ELSE CAST(1148417904979476480 AS DOUBLE) / CAST(kth AS DOUBLE) END)
+    AS est_intersection,
+  CAST(n_i AS DOUBLE) / CAST(n_m AS DOUBLE) AS est_jaccard,
+  true_union, true_intersection
+FROM m, i, tu, ti
+"""
+
+
+def rollup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: ONE scan of events builds
+    minute partials; hour and day grains re-aggregate the PARTIALS, not
+    the raw rows (classic continuous-aggregate / materialized-rollup
+    plan — at 100 TB the raw table is read once and the hour/day levels
+    cost |minutes| and |hours| rows respectively). Counts stay BIGINT
+    and sums stay DECIMAL through every level, so re-aggregation is
+    exact and order-free; the single cast to DOUBLE happens at the
+    output edge."""
+    ev = _t(spark, sf_dir, "events")
+    minute = (
+        ev.groupBy(
+            F.date_trunc("minute", "ts").alias("bucket"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_sv"),
+        )
+    ).persist()
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("_sv").alias("_sv"))
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("_sv").alias("_sv"))
+
+    def out(df: DataFrame, grain: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            "bucket",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.col("_sv").cast("double").alias("sum_value"),
+        )
+
+    return out(minute, "minute").unionAll(out(hour, "hour")).unionAll(
+        out(day, "day")
+    )
+
+
+SQL_ROLLUP_HIER = """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS bucket, event_type,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(18,2))) AS sv
+  FROM events GROUP BY 1, 2
+),
+hour AS (
+  SELECT date_trunc('hour', bucket) AS bucket, event_type,
+         CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+  FROM minute GROUP BY 1, 2
+),
+day AS (
+  SELECT date_trunc('day', bucket) AS bucket, event_type,
+         CAST(SUM(n) AS BIGINT) AS n, SUM(sv) AS sv
+  FROM hour GROUP BY 1, 2
+)
+SELECT 'minute' AS grain, bucket, event_type, CAST(n AS BIGINT) AS n,
+       CAST(sv AS DOUBLE) AS sum_value FROM minute
+UNION ALL
+SELECT 'hour', bucket, event_type, n, CAST(sv AS DOUBLE) FROM hour
+UNION ALL
+SELECT 'day', bucket, event_type, n, CAST(sv AS DOUBLE) FROM day
+"""
+
+
+def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL: the register-update stage is a plain groupBy/max,
+    so the SAME operator code runs under Structured Streaming with 64
+    longs of state total — a running distinct-users estimate over an
+    unbounded stream. Replayed events must land on the identical
+    registers as the batch plan (and they oracle-match DuckDB)."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return sketches.hll_register_updates(stream, "user_id")
+
+    return replay_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        transform,
+        output_mode="complete",
+        shuffle_partitions=8,
+    )
+
+
+SQL_STREAM_HLL = """
+SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS BIGINT) % 64 AS b,
+       max(53 - length(bin(
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 13) AS BIGINT)
+       ))) AS mj
+FROM events GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2897,6 +3097,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_kmv_distinct": sketch_kmv_distinct,
     "sketch_hll_distinct": sketch_hll_distinct,
     "sketch_bloom_prune": sketch_bloom_prune,
+    "sketch_kmv_setops": sketch_kmv_setops,
+    "rollup_hierarchical": rollup_hierarchical,
+    "stream_hll_registers": stream_hll_registers,
 }
 
 ORACLES: dict[str, str] = {
@@ -3001,4 +3204,7 @@ WHERE value % 2 = 0"""
     "sketch_kmv_distinct": SQL_SKETCH_KMV,
     "sketch_hll_distinct": SQL_SKETCH_HLL,
     "sketch_bloom_prune": SQL_SKETCH_BLOOM,
+    "sketch_kmv_setops": SQL_SKETCH_KMV_SETOPS,
+    "rollup_hierarchical": SQL_ROLLUP_HIER,
+    "stream_hll_registers": SQL_STREAM_HLL,
 }
