@@ -56,6 +56,12 @@ HEADLINE = [
     "mm_decode_features",
     "pipeline_data_prep",
     "stream_window_counts",
+    "sketch_kmv_distinct",
+    "sketch_hll_distinct",
+    "sketch_bloom_prune",
+    "sketch_histogram_quantiles",
+    "sketch_cms_heavy_hitters",
+    "rollup_hierarchical",
 ]
 
 

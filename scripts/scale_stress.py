@@ -33,6 +33,12 @@ QUERY_SET = [
     "w3_latest_enrich",
     "m3_fanout_assign",
     "dedup_exact_docs",
+    # sketches: rows x N with constant key cardinality — wall should
+    # scale with rows while state/output stays constant-size
+    "sketch_kmv_distinct",
+    "sketch_hll_distinct",
+    "sketch_cms_heavy_hitters",
+    "rollup_hierarchical",
 ]
 
 

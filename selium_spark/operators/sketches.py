@@ -153,6 +153,113 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
     )
 
 
+# -- Count-min sketch ----------------------------------------------------
+CMS_D = 4  # independent hash rows, salted md5("d:" || value)
+
+
+def _cms_pos(col: Column, d: int, w: int) -> Column:
+    """Row-d counter address: salted md5 keeps the d hash functions
+    independent (same salt scheme in the DuckDB oracle)."""
+    return hash52(F.concat(F.lit(f"{d}:"), col.cast("string"))) % w
+
+
+def cms_table(df: DataFrame, col: str, w: int = 256) -> DataFrame:
+    """Count-min sketch table: (row, pos, cnt) — d=4 rows of w counters
+    (d·w longs total, additively mergeable, streaming-able). One wide
+    groupBy on a constant key space; map-side combine collapses every
+    partition to <= d·w rows before the shuffle, so the shuffled bytes
+    are constant in the input size."""
+    rows = [
+        df.select(F.lit(d).alias("row"), _cms_pos(F.col(col), d, w).alias("pos"))
+        for d in range(CMS_D)
+    ]
+    unioned = rows[0]
+    for r in rows[1:]:
+        unioned = unioned.unionAll(r)
+    return unioned.groupBy("row", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(table: DataFrame, keys: DataFrame, col: str, w: int = 256) -> DataFrame:
+    """Point-lookup the sketch for each key in ``keys``: est = min over
+    the d rows of the addressed counter (classic count-min upper
+    bound: est >= true, overshoot only from collisions). The sketch
+    table is tiny — every join here is broadcast."""
+    out = keys
+    for d in range(CMS_D):
+        t = table.where(F.col("row") == d).select(
+            F.col("pos").alias(f"_p{d}"), F.col("cnt").alias(f"_c{d}")
+        )
+        out = out.withColumn(f"_p{d}", _cms_pos(F.col(col), d, w)).join(
+            F.broadcast(t), f"_p{d}", "left"
+        )
+    est = F.least(*[F.col(f"_c{d}") for d in range(CMS_D)])
+    return out.select(col, est.alias("est_count"))
+def histogram_quantiles(
+    df: DataFrame,
+    col: str,
+    width: float,
+    n_bins: int,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    lo: float = 0.0,
+) -> DataFrame:
+    """Quantile estimates from a fixed-bin histogram: (q, est_quantile,
+    exact_quantile) per requested quantile.
+
+    The sketch is ``n_bins`` counters — one groupBy on a constant-size
+    key space (map-side combine collapses each partition to <= n_bins
+    rows before the shuffle), mergeable by addition, and streaming-able.
+    The estimate places the ceil(q*N)-th value in its bin by uniform
+    interpolation. Pick ``width`` a power of two: the bin division is
+    then exact in IEEE doubles, so bin assignment (and the oracle) is
+    deterministic. The exact percentile rides along for error
+    reporting (Spark ``percentile`` == DuckDB ``quantile_cont``
+    bit-for-bit)."""
+    from pyspark.sql import Window
+
+    c = F.col(col)
+    b = (
+        F.least(
+            F.greatest(F.floor((c - F.lit(lo)) / F.lit(float(width))), F.lit(0)),
+            F.lit(n_bins - 1),
+        )
+        .cast("long")
+        .alias("b")
+    )
+    bins = df.select(b).groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    # 256-row window: unpartitioned ORDER BY is fine forever — the
+    # histogram is constant-size no matter the input
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        bins.select("b", "c", F.sum("c").over(w).alias("cum"))
+        .withColumn("before", F.col("cum") - F.col("c"))
+        .crossJoin(df.agg(F.count(F.lit(1)).alias("n_total")))
+        .persist()
+    )
+    out = None
+    for q in qs:
+        picked = (
+            cum.withColumn("k", F.ceil(F.lit(q) * F.col("n_total")))
+            .where(F.col("cum") >= F.col("k"))
+            .orderBy("b")
+            .limit(1)
+        )
+        est = (
+            F.lit(lo)
+            + F.col("b").cast("double") * F.lit(float(width))
+            + (
+                (F.col("k") - F.col("before")).cast("double")
+                / F.col("c").cast("double")
+            )
+            * F.lit(float(width))
+        )
+        exact = df.agg(F.percentile(c, F.lit(q)).alias("exact_quantile"))
+        row = picked.select(
+            F.lit(q).alias("q"), est.alias("est_quantile")
+        ).crossJoin(exact)
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
 # -- Bloom-filter join pruning -------------------------------------------
 def bloom_positions(dim: DataFrame, key: str, m: int = 1024) -> DataFrame:
     """The filter itself: the distinct set of j=2 bit positions over

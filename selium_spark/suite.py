@@ -2957,6 +2957,106 @@ SELECT 'day', bucket, event_type, n, CAST(sv AS DOUBLE) FROM day
 """
 
 
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch over o_totalprice: 256 power-of-two
+    bins (width 2048 — bin division exact in doubles), p50/p95/p99 by
+    uniform in-bin interpolation, exact percentile alongside. The
+    sketch state is 256 counters: map-side combined, mergeable by
+    addition, constant regardless of input size."""
+    o = _t(spark, sf_dir, "orders")
+    return sketches.histogram_quantiles(o, "o_totalprice", width=2048.0, n_bins=256)
+
+
+SQL_SKETCH_HISTQ = """
+WITH bins AS (
+  SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 2048.0), 0), 255) AS BIGINT) AS b,
+         COUNT(*) AS c
+  FROM orders GROUP BY 1
+),
+cum AS (
+  SELECT b, c,
+    SUM(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM bins
+),
+n AS (SELECT COUNT(*) AS n_total FROM orders),
+pick AS (
+  SELECT q, b, c, cum - c AS before, CAST(ceil(q * n_total) AS BIGINT) AS k
+  FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.95 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) t(q), cum, n
+  WHERE cum >= CAST(ceil(q * n_total) AS BIGINT)
+  QUALIFY row_number() OVER (PARTITION BY q ORDER BY b) = 1
+),
+ex AS (
+  SELECT CAST(0.5 AS DOUBLE) AS q, quantile_cont(o_totalprice, 0.5) AS exact_quantile FROM orders
+  UNION ALL
+  SELECT CAST(0.95 AS DOUBLE), quantile_cont(o_totalprice, 0.95) FROM orders
+  UNION ALL
+  SELECT CAST(0.99 AS DOUBLE), quantile_cont(o_totalprice, 0.99) FROM orders
+)
+SELECT pick.q,
+  0.0 + CAST(b AS DOUBLE) * 2048.0
+      + (CAST(k - before AS DOUBLE) / CAST(c AS DOUBLE)) * 2048.0 AS est_quantile,
+  exact_quantile
+FROM pick JOIN ex ON pick.q = ex.q
+"""
+
+
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: d=4 × w=256 counters over
+    events.user_id, then the top-20 users by true frequency with the
+    sketch's estimate and overshoot (est >= true always; overshoot only
+    from hash collisions). The sketch is 1024 longs — constant-size
+    shuffle, additively mergeable — the streaming/parallel answer to
+    'who are the heavy hitters' without a full per-key aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    table = sketches.cms_table(ev, "user_id", w=256)
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    est = sketches.cms_estimate(table, truth.select("user_id"), "user_id", w=256)
+    return (
+        est.join(truth, "user_id")
+        .orderBy(F.desc("true_count"), "user_id")
+        .limit(20)
+        .select(
+            "user_id",
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("overshoot"),
+        )
+    )
+
+
+def _cms_pos_sql(d: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{d}:' || CAST(user_id AS VARCHAR)), 1, 13)"
+        f" AS BIGINT) % 256"
+    )
+
+
+SQL_SKETCH_CMS = f"""
+WITH tbl AS (
+  SELECT row_, pos, COUNT(*) AS cnt FROM (
+    SELECT 0 AS row_, {_cms_pos_sql(0)} AS pos FROM events
+    UNION ALL SELECT 1, {_cms_pos_sql(1)} FROM events
+    UNION ALL SELECT 2, {_cms_pos_sql(2)} FROM events
+    UNION ALL SELECT 3, {_cms_pos_sql(3)} FROM events
+  ) GROUP BY 1, 2
+),
+tru AS (SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY 1),
+est AS (
+  SELECT user_id, true_count,
+         least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) AS est_count
+  FROM tru
+  JOIN tbl c0 ON c0.row_ = 0 AND c0.pos = {_cms_pos_sql(0)}
+  JOIN tbl c1 ON c1.row_ = 1 AND c1.pos = {_cms_pos_sql(1)}
+  JOIN tbl c2 ON c2.row_ = 2 AND c2.pos = {_cms_pos_sql(2)}
+  JOIN tbl c3 ON c3.row_ = 3 AND c3.pos = {_cms_pos_sql(3)}
+)
+SELECT user_id, est_count, true_count, est_count - true_count AS overshoot
+FROM est
+ORDER BY true_count DESC, user_id
+LIMIT 20
+"""
+
+
 def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL: the register-update stage is a plain groupBy/max,
     so the SAME operator code runs under Structured Streaming with 64
@@ -3098,6 +3198,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_hll_distinct": sketch_hll_distinct,
     "sketch_bloom_prune": sketch_bloom_prune,
     "sketch_kmv_setops": sketch_kmv_setops,
+    "sketch_histogram_quantiles": sketch_histogram_quantiles,
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
     "rollup_hierarchical": rollup_hierarchical,
     "stream_hll_registers": stream_hll_registers,
 }
@@ -3205,6 +3307,8 @@ WHERE value % 2 = 0"""
     "sketch_hll_distinct": SQL_SKETCH_HLL,
     "sketch_bloom_prune": SQL_SKETCH_BLOOM,
     "sketch_kmv_setops": SQL_SKETCH_KMV_SETOPS,
+    "sketch_histogram_quantiles": SQL_SKETCH_HISTQ,
+    "sketch_cms_heavy_hitters": SQL_SKETCH_CMS,
     "rollup_hierarchical": SQL_ROLLUP_HIER,
     "stream_hll_registers": SQL_STREAM_HLL,
 }

@@ -86,3 +86,23 @@ def test_q11_scalar_broadcast_not_cartesian_explosion(spark):
     p = plan_of(spark, "q11_important_stock")
     assert "CartesianProduct" not in p.text
     assert "BroadcastNestedLoopJoin" in p.text
+
+
+def test_kmv_is_take_ordered_no_global_shuffle(spark):
+    p = plan_of(spark, "sketch_kmv_distinct")
+    assert p.has_take_ordered  # k smallest hashes: per-partition top-k
+
+
+def test_hll_partial_agg_constant_shuffle(spark):
+    p = plan_of(spark, "sketch_hll_distinct")
+    assert p.n_hash_aggregates >= 2  # register max is map-side combined
+
+
+def test_bloom_prune_broadcasts_both_probes(spark):
+    p = plan_of(spark, "sketch_bloom_prune")
+    assert p.n_broadcast_joins >= 2  # fact side never shuffles
+
+
+def test_histogram_bins_partial_agg(spark):
+    p = plan_of(spark, "sketch_histogram_quantiles")
+    assert p.n_hash_aggregates >= 2  # constant-key-space partial agg

@@ -85,3 +85,28 @@ def test_kmeans_centroids_improve_clustering(spark):
 
     # higher mean max-cosine == tighter clusters
     assert mean_best_cosine(trained) > mean_best_cosine(naive)
+
+
+def test_time_partitioned_layout_prunes(spark, tmp_path):
+    from selium_spark.sources import layout
+    from selium_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "ev_by_day")
+    layout.write_time_partitioned(ev, path, "ts", "day")
+
+    back = layout.read_time_partitioned(spark, path)
+    assert back.count() == ev.count()  # layout is lossless
+
+    one_day = back.where(F.col("p_date") == "2024-01-03")
+    one_day.collect()
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    # the predicate must be a partition filter (planning-time pruning),
+    # NOT a data filter evaluated after reading every file
+    assert "PartitionFilters" in plan
+    assert "p_date" in plan.split("PartitionFilters", 1)[1][:200]
+    n_days = back.select("p_date").distinct().count()
+    assert n_days > 1
+    # pruned scan touches exactly the one partition's rows
+    expected = ev.where(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == "2024-01-03").count()
+    assert one_day.count() == expected > 0

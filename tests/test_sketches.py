@@ -115,3 +115,56 @@ def test_bloom_positions_match_python_model(spark):
         model.add(_h52(i, 0) % 512)
         model.add(_h52(i, 13) % 512)
     assert got == model
+
+
+# -- Histogram quantiles -------------------------------------------------
+def test_histogram_quantiles_model_and_bounds(spark):
+    import math
+
+    n = 5000
+    df = spark.range(n).select((F.col("id") * F.lit(1.0)).alias("x"))
+    rows = {
+        r.q: r
+        for r in sketches.histogram_quantiles(
+            df, "x", width=64.0, n_bins=128, qs=(0.5, 0.9)
+        ).collect()
+    }
+    vals = list(range(n))
+    for q in (0.5, 0.9):
+        # python model of the same interpolation
+        bins = [0] * 128
+        for v in vals:
+            bins[min(max(int(v // 64), 0), 127)] += 1
+        k = math.ceil(q * n)
+        cum = 0
+        for b, c in enumerate(bins):
+            if cum + c >= k:
+                est = 0.0 + b * 64.0 + ((k - cum) / c) * 64.0
+                break
+            cum += c
+        assert rows[q].est_quantile == est
+        # estimate is within one bin width of the exact quantile
+        assert abs(rows[q].est_quantile - rows[q].exact_quantile) <= 64.0
+
+
+# -- Count-min -----------------------------------------------------------
+def test_cms_upper_bound_and_model(spark):
+    # skewed data: key i appears (i+1) times, i in 0..49
+    rows = [(i,) for i in range(50) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows, "k LONG")
+    table = sketches.cms_table(df, "k", w=64)
+    keys = df.select("k").distinct()
+    est = {r.k: r.est_count for r in sketches.cms_estimate(table, keys, "k", w=64).collect()}
+
+    # python model of the same salted-md5 addressing
+    counters = [[0] * 64 for _ in range(sketches.CMS_D)]
+    for (i,) in rows:
+        for d in range(sketches.CMS_D):
+            counters[d][int(_md5(f"{d}:{i}")[:13], 16) % 64] += 1
+    for i in range(50):
+        model = min(
+            counters[d][int(_md5(f"{d}:{i}")[:13], 16) % 64]
+            for d in range(sketches.CMS_D)
+        )
+        assert est[i] == model
+        assert est[i] >= i + 1  # count-min never undercounts
