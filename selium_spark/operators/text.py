@@ -106,6 +106,101 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return feat.withColumn("quality_score", score)
 
 
+def ngrams_all(col: str | Column, n: int) -> Column:
+    """ALL word n-grams (non-distinct, order-preserving) of the
+    whitespace tokens. zip_with-chain construction (see
+    dedup.ngram_set for the rationale vs per-position slicing); a doc
+    shorter than n tokens keeps its one short gram, mirroring the
+    oracle's greatest(len - n + 1, 1) count."""
+    toks = tokens(col)
+    if n == 1:
+        return toks
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(grams, 1, F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1) for
+    training-data quality filtering:
+
+    - ``unique_token_ratio`` — type/token ratio (low = word-soup spam);
+    - ``top_bigram_frac``    — fraction of bigram slots taken by the
+      single most frequent bigram (high = boilerplate loops);
+    - ``dup_trigram_frac``   — fraction of trigram slots that are
+      repeats of an earlier trigram.
+
+    All pure JVM-side array expressions — no UDFs, no shuffle; scales
+    linearly with corpus size. The top-bigram count is O(distinct x
+    total) per doc, bounded by doc length (fine for web-page-sized
+    docs; chunk first for book-length inputs).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    big = ngrams_all(text_col, 2)
+    tri = ngrams_all(text_col, 3)
+    top_big = F.array_max(
+        F.transform(F.array_distinct(big), lambda g: F.size(F.filter(big, lambda x: x == g)))
+    )
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("unique_token_ratio", F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)))
+        .withColumn("top_bigram_frac", top_big / F.greatest(F.size(big), F.lit(1)))
+        .withColumn(
+            "dup_trigram_frac",
+            (F.size(tri) - F.size(F.array_distinct(tri))) / F.greatest(F.size(tri), F.lit(1)),
+        )
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_unique_ratio: float = 0.4,
+    max_top_bigram: float = 0.1,
+    max_dup_trigram: float = 0.05,
+) -> DataFrame:
+    """Adds a boolean ``keep`` verdict from the repetition metrics
+    (thresholds calibrated on the synthetic corpus so both branches
+    are exercised; production values are corpus-dependent)."""
+    feat = repetition_features(df, text_col)
+    return feat.withColumn(
+        "keep",
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("unique_token_ratio") > min_unique_ratio)
+        & (F.col("top_bigram_frac") < max_top_bigram)
+        & (F.col("dup_trigram_frac") < max_dup_trigram),
+    )
+
+
+# PII patterns chosen for identical semantics in Java regex (Spark) and
+# RE2 (DuckDB oracle): no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", out_col: str = "redacted") -> DataFrame:
+    """Scrub emails and IPv4 addresses (the two patterns with portable
+    regex semantics), keeping match counts for audit. Order matters:
+    emails first, so an address inside a mailto string cannot be
+    half-rewritten by the IP pass. Pure regexp_replace /
+    regexp_extract_all — JVM-side, linear scan, no shuffle."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL), 0)))
+        .withColumn("n_ips", F.size(F.regexp_extract_all(c, F.lit(PII_IPV4), 0)))
+        .withColumn(
+            out_col,
+            F.regexp_replace(
+                F.regexp_replace(c, PII_EMAIL, "<EMAIL>"), PII_IPV4, "<IP>"
+            ),
+        )
+    )
+
+
 def normalize_text(col: str | Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse
     whitespace, trim."""

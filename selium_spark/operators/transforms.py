@@ -167,3 +167,30 @@ def scan_http_frames(df: DataFrame, raw_col: str) -> DataFrame:
             ),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic weighted dataset mixing: keep each row of group g
+    with probability ``rates[g]``, decided by an md5 hash of the row id
+    (no RNG state — the same rows survive at every scale factor and on
+    every engine, which is what makes a training-data mixture
+    reproducible).
+
+    Bucket = first byte of md5(id) (0..255); keep iff
+    bucket < round(rate * 256). Pure expression work: the mixture is a
+    map-side filter, no shuffle, and composes with partition pruning.
+    """
+    bucket = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)) - 1) * 16
+        + (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col(id_col).cast("string")), 2, 1)) - 1)
+    )
+    threshold = F.lit(int(round(default_rate * 256)))
+    for g, rate in sorted(rates.items()):
+        threshold = F.when(F.col(group_col) == g, F.lit(int(round(rate * 256)))).otherwise(threshold)
+    return df.where(bucket < threshold)

@@ -768,6 +768,119 @@ FROM t
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (type/token ratio, top-bigram
+    fraction, duplicate-trigram fraction) + keep verdict. Pure array
+    expressions, map-side only — no shuffle at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.repetition_filter(docs).select(
+        "doc_id",
+        "n_tokens",
+        "unique_token_ratio",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        F.col("keep").cast("int").alias("keep"),
+    )
+
+
+SQL_TEXT_REPETITION = rf"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    list_transform(generate_series(1, greatest(len(toks)-1,1)),
+                   i -> array_to_string(toks[i:i+1], ' ')) AS big,
+    list_transform(generate_series(1, greatest(len(toks)-2,1)),
+                   i -> array_to_string(toks[i:i+2], ' ')) AS tri
+  FROM t
+), m AS (
+  SELECT doc_id, n AS n_tokens,
+    len(list_distinct(toks)) / greatest(n, 1) AS unique_token_ratio,
+    list_max(list_transform(list_distinct(big),
+             gg -> len(list_filter(big, x -> x = gg)))) / greatest(len(big), 1)
+      AS top_bigram_frac,
+    (len(tri) - len(list_distinct(tri))) / greatest(len(tri), 1) AS dup_trigram_frac
+  FROM g
+)
+SELECT doc_id, n_tokens, unique_token_ratio, top_bigram_frac, dup_trigram_frac,
+  CAST(n_tokens >= 20 AND unique_token_ratio > 0.4
+       AND top_bigram_frac < 0.1 AND dup_trigram_frac < 0.05 AS INT) AS keep
+FROM m
+"""
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a corpus with synthesized contact strings
+    (the base corpus is clean, so emails/IPs are injected
+    deterministically on a doc_id schedule — 1 in 3 docs gets an
+    email, 1 in 2 an IPv4). Redaction + audit counts are linear
+    regexp work with portable Java/RE2 semantics."""
+    docs = _t(spark, sf_dir, "documents")
+    ip = F.concat(
+        F.lit("10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    with_pii = docs.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact "), F.col("source"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit(" from "), ip)).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    return text.pii_redact(with_pii, "text2").select("doc_id", "n_emails", "n_ips", "redacted")
+
+
+SQL_PII_REDACT = r"""
+WITH t AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact ' || source || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+            ELSE '' END AS text2
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+  len(regexp_extract_all(text2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+  regexp_replace(
+    regexp_replace(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+FROM t
+"""
+
+
+# per-source mixture rates: src0..src19 cycle 0.25 / 0.5 / 0.75 / 1.0
+MIX_RATES = {f"src{i}": (i % 4 + 1) * 0.25 for i in range(20)}
+
+
+def mix_sample_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted dataset mixture: down-sample each source
+    to its mixture weight via an md5 bucket of doc_id (reproducible at
+    every SF; a map-side filter — zero shuffle at 100 TB)."""
+    docs = _t(spark, sf_dir, "documents")
+    return transforms.mixture_sample(docs, "doc_id", "source", MIX_RATES).select(
+        "doc_id", "source"
+    )
+
+
+SQL_MIX_SAMPLE = """
+SELECT doc_id, source FROM documents
+WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+  < CASE CAST(substr(source, 4) AS INT) % 4
+      WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 192 ELSE 256 END
+"""
+
+
 # ---------------------------------------------------------------------------
 # 4. Deduplication (north star)
 # ---------------------------------------------------------------------------
@@ -3163,6 +3276,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_fingerprints": text_fingerprints,
+    "text_repetition": text_repetition,
+    "text_pii_redact": text_pii_redact,
+    "mix_sample_sources": mix_sample_sources,
     "q_distinct_users_daily": q_distinct_users_daily,
     "pipeline_data_prep": pipeline_data_prep,
     # dedup
@@ -3276,6 +3392,9 @@ WHERE value % 2 = 0"""
     "text_langid": SQL_LANGID,
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprints": SQL_FINGERPRINTS,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "text_pii_redact": SQL_PII_REDACT,
+    "mix_sample_sources": SQL_MIX_SAMPLE,
     "q_distinct_users_daily": SQL_DISTINCT_USERS,
     "pipeline_data_prep": SQL_DATA_PREP,
     "dedup_exact_docs": SQL_DEDUP_EXACT,

@@ -170,3 +170,49 @@ def test_lang_id_and_quality(spark):
     assert got == {1: "en", 2: "de"}
     q = text.quality_score(df).select("doc_id", "quality_score").collect()
     assert all(0.0 <= r.quality_score <= 1.0 for r in q)
+
+
+def test_repetition_features_flags_word_soup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam"),
+            (2, "a genuinely varied sentence with many distinct useful words here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in text.repetition_features(df).collect()}
+    assert rows[1].unique_token_ratio < rows[2].unique_token_ratio
+    assert rows[1].top_bigram_frac == 1.0  # every bigram is "spam spam"
+    assert rows[2].dup_trigram_frac == 0.0
+    # short docs: top-bigram frac floors at 1/(n-1), so loosen that knob
+    kept = {
+        r.doc_id: r.keep
+        for r in text.repetition_filter(df, min_tokens=5, max_top_bigram=0.2).collect()
+    }
+    assert kept == {1: False, 2: True}
+
+
+def test_pii_redact_scrubs_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or 192.168.1.7 now"), (2, "clean text")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r.doc_id: r for r in text.pii_redact(df).collect()}
+    assert rows[1].n_emails == 1 and rows[1].n_ips == 1
+    assert rows[1].redacted == "mail <EMAIL> or <IP> now"
+    assert rows[2].n_emails == 0 and rows[2].redacted == "clean text"
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    df = spark.range(2000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("src"),
+    )
+    out = transforms.mixture_sample(df, "rid", "src", {"a": 0.25, "b": 1.0})
+    by_src = {r.src: r.cnt for r in out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    assert by_src["b"] == 1000  # rate 1.0 keeps everything
+    assert 150 < by_src["a"] < 350  # ~25% of 1000, hash-distributed
+    # deterministic: a second evaluation selects the identical rows
+    ids1 = sorted(r.rid for r in out.collect())
+    ids2 = sorted(r.rid for r in transforms.mixture_sample(df, "rid", "src", {"a": 0.25, "b": 1.0}).collect())
+    assert ids1 == ids2
