@@ -13,7 +13,7 @@ oracles match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Minimal per-language stopword lists for the heuristic language ID.
@@ -239,4 +239,116 @@ def fingerprint_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.col(id_col),
         F.md5(F.col("_norm")).alias("fp_md5"),
         min_shingle_fingerprint(F.col("_norm"), 8).alias("fp_min_shingle"),
+    )
+
+
+def ngram_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per-document count of distinct word
+    n-grams shared with a benchmark corpus, plus a `contaminated` flag.
+
+    Scale story (the standard 100 TB decontamination shape): the
+    benchmark side is tiny relative to the training corpus (eval sets
+    are KBs-to-MBs), so its distinct-gram set is BROADCAST and the
+    corpus side stays a map-side explode + broadcast-hash-join — no
+    corpus shuffle except the final per-doc count, which is keyed by
+    id_col and combines map-side. Grams are `array_distinct`-ed per doc
+    BEFORE the explode so the post-join count(*) is already the
+    distinct-overlap count (no countDistinct shuffle-heavy agg).
+
+    Reference analogue: selium's per-record classify (waf verdicts,
+    examples/waf/src/lib.rs:101-110) generalized to corpus membership.
+    """
+    grams = F.array_distinct(ngrams_all(text_col, n))
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("gram")).distinct()
+    )
+    corpus = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    hits = (
+        corpus.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("overlap_ngrams"))
+    )
+    return (
+        df.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("overlap_ngrams"), F.lit(0)).alias("overlap_ngrams"),
+            (F.coalesce(F.col("overlap_ngrams"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms: score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    with idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Plan shape: one pass computes per-(doc, term) tf (explode filtered
+    to the query terms — the filter prunes before the shuffle, so the
+    exploded volume is |terms|-bounded, not corpus-bounded); corpus
+    stats (N, avgdl) and per-term document frequencies are tiny
+    aggregates broadcast back in. Scores are rounded to 9 decimals
+    before ranking so float ulp noise cannot reorder ties across
+    engines (doc_id breaks exact ties).
+    """
+    toks = tokens(text_col)
+    docs = df.select(F.col(id_col), F.size(toks).alias("dl"), toks.alias("_toks"))
+    tf = (
+        docs.select(F.col(id_col), F.col("dl"), F.explode("_toks").alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    scored = contrib.withColumn(
+        "part",
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("part"), 9).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+
+
+def vocab_stats(
+    df: DataFrame, top_k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary table: top-k tokens by total frequency with
+    document frequency and a dense rank. The per-doc explode combines
+    map-side (partial counts) before the single small shuffle on the
+    token key; top-k is a tiny sorted limit on the aggregated table
+    (vocab cardinality << corpus size at any SF)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct(F.col(id_col)).alias("df"),
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("token"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("rank", "token", "tf", "df")
     )

@@ -25,7 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import dedup, messaging, multimodal, relational, similarity, text
+from .operators import dedup, messaging, multimodal, packing, relational, similarity, text
 from .operators import sketches, transforms, windows
 from .sources.tables import load_table
 
@@ -878,6 +878,136 @@ WHERE (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 
     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
   < CASE CAST(substr(source, 4) AS INT) % 4
       WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 192 ELSE 256 END
+"""
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training doc sharing any
+    word 6-gram with the held-out benchmark corpus (source src0). The
+    benchmark's distinct-gram set is broadcast; the corpus side is a
+    map-side explode + broadcast join (the 100 TB shape: eval sets are
+    tiny, the corpus never shuffles on gram)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    return text.ngram_overlap(corpus, bench, n=6)
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(
+             generate_series(1, greatest(len(w) - 5, 1)),
+             i -> array_to_string(w[i:i+5], ' ')))) AS gram
+  FROM toks
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+hits AS (
+  SELECT g.doc_id, count(*) AS overlap_ngrams
+  FROM grams g JOIN bench b USING (gram)
+  WHERE g.source <> 'src0'
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.overlap_ngrams, 0) AS overlap_ngrams,
+       coalesce(h.overlap_ngrams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.source <> 'src0'
+"""
+
+
+BM25_TERMS = ["join", "scan", "window"]
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    bag; tf explode prunes to the query terms before any shuffle,
+    corpus stats and df are broadcast scalars."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bm25_scores(docs, BM25_TERMS)
+
+
+SQL_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS w
+  FROM documents
+),
+d AS (SELECT doc_id, len(w) AS dl, w FROM toks),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(w) AS term FROM d)
+  WHERE term IN ('join', 'scan', 'window')
+  GROUP BY 1, 2, 3
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+  round(sum(ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+            * (tf.tf * 2.2)
+            / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 9) AS bm25,
+  count(*) AS n_terms_hit
+FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+GROUP BY tf.doc_id
+"""
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by total frequency with doc
+    frequency and dense ranking (map-side partial counts, one tiny
+    shuffle on token)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.vocab_stats(docs, top_k=50)
+
+
+SQL_VOCAB = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t != '')) AS token
+  FROM documents
+),
+agg AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS rank, token, tf, df
+FROM agg
+QUALIFY rank <= 50
+"""
+
+
+PACK_BUDGET = 256
+
+
+def pack_training_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per-source token prefix sums
+    cut into 256-token training bins; returns the per-bin manifest.
+    Prefix sums are windowed per source so 100 TB packs as parallel
+    per-shard scans — no global order."""
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.withColumn("n_tokens", text.token_count("text"))
+    packed = packing.pack_sequences(with_tokens, PACK_BUDGET, "n_tokens")
+    return packing.pack_summary(packed, PACK_BUDGET, "n_tokens")
+
+
+SQL_PACK_BINS = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source, CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS bin_id,
+       count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(sum(n_tokens) / 256.0, 9) AS fill_ratio
+FROM packed
+GROUP BY 1, 2
 """
 
 
@@ -3278,6 +3408,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprints": text_fingerprints,
     "text_repetition": text_repetition,
     "text_pii_redact": text_pii_redact,
+    "text_decontaminate": text_decontaminate,
+    "text_bm25": text_bm25,
+    "vocab_top_tokens": vocab_top_tokens,
+    "pack_training_bins": pack_training_bins,
     "mix_sample_sources": mix_sample_sources,
     "q_distinct_users_daily": q_distinct_users_daily,
     "pipeline_data_prep": pipeline_data_prep,
@@ -3394,6 +3528,10 @@ WHERE value % 2 = 0"""
     "text_fingerprints": SQL_FINGERPRINTS,
     "text_repetition": SQL_TEXT_REPETITION,
     "text_pii_redact": SQL_PII_REDACT,
+    "text_decontaminate": SQL_DECONTAMINATE,
+    "text_bm25": SQL_BM25,
+    "vocab_top_tokens": SQL_VOCAB,
+    "pack_training_bins": SQL_PACK_BINS,
     "mix_sample_sources": SQL_MIX_SAMPLE,
     "q_distinct_users_daily": SQL_DISTINCT_USERS,
     "pipeline_data_prep": SQL_DATA_PREP,

@@ -1,0 +1,75 @@
+"""Training-data pipeline ops: decontamination, BM25, vocab, packing."""
+
+from __future__ import annotations
+
+import math
+
+from selium_spark.operators import packing, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id INT, text STRING, source STRING")
+
+
+def test_ngram_overlap_flags_planted_duplicate(spark):
+    bench = _docs(spark, [(100, "a b c d e f g h", "bench")])
+    corpus = _docs(
+        spark,
+        [
+            (1, "a b c d e f x y", "train"),  # shares 'a b c d e f'
+            (2, "p q r s t u v w", "train"),  # disjoint
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["overlap_ngrams"], r["contaminated"])
+        for r in text.ngram_overlap(corpus, bench, n=6).collect()
+    }
+    assert out[1] == (1, True)
+    assert out[2] == (0, False)
+
+
+def test_bm25_matches_hand_formula(spark):
+    # 2 docs, query term 'x': doc 1 has tf=2/dl=4, doc 2 has tf=1/dl=2.
+    df = _docs(spark, [(1, "x y x z", "s"), (2, "x y", "s")])
+    out = {r["doc_id"]: r["bm25"] for r in text.bm25_scores(df, ["x"]).collect()}
+    n_docs, dfreq, avgdl, k1, b = 2, 2, 3.0, 1.2, 0.75
+    idf = math.log((n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0)
+
+    def score(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert out[1] == round(score(2, 4), 9)
+    assert out[2] == round(score(1, 2), 9)
+
+
+def test_vocab_stats_rank_and_counts(spark):
+    df = _docs(spark, [(1, "a a b", "s"), (2, "a c", "s")])
+    rows = {r["token"]: r for r in text.vocab_stats(df, top_k=2).collect()}
+    assert set(rows) == {"a", "b"}  # top-2 by tf, token tie-break b < c
+    assert (rows["a"]["rank"], rows["a"]["tf"], rows["a"]["df"]) == (1, 3, 2)
+    assert (rows["b"]["rank"], rows["b"]["tf"], rows["b"]["df"]) == (2, 1, 1)
+
+
+def test_pack_sequences_bins_by_exclusive_cumsum(spark):
+    df = spark.createDataFrame(
+        [("s", 1, 100), ("s", 2, 100), ("s", 3, 100), ("t", 4, 300)],
+        "source STRING, doc_id INT, n_tokens INT",
+    )
+    packed = packing.pack_sequences(df, 256, "n_tokens")
+    bins = {r["doc_id"]: r["bin_id"] for r in packed.collect()}
+    # s: cum 100/200/300 -> exclusive 0/100/200 -> bins 0/0/0? 200<256 so
+    # doc 3 STARTS at 200 -> bin 0; doc 4 (t) starts at 0 -> bin 0.
+    assert bins == {1: 0, 2: 0, 3: 0, 4: 0}
+
+    packed2 = packing.pack_sequences(df, 150, "n_tokens")
+    bins2 = {r["doc_id"]: r["bin_id"] for r in packed2.collect()}
+    # s exclusive starts 0/100/200 with budget 150 -> bins 0/0/1.
+    assert bins2 == {1: 0, 2: 0, 3: 1, 4: 0}
+
+    summary = {
+        (r["source"], r["bin_id"]): (r["n_docs"], r["total_tokens"])
+        for r in packing.pack_summary(packed2, 150, "n_tokens").collect()
+    }
+    assert summary[("s", 0)] == (2, 200)
+    assert summary[("s", 1)] == (1, 100)
+    assert summary[("t", 0)] == (1, 300)
