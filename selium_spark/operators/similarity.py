@@ -308,3 +308,119 @@ def ivf_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance, sequential fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(
+    emb: DataFrame,
+    m_subs: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook: the vector space is split into
+    ``m_subs`` contiguous subspaces; each gets ``k_codes`` sub-centroids
+    (deterministic toy training: slices of the first k vectors by id —
+    swap in kmeans_centroids per subspace for production recall; the
+    plan shape is identical). Output: (m, code_id, subvec) —
+    m_subs*k_codes rows, always broadcastable."""
+    first = emb.orderBy(F.col(id_col).asc()).limit(k_codes)
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m_subs - 1))).alias("m")
+    d = F.size(F.col(vec_col)) / m_subs
+    return first.select(F.col(id_col).alias("code_id"), F.col(vec_col), ms).select(
+        "m",
+        "code_id",
+        F.slice(
+            F.col(vec_col), (F.col("m") * d + 1).cast("int"), d.cast("int")
+        ).alias("subvec"),
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    m_subs: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as ``m_subs`` code ids: per subspace, the
+    nearest sub-centroid by squared L2 (rounded to 6 so float ulp noise
+    cannot flip the argmin; ties break on code_id). One broadcast join
+    against the codebook + a min_by aggregation keyed by (vec, m) — the
+    corpus is scanned once and shuffled only on its own id, never
+    against other vectors. At 100 TB the encoded table is
+    m_subs bytes-ish per vector: the compressed index that makes
+    billion-scale ANN RAM-resident."""
+    d = F.size(F.col(vec_col)) / m_subs
+    subs = emb.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m_subs - 1))).alias("m"),
+        F.col(vec_col),
+    ).select(
+        F.col(id_col),
+        "m",
+        F.slice(
+            F.col(vec_col), (F.col("m") * d + 1).cast("int"), d.cast("int")
+        ).alias("esub"),
+    )
+    scored = subs.join(F.broadcast(codebook), "m").withColumn(
+        "dist", F.round(l2sq(F.col("esub"), F.col("subvec")), 6)
+    )
+    return scored.groupBy(id_col, "m").agg(
+        F.min_by(F.col("code_id"), F.struct(F.col("dist"), F.col("code_id"))).alias(
+            "code_id"
+        )
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebook: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m_subs: int = 8,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the query stays
+    exact; each vector's distance is the sum over subspaces of
+    ||query_sub - codebook[m][code]||^2. The distance table
+    (m_subs * k_codes entries) is computed once from the broadcast
+    codebook; the scan never touches raw vectors. Partial distances are
+    summed in ascending-m order via a sorted sequential fold so the
+    result is bit-identical across engines and runs."""
+    sub_dim = len(query_vec) // m_subs
+    qsubs = {
+        m: F.array(
+            *[F.lit(float(x)) for x in query_vec[m * sub_dim : (m + 1) * sub_dim]]
+        )
+        for m in range(m_subs)
+    }
+    qcol = F.element_at(
+        F.array(*[qsubs[m] for m in range(m_subs)]), F.col("m").cast("int") + 1
+    )
+    dist_table = codebook.withColumn(
+        "p", F.round(l2sq(qcol, F.col("subvec")), 6)
+    ).select("m", "code_id", "p")
+    partials = encoded.join(F.broadcast(dist_table), ["m", "code_id"])
+    adc = partials.groupBy(id_col).agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "p"))),
+                    lambda s: s["p"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("adc_dist")
+    )
+    return adc.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)

@@ -2343,6 +2343,60 @@ SQL_ANN_RECALL = (
 )
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: 64-dim embeddings split into 8
+    subspaces x 16 codes (codebook = slices of the first 16 vectors),
+    vectors encoded to 8 code ids, query answered by asymmetric
+    distance (ADC) against the broadcast distance table — the scan
+    touches only the compressed codes, the RAM-resident shape for
+    billion-vector ANN."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    cb = similarity.pq_codebook(emb, m_subs=8, k_codes=16)
+    codes = similarity.pq_encode(emb, cb, m_subs=8)
+    return similarity.pq_adc_topk(codes, cb, q, k=10, m_subs=8)
+
+
+SQL_PQ_TOPK = """
+WITH ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+cb AS (
+  SELECT ms.m, e.vec_id AS code_id, e.embedding[ms.m*8+1 : ms.m*8+8] AS subvec
+  FROM embeddings e CROSS JOIN ms WHERE e.vec_id < 16
+),
+sub AS (
+  SELECT e.vec_id, ms.m, e.embedding[ms.m*8+1 : ms.m*8+8] AS esub
+  FROM embeddings e CROSS JOIN ms
+),
+scored AS (
+  SELECT s.vec_id, s.m, cb.code_id,
+    round(list_aggregate(list_transform(generate_series(1, 8),
+      i -> (s.esub[i]::DOUBLE - cb.subvec[i]::DOUBLE) * (s.esub[i]::DOUBLE - cb.subvec[i]::DOUBLE)), 'sum'), 6) AS d
+  FROM sub s JOIN cb ON s.m = cb.m
+),
+codes AS (
+  SELECT vec_id, m, code_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code_id) = 1
+),
+qsub AS (
+  SELECT ms.m, e.embedding[ms.m*8+1 : ms.m*8+8] AS qs
+  FROM embeddings e CROSS JOIN ms WHERE e.vec_id = 0
+),
+dist_table AS (
+  SELECT cb.m, cb.code_id,
+    round(list_aggregate(list_transform(generate_series(1, 8),
+      i -> (q.qs[i]::DOUBLE - cb.subvec[i]::DOUBLE) * (q.qs[i]::DOUBLE - cb.subvec[i]::DOUBLE)), 'sum'), 6) AS p
+  FROM cb JOIN qsub q ON q.m = cb.m
+),
+adc AS (
+  SELECT c.vec_id,
+    round(list_aggregate(list_transform(list_sort(list({'m': c.m, 'p': dt.p})), s -> s.p), 'sum'), 6) AS adc_dist
+  FROM codes c JOIN dist_table dt ON c.m = dt.m AND c.code_id = dt.code_id
+  GROUP BY c.vec_id
+)
+SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+"""
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): wide per-priority aggregates to long
     (metric, value) rows via stack — the inverse of q_pivot_status."""
@@ -3428,6 +3482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_rhp_pairs": ann_rhp_pairs,
     "ann_recall_ivf": ann_recall_ivf,
+    "ann_pq_topk": ann_pq_topk,
     # multimodal
     "mm_decode_features": mm_decode_features,
     "mm_resize_plan": mm_resize_plan,
@@ -3546,6 +3601,7 @@ WHERE value % 2 = 0"""
     "ann_ivf_topk": SQL_ANN_IVF,
     "ann_rhp_pairs": SQL_ANN_RHP,
     "ann_recall_ivf": SQL_ANN_RECALL,
+    "ann_pq_topk": SQL_PQ_TOPK,
     "mm_decode_features": SQL_MM_DECODE,
     "mm_resize_plan": SQL_MM_RESIZE,
     "mm_frame_sample": SQL_MM_FRAMES,

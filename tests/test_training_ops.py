@@ -73,3 +73,33 @@ def test_pack_sequences_bins_by_exclusive_cumsum(spark):
     assert summary[("s", 0)] == (2, 200)
     assert summary[("s", 1)] == (1, 100)
     assert summary[("t", 0)] == (1, 300)
+
+
+def test_pq_encode_and_adc_self_distance(spark):
+    from selium_spark.operators import similarity
+
+    # 4-dim vectors, 2 subspaces x 2 codes (codebook = vectors 0 and 1).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.0, 1.0, 1.0, 0.0]),
+        (2, [1.0, 0.1, 0.9, 0.0]),  # sub0 ~ code 0, sub1 ~ code 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    cb = similarity.pq_codebook(emb, m_subs=2, k_codes=2)
+    assert cb.count() == 4  # 2 subspaces x 2 codes
+    codes = {
+        (r["vec_id"], r["m"]): r["code_id"]
+        for r in similarity.pq_encode(emb, cb, m_subs=2).collect()
+    }
+    # codebook members encode to themselves...
+    assert codes[(0, 0)] == 0 and codes[(0, 1)] == 0
+    assert codes[(1, 0)] == 1 and codes[(1, 1)] == 1
+    # ...and vec 2 picks the nearest sub-centroid per subspace.
+    assert codes[(2, 0)] == 0 and codes[(2, 1)] == 1
+
+    # ADC with vec 0 as the query: vec 0 reconstructs exactly -> dist 0,
+    # and the ranking is deterministic.
+    encoded = similarity.pq_encode(emb, cb, m_subs=2)
+    top = similarity.pq_adc_topk(encoded, cb, [1.0, 0.0, 0.0, 1.0], k=3, m_subs=2).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["adc_dist"] == 0.0
+    assert [r["vec_id"] for r in top] == [0, 2, 1]
