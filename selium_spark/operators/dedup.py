@@ -22,7 +22,7 @@ bit-for-bit (lexicographic min over fixed-width hex == numeric min).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text, tokens
@@ -41,6 +41,21 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             F.count(F.lit(1)).alias("n_copies"),
         )
         .select(id_col, "content_hash", "n_copies")
+    )
+
+
+def dedup_exact_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-dedup survivor FILTER: keep each content-hash group's
+    min-id row, preserving all input columns. One window pass = ONE
+    shuffle on the hash key, vs dedup_exact + self-join's two shuffles
+    and a second scan — the right shape when the downstream needs the
+    surviving rows (not the group stats) at 100 TB."""
+    h = F.md5(normalize_text(text_col))
+    w = Window.partitionBy(h).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 
@@ -371,4 +386,66 @@ def embedding_neardup_pairs(
         .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    n_bits: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs by SimHash hamming distance: the
+    signature is cut into ``n_bands`` bit-bands; pairs sharing any band
+    value are candidates (pigeonhole: distance <= n_bands-1 implies
+    some band is identical, so recall is complete for
+    max_hamming <= n_bands-1); candidates are verified exactly with
+    bit_count(xor). The self-join is keyed on (band, value) — at
+    100 TB each band bucket holds only colliding signatures, never the
+    corpus cross product, and the verify is integer ALU work on the
+    64-bit signatures (raw text is never re-read)."""
+    sh = simhash(df, text_col, id_col, n_bits)
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands = sh.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        F.col(id_col), "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )

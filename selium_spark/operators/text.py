@@ -352,3 +352,39 @@ def vocab_stats(
         .where(F.col("rank") <= top_k)
         .select("rank", "token", "tf", "df")
     )
+
+
+def unigram_logppl(
+    df: DataFrame,
+    threshold: float = 3.43,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity quality filter with a self-trained
+    unigram LM: per-doc mean negative log-likelihood of its tokens
+    under the corpus unigram distribution, plus a keep verdict
+    (low log-perplexity = typical text). The vocab (tiny vs corpus)
+    is broadcast back; the per-doc sum folds in token-position order
+    over a sorted collect_list so the float total is bit-identical
+    across engines and runs (group-agg partial order would not be)."""
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    total = vocab.agg(F.sum("tf").alias("total"))
+    nll = vocab.crossJoin(F.broadcast(total)).select(
+        "token", (-F.log(F.col("tf") / F.col("total"))).alias("nll")
+    )
+    joined = tok.join(F.broadcast(nll), "token")
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "nll"))), lambda s: s["nll"]
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    out = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(fold / F.count(F.lit(1)), 9).alias("logppl"),
+    )
+    return out.withColumn("keep", F.col("logppl") <= threshold)

@@ -1138,6 +1138,62 @@ FROM bits
 """
 
 
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within hamming distance 3: banded
+    signature self-join (4 bands x 4 bits; pigeonhole-complete for
+    distance <= 3) + exact bit_count(xor) verification. The join keys
+    are band buckets, never the corpus cross-product."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(docs, max_hamming=3)
+
+
+SQL_SIMHASH_HAMMING = f"""
+WITH sh AS ({{SIMHASH_BODY}}),
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 4)) & 15 AS val
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa::BIGINT, sb::BIGINT)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa::BIGINT, sb::BIGINT)) <= 3
+"""
+SQL_SIMHASH_HAMMING = SQL_SIMHASH_HAMMING.replace("{SIMHASH_BODY}", SQL_SIMHASH)
+
+
+def text_logppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality filter: per-doc mean negative
+    log-likelihood under the corpus's own unigram LM; keep = below
+    threshold (typical text). Vocab is broadcast; the per-doc fold runs
+    in token order for bit determinism."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.unigram_logppl(docs, threshold=3.4)
+
+
+SQL_LOGPPL = r"""
+WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents),
+tok AS (
+  SELECT doc_id, unnest(toks) AS token, unnest(generate_series(1, len(toks))) AS pos
+  FROM t
+),
+vocab AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
+total AS (SELECT sum(tf) AS total FROM vocab),
+nll AS (SELECT token, -ln(tf / total) AS nll FROM vocab CROSS JOIN total),
+d AS (
+  SELECT tok.doc_id, count(*) AS n_tokens,
+    round(list_aggregate(list_transform(list_sort(list({'pos': tok.pos, 'nll': nll.nll})), s -> s.nll), 'sum')
+          / count(*), 9) AS logppl
+  FROM tok JOIN nll USING (token)
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, n_tokens, logppl, logppl <= 3.4 AS keep FROM d
+"""
+
+
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine >= 0.8). All-pairs at test SF;
     the scale path prefilters with IVF buckets (similarity.ivf_assign)
@@ -1684,17 +1740,16 @@ FROM events GROUP BY 1
 
 def pipeline_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data prep: quality-score -> filter -> exact
-    dedup survivor join -> fingerprint + language tag. One declarative
-    plan: the filter prunes before the dedup shuffle; the survivor
-    semi-join never widens rows; everything before the single
-    content-hash shuffle is map-side."""
+    dedup survivor filter -> fingerprint + language tag. One
+    declarative plan: the filter prunes before the dedup shuffle; the
+    survivor keep is a single window pass (one content-hash shuffle,
+    no self-join rescan); everything before that shuffle is map-side."""
     docs = _t(spark, sf_dir, "documents")
     scored = text.quality_score(docs, "text")
     kept = scored.where(F.col("quality_score") >= 0.5).select(
         "doc_id", "text", F.round(F.col("quality_score"), 9).alias("quality_score")
     )
-    survivors = dedup.dedup_exact(kept).select("doc_id")
-    out = kept.join(survivors, "doc_id")
+    out = dedup.dedup_exact_keep(kept)
     return out.select(
         "doc_id",
         "quality_score",
@@ -3475,6 +3530,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_lsh_candidates": dedup_lsh_candidates,
     "dedup_jaccard_verified": dedup_jaccard_verified,
     "dedup_simhash_docs": dedup_simhash_docs,
+    "dedup_simhash_hamming": dedup_simhash_hamming,
+    "text_logppl_filter": text_logppl_filter,
     "dedup_embedding_neardup": dedup_embedding_neardup,
     "dedup_groups": dedup_groups,
     # similarity
@@ -3595,6 +3652,8 @@ WHERE value % 2 = 0"""
     "dedup_lsh_candidates": SQL_LSH_PAIRS,
     "dedup_jaccard_verified": SQL_JACCARD,
     "dedup_simhash_docs": SQL_SIMHASH,
+    "dedup_simhash_hamming": SQL_SIMHASH_HAMMING,
+    "text_logppl_filter": SQL_LOGPPL,
     "dedup_embedding_neardup": SQL_EMB_NEARDUP,
     "dedup_groups": SQL_DEDUP_GROUPS,
     "ann_bruteforce_topk": SQL_ANN_BRUTE,

@@ -103,3 +103,35 @@ def test_pq_encode_and_adc_self_distance(spark):
     top = similarity.pq_adc_topk(encoded, cb, [1.0, 0.0, 0.0, 1.0], k=3, m_subs=2).collect()
     assert top[0]["vec_id"] == 0 and top[0]["adc_dist"] == 0.0
     assert [r["vec_id"] for r in top] == [0, 2, 1]
+
+
+def test_simhash_hamming_pairs_finds_identical_docs(spark):
+    from selium_spark.operators import dedup
+
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon", "s"),
+            (2, "alpha beta gamma delta epsilon", "s"),  # identical -> hamming 0
+            (3, "zz yy xx ww vv uu tt ss", "s"),
+        ],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_hamming_pairs(df, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    # every reported pair respects the bound
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_unigram_logppl_hand_corpus(spark):
+    import math
+
+    # corpus: tokens a a a b -> p(a)=3/4, p(b)=1/4
+    df = _docs(spark, [(1, "a a a", "s"), (2, "b", "s")])
+    out = {r["doc_id"]: r for r in text.unigram_logppl(df, threshold=1.0).collect()}
+    nll_a, nll_b = -math.log(3 / 4), -math.log(1 / 4)
+    assert out[1]["logppl"] == round((3 * nll_a) / 3, 9)
+    assert out[2]["logppl"] == round(nll_b, 9)
+    assert out[1]["keep"] is True and out[2]["keep"] is False
