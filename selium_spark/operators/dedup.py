@@ -389,6 +389,55 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023):
+    coarse-cluster the embeddings (one broadcast join against K
+    centroids — similarity.ivf_assign), then within each cluster drop
+    every vector whose cosine to a LOWER-id cluster-mate clears the
+    threshold (deterministic survivor = min id per semantic group).
+
+    Scale shape: the pairwise work is confined to clusters —
+    O(sum |c_i|^2), never the corpus cross-product — and the
+    within-cluster self-join is partition-local once the assignment
+    table is written partitionBy(cluster_id) (similarity.
+    ivf_index_write). Output: (vec_id, cluster_id, max_cos, keep).
+    """
+    from .similarity import cosine, ivf_assign
+
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), "cluster_id"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_max = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("cos").alias("max_cos"))
+    )
+    return (
+        assigned.join(pair_max, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.coalesce(F.col("max_cos"), F.lit(-1.0)).alias("max_cos"),
+            (F.coalesce(F.col("max_cos"), F.lit(-1.0)) < threshold).alias("keep"),
+        )
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     max_hamming: int = 3,

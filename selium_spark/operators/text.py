@@ -388,3 +388,84 @@ def unigram_logppl(
         F.round(fold / F.count(F.lit(1)), 9).alias("logppl"),
     )
     return out.withColumn("keep", F.col("logppl") <= threshold)
+
+
+def dup_span_stats(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    max_dup_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring-level duplication stats (the span-dedup half of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022, at word-shingle granularity): a doc's word n-grams that
+    also occur in >= ``min_docs`` distinct documents are "duplicated
+    spans"; report per-doc distinct-shingle counts, the duplicated
+    fraction, and a keep verdict (dup_frac <= ``max_dup_frac``).
+
+    Plan: one explode of distinct shingles -> groupBy(shingle) doc
+    count -> join back -> groupBy(doc). Both shuffles are keyed on
+    md5-uniform shingle text / doc id (no skew); the corpus text is
+    scanned once. At 100 TB the shingle table is the big intermediate
+    — cut it with a stop-shingle frequency cap or minhash sampling
+    before the join-back (coverage note, not done here).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams_all(text_col, n))).alias("shingle"),
+    )
+    shared = grams.groupBy("shingle").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    per_doc = (
+        grams.join(shared, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_docs") >= min_docs).cast("long")).alias("n_dup_shingles"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_shingles",
+        "n_dup_shingles",
+        F.round(F.col("n_dup_shingles") / F.col("n_shingles"), 9).alias("dup_frac"),
+        (F.col("n_dup_shingles") / F.col("n_shingles") <= max_dup_frac).alias("keep"),
+    )
+
+
+def quality_calibrate(
+    df: DataFrame,
+    n_buckets: int = 10,
+    keep_buckets: int = 7,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-language quality calibration: a raw quality score is not
+    comparable across languages (stopword lists, tokenization), so
+    rank docs into ``n_buckets`` quantile buckets WITHIN each language
+    and keep the top ``keep_buckets`` (the CCNet head/middle/tail
+    split, generalized). Deterministic: ntile over
+    (score desc, doc_id asc).
+
+    Scale: one narrow pass for the score (pure expressions), one
+    shuffle keyed by language for the ntile window. Languages are few
+    and skewed -> at 100 TB replace the global sort-within-language
+    with approx quantile cut points (approxQuantile per lang,
+    broadcast) — same output contract, no big-partition sort.
+    """
+    scored = quality_score(df, text_col).select(
+        F.col(id_col), F.col(lang_col), "quality_score"
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("quality_score").desc(), F.col(id_col).asc()
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.round("quality_score", 9).alias("quality_score"),
+        F.ntile(n_buckets).over(w).alias("q_bucket"),
+    ).withColumn("keep", F.col("q_bucket") <= keep_buckets)

@@ -3444,6 +3444,110 @@ FROM events GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# Semantic dedup, span dedup, per-language quality calibration
+# ---------------------------------------------------------------------------
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster embeddings (8 deterministic centroids), drop
+    vectors whose cosine to a lower-id cluster-mate >= 0.8 — pairwise
+    work confined to clusters, never the corpus cross-product."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.make_centroids(emb, n=8)
+    return dedup.semantic_dedup(emb, cents, threshold=0.8)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    round({SQL_COSINE_AB.replace("va", "e.embedding").replace("vb", "c.cvec")}, 6) AS c_score
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cluster_id FROM assign_scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, centroid_id ASC) = 1
+),
+pm AS (
+  SELECT a.vec_id,
+    max(round({SQL_COSINE_AB.replace("va", "a.embedding").replace("vb", "b.embedding")}, 6)) AS max_cos
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND b.vec_id < a.vec_id
+  GROUP BY 1
+)
+SELECT a.vec_id, a.cluster_id,
+       coalesce(pm.max_cos, -1.0) AS max_cos,
+       coalesce(pm.max_cos, -1.0) < 0.8 AS keep
+FROM assigned a LEFT JOIN pm USING (vec_id)
+"""
+
+
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication (Lee et al. 2022 at word-shingle
+    granularity): per-doc fraction of word 5-grams shared with >= 2
+    distinct docs, plus the keep verdict."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.dup_span_stats(docs, n=5, min_docs=2, max_dup_frac=0.5)
+
+
+SQL_SPAN_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t != '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(len(w) - 4, 1)),
+      i -> array_to_string(w[i:i+4], ' ')))) AS shingle
+  FROM toks
+),
+shared AS (SELECT shingle, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY 1),
+per_doc AS (
+  SELECT g.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles
+  FROM grams g JOIN shared s USING (shingle) GROUP BY 1
+)
+SELECT doc_id, n_shingles, n_dup_shingles,
+       round(n_dup_shingles / n_shingles, 9) AS dup_frac,
+       n_dup_shingles / n_shingles <= 0.5 AS keep
+FROM per_doc
+"""
+
+
+def text_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality deciles (CCNet-style head/middle/tail):
+    ntile(10) of the quality score within each language, keep top 7."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.quality_calibrate(docs, n_buckets=10, keep_buckets=7)
+
+
+SQL_QUALITY_CALIBRATED = f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {SQL_TOKS} AS toks, greatest(length(text), 1)::DOUBLE AS safe_chars
+  FROM documents
+), f AS (
+  SELECT doc_id, lang,
+    len(toks) AS n_tokens,
+    length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) / safe_chars AS punct_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) / safe_chars AS digit_ratio,
+    {_sql_stopword_ratio("en")} AS stopword_ratio
+  FROM t
+), s AS (
+  SELECT doc_id, lang,
+    least(n_tokens / 64.0, 1.0) * 0.4
+    + least(stopword_ratio * 4.0, 1.0) * 0.3
+    + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+    + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1 AS score
+  FROM f
+)
+SELECT doc_id, lang, round(score, 9) AS quality_score,
+       CAST(ntile(10) OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS INT) AS q_bucket,
+       ntile(10) OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) <= 7 AS keep
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3534,6 +3638,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_logppl_filter": text_logppl_filter,
     "dedup_embedding_neardup": dedup_embedding_neardup,
     "dedup_groups": dedup_groups,
+    "dedup_semantic": dedup_semantic,
+    "text_span_dedup": text_span_dedup,
+    "text_quality_calibrated": text_quality_calibrated,
     # similarity
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -3654,6 +3761,9 @@ WHERE value % 2 = 0"""
     "dedup_simhash_docs": SQL_SIMHASH,
     "dedup_simhash_hamming": SQL_SIMHASH_HAMMING,
     "text_logppl_filter": SQL_LOGPPL,
+    "dedup_semantic": SQL_SEMANTIC_DEDUP,
+    "text_span_dedup": SQL_SPAN_DEDUP,
+    "text_quality_calibrated": SQL_QUALITY_CALIBRATED,
     "dedup_embedding_neardup": SQL_EMB_NEARDUP,
     "dedup_groups": SQL_DEDUP_GROUPS,
     "ann_bruteforce_topk": SQL_ANN_BRUTE,

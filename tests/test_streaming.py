@@ -389,7 +389,16 @@ def test_state_metrics_observed(spark, tmp_path):
     )
     try:
         handle.query.processAllAvailable()
-        direct = state_metrics(handle.query.lastProgress)
+        # lastProgress lags processAllAvailable (progress events are
+        # emitted asynchronously) — poll until a state-bearing progress
+        # report lands rather than asserting on the first snapshot.
+        direct = None
+        deadline = time.monotonic() + 15
+        while time.monotonic() < deadline:
+            direct = state_metrics(handle.query.lastProgress)
+            if direct and direct[0]["rows_total"] == 2:
+                break
+            time.sleep(0.2)
         assert direct and direct[0]["rows_total"] == 2
         deadline = time.monotonic() + 10
         while (

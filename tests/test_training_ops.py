@@ -135,3 +135,54 @@ def test_unigram_logppl_hand_corpus(spark):
     assert out[1]["logppl"] == round((3 * nll_a) / 3, 9)
     assert out[2]["logppl"] == round(nll_b, 9)
     assert out[1]["keep"] is True and out[2]["keep"] is False
+
+
+def test_dup_span_stats_flags_shared_shingles(spark):
+    # docs 1 & 2 share the 5-gram 'a b c d e'; doc 3 is disjoint.
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f", "s"),  # shingles: 'a b c d e', 'b c d e f'
+            (2, "a b c d e", "s"),    # shingle:  'a b c d e'
+            (3, "p q r s t", "s"),    # shingle:  'p q r s t'
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup_shingles"], r["keep"])
+        for r in text.dup_span_stats(df, n=5).collect()
+    }
+    assert out[1] == (2, 1, True)   # 1/2 duplicated -> keep (<= 0.5)
+    assert out[2] == (1, 1, False)  # fully duplicated -> drop
+    assert out[3] == (1, 0, True)
+
+
+def test_quality_calibrate_buckets_within_language(spark):
+    rows = [(i, "the a of and to in is it " * (i % 7 + 1), "en") for i in range(20)]
+    rows += [(100 + i, "der die das und ist " * (i % 5 + 1), "de") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING, lang STRING")
+    out = text.quality_calibrate(df, n_buckets=5, keep_buckets=3).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # every language gets the full 1..5 bucket range independently
+    for lang, rs in by_lang.items():
+        assert {r["q_bucket"] for r in rs} == {1, 2, 3, 4, 5}
+        for r in rs:
+            assert r["keep"] == (r["q_bucket"] <= 3)
+
+
+def test_semantic_dedup_keeps_min_id_per_cluster(spark):
+    from selium_spark.operators import dedup, similarity
+
+    # two tight clusters along different axes; ids 0/1 are the seeds.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near vec 0 -> dropped
+        (3, [0.01, 0.99, 0.0, 0.0]),   # near vec 1 -> dropped
+        (4, [0.0, 0.6, 0.0, 0.8]),     # cluster 1 but cos < 0.8 -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    cents = similarity.make_centroids(df, n=2)
+    out = {r["vec_id"]: r["keep"] for r in dedup.semantic_dedup(df, cents, 0.8).collect()}
+    assert out == {0: True, 1: True, 2: False, 3: False, 4: True}
