@@ -23,23 +23,33 @@ from selium_spark.catalog import StreamCatalog  # noqa: E402
 from selium_spark.suite import ORACLES, QUERIES  # noqa: E402
 
 
+def _canon_val(v, round_decimals):
+    """Type-tagged canonical form: int vs float is a REAL mismatch at the
+    driver (its value-hash serializes them differently — a DuckDB HUGEINT
+    surfacing as float64 hashed != Spark's int64 in round 1), so the tag
+    keeps the local gate at least as strict."""
+    import numpy as np
+
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return ("f", "nan" if math.isnan(f) else round(f, round_decimals))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if hasattr(v, "isoformat"):
+        return ("t", v.isoformat())
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return ("l", tuple(_canon_val(x, round_decimals) for x in v))
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return ("y", bytes(v))
+    return ("s", v) if isinstance(v, str) else ("o", repr(v))
+
+
 def canon_rows(rows, cols, round_decimals=9):
     out = []
     for row in rows:
-        vals = []
-        for c in cols:
-            v = row[c]
-            if isinstance(v, float):
-                vals.append("nan" if math.isnan(v) else round(v, round_decimals))
-            elif hasattr(v, "isoformat"):
-                vals.append(v.isoformat())
-            elif isinstance(v, (list, tuple)):
-                vals.append(tuple(v))
-            elif isinstance(v, (bytes, bytearray, memoryview)):
-                vals.append(bytes(v))
-            else:
-                vals.append(v)
-        out.append(tuple(vals))
+        out.append(tuple(_canon_val(row[c], round_decimals) for c in cols))
     return sorted(out, key=repr)
 
 

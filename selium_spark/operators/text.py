@@ -346,11 +346,14 @@ def vocab_stats(
         F.count(F.lit(1)).alias("tf"),
         F.count_distinct(F.col(id_col)).alias("df"),
     )
+    # orderBy().limit() compiles to TakeOrderedAndProject (per-partition
+    # heap top-k, merged at the driver) — no single-partition window over
+    # the full vocabulary, which at corpus scale can be millions of rows.
+    # The rank window then runs over only top_k rows.
+    top = agg.orderBy(F.col("tf").desc(), F.col("token")).limit(top_k)
     w = Window.orderBy(F.col("tf").desc(), F.col("token"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
-        .select("rank", "token", "tf", "df")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "token", "tf", "df"
     )
 
 

@@ -75,6 +75,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _norm_stream_ts(ev: DataFrame, schema, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (LTZ) inside a
+    streaming transform. The testdata ships ts as either
+    TIMESTAMP(NANOS) (read as long under nanosAsLong) or plain
+    timestamp[us] with isAdjustedToUTC=false (read as TIMESTAMP_NTZ) —
+    and watermark-backed operators (dropDuplicatesWithinWatermark,
+    stream-stream joins) hard-require LTZ. Session tz is UTC, so the
+    NTZ->LTZ cast is instant-preserving."""
+    from pyspark.sql import types as T
+
+    dt = schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return ev.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        return ev.withColumn(col, F.col(col).cast("timestamp"))
+    return ev
+
+
 # ---------------------------------------------------------------------------
 # 1. Relational suite (SURVEY §7.2 step 4 — Spark-native completion)
 # ---------------------------------------------------------------------------
@@ -1004,7 +1022,7 @@ packed AS (
   FROM t
 )
 SELECT source, CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS bin_id,
-       count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(sum(n_tokens) / 256.0, 9) AS fill_ratio
 FROM packed
 GROUP BY 1, 2
@@ -1437,9 +1455,7 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def transform(stream: DataFrame) -> DataFrame:
-        ev = stream
-        if isinstance(schema["ts"].dataType, T.LongType):
-            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ev = _norm_stream_ts(stream, schema)
         doubled = ev.unionByName(ev)  # two writers publishing the same frames
         from .operators.stateful import dedup_within_watermark
 
@@ -2184,7 +2200,7 @@ WITH c AS (
     'sum') AS entropy
   FROM terms GROUP BY user_id
 )
-SELECT o.user_id, t.tot AS n_events, round(o.entropy, 6) AS entropy
+SELECT o.user_id, CAST(t.tot AS BIGINT) AS n_events, round(o.entropy, 6) AS entropy
 FROM ordered o JOIN t ON o.user_id = t.user_id
 """
 
@@ -2286,11 +2302,7 @@ def stream_join_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def transform(stream: DataFrame) -> DataFrame:
-        ev = stream
-        from pyspark.sql import types as T
-
-        if isinstance(schema["ts"].dataType, T.LongType):
-            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ev = _norm_stream_ts(stream, schema)
         clicks = (
             ev.where(F.col("event_type") == "click")
             .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts"))
@@ -2907,7 +2919,7 @@ def wasm_udf_add1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WASM_ADD1 = """
 SELECT l_returnflag,
-  SUM(CAST(l_quantity AS BIGINT) + 1) AS sum_qty_plus1,
+  CAST(SUM(CAST(l_quantity AS BIGINT) + 1) AS BIGINT) AS sum_qty_plus1,
   COUNT(*) AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -2997,7 +3009,7 @@ def wasm_udf_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WASM_CLAMP = """
 SELECT clamped = 50000 AS at_floor, clamped = 200000 AS at_ceil,
-  COUNT(*) AS n, SUM(clamped) AS sum_clamped
+  COUNT(*) AS n, CAST(SUM(clamped) AS BIGINT) AS sum_clamped
 FROM (
   SELECT least(greatest(CAST(FLOOR(o_totalprice) AS BIGINT), 50000), 200000) AS clamped
   FROM orders
