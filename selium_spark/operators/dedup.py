@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text, tokens
+from ..sources.layout import fan_out
 
 
 # -- exact ---------------------------------------------------------------
@@ -91,6 +92,7 @@ def minhash_signature(
     expression lives in its own projection so CollapseProject can't
     inline (and re-evaluate) it per minhash column.
     """
+    df = fan_out(df)  # shingle+md5 per doc: CPU-bound per row
     n_md5 = (k + 3) // 4
     grams = df.select(F.col(id_col), ngram_set(text_col, shingle_n).alias("_grams"))
     hashed = grams.select(
@@ -276,6 +278,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bit
     The md5-per-token array is materialized in its own projection so
     the 16 bit-aggregates reference one computed column instead of
     re-tokenizing/re-hashing 16x (CollapseProject would inline it)."""
+    df = fan_out(df)  # md5 per token x bit-aggregates: CPU-bound per row
     hashed = df.select(
         F.col(id_col),
         F.transform(tokens(text_col), lambda t: F.md5(t)).alias("_hashes"),
@@ -498,3 +501,41 @@ def simhash_hamming_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def content_hash_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The persistent dedup index: one row per distinct content hash
+    with the id that owns it (min id). This is what a production
+    pipeline parks between ingests (bucketed/partitioned by hash so
+    the incremental anti-join below co-locates)."""
+    return (
+        df.select(F.md5(normalize_text(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: survivors of a NEW batch against a
+    persistent content-hash index — the shape every continuously-
+    ingesting corpus needs (never re-scan history; join the delta
+    against the parked index).
+
+    Two steps, both hash-keyed: (1) dedup WITHIN the batch (min-id per
+    hash — one shuffle over the delta only), (2) LEFT ANTI join against
+    the index on the hash. With the index bucketed by content_hash the
+    anti-join is co-located (no index shuffle); a Bloom/KMV sketch of
+    the index prunes the delta before the join at extreme scale
+    (sketches.bloom_prune composes here).
+    """
+    hashed = new_df.withColumn("content_hash", F.md5(normalize_text(text_col)))
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    in_batch = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return in_batch.join(
+        index.select("content_hash"), "content_hash", "left_anti"
+    ).drop("_rn")

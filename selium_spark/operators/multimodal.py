@@ -94,7 +94,9 @@ def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(op, schema=DECODE_SCHEMA)
+    from ..sources.layout import fan_out
+
+    return fan_out(df).mapInPandas(op, schema=DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = "media_id long, width int, height int, out_width int, out_height int"

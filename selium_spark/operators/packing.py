@@ -60,3 +60,78 @@ def pack_summary(
         F.sum(token_col).alias("total_tokens"),
         F.round(F.sum(token_col) / F.lit(float(budget)), 9).alias("fill_ratio"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-token-budget chunks with
+    ``overlap`` carried tokens between consecutive chunks (the standard
+    long-context training cut: stride = chunk_tokens - overlap).
+
+    Chunk start positions are 0, stride, 2*stride, ... while the start
+    still contributes NEW tokens (start < n_tokens - overlap; a doc
+    shorter than one chunk yields exactly one chunk). Entirely map-side
+    array expressions + one posexplode — no shuffle, no UDF; 100 TB
+    chunks as a linear scan.
+
+    Output: one row per chunk with ``chunk_id`` (0-based per doc),
+    ``chunk_text``, ``n_chunk_tokens``.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    from .text import tokens
+
+    toks = df.withColumn("_toks", tokens(text_col)).withColumn(
+        "_n", F.size(F.col("_toks"))
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("_n") - F.lit(overlap) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    exploded = toks.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("_start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )
+
+
+def shard_assign(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic shuffle-and-shard manifest for training input:
+    shard = md5-hash bucket of the id (uniform, content-blind), seq =
+    rank of the id's hash WITHIN the shard — together a reproducible
+    global permutation without any global sort.
+
+    Scale shape: one hash shuffle on the shard key, then a per-shard
+    sort that runs independently in each task (this is the map from
+    'shuffle the corpus' to 'thousands of independent shard sorts'
+    that makes 100 TB shuffling tractable). Same move as
+    messaging.fanout's worker assignment, rendered for batch manifests.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    # first 4 hex chars -> 0..65535 bucket (conv = JVM-side hex parse);
+    # 64k buckets folds uniformly onto any practical shard count while
+    # staying cheap to mirror in a SQL oracle
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+    assigned = df.withColumn("shard_id", (bucket % n_shards).cast("int")).withColumn(
+        "_h", h
+    )
+    w = Window.partitionBy("shard_id").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return assigned.withColumn("seq", F.row_number().over(w) - 1).drop("_h")

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.layout import fan_out
+
 
 def _dbl(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
@@ -56,6 +58,7 @@ def brute_force_topk(
     driver merges — no full shuffle.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
+    emb = fan_out(emb)  # dot product per row: CPU-bound
     return (
         emb.select(
             F.col(id_col),
@@ -92,6 +95,7 @@ def rhp_signature(
             for j in range(dim)
         ]
 
+    emb = fan_out(emb)  # n_planes dot products per row: CPU-bound
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bits = []
     for i in range(n_planes):
@@ -146,7 +150,7 @@ def ivf_assign(
     row_number over (vector) to pick the argmax — at scale this is a
     single map-side pass; ties break on centroid id.
     """
-    scored = emb.join(F.broadcast(centroids)).withColumn(
+    scored = fan_out(emb).join(F.broadcast(centroids)).withColumn(
         "c_score", F.round(cosine(F.col(vec_col), F.col(cvec_col)), 6)
     )
     w = Window.partitionBy(id_col).orderBy(F.col("c_score").desc(), F.col(cid_col).asc())
@@ -360,6 +364,7 @@ def pq_encode(
     m_subs bytes-ish per vector: the compressed index that makes
     billion-scale ANN RAM-resident."""
     d = F.size(F.col(vec_col)) / m_subs
+    emb = fan_out(emb)  # m_subs x K L2 distances per row: CPU-bound
     subs = emb.select(
         F.col(id_col),
         F.explode(F.sequence(F.lit(0), F.lit(m_subs - 1))).alias("m"),

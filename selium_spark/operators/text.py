@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.layout import fan_out
+
 # Minimal per-language stopword lists for the heuristic language ID.
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
@@ -69,6 +71,7 @@ def lang_id(col: str | Column, threshold: float = 0.05) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: length, token stats, punct/digit/upper
     ratios, stopword ratio, mean token length."""
+    df = fan_out(df)  # regex-per-row work: unlock full-core parallelism
     c = F.col(text_col)
     n_chars = F.length(c)
     toks = tokens(text_col)
@@ -234,6 +237,7 @@ def min_shingle_fingerprint(col: str | Column, shingle_len: int = 8) -> Column:
 def fingerprint_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Both fingerprints with the normalization materialized once: the
     regex-normalize runs once per doc, not once per shingle."""
+    df = fan_out(df)  # rolling-hash per shingle: CPU-bound per row
     normed = df.select(F.col(id_col), normalize_text(text_col).alias("_norm"))
     return normed.select(
         F.col(id_col),

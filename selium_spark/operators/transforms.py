@@ -144,6 +144,9 @@ def scan_http_frames(df: DataFrame, raw_col: str) -> DataFrame:
     ingest adapter frames bytes into rows; the in-engine equivalent is
     pure string surgery, kept JVM-side.
     """
+    from ..sources.layout import fan_out
+
+    df = fan_out(df)  # regex + substring surgery per row: CPU-bound
     raw = F.col(raw_col)
     head = F.substring_index(raw, "\r\n\r\n", 1)
     request_line = F.substring_index(head, "\r\n", 1)

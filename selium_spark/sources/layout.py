@@ -22,6 +22,30 @@ from pyspark.sql import functions as F
 _FMT = {"day": "yyyy-MM-dd", "hour": "yyyy-MM-dd-HH", "month": "yyyy-MM"}
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough partitions ahead of CPU-heavy per-row work.
+
+    A small/compacted parquet input (one file, one row group) scans as
+    ONE task, so a downstream operator that burns CPU per row (minhash,
+    simhash, fingerprinting, embedding math) runs on one core no matter
+    how wide the cluster is. A row-count-proportional operator is worth
+    one cheap round-robin shuffle of its input to unlock N-way
+    parallelism.
+
+    Gated: when the scan already has >= target partitions (any real
+    100 TB input does — thousands of row-group splits), this is a
+    no-op and adds NO shuffle. Streaming inputs are returned untouched
+    (micro-batch partitioning is the trigger's business).
+    """
+    if df.isStreaming:
+        return df
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def write_time_partitioned(
     df: DataFrame,
     path: str,

@@ -28,11 +28,19 @@ def ensure_nanos_as_long(spark: SparkSession) -> None:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
     if name == "events":
         ensure_nanos_as_long(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # NOTE: no blanket repartition here. Joins/aggs shuffle on their own
+    # keys anyway, so a round-robin exchange ahead of them is a wasted
+    # extra shuffle (measured: q2 2x slower). CPU-per-row operators that
+    # DO deserve the fan-out call sources.layout.fan_out at their own
+    # entry points, where it's gated to be a no-op at real scale.
     return df
 
 

@@ -1762,16 +1762,20 @@ def pipeline_data_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     no self-join rescan); everything before that shuffle is map-side."""
     docs = _t(spark, sf_dir, "documents")
     scored = text.quality_score(docs, "text")
+    # lang_id + fingerprint are computed BEFORE the dedup shuffle: they
+    # are per-row expression work, so keeping them map-side runs them on
+    # the fanned-out scan partitions instead of the (AQE-coalesced)
+    # post-shuffle side. The window only reorders/filters rows, so the
+    # values are identical either side of it.
     kept = scored.where(F.col("quality_score") >= 0.5).select(
-        "doc_id", "text", F.round(F.col("quality_score"), 9).alias("quality_score")
-    )
-    out = dedup.dedup_exact_keep(kept)
-    return out.select(
         "doc_id",
-        "quality_score",
+        "text",
+        F.round(F.col("quality_score"), 9).alias("quality_score"),
         text.lang_id("text").alias("pred_lang"),
         text.fingerprint_md5("text").alias("fp_md5"),
     )
+    out = dedup.dedup_exact_keep(kept)
+    return out.select("doc_id", "quality_score", "pred_lang", "fp_md5")
 
 
 SQL_DATA_PREP = f"""
@@ -3559,6 +3563,161 @@ FROM s
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: even-id docs are the parked content-hash
+    index (history); odd-id docs are the newly ingested batch. Survivors
+    = batch docs whose content is new both within the batch and against
+    the index. Two hash-keyed steps, delta-sized shuffles only
+    (dedup.dedup_against_index)."""
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    batch = docs.where(F.col("doc_id") % 2 == 1)
+    index = dedup.content_hash_index(history)
+    out = dedup.dedup_against_index(batch, index)
+    return out.select("doc_id", "content_hash")
+
+
+SQL_NORM_HASH = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH idx AS (
+  SELECT {SQL_NORM_HASH} AS content_hash FROM documents
+  WHERE doc_id % 2 = 0 GROUP BY 1
+), batch AS (
+  SELECT doc_id, {SQL_NORM_HASH} AS content_hash FROM documents
+  WHERE doc_id % 2 = 1
+), inb AS (
+  SELECT doc_id, content_hash,
+         row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+  FROM batch
+)
+SELECT doc_id, content_hash FROM inb
+WHERE rn = 1 AND content_hash NOT IN (SELECT content_hash FROM idx)
+"""
+
+
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document chunking: 64-token chunks with 16-token overlap
+    (stride 48), map-side posexplode only (packing.chunk_documents)."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = packing.chunk_documents(docs, 64, overlap=16)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+SQL_PACK_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+), s AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks) - 16, 1), 48)) AS start
+  FROM t
+)
+SELECT doc_id,
+  CAST(start / 48 AS INT) AS chunk_id,
+  CAST(len(list_slice(toks, start + 1, start + 64)) AS INT) AS n_chunk_tokens,
+  md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_md5
+FROM s
+"""
+
+
+def url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL hygiene + per-domain budget: synthesize messy URLs (case
+    noise, www, tracking params, fragments) from doc metadata, then
+    normalize, extract the registered domain, and cap each domain at 40
+    docs by deterministic hash order (operators.urls). Output is the
+    per-domain manifest with a survivor-set checksum."""
+    from .operators import urls
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.col("lang"),
+        F.lit("."),
+        F.col("source"),
+        F.lit("site.ORG/doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?utm_source=x&ref=y")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    capped = urls.domain_cap(with_url, "url", "doc_id", cap=40)
+    return capped.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("idsum"),
+    )
+
+
+SQL_URL_DOMAIN_CAPS = """
+WITH u AS (
+  SELECT doc_id,
+    lower('https://WWW.' || lang || '.' || source || 'site.ORG/doc/' || doc_id
+      || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&ref=y' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+), n AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(url, '[?#].*$', ''),
+      '^([a-z][a-z0-9+.-]*://)www\\.', '\\1'), '/$', '') AS url_norm
+  FROM u
+), d AS (
+  SELECT doc_id,
+    regexp_extract(regexp_extract(url_norm, '^([a-z][a-z0-9+.-]*)://([^/?#]+)(.*)$', 2),
+                   '([^.]+\\.[^.]+)$', 1) AS domain
+  FROM n
+), capped AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+  FROM d
+)
+SELECT domain, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS idsum
+FROM capped WHERE rn <= 40 GROUP BY domain
+"""
+
+
+def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle-and-shard: md5-bucket docs into 8 shards
+    with an in-shard hash-order sequence (packing.shard_assign), then
+    emit the per-shard manifest (doc count, id checksum, seq range
+    proving the 0..n-1 ranking)."""
+    docs = _t(spark, sf_dir, "documents")
+    sharded = packing.shard_assign(docs.select("doc_id"), 8)
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("idsum"),
+        F.min("seq").alias("min_seq"),
+        F.max("seq").alias("max_seq"),
+    )
+
+
+SQL_SHARD_MANIFEST = """
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), b AS (
+  SELECT doc_id, hx,
+    CAST((
+      (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 4096
+      + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) * 256
+      + (strpos('0123456789abcdef', substring(hx, 3, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substring(hx, 4, 1)) - 1)
+    ) % 8 AS INT) AS shard_id
+  FROM h
+), s AS (
+  SELECT doc_id, shard_id,
+         row_number() OVER (PARTITION BY shard_id ORDER BY hx ASC, doc_id ASC) - 1 AS seq
+  FROM b
+)
+SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS idsum,
+       CAST(MIN(seq) AS BIGINT) AS min_seq, CAST(MAX(seq) AS BIGINT) AS max_seq
+FROM s GROUP BY shard_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3637,6 +3796,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bm25": text_bm25,
     "vocab_top_tokens": vocab_top_tokens,
     "pack_training_bins": pack_training_bins,
+    "pack_chunks": pack_chunks,
+    "pack_shard_manifest": pack_shard_manifest,
+    "dedup_incremental": dedup_incremental,
+    "url_domain_caps": url_domain_caps,
     "mix_sample_sources": mix_sample_sources,
     "q_distinct_users_daily": q_distinct_users_daily,
     "pipeline_data_prep": pipeline_data_prep,
@@ -3763,6 +3926,10 @@ WHERE value % 2 = 0"""
     "text_bm25": SQL_BM25,
     "vocab_top_tokens": SQL_VOCAB,
     "pack_training_bins": SQL_PACK_BINS,
+    "pack_chunks": SQL_PACK_CHUNKS,
+    "pack_shard_manifest": SQL_SHARD_MANIFEST,
+    "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "url_domain_caps": SQL_URL_DOMAIN_CAPS,
     "mix_sample_sources": SQL_MIX_SAMPLE,
     "q_distinct_users_daily": SQL_DISTINCT_USERS,
     "pipeline_data_prep": SQL_DATA_PREP,

@@ -186,3 +186,85 @@ def test_semantic_dedup_keeps_min_id_per_cluster(spark):
     cents = similarity.make_centroids(df, n=2)
     out = {r["vec_id"]: r["keep"] for r in dedup.semantic_dedup(df, cents, 0.8).collect()}
     assert out == {0: True, 1: True, 2: False, 3: False, 4: True}
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    # 10 tokens, chunk=4, overlap=2 (stride 2): starts 0,2,4,6 —
+    # start 8 is excluded (adds no tokens beyond overlap carry).
+    df = _docs(spark, [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "s")])
+    rows = sorted(
+        packing.chunk_documents(df, 4, overlap=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [r["chunk_id"] for r in rows] == [0, 1, 2, 3]
+    assert rows[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert rows[1]["chunk_text"] == "t2 t3 t4 t5"
+    assert rows[3]["chunk_text"] == "t6 t7 t8 t9"
+    assert all(r["n_chunk_tokens"] == 4 for r in rows)
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    df = _docs(spark, [(1, "a b", "s")])
+    rows = packing.chunk_documents(df, 64, overlap=16).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_id"] == 0
+    assert rows[0]["chunk_text"] == "a b"
+    assert rows[0]["n_chunk_tokens"] == 2
+
+
+def test_shard_assign_is_partition_and_ranking(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id LONG")
+    rows = packing.shard_assign(df, 4).collect()
+    assert len(rows) == 100
+    assert {r["shard_id"] for r in rows} <= set(range(4))
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard_id"], []).append(r["seq"])
+    for seqs in by_shard.values():  # dense 0..n-1 ranking per shard
+        assert sorted(seqs) == list(range(len(seqs)))
+    # deterministic: same assignment on rerun
+    again = {(r["doc_id"], r["shard_id"], r["seq"])
+             for r in packing.shard_assign(df, 4).collect()}
+    assert again == {(r["doc_id"], r["shard_id"], r["seq"]) for r in rows}
+
+
+def test_dedup_against_index_drops_known_and_in_batch_dupes(spark):
+    from selium_spark.operators import dedup
+
+    history = _docs(spark, [(1, "old news", "s"), (2, "evergreen", "s")])
+    batch = _docs(
+        spark,
+        [
+            (10, "old  NEWS", "s"),   # dup of history (normalization)
+            (11, "fresh take", "s"),  # genuinely new
+            (12, "fresh take", "s"),  # in-batch dup of 11
+            (13, "another", "s"),
+        ],
+    )
+    index = dedup.content_hash_index(history)
+    out = {r["doc_id"] for r in dedup.dedup_against_index(batch, index).collect()}
+    assert out == {11, 13}
+
+
+def test_url_normalize_and_domain_cap(spark):
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import urls
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://WWW.News.Example.COM/a/b/?utm=1#x"),
+            (2, "https://news.example.com/a/b"),
+            (3, "http://other.org/page/"),
+            (4, "https://sub.other.org/page2"),
+        ],
+        "doc_id LONG, url STRING",
+    )
+    normed = df.select(urls.url_normalize("url").alias("u")).collect()
+    assert normed[0]["u"] == "https://news.example.com/a/b"
+    assert normed[1]["u"] == "https://news.example.com/a/b"
+    doms = {r["doc_id"]: r["d"] for r in df.select("doc_id", urls.url_domain(urls.url_normalize("url")).alias("d")).collect()}
+    assert doms == {1: "example.com", 2: "example.com", 3: "other.org", 4: "other.org"}
+    capped = urls.domain_cap(df, "url", "doc_id", cap=1)
+    assert capped.count() == 2  # one survivor per domain
+    assert capped.select(F.countDistinct("domain")).collect()[0][0] == 2
