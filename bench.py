@@ -62,6 +62,10 @@ HEADLINE = [
     "sketch_histogram_quantiles",
     "sketch_cms_heavy_hitters",
     "rollup_hierarchical",
+    "dedup_incremental",
+    "pack_chunks",
+    "url_domain_caps",
+    "pack_shard_manifest",
 ]
 
 

@@ -39,6 +39,13 @@ QUERY_SET = [
     "sketch_hll_distinct",
     "sketch_cms_heavy_hitters",
     "rollup_hierarchical",
+    # round 2: incremental dedup (delta-vs-index joins), chunking
+    # (narrow map-side), shard manifests (single hash shuffle) — each
+    # should scale linearly in rows
+    "dedup_incremental",
+    "pack_chunks",
+    "pack_shard_manifest",
+    "url_domain_caps",
 ]
 
 

@@ -220,6 +220,61 @@ class Engine:
         self.queries[name] = handle
         return handle
 
+    def streaming_dedup_index(
+        self,
+        name: str,
+        df: DataFrame,
+        index_path: str,
+        survivors_path: str,
+        checkpoint: str,
+        ledger_dir: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ) -> QueryHandle:
+        """Continuous-ingest exact dedup: each micro-batch is deduped
+        against the PARKED content-hash index (dedup.dedup_against_index),
+        survivors append to ``survivors_path`` and their hashes append to
+        ``index_path`` — the streaming rendering of the batch
+        incremental-dedup operator, with the epoch ledger supplying
+        exactly-once across crash replays.
+
+        Scale: the per-epoch work is delta-sized (batch window + one
+        anti-join against the index scan); at 100 TB the index is
+        bucketed by content_hash so the anti-join co-locates, and a
+        Bloom sketch of the index can pre-prune the delta. State lives
+        in parquet, not the state store — unbounded corpus, bounded
+        memory.
+        """
+        import os
+
+        from .operators.dedup import dedup_against_index
+
+        spark = self.spark
+
+        def _write(batch_df: DataFrame, epoch_id: int) -> None:
+            if os.path.exists(index_path):
+                index = spark.read.parquet(index_path).select("content_hash")
+            else:
+                index = spark.createDataFrame([], "content_hash string")
+            survivors = dedup_against_index(
+                batch_df, index, text_col=text_col, id_col=id_col
+            )
+            # one delta-sized materialization reused for both appends
+            survivors.persist()
+            try:
+                survivors.drop("content_hash").write.mode("append").parquet(
+                    survivors_path
+                )
+                survivors.select("content_hash", id_col).write.mode("append").parquet(
+                    index_path
+                )
+            finally:
+                survivors.unpersist()
+
+        return self.idempotent_foreach_batch(
+            name, df, _write, checkpoint=checkpoint, ledger_dir=ledger_dir
+        )
+
     def foreach_batch_routes(
         self,
         name: str,

@@ -413,7 +413,7 @@ def semantic_dedup(
     """
     from .similarity import cosine, ivf_assign
 
-    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col).select(
+    assigned = ivf_assign(fan_out(emb), centroids, id_col=id_col, vec_col=vec_col).select(
         F.col(id_col), F.col(vec_col), "cluster_id"
     )
     a, b = assigned.alias("a"), assigned.alias("b")

@@ -94,9 +94,14 @@ def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
                 }
             )
 
-    from ..sources.layout import fan_out
+    if decoder == "real":
+        # real codecs burn CPU per row: spread a compacted input across
+        # cores. The fake decoder is ~free, so fanning it out would pay
+        # a byte-shuffle for nothing (measured 0.3 -> 0.8s at sf0.1).
+        from ..sources.layout import fan_out
 
-    return fan_out(df).mapInPandas(op, schema=DECODE_SCHEMA)
+        df = fan_out(df)
+    return df.mapInPandas(op, schema=DECODE_SCHEMA)
 
 
 RESIZE_SCHEMA = "media_id long, width int, height int, out_width int, out_height int"

@@ -150,7 +150,7 @@ def ivf_assign(
     row_number over (vector) to pick the argmax — at scale this is a
     single map-side pass; ties break on centroid id.
     """
-    scored = fan_out(emb).join(F.broadcast(centroids)).withColumn(
+    scored = emb.join(F.broadcast(centroids)).withColumn(
         "c_score", F.round(cosine(F.col(vec_col), F.col(cvec_col)), 6)
     )
     w = Window.partitionBy(id_col).orderBy(F.col("c_score").desc(), F.col(cid_col).asc())
@@ -180,6 +180,9 @@ def kmeans_centroids(
     shuffled. Empty clusters keep their previous centroid.
     """
     centroids = make_centroids(emb, n=k, id_col=id_col, vec_col=vec_col)
+    # fan ONCE before the loop: ivf_assign runs per iteration and must
+    # not re-probe/re-shuffle its input each time
+    emb = fan_out(emb)
     for _ in range(iterations):
         assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
         dims = assigned.select(
@@ -305,7 +308,7 @@ def ivf_topk(
         .limit(n_probe)
         .collect()
     ]
-    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(fan_out(emb), centroids, id_col=id_col, vec_col=vec_col)
     return (
         assigned.where(F.col("cluster_id").isin(probe_ids))
         .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))

@@ -49,10 +49,15 @@ def summarize(df: DataFrame) -> PlanSummary:
             s.pushed_filters.append(stripped.split("PushedFilters:", 1)[1].strip())
         if "ReadSchema:" in stripped:
             s.read_schemas.append(stripped.split("ReadSchema:", 1)[1].strip())
-    s.n_exchanges = len(re.findall(r"\bExchange\b", text))
-    s.n_broadcast_joins = text.count("BroadcastHashJoin")
-    s.n_sortmerge_joins = text.count("SortMergeJoin")
-    s.n_hash_aggregates = text.count("HashAggregate")
+    # formatted explain prints every node twice (tree line + details
+    # header "(n) Op"); count the details headers so each physical node
+    # counts ONCE (tree lines carry modifiers — "BroadcastHashJoin
+    # Inner BuildRight (5)" — that make name-anchored matching fragile).
+    # "(n) Exchange" never matches BroadcastExchange's own header.
+    s.n_exchanges = len(re.findall(r"(?m)^\(\d+\) Exchange\b", text))
+    s.n_broadcast_joins = len(re.findall(r"(?m)^\(\d+\) BroadcastHashJoin\b", text))
+    s.n_sortmerge_joins = len(re.findall(r"(?m)^\(\d+\) SortMergeJoin\b", text))
+    s.n_hash_aggregates = len(re.findall(r"(?m)^\(\d+\) HashAggregate\b", text))
     s.has_cartesian = "CartesianProduct" in text or "BroadcastNestedLoopJoin" in text
     s.has_take_ordered = "TakeOrderedAndProject" in text
     s.codegen_stages = len(set(re.findall(r"codegen id : (\d+)", text)))

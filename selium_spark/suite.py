@@ -103,6 +103,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy with 8 aggregates (map-side partial agg; one shuffle on a
     6-value key space)."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-12-01"))
+    # project to the 6 agg inputs, then guarded fan-out: the per-row
+    # decimal multiplies run 32-way instead of inside the one scan task
+    # (single-row-group input); no-op when the scan already splits
+    from .sources.layout import fan_out
+
+    li = fan_out(
+        li.select(
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax",
+        )
+    )
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -3723,128 +3734,120 @@ FROM s GROUP BY shard_id
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # relational
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "q6_revenue_forecast": q6_revenue_forecast,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_type_profit": q9_product_type_profit,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q_window_rank_customers": q_window_rank_customers,
+    "q_range_join_quantity": q_range_join_quantity,
+    "q_pivot_status": q_pivot_status,
+    "q_percentiles": q_percentiles,
+    "t1_map_chain": t1_map_chain,
+    "t4_classify_waf": t4_classify_waf,
+    "t10_parse_validate": t10_parse_validate,
+    "t11_http_scan": t11_http_scan,
+    "w1_tumbling_daily": w1_tumbling_daily,
+    "w2_threshold_alerts": w2_threshold_alerts,
+    "w3_latest_enrich": w3_latest_enrich,
+    "w1c_session_windows": w1c_session_windows,
+    "m3_fanout_assign": m3_fanout_assign,
+    "m4_request_reply": m4_request_reply,
+    "s10_lcg_pipeline": s10_lcg_pipeline,
+    "wasm_udf_lcg_bucket": wasm_udf_lcg_bucket,
+    "dedup_exact_docs": dedup_exact_docs,
+    "dedup_minhash_sigs": dedup_minhash_sigs,
+    "dedup_lsh_candidates": dedup_lsh_candidates,
+    "dedup_simhash_docs": dedup_simhash_docs,
+    "dedup_jaccard_verified": dedup_jaccard_verified,
+    "dedup_embedding_neardup": dedup_embedding_neardup,
+    "dedup_groups": dedup_groups,
+    "dedup_semantic": dedup_semantic,
+    "dedup_incremental": dedup_incremental,
+    "ann_bruteforce_topk": ann_bruteforce_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "ann_rhp_pairs": ann_rhp_pairs,
+    "ann_pq_topk": ann_pq_topk,
+    "ann_recall_ivf": ann_recall_ivf,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprints": text_fingerprints,
+    "text_token_stats": text_token_stats,
+    "text_bm25": text_bm25,
+    "text_decontaminate": text_decontaminate,
+    "sketch_kmv_distinct": sketch_kmv_distinct,
+    "sketch_hll_distinct": sketch_hll_distinct,
+    "sketch_bloom_prune": sketch_bloom_prune,
+    "sketch_histogram_quantiles": sketch_histogram_quantiles,
+    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
+    "pipeline_data_prep": pipeline_data_prep,
+    "pack_training_bins": pack_training_bins,
+    "pack_chunks": pack_chunks,
+    "pack_shard_manifest": pack_shard_manifest,
+    "url_domain_caps": url_domain_caps,
+    "mix_sample_sources": mix_sample_sources,
+    "mm_decode_features": mm_decode_features,
+    "udaf_user_entropy": udaf_user_entropy,
+    "stream_window_counts": stream_window_counts,
+    "stream_dedup_exact": stream_dedup_exact,
+    "rollup_hierarchical": rollup_hierarchical,
     "q_rollup_returns": q_rollup_returns,
     "q_topk_orders": q_topk_orders,
-    "q_window_rank_customers": q_window_rank_customers,
     "q_distinct_segments": q_distinct_segments,
     "q_setops_active_customers": q_setops_active_customers,
     "q_setops_inactive_customers": q_setops_inactive_customers,
     "q_semi_join_customers": q_semi_join_customers,
     "q_anti_join_customers": q_anti_join_customers,
-    "q_range_join_quantity": q_range_join_quantity,
     "q4_order_priority": q4_order_priority,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
-    "q18_large_volume_customers": q18_large_volume_customers,
     "q19_disjunctive_predicates": q19_disjunctive_predicates,
     "q21_multi_line_no_returns": q21_multi_line_no_returns,
     "q16_parts_supplier_counts": q16_parts_supplier_counts,
-    "q13_customer_distribution": q13_customer_distribution,
     "q15_top_supplier": q15_top_supplier,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
-    "q2_min_cost_supplier": q2_min_cost_supplier,
-    "q9_product_type_profit": q9_product_type_profit,
     "q11_important_stock": q11_important_stock,
     "q12_ship_quarter_priority": q12_ship_quarter_priority,
     "q20_excess_inventory": q20_excess_inventory,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "q_pivot_status": q_pivot_status,
     "q_unpivot_metrics": q_unpivot_metrics,
     "q_window_functions": q_window_functions,
     "q_cube_sales": q_cube_sales,
-    "q_percentiles": q_percentiles,
     "t_string_functions": t_string_functions,
     "t_datetime_functions": t_datetime_functions,
     "t_array_functions": t_array_functions,
     "t_hash_sample": t_hash_sample,
     "t_stratified_sample": t_stratified_sample,
-    "udaf_user_entropy": udaf_user_entropy,
     "w1b_sliding_windows": w1b_sliding_windows,
-    "w1c_session_windows": w1c_session_windows,
-    # selium parity
-    "t1_map_chain": t1_map_chain,
     "t2_filter_even": t2_filter_even,
-    "t4_classify_waf": t4_classify_waf,
     "t5_decode_typed": t5_decode_typed,
     "t6_encode_wire": t6_encode_wire,
-    "t10_parse_validate": t10_parse_validate,
-    "t11_http_scan": t11_http_scan,
-    "w1_tumbling_daily": w1_tumbling_daily,
-    "w2_threshold_alerts": w2_threshold_alerts,
-    "w3_latest_enrich": w3_latest_enrich,
     "w4_route_blocked": w4_route_blocked,
     "w5_take_n": w5_take_n,
     "w6_union_pattern": w6_union_pattern,
-    "m3_fanout_assign": m3_fanout_assign,
-    "m4_request_reply": m4_request_reply,
-    "s10_lcg_pipeline": s10_lcg_pipeline,
-    # text
-    "text_token_stats": text_token_stats,
-    "text_langid": text_langid,
-    "text_quality": text_quality,
-    "text_fingerprints": text_fingerprints,
     "text_repetition": text_repetition,
     "text_pii_redact": text_pii_redact,
-    "text_decontaminate": text_decontaminate,
-    "text_bm25": text_bm25,
     "vocab_top_tokens": vocab_top_tokens,
-    "pack_training_bins": pack_training_bins,
-    "pack_chunks": pack_chunks,
-    "pack_shard_manifest": pack_shard_manifest,
-    "dedup_incremental": dedup_incremental,
-    "url_domain_caps": url_domain_caps,
-    "mix_sample_sources": mix_sample_sources,
     "q_distinct_users_daily": q_distinct_users_daily,
-    "pipeline_data_prep": pipeline_data_prep,
-    # dedup
-    "dedup_exact_docs": dedup_exact_docs,
-    "dedup_minhash_sigs": dedup_minhash_sigs,
-    "dedup_lsh_candidates": dedup_lsh_candidates,
-    "dedup_jaccard_verified": dedup_jaccard_verified,
-    "dedup_simhash_docs": dedup_simhash_docs,
     "dedup_simhash_hamming": dedup_simhash_hamming,
     "text_logppl_filter": text_logppl_filter,
-    "dedup_embedding_neardup": dedup_embedding_neardup,
-    "dedup_groups": dedup_groups,
-    "dedup_semantic": dedup_semantic,
     "text_span_dedup": text_span_dedup,
     "text_quality_calibrated": text_quality_calibrated,
-    # similarity
-    "ann_bruteforce_topk": ann_bruteforce_topk,
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_rhp_pairs": ann_rhp_pairs,
-    "ann_recall_ivf": ann_recall_ivf,
-    "ann_pq_topk": ann_pq_topk,
-    # multimodal
-    "mm_decode_features": mm_decode_features,
     "mm_resize_plan": mm_resize_plan,
     "mm_frame_sample": mm_frame_sample,
-    # streaming twins
-    "stream_window_counts": stream_window_counts,
     "stream_threshold_alerts": stream_threshold_alerts,
-    "stream_dedup_exact": stream_dedup_exact,
     "stream_latest_enrich": stream_latest_enrich,
     "stream_join_clicks_purchases": stream_join_clicks_purchases,
     "stream_session_windows": stream_session_windows,
-    # wasm guest programs (§2.6)
     "wasm_udf_add1": wasm_udf_add1,
-    "wasm_udf_lcg_bucket": wasm_udf_lcg_bucket,
     "wasm_udf_disc_price": wasm_udf_disc_price,
     "wasm_udf_clamp": wasm_udf_clamp,
-    "sketch_kmv_distinct": sketch_kmv_distinct,
-    "sketch_hll_distinct": sketch_hll_distinct,
-    "sketch_bloom_prune": sketch_bloom_prune,
     "sketch_kmv_setops": sketch_kmv_setops,
-    "sketch_histogram_quantiles": sketch_histogram_quantiles,
-    "sketch_cms_heavy_hitters": sketch_cms_heavy_hitters,
-    "rollup_hierarchical": rollup_hierarchical,
     "stream_hll_registers": stream_hll_registers,
 }
 

@@ -106,3 +106,40 @@ def test_bloom_prune_broadcasts_both_probes(spark):
 def test_histogram_bins_partial_agg(spark):
     p = plan_of(spark, "sketch_histogram_quantiles")
     assert p.n_hash_aggregates >= 2  # constant-key-space partial agg
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    # map-side posexplode only: chunking must stay narrow at any scale
+    from selium_spark.operators import packing
+
+    df = spark.createDataFrame([(1, "a b c d e f g h")], "doc_id LONG, text STRING")
+    p = summarize(packing.chunk_documents(df, 4, overlap=2))
+    assert p.n_exchanges == 0
+
+
+def test_shard_assign_single_shuffle_on_shard_key(spark):
+    from selium_spark.operators import packing
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "doc_id LONG")
+    p = summarize(packing.shard_assign(df, 8))
+    assert p.n_exchanges == 1  # one hash exchange on shard_id, then local sort
+    assert "Window" in p.text
+
+
+def test_domain_cap_single_shuffle(spark):
+    from selium_spark.operators import urls
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x"), (2, "https://b.other.org/y")],
+        "doc_id LONG, url STRING",
+    )
+    p = summarize(urls.domain_cap(df, "url", "doc_id", cap=5))
+    assert p.n_exchanges == 1  # one hash exchange on the domain key
+
+
+def test_dedup_incremental_is_anti_join_no_rescan(spark):
+    # the delta joins the index once (left anti); no cartesian, and the
+    # in-batch dedup is a single window shuffle over the delta only
+    p = plan_of(spark, "dedup_incremental")
+    assert not p.has_cartesian
+    assert "LeftAnti" in p.text or "left_anti" in p.text.lower()

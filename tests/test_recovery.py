@@ -97,3 +97,54 @@ def test_idempotent_foreach_batch_skips_replayed_epoch(spark, tmp_path):
     h2.query.processAllAvailable()
     h2.stop()
     assert out == [(0, 5)]  # no second write
+
+
+def test_streaming_dedup_index_across_batches(spark, tmp_path):
+    """Continuous-ingest dedup: batch 2's copy of a batch-1 doc is
+    dropped by the parked index; in-batch dupes collapse too; the
+    index accumulates one row per distinct content."""
+    from selium_spark import Engine
+
+    src = str(tmp_path / "docs_src")
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id LONG, text STRING"
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    eng = Engine(spark)
+    schema = spark.read.parquet(src).schema
+    kw = dict(
+        index_path=str(tmp_path / "index"),
+        survivors_path=str(tmp_path / "survivors"),
+        ledger_dir=str(tmp_path / "ledger"),
+    )
+    h = eng.streaming_dedup_index(
+        "dedup_ingest",
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        checkpoint=str(tmp_path / "ckpt"),
+        **kw,
+    )
+    h.query.processAllAvailable()
+    h.stop()
+
+    # second ingest: a dup of doc 1 (normalization-equal), an in-batch
+    # dup pair, and one genuinely new doc
+    b2 = spark.createDataFrame(
+        [(10, "ALPHA   beta"), (11, "epsilon"), (12, "epsilon")],
+        "doc_id LONG, text STRING",
+    )
+    b2.coalesce(1).write.mode("append").parquet(src)
+    h2 = eng.streaming_dedup_index(
+        "dedup_ingest2",
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        checkpoint=str(tmp_path / "ckpt"),  # same checkpoint: resumes
+        **kw,
+    )
+    h2.query.processAllAvailable()
+    h2.stop()
+
+    surv = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "survivors")).collect()}
+    assert surv == {1, 2, 11}
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    assert idx.count() == 3  # one row per distinct content
+    assert idx.select("content_hash").distinct().count() == 3
