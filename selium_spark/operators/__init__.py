@@ -7,16 +7,22 @@ Modules:
 - messaging: M1-M7 pub/sub, fanout, tap, request/reply
 - stateful: W3 streaming latest-value enrich, bounded-state dedup
 - dedup / similarity / text / multimodal: training-data pipeline ops
+- packing / urls / sketches / udaf: packing+chunking+sharding, URL
+  hygiene, mergeable sketches, custom aggregates
 """
 
 from . import (  # noqa: F401
     dedup,
     messaging,
     multimodal,
+    packing,
     relational,
     similarity,
+    sketches,
     stateful,
     text,
     transforms,
+    udaf,
+    urls,
     windows,
 )

@@ -233,31 +233,43 @@ def histogram_quantiles(
         bins.select("b", "c", F.sum("c").over(w).alias("cum"))
         .withColumn("before", F.col("cum") - F.col("c"))
         .crossJoin(df.agg(F.count(F.lit(1)).alias("n_total")))
-        .persist()
     )
-    out = None
-    for q in qs:
-        picked = (
-            cum.withColumn("k", F.ceil(F.lit(q) * F.col("n_total")))
-            .where(F.col("cum") >= F.col("k"))
-            .orderBy("b")
-            .limit(1)
+    # ALL quantiles in one plan (no per-q jobs, no persist): explode the
+    # q list against the 256-row cumulative table, keep each q's first
+    # bin with cum >= ceil(q*N) via min_by, and ride the exact
+    # percentiles along as ONE array-typed aggregate.
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    qrows = df.groupBy().agg(F.lit(1).alias("_one")).select(
+        F.posexplode(qarr).alias("qi", "q")
+    )
+    hit = (
+        qrows.crossJoin(cum)
+        .withColumn("k", F.ceil(F.col("q") * F.col("n_total")))
+        .where(F.col("cum") >= F.col("k"))
+        .groupBy("qi", "q")
+        .agg(
+            F.min_by(
+                F.struct("b", "c", "before", "k"), F.col("b")
+            ).alias("s")
         )
-        est = (
-            F.lit(lo)
-            + F.col("b").cast("double") * F.lit(float(width))
-            + (
-                (F.col("k") - F.col("before")).cast("double")
-                / F.col("c").cast("double")
-            )
-            * F.lit(float(width))
+    )
+    est = (
+        F.lit(lo)
+        + F.col("s.b").cast("double") * F.lit(float(width))
+        + (
+            (F.col("s.k") - F.col("s.before")).cast("double")
+            / F.col("s.c").cast("double")
         )
-        exact = df.agg(F.percentile(c, F.lit(q)).alias("exact_quantile"))
-        row = picked.select(
-            F.lit(q).alias("q"), est.alias("est_quantile")
-        ).crossJoin(exact)
-        out = row if out is None else out.unionAll(row)
-    return out
+        * F.lit(float(width))
+    )
+    exact_rows = df.agg(F.percentile(c, qarr).alias("_ex")).select(
+        F.posexplode("_ex").alias("qi", "exact_quantile")
+    )
+    return (
+        hit.join(exact_rows, "qi")
+        .select("q", est.alias("est_quantile"), "exact_quantile")
+        .orderBy("q")
+    )
 
 
 # -- Bloom-filter join pruning -------------------------------------------

@@ -197,3 +197,37 @@ def mixture_sample(
     for g, rate in sorted(rates.items()):
         threshold = F.when(F.col(group_col) == g, F.lit(int(round(rate * 256)))).otherwise(threshold)
     return df.where(bucket < threshold)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    round_to: int = 9,
+) -> DataFrame:
+    """Weighted sample WITHOUT replacement of k rows (Efraimidis-
+    Spirakis A-ES): priority = u^(1/w) with u a deterministic
+    md5-derived uniform in (0,1); the k highest priorities win. A row
+    with twice the weight is twice as likely to make the sample, and
+    the whole draw is reproducible (no RNG state) — the standard way to
+    bias a training mixture toward high-quality documents.
+
+    Scale shape: priorities are map-side expressions; selection is
+    orderBy().limit(k) = TakeOrderedAndProject (per-partition top-k
+    heaps merged at the driver), so NO global sort and no shuffle of
+    the corpus. Priorities are rounded before comparison so the
+    JVM/libm pow ulp can't flip an order the oracle disagrees with;
+    exact ties break on id.
+    """
+    from .sketches import hash52
+
+    c_id = F.col(id_col)
+    u = (hash52(c_id) + F.lit(0.5)) / F.lit(float(1 << 52))
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
+    priority = F.round(F.pow(u, F.lit(1.0) / w), round_to)
+    return (
+        df.withColumn("sample_priority", priority)
+        .orderBy(F.col("sample_priority").desc(), c_id.asc())
+        .limit(k)
+    )

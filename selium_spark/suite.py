@@ -3729,6 +3729,32 @@ FROM s GROUP BY shard_id
 """
 
 
+def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (Efraimidis-Spirakis A-ES,
+    transforms.weighted_sample): 100 docs drawn with probability
+    proportional to length — deterministic md5 uniforms, so the draw is
+    reproducible across engines. Selection is TakeOrderedAndProject:
+    no global sort at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    out = transforms.weighted_sample(docs, "doc_id", "n_chars", k=100)
+    return out.select("doc_id", "sample_priority")
+
+
+SQL_MIX_WEIGHTED = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 0.5)
+      / 4503599627370496.0 AS u
+  FROM documents
+)
+SELECT doc_id,
+  round(pow(u, 1.0 / greatest(CAST(n_chars AS DOUBLE), 1e-12)), 9) AS sample_priority
+FROM h
+ORDER BY sample_priority DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3789,6 +3815,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_shard_manifest": pack_shard_manifest,
     "url_domain_caps": url_domain_caps,
     "mix_sample_sources": mix_sample_sources,
+    "mix_weighted_sample": mix_weighted_sample,
     "mm_decode_features": mm_decode_features,
     "udaf_user_entropy": udaf_user_entropy,
     "stream_window_counts": stream_window_counts,
@@ -3934,6 +3961,7 @@ WHERE value % 2 = 0"""
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "url_domain_caps": SQL_URL_DOMAIN_CAPS,
     "mix_sample_sources": SQL_MIX_SAMPLE,
+    "mix_weighted_sample": SQL_MIX_WEIGHTED,
     "q_distinct_users_daily": SQL_DISTINCT_USERS,
     "pipeline_data_prep": SQL_DATA_PREP,
     "dedup_exact_docs": SQL_DEDUP_EXACT,

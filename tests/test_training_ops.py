@@ -268,3 +268,19 @@ def test_url_normalize_and_domain_cap(spark):
     capped = urls.domain_cap(df, "url", "doc_id", cap=1)
     assert capped.count() == 2  # one survivor per domain
     assert capped.select(F.countDistinct("domain")).collect()[0][0] == 2
+
+
+def test_weighted_sample_prefers_heavy_rows_and_is_deterministic(spark):
+    from selium_spark.operators import transforms
+
+    # one row carries ~all the weight: it must be in any small sample
+    rows = [(i, 1.0) for i in range(200)] + [(999, 1e9)]
+    df = spark.createDataFrame(rows, "doc_id LONG, w DOUBLE")
+    top = {r["doc_id"] for r in transforms.weighted_sample(df, "doc_id", "w", 5).collect()}
+    assert 999 in top
+    assert len(top) == 5
+    # deterministic draw
+    again = {r["doc_id"] for r in transforms.weighted_sample(df, "doc_id", "w", 5).collect()}
+    assert top == again
+    # k >= n returns everything
+    assert transforms.weighted_sample(df, "doc_id", "w", 500).count() == 201
