@@ -169,12 +169,10 @@ def bucketed_table(
     between re-shuffling the fact table per join and a zero-exchange
     sort-merge join. (Requires a session catalog; local spark-warehouse
     works.)"""
-    spark = df.sparkSession
-    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
-    if sort:
-        writer = writer.sortBy(key)
-    writer.saveAsTable(name)
-    return spark.table(name)
+    from ..sources.layout import write_bucketed
+
+    write_bucketed(df, name, [key], n_buckets, sort_by=[key] if sort else None)
+    return df.sparkSession.table(name)
 
 
 def top_k_per_group(

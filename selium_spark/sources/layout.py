@@ -73,3 +73,33 @@ def read_time_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Read the layout back. Filters on ``p_date`` prune partitions at
     planning time (check ``.explain``'s PartitionFilters)."""
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (hash-clustered) table: rows are pre-shuffled
+    into ``n_buckets`` files by ``keys`` at WRITE time, so every later
+    join/agg on those keys skips its Exchange — the shuffle is paid
+    once, not per query. This is the 100 TB trick for any table that is
+    joined repeatedly on the same key (a dedup content-hash index, a
+    dimension keyed by id): the scan itself reports the hash
+    partitioning and Catalyst drops the shuffle on that side.
+
+    Bucketing requires the session catalog (saveAsTable) — parquet
+    directories can't carry the bucket metadata.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table back (bucket metadata rides the catalog)."""
+    return spark.table(table)

@@ -110,3 +110,51 @@ def test_time_partitioned_layout_prunes(spark, tmp_path):
     # pruned scan touches exactly the one partition's rows
     expected = ev.where(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == "2024-01-03").count()
     assert one_day.count() == expected > 0
+
+
+def test_bucketed_index_join_skips_index_shuffle(spark, tmp_path):
+    """A content-hash index written bucketed joins the delta with NO
+    Exchange on the index side: the write-time shuffle is reused by
+    every later incremental-dedup anti-join."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators.dedup import dedup_against_index
+    from selium_spark.plans import summarize
+    from selium_spark.sources.layout import write_bucketed
+
+    history = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(64)], "doc_id LONG, text STRING"
+    )
+    from selium_spark.operators.dedup import content_hash_index
+
+    write_bucketed(
+        content_hash_index(history), "dedup_index_b", ["content_hash"], 8,
+        sort_by=["content_hash"],
+    )
+    try:
+        index = spark.table("dedup_index_b")
+        delta = spark.createDataFrame(
+            [(100, "doc number 3"), (101, "brand new")], "doc_id LONG, text STRING"
+        )
+        out = dedup_against_index(delta, index)
+        assert {r["doc_id"] for r in out.collect()} == {101}
+
+        # plan shape: disabling broadcast forces the sort-merge path,
+        # where the bucketed side must NOT re-shuffle
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            p = summarize(dedup_against_index(delta, index))
+            # the scan honors the write-time clustering: the index is
+            # read pre-hashed (no exchange above its scan) — both
+            # remaining exchanges are delta-side (window + join align),
+            # i.e. query-time shuffle is DELTA-sized, never index-sized
+            assert "Bucketed: true" in p.text
+            # 1 when the delta window's hash partitioning is reused by
+            # the join (shuffle partitions == bucket count), 2 otherwise
+            assert 1 <= p.n_exchanges <= 2
+            assert "SortMergeJoin" in p.text and "LeftAnti" in p.text
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dedup_index_b")
