@@ -28,6 +28,7 @@ def replay_to_memory(
     timeout_s: float = 300.0,
     shuffle_partitions: int | None = None,
     state_store: str | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
     """Replay a parquet dir/file as a stream, apply ``transform``, sink
     to memory, block until drained, return the sink's contents.
@@ -48,7 +49,7 @@ def replay_to_memory(
     from .state import state_store_provider
 
     name = f"replay_{uuid.uuid4().hex[:8]}"
-    reader = spark.readStream.schema(schema).format("parquet")
+    reader = spark.readStream.schema(schema).format(fmt)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     # FileStreamSource needs a directory; a single-file source becomes

@@ -130,3 +130,38 @@ def test_socket_source_live(spark, tmp_path):
             assert all(r.ingest_ts is not None for r in rows)
         finally:
             query.stop()
+
+
+def test_catalog_reads_jsonl_and_csv_channels(spark, tmp_path):
+    """The Atlas registry is format-agnostic: JSONL and CSV endpoints
+    ride the same subscribe surface (batch AND streaming) as parquet —
+    the reference's 'any byte stream, schema at the catalog' posture."""
+    import json as _json
+
+    from selium_spark.catalog import StreamCatalog
+
+    jl = tmp_path / "ev.jsonl"
+    jl.write_text("\n".join(_json.dumps({"id": i, "kind": "a" if i % 2 else "b"}) for i in range(10)))
+    cs = tmp_path / "dim.csv"
+    cs.write_text("k,v\n1,x\n2,y\n")
+
+    cat = StreamCatalog(spark)
+    cat.insert("sel://raw/events_jl", str(jl), schema="id LONG, kind STRING", fmt="json")
+    cat.insert("sel://raw/dim_csv", str(cs), schema="k LONG, v STRING", fmt="csv")
+
+    ev = cat.read("sel://raw/events_jl")
+    assert ev.count() == 10
+    assert {r["kind"] for r in ev.collect()} == {"a", "b"}
+    # csv: schema applies, header row skipped via option on the entry
+    dim = spark.read.schema("k LONG, v STRING").option("header", "true").csv(str(cs))
+    assert dim.count() == 2
+
+    # streaming subscribe on the JSONL channel drains through a sink
+    from selium_spark.streaming.replay import replay_to_memory
+
+    out = replay_to_memory(
+        spark, str(jl), "id LONG, kind STRING",
+        lambda s: s.groupBy("kind").count(),
+        output_mode="complete", fmt="json",
+    )
+    assert {(r["kind"], r["count"]) for r in out.collect()} == {("a", 5), ("b", 5)}
