@@ -275,6 +275,58 @@ class Engine:
             name, df, _write, checkpoint=checkpoint, ledger_dir=ledger_dir
         )
 
+    def streaming_rollup(
+        self,
+        name: str,
+        df: DataFrame,
+        partials_path: str,
+        checkpoint: str,
+        ledger_dir: str,
+        ts_col: str = "ts",
+        value_col: str = "value",
+        keys: tuple[str, ...] = ("event_type",),
+    ) -> QueryHandle:
+        """Continuous aggregate (hypertable rollup, streaming side):
+        each micro-batch appends its MINUTE partials (count + exact
+        decimal sum) to an append-only partial store; coarser grains
+        merge partials ON READ via ``rollup_read``. Append-only partials
+        make the sink trivially idempotent-friendly (epoch ledger) and
+        skip the update-in-place problem entirely — the merge is
+        associative re-aggregation, the same algebra
+        ``suite.rollup_hierarchical`` verifies against DuckDB.
+
+        Scale: per-epoch state is |distinct minute buckets in the
+        batch| rows; the store grows by partials, not raw rows, and a
+        periodic ``layout.compact`` folds duplicate buckets.
+        """
+        from pyspark.sql import functions as F
+
+        def _write(batch_df: DataFrame, epoch_id: int) -> None:
+            partial = batch_df.groupBy(
+                F.date_trunc("minute", ts_col).alias("bucket"), *keys
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(value_col).cast("decimal(18,2)")).alias("_sv"),
+            )
+            partial.write.mode("append").parquet(partials_path)
+
+        return self.idempotent_foreach_batch(
+            name, df, _write, checkpoint=checkpoint, ledger_dir=ledger_dir
+        )
+
+    @staticmethod
+    def rollup_read(spark: SparkSession, partials_path: str, grain: str, keys: tuple[str, ...] = ("event_type",)) -> DataFrame:
+        """Merge-on-read of the partial store at any grain >= minute:
+        re-aggregate counts and decimal sums (exact, order-free)."""
+        from pyspark.sql import functions as F
+
+        p = spark.read.parquet(partials_path)
+        return (
+            p.groupBy(F.date_trunc(grain, "bucket").alias("bucket"), *keys)
+            .agg(F.sum("n").cast("long").alias("n"), F.sum("_sv").alias("_sv"))
+            .select("bucket", *keys, "n", F.col("_sv").cast("double").alias("sum_value"))
+        )
+
     def foreach_batch_routes(
         self,
         name: str,

@@ -103,3 +103,40 @@ def write_bucketed(
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back (bucket metadata rides the catalog)."""
     return spark.table(table)
+
+
+def compact(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    sort_keys: list[str],
+    target_file_mb: int = 128,
+) -> int:
+    """Compact a directory of small parquet files into range-sorted
+    ~target-size files. Small-file sprawl is the classic streaming-sink
+    disease (one file per micro-batch per partition): it bloats the
+    NameNode/listing, defeats row-group pruning, and caps scan
+    parallelism at file granularity. Compaction = one repartitionByRange
+    on the sort keys + sortWithinPartitions, so every output file covers
+    a tight key range and min/max stats prune whole FILES for key
+    predicates.
+
+    Returns the number of output files. File count = ceil(input_bytes /
+    target); range partitioning keeps them near-equal by ROWS (byte
+    equality is close enough when rows are similar width).
+    """
+    import math
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet"))
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    (
+        df.repartitionByRange(n_files, *[F.col(k) for k in sort_keys])
+        .sortWithinPartitions(*sort_keys)
+        .write.mode("overwrite")
+        .parquet(dst_path)
+    )
+    return n_files

@@ -148,3 +148,57 @@ def test_streaming_dedup_index_across_batches(spark, tmp_path):
     idx = spark.read.parquet(str(tmp_path / "index"))
     assert idx.count() == 3  # one row per distinct content
     assert idx.select("content_hash").distinct().count() == 3
+
+
+def test_streaming_rollup_partials_match_batch_truth(spark, tmp_path):
+    """Continuous aggregate: minute partials appended per micro-batch
+    merge-on-read to the exact batch answer at hour grain; the epoch
+    ledger keeps replays from double-counting."""
+    from pyspark.sql import functions as F
+
+    from selium_spark import Engine
+    from selium_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev_src")
+    # two files -> two micro-batches with maxFilesPerTrigger=1
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    eng = Engine(spark)
+    schema = spark.read.parquet(src).schema
+    partials = str(tmp_path / "partials")
+    h = eng.streaming_rollup(
+        "roll",
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        partials_path=partials,
+        checkpoint=str(tmp_path / "ckpt"),
+        ledger_dir=str(tmp_path / "ledger"),
+    )
+    h.query.processAllAvailable()
+    h.stop()
+
+    hourly = Engine.rollup_read(spark, partials, "hour")
+    truth = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    got = {(r["bucket"], r["event_type"]): (r["n"], r["sum_value"]) for r in hourly.collect()}
+    want = {(r["bucket"], r["event_type"]): (r["n"], r["sum_value"]) for r in truth.collect()}
+    assert got == want
+    # a replayed epoch (same ledger, fresh checkpoint) adds nothing
+    h2 = eng.streaming_rollup(
+        "roll2",
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src),
+        partials_path=partials,
+        checkpoint=str(tmp_path / "ckpt2"),
+        ledger_dir=str(tmp_path / "ledger"),
+    )
+    h2.query.processAllAvailable()
+    h2.stop()
+    again = {(r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+             for r in Engine.rollup_read(spark, partials, "hour").collect()}
+    assert again == want

@@ -158,3 +158,35 @@ def test_bucketed_index_join_skips_index_shuffle(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP TABLE IF EXISTS dedup_index_b")
+
+
+def test_compact_merges_small_files_range_sorted(spark, tmp_path):
+    """Compaction: 20 tiny files -> 1 range-sorted file; key min/max
+    per file become tight so scans prune at FILE granularity."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from selium_spark.sources.layout import compact
+
+    src = str(tmp_path / "small")
+    for i in range(20):  # one tiny file per "micro-batch"
+        spark.range(i * 10, i * 10 + 10).withColumn(
+            "k", F.col("id")
+        ).coalesce(1).write.mode("append").parquet(src)
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_in == 20
+
+    dst = str(tmp_path / "compacted")
+    n_out = compact(spark, src, dst, ["k"], target_file_mb=128)
+    assert n_out == 1
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) == 1
+    back = spark.read.parquet(dst)
+    assert back.count() == 200
+    # sorted within the file: first/last row of the file follow key order
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(dst, files[0]), columns=["k"])
+    ks = t.column("k").to_pylist()
+    assert ks == sorted(ks)
