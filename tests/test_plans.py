@@ -143,3 +143,41 @@ def test_dedup_incremental_is_anti_join_no_rescan(spark):
     p = plan_of(spark, "dedup_incremental")
     assert not p.has_cartesian
     assert "LeftAnti" in p.text or "left_anti" in p.text.lower()
+
+
+# Queries where a BroadcastNestedLoopJoin/cartesian is INTENTIONAL:
+# either a 1-row scalar aggregate cross-joined into the plan (thresholds,
+# corpus totals, n_total) or a documented brute-force baseline whose
+# scale path is the LSH/IVF variant.
+_INTENTIONAL_CARTESIAN = {
+    "dedup_embedding_neardup",   # brute-force pairs; scale path = ann_rhp_pairs
+    "dedup_semantic",            # within-cluster pairs after IVF partitioning
+    "ann_bruteforce_topk",       # the exact baseline by definition
+    "ann_ivf_topk",              # centroid table cross (K rows)
+    "ann_recall_ivf",            # compares against the brute-force baseline
+    "text_bm25",                 # corpus-stats scalar (avgdl, N) cross-join
+    "text_logppl_filter",        # vocab-total scalar cross-join
+    "sketch_kmv_distinct",       # 1-row sketch result cross exact count
+    "sketch_hll_distinct",       # same
+    "sketch_bloom_prune",        # 1-row bloom bitmap broadcast
+    "sketch_histogram_quantiles",# n_total scalar cross the 256-bin table
+    "sketch_kmv_setops",         # 1-row sketch algebra
+    "q22_global_sales_opportunity",  # scalar AVG subquery (TPC-H shape)
+    "q11_important_stock",           # scalar total-value subquery
+    "q20_excess_inventory",          # scalar threshold subquery
+}
+
+
+def test_no_accidental_cartesian_in_any_suite_query(spark):
+    """Sweep guard: no suite query may plan a cartesian/nested-loop
+    join unless it is on the audited intentional list (scalar
+    cross-joins and brute-force baselines). A new operator that
+    accidentally drops its join keys fails here, not at 100 TB."""
+    bad = []
+    for name, fn in QUERIES.items():
+        if name.startswith("stream_"):
+            continue  # streaming plans need a running query
+        p = summarize(fn(spark, SF))
+        if p.has_cartesian and name not in _INTENTIONAL_CARTESIAN:
+            bad.append(name)
+    assert not bad, f"unexpected cartesian plans: {bad}"
