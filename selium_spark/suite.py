@@ -3436,6 +3436,44 @@ LIMIT 20
 """
 
 
+def stream_cms_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch: the CMS table stage (union of d
+    salted projections + groupBy count) runs unchanged under
+    Structured Streaming in complete mode — d*w longs of state for a
+    running heavy-hitter table over an unbounded stream. Replayed
+    events land on the identical counters as the batch plan (DuckDB
+    oracle-matched)."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return sketches.cms_table(stream, "user_id", w=256).select(
+            F.col("row").alias("cms_row"), "pos", "cnt"
+        )
+
+    return replay_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        transform,
+        output_mode="complete",
+        shuffle_partitions=8,
+    )
+
+
+SQL_STREAM_CMS = f"""
+SELECT row_ AS cms_row, pos, COUNT(*) AS cnt FROM (
+    SELECT 0 AS row_, {_cms_pos_sql(0)} AS pos FROM events
+    UNION ALL SELECT 1, {_cms_pos_sql(1)} FROM events
+    UNION ALL SELECT 2, {_cms_pos_sql(2)} FROM events
+    UNION ALL SELECT 3, {_cms_pos_sql(3)} FROM events
+) GROUP BY 1, 2
+"""
+
+
 def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL: the register-update stage is a plain groupBy/max,
     so the SAME operator code runs under Structured Streaming with 64
@@ -3876,6 +3914,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wasm_udf_clamp": wasm_udf_clamp,
     "sketch_kmv_setops": sketch_kmv_setops,
     "stream_hll_registers": stream_hll_registers,
+    "stream_cms_table": stream_cms_table,
 }
 
 ORACLES: dict[str, str] = {
@@ -4003,4 +4042,5 @@ WHERE value % 2 = 0"""
     "sketch_cms_heavy_hitters": SQL_SKETCH_CMS,
     "rollup_hierarchical": SQL_ROLLUP_HIER,
     "stream_hll_registers": SQL_STREAM_HLL,
+    "stream_cms_table": SQL_STREAM_CMS,
 }
