@@ -154,3 +154,66 @@ def stamp_processing_time(df: DataFrame, col: str = "proc_ts") -> DataFrame:
     (system/kernel/src/drivers/time.rs:41-75).
     """
     return df.withColumn(col, F.current_timestamp())
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+    within: str | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: how far does each user get through
+    ``steps``, requiring each step's FIRST occurrence after the
+    previous step's (optionally within an overall time budget).
+
+    One conditional aggregation per user — no self-joins, no window
+    scans: for each step i we take min(ts where type=step_i and ts >
+    step_{i-1}'s chosen ts) via a min_by cascade rendered as chained
+    conditional aggregates. At 100 TB this is a single hash shuffle on
+    the user key with map-side partials.
+
+    Returns (user, step_reached, ts_first, ts_last) where step_reached
+    is the count of completed steps (0..len(steps)).
+    """
+    # first occurrence of step 0, then first occurrence of step i AFTER
+    # the committed step i-1 time. Chained min-aggregates stay one
+    # groupBy: collect each step's sorted ts list, then fold.
+    lists = df.groupBy(F.col(user_col).alias("user")).agg(
+        *[
+            F.array_sort(
+                F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+            ).alias(f"_ts{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # fold: t0 = first ts of step0; t_i = first element of _tsi > t_{i-1}
+    t_prev = F.get(F.col("_ts0"), 0)  # null-safe (strict element_at throws on empty)
+    reached = F.when(t_prev.isNotNull(), 1).otherwise(0)
+    t_first = t_prev
+    for i in range(1, len(steps)):
+        nxt = F.get(
+            F.filter(F.col(f"_ts{i}"), lambda t: t > t_prev), 0  # noqa: B023
+        )
+        # a step only counts when EVERY previous step completed —
+        # otherwise purchase-after-signup would skip a missing click
+        advance = nxt.isNotNull() & (reached == F.lit(i))
+        reached = F.when(advance, F.lit(i + 1)).otherwise(reached)
+        t_prev = F.when(advance, nxt).otherwise(t_prev)
+    out = lists.select(
+        "user",
+        reached.alias("step_reached"),
+        t_first.alias("ts_first"),
+        t_prev.alias("ts_last"),
+    )
+    if within is not None:
+        out = out.withColumn(
+            "step_reached",
+            F.when(
+                (F.col("step_reached") == len(steps))
+                & (F.col("ts_last") > F.col("ts_first") + F.expr(f"INTERVAL {within}")),
+                len(steps) - 1,
+            ).otherwise(F.col("step_reached")),
+        )
+    return out

@@ -3474,6 +3474,57 @@ SELECT row_ AS cms_row, pos, COUNT(*) AS cnt FROM (
 """
 
 
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (windows.funnel): signup -> click ->
+    purchase with first-touch semantics (each step's first occurrence
+    strictly after the previous step's). ONE conditional aggregation
+    per user — no self-joins — then the per-step completion counts."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ukey",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"),
+        ),
+    )
+    f = windows.funnel(ev, "ukey", "event_type", "ts", ["signup", "click", "purchase"])
+    return f.groupBy("step_reached").agg(F.count(F.lit(1)).alias("n_users")).orderBy("step_reached")
+
+
+SQL_FUNNEL = """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) || '|' || strftime(date_trunc('day', ts), '%Y-%m-%d') AS ukey,
+         event_type, ts
+  FROM events
+),
+users AS (SELECT DISTINCT ukey FROM ev),
+s0 AS (
+  SELECT ukey, min(ts) AS t0 FROM ev WHERE event_type = 'signup' GROUP BY 1
+),
+s1 AS (
+  SELECT e.ukey, min(e.ts) AS t1 FROM ev e JOIN s0 ON e.ukey = s0.ukey
+  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1
+),
+s2 AS (
+  SELECT e.ukey, min(e.ts) AS t2 FROM ev e JOIN s1 ON e.ukey = s1.ukey
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1
+),
+r AS (
+  SELECT u.ukey,
+    CASE WHEN s2.t2 IS NOT NULL THEN 3
+         WHEN s1.t1 IS NOT NULL THEN 2
+         WHEN s0.t0 IS NOT NULL THEN 1
+         ELSE 0 END AS step_reached
+  FROM users u
+  LEFT JOIN s0 ON u.ukey = s0.ukey
+  LEFT JOIN s1 ON u.ukey = s1.ukey
+  LEFT JOIN s2 ON u.ukey = s2.ukey
+)
+SELECT CAST(step_reached AS INT) AS step_reached, COUNT(*) AS n_users
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL: the register-update stage is a plain groupBy/max,
     so the SAME operator code runs under Structured Streaming with 64
@@ -3915,6 +3966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_kmv_setops": sketch_kmv_setops,
     "stream_hll_registers": stream_hll_registers,
     "stream_cms_table": stream_cms_table,
+    "funnel_steps": funnel_steps,
 }
 
 ORACLES: dict[str, str] = {
@@ -4043,4 +4095,5 @@ WHERE value % 2 = 0"""
     "rollup_hierarchical": SQL_ROLLUP_HIER,
     "stream_hll_registers": SQL_STREAM_HLL,
     "stream_cms_table": SQL_STREAM_CMS,
+    "funnel_steps": SQL_FUNNEL,
 }

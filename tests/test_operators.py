@@ -216,3 +216,52 @@ def test_mixture_sample_rates_and_determinism(spark):
     ids1 = sorted(r.rid for r in out.collect())
     ids2 = sorted(r.rid for r in transforms.mixture_sample(df, "rid", "src", {"a": 0.25, "b": 1.0}).collect())
     assert ids1 == ids2
+
+
+def test_funnel_requires_ordered_steps(spark):
+    """The funnel must NOT credit a later step when an earlier one is
+    missing or out of order (regression: purchase-after-signup used to
+    count without any click)."""
+    import datetime as dt
+
+    from selium_spark.operators import windows
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        # u1: full ordered funnel
+        (1, "signup", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # u2: purchase BEFORE click -> stops at click (step 2)
+        (2, "signup", t(0)), (2, "purchase", t(1)), (2, "click", t(2)),
+        # u3: no click at all -> purchase cannot count (step 1)
+        (3, "signup", t(0)), (3, "purchase", t(1)),
+        # u4: never signed up -> 0 even with later steps present
+        (4, "click", t(0)), (4, "purchase", t(1)),
+        # u5: signup only
+        (5, "signup", t(3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, event_type STRING, ts TIMESTAMP")
+    out = {
+        r["user"]: r["step_reached"]
+        for r in windows.funnel(
+            df, "user_id", "event_type", "ts", ["signup", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 1, 4: 0, 5: 1}
+
+
+def test_funnel_within_budget_demotes_slow_completion(spark):
+    import datetime as dt
+
+    from selium_spark.operators import windows
+
+    rows = [
+        (1, "signup", dt.datetime(2024, 1, 1, 0, 0)),
+        (1, "click", dt.datetime(2024, 1, 1, 0, 30)),
+        (1, "purchase", dt.datetime(2024, 1, 3, 0, 0)),  # 2 days later
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, event_type STRING, ts TIMESTAMP")
+    out = windows.funnel(
+        df, "user_id", "event_type", "ts", ["signup", "click", "purchase"],
+        within="1 DAY",
+    ).collect()[0]
+    assert out["step_reached"] == 2  # completed, but not within budget
