@@ -217,3 +217,37 @@ def funnel(
             ).otherwise(F.col("step_reached")),
         )
     return out
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    grain: str = "week",
+) -> DataFrame:
+    """Cohort retention: users grouped by their FIRST-seen period
+    (cohort), counted as retained in each later period they return.
+    Output: (cohort, period_offset, n_active) — the classic retention
+    triangle.
+
+    Two shuffles total at any scale: min-per-user (first touch, map-side
+    combinable) and the (cohort, offset) count-distinct — no per-period
+    rescans, no self-joins. The offset arithmetic is integer period
+    subtraction, deterministic across engines.
+    """
+    period = F.date_trunc(grain, F.col(ts_col))
+    firsts = df.groupBy(F.col(user_col).alias("user")).agg(
+        F.min(period).alias("cohort")
+    )
+    active = df.select(
+        F.col(user_col).alias("user"), period.alias("period")
+    ).distinct()
+    div = {"day": 86400, "week": 604800}[grain]
+    offset = (
+        (F.unix_timestamp("period") - F.unix_timestamp("cohort")) / F.lit(div)
+    ).cast("long")
+    return (
+        active.join(firsts, "user")
+        .groupBy("cohort", offset.alias("period_offset"))
+        .agg(F.count_distinct("user").alias("n_active"))
+    )

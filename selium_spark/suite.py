@@ -3525,6 +3525,30 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle (windows.cohort_retention):
+    users bucketed by first-seen week, counted distinct in each later
+    week — two shuffles total (first-touch min + cohort/offset count),
+    no per-period rescans."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.cohort_retention(ev, "user_id", "ts", grain="week")
+
+
+SQL_COHORT = """
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS period FROM events
+)
+SELECT f.cohort,
+  CAST((epoch(a.period) - epoch(f.cohort)) / 604800 AS BIGINT) AS period_offset,
+  COUNT(DISTINCT a.user_id) AS n_active
+FROM active a JOIN firsts f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
 def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL: the register-update stage is a plain groupBy/max,
     so the SAME operator code runs under Structured Streaming with 64
@@ -3967,6 +3991,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hll_registers": stream_hll_registers,
     "stream_cms_table": stream_cms_table,
     "funnel_steps": funnel_steps,
+    "cohort_retention_weekly": cohort_retention_weekly,
 }
 
 ORACLES: dict[str, str] = {
@@ -4096,4 +4121,5 @@ WHERE value % 2 = 0"""
     "stream_hll_registers": SQL_STREAM_HLL,
     "stream_cms_table": SQL_STREAM_CMS,
     "funnel_steps": SQL_FUNNEL,
+    "cohort_retention_weekly": SQL_COHORT,
 }
