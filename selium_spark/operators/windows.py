@@ -251,3 +251,44 @@ def cohort_retention(
         .groupBy("cohort", offset.alias("period_offset"))
         .agg(F.count_distinct("user").alias("n_active"))
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    threshold: float = 3.0,
+    round_to: int = 9,
+    scale_in: int = 2,
+) -> DataFrame:
+    """Per-key z-score outlier flagging: |value - mean_k| / stddev_k >
+    threshold. The per-key stats are ONE aggregation broadcast back
+    onto the fact (group count is small — the key space — so the join
+    side is broadcast, the fact never shuffles). Population stddev
+    from DECIMAL sum/sumsq — fixed-point inputs (``scale_in`` decimal
+    digits) sum exactly, so the stats are order-free and cross-engine
+    identical before the single double division.
+    """
+    dv = F.col(value_col).cast(f"decimal(18,{scale_in})")
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dv).cast("double").alias("_s"),
+        F.sum(dv * dv).cast("double").alias("_ss"),
+    )
+    mean = F.col("_s") / F.col("_n")
+    var = F.col("_ss") / F.col("_n") - mean * mean
+    stats = stats.select(
+        *keys,
+        F.round(mean, round_to).alias("key_mean"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), round_to).alias("key_std"),
+    )
+    z = F.round(
+        (v - F.col("key_mean")) / F.greatest(F.col("key_std"), F.lit(1e-12)),
+        round_to,
+    )
+    return (
+        df.join(F.broadcast(stats), keys)
+        .withColumn("zscore", z)
+        .withColumn("is_outlier", F.abs(F.col("zscore")) > threshold)
+    )

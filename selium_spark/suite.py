@@ -3549,6 +3549,37 @@ GROUP BY 1, 2
 """
 
 
+def zscore_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers over events.value
+    (windows.zscore_outliers): one stats aggregation broadcast back,
+    the fact never shuffles. Returns flagged rows only."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.zscore_outliers(ev, "value", ["event_type"], threshold=3.0)
+    return out.where(F.col("is_outlier")).select(
+        "event_id", "event_type", "value", "zscore"
+    )
+
+
+SQL_ZSCORE = """
+WITH stats AS (
+  SELECT event_type,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+  FROM events GROUP BY 1
+), st AS (
+  SELECT event_type,
+    round(s / n, 9) AS key_mean,
+    round(sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)), 9) AS key_std
+  FROM stats
+)
+SELECT e.event_id, e.event_type, e.value,
+  round((e.value - st.key_mean) / greatest(st.key_std, 1e-12), 9) AS zscore
+FROM events e JOIN st ON e.event_type = st.event_type
+WHERE abs(round((e.value - st.key_mean) / greatest(st.key_std, 1e-12), 9)) > 3.0
+"""
+
+
 def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL: the register-update stage is a plain groupBy/max,
     so the SAME operator code runs under Structured Streaming with 64
@@ -3992,6 +4023,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cms_table": stream_cms_table,
     "funnel_steps": funnel_steps,
     "cohort_retention_weekly": cohort_retention_weekly,
+    "zscore_value_outliers": zscore_value_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -4122,4 +4154,5 @@ WHERE value % 2 = 0"""
     "stream_cms_table": SQL_STREAM_CMS,
     "funnel_steps": SQL_FUNNEL,
     "cohort_retention_weekly": SQL_COHORT,
+    "zscore_value_outliers": SQL_ZSCORE,
 }
