@@ -174,3 +174,53 @@ def dedup_within_watermark(df: DataFrame, keys: list[str], ts: str, watermark: s
     watermark, so memory is O(keys within the watermark horizon), not
     O(all history). The scale-safe streaming twin of batch dedup."""
     return df.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_funnel(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Incremental ordered-funnel state per user (the streaming twin of
+    windows.funnel): state = (step_reached, last_step_ts); each
+    micro-batch folds its events in event-time order and emits the
+    user's updated snapshot. Greedy first-touch advancement is
+    identical to the batch fold when events arrive in event-time order
+    (the replay harness's file order); late data cannot retract a
+    committed step — the standard streaming-funnel caveat.
+
+    State is two scalars per user — bounded, applyInPandasWithState
+    update mode, the reference's per-key stateful-guest shape
+    (SURVEY §2.6).
+    """
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            step, t_prev_us = state.get
+        else:
+            step, t_prev_us = 0, None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+            for _, row in pdf.iterrows():
+                if step >= len(steps):
+                    break
+                ts_us = int(row[ts_col].value // 1000)  # pandas ns -> us
+                if row[type_col] == steps[step] and (
+                    step == 0 or (t_prev_us is not None and ts_us > t_prev_us)
+                ):
+                    step += 1
+                    t_prev_us = ts_us
+        state.update((step, t_prev_us))
+        yield pd.DataFrame({"user": [key[0]], "step_reached": [step]})
+
+    return events.select(
+        F.col(user_col).alias("user"), F.col(type_col), F.col(ts_col)
+    ).groupBy("user").applyInPandasWithState(
+        fn,
+        outputStructType="user long, step_reached int",
+        stateStructType="step int, t_prev_us long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -440,3 +440,45 @@ def test_wasm_guest_over_stream_matches_batch(spark, tmp_path):
     assert {(r.bucket, r.n) for r in streamed.collect()} == {
         (r.bucket, r.n) for r in transform(batch).collect()
     }
+
+
+def test_streaming_funnel_matches_batch_fold(spark, tmp_path):
+    """Replayed event files (event-time ordered) drive the per-user
+    funnel state to the same step counts as the batch operator."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import stateful, windows
+    from selium_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 40
+    )
+    src = str(tmp_path / "ev")
+    # two event-time-ordered files -> two micro-batches
+    cut = "2024-01-04"
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    from selium_spark.streaming.replay import replay_to_memory
+
+    schema = spark.read.parquet(src).schema
+    steps = ["signup", "click", "purchase"]
+    out = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_funnel(s, "user_id", "event_type", "ts", steps),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=4,
+    )
+    # update mode emits one snapshot per user per batch: keep the max
+    got = {
+        r["user"]: r["max_step"]
+        for r in out.groupBy("user").agg(F.max("step_reached").alias("max_step")).collect()
+    }
+    want = {
+        r["user"]: r["step_reached"]
+        for r in windows.funnel(ev, "user_id", "event_type", "ts", steps).collect()
+    }
+    assert got == want and len(got) > 0
