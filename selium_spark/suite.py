@@ -3580,6 +3580,65 @@ WHERE abs(round((e.value - st.key_mean) / greatest(st.key_std, 1e-12), 9)) > 3.0
 """
 
 
+def stream_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel (stateful.streaming_funnel): per-user
+    (step, last_ts) state driven by the replayed events stream, then
+    the completion distribution — must equal the batch fold's answer
+    (DuckDB oracle)."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    steps = ["signup", "click", "purchase"]
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema)
+        from .operators.stateful import streaming_funnel
+
+        return streaming_funnel(ev, "user_id", "event_type", "ts", steps)
+
+    snap = replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform,
+        output_mode="update", shuffle_partitions=8,
+    )
+    per_user = snap.groupBy("user").agg(F.max("step_reached").alias("step_reached"))
+    return (
+        per_user.groupBy("step_reached")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("step_reached")
+    )
+
+
+SQL_STREAM_FUNNEL = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1
+),
+r AS (
+  SELECT u.user_id,
+    CASE WHEN s2.t2 IS NOT NULL THEN 3
+         WHEN s1.t1 IS NOT NULL THEN 2
+         WHEN s0.t0 IS NOT NULL THEN 1
+         ELSE 0 END AS step_reached
+  FROM users u
+  LEFT JOIN s0 ON u.user_id = s0.user_id
+  LEFT JOIN s1 ON u.user_id = s1.user_id
+  LEFT JOIN s2 ON u.user_id = s2.user_id
+)
+SELECT CAST(step_reached AS INT) AS step_reached, COUNT(*) AS n_users
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
 def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL: the register-update stage is a plain groupBy/max,
     so the SAME operator code runs under Structured Streaming with 64
@@ -4024,6 +4083,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "funnel_steps": funnel_steps,
     "cohort_retention_weekly": cohort_retention_weekly,
     "zscore_value_outliers": zscore_value_outliers,
+    "stream_funnel_steps": stream_funnel_steps,
 }
 
 ORACLES: dict[str, str] = {
@@ -4155,4 +4215,5 @@ WHERE value % 2 = 0"""
     "funnel_steps": SQL_FUNNEL,
     "cohort_retention_weekly": SQL_COHORT,
     "zscore_value_outliers": SQL_ZSCORE,
+    "stream_funnel_steps": SQL_STREAM_FUNNEL,
 }
