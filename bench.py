@@ -66,6 +66,10 @@ HEADLINE = [
     "pack_chunks",
     "url_domain_caps",
     "pack_shard_manifest",
+    "funnel_steps",
+    "cohort_retention_weekly",
+    "zscore_value_outliers",
+    "mix_weighted_sample",
 ]
 
 
