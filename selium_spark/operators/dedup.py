@@ -539,3 +539,57 @@ def dedup_against_index(
     return in_batch.join(
         index.select("content_hash"), "content_hash", "left_anti"
     ).drop("_rn")
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    round_to: int = 9,
+) -> DataFrame:
+    """PageRank over an undirected pair graph (e.g. near-duplicate
+    candidate pairs): rank r_i+1(v) = (1-d)/N + d * sum_u r_i(u)/deg(u)
+    over neighbors. Used to pick the most "central" copy of a duplicate
+    cluster as the canonical survivor.
+
+    DataFrame-native Lloyd-style loop: each iteration is ONE join
+    (ranks onto the symmetrized edge list) + ONE groupBy sum — no RDDs,
+    no driver-side graph. Ranks are rounded to ``round_to`` after every
+    iteration so the double sums are reproducible cross-engine (the
+    rounded values are the next iteration's exact inputs). Isolated
+    vertices keep the teleport mass (1-d)/N.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionAll(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    ).distinct()
+    verts = sym.select(F.col("src").alias("id")).distinct()
+    n = verts.count()
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    ranks = verts.select("id", F.round(F.lit(1.0 / n), round_to).alias("rank"))
+    base = F.round(F.lit((1.0 - damping) / n), round_to)  # engine-side
+    # rounding (half-up) — Python's banker's round would diverge from
+    # the SQL oracle on exact half boundaries
+    for _ in range(iterations):
+        contrib = (
+            sym.join(ranks, sym.src == ranks.id)
+            .join(deg, sym.src == deg.id)
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        incoming = contrib.groupBy("id").agg(
+            F.round(F.sum(F.round(F.col("c"), round_to)), round_to).alias("in_sum")
+        )
+        ranks = (
+            verts.join(incoming, "id", "left")
+            .select(
+                "id",
+                F.round(
+                    base + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0)),
+                    round_to,
+                ).alias("rank"),
+            )
+        )
+    return ranks

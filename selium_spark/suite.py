@@ -1106,6 +1106,61 @@ FROM banded a JOIN banded b
 """
 
 
+def dedup_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the LSH near-dup candidate graph (dedup.pagerank):
+    3 damped iterations, per-iteration rounding for cross-engine
+    reproducibility — ranks pick the most central copy of each dup
+    cluster as its canonical survivor."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, k=8, bands=4, shingle_n=3)
+    return dedup.pagerank(pairs, iterations=3, damping=0.85)
+
+
+_PAIRS_BODY = SQL_LSH_PAIRS.strip()
+
+SQL_PAGERANK = f"""
+WITH pairs AS ({_PAIRS_BODY}),
+sym AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL SELECT id_b, id_a FROM pairs
+  )
+),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+n AS (SELECT COUNT(*) AS n FROM verts),
+deg AS (SELECT src AS id, COUNT(*) AS deg FROM sym GROUP BY 1),
+r0 AS (SELECT id, round(1.0 / (SELECT n FROM n), 9) AS rank FROM verts),
+i1 AS (
+  SELECT s.dst AS id, round(SUM(round(r.rank / d.deg, 9)), 9) AS in_sum
+  FROM sym s JOIN r0 r ON s.src = r.id JOIN deg d ON s.src = d.id GROUP BY 1
+),
+r1 AS (
+  SELECT v.id, round(round((1.0 - 0.85) / (SELECT n FROM n), 9)
+       + 0.85 * coalesce(i1.in_sum, 0.0), 9) AS rank
+  FROM verts v LEFT JOIN i1 ON v.id = i1.id
+),
+i2 AS (
+  SELECT s.dst AS id, round(SUM(round(r.rank / d.deg, 9)), 9) AS in_sum
+  FROM sym s JOIN r1 r ON s.src = r.id JOIN deg d ON s.src = d.id GROUP BY 1
+),
+r2 AS (
+  SELECT v.id, round(round((1.0 - 0.85) / (SELECT n FROM n), 9)
+       + 0.85 * coalesce(i2.in_sum, 0.0), 9) AS rank
+  FROM verts v LEFT JOIN i2 ON v.id = i2.id
+),
+i3 AS (
+  SELECT s.dst AS id, round(SUM(round(r.rank / d.deg, 9)), 9) AS in_sum
+  FROM sym s JOIN r2 r ON s.src = r.id JOIN deg d ON s.src = d.id GROUP BY 1
+),
+r3 AS (
+  SELECT v.id, round(round((1.0 - 0.85) / (SELECT n FROM n), 9)
+       + 0.85 * coalesce(i3.in_sum, 0.0), 9) AS rank
+  FROM verts v LEFT JOIN i3 ON v.id = i3.id
+)
+SELECT id, rank FROM r3
+"""
+
+
 def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard verification over the LSH candidates
     (never all-pairs)."""
@@ -3996,6 +4051,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_groups": dedup_groups,
     "dedup_semantic": dedup_semantic,
     "dedup_incremental": dedup_incremental,
+    "dedup_pagerank_canonical": dedup_pagerank_canonical,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_rhp_pairs": ann_rhp_pairs,
@@ -4167,6 +4223,7 @@ WHERE value % 2 = 0"""
     "pack_chunks": SQL_PACK_CHUNKS,
     "pack_shard_manifest": SQL_SHARD_MANIFEST,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
+    "dedup_pagerank_canonical": SQL_PAGERANK,
     "url_domain_caps": SQL_URL_DOMAIN_CAPS,
     "mix_sample_sources": SQL_MIX_SAMPLE,
     "mix_weighted_sample": SQL_MIX_WEIGHTED,

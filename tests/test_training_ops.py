@@ -284,3 +284,17 @@ def test_weighted_sample_prefers_heavy_rows_and_is_deterministic(spark):
     assert top == again
     # k >= n returns everything
     assert transforms.weighted_sample(df, "doc_id", "w", 500).count() == 201
+
+
+def test_pagerank_star_graph_center_ranks_highest(spark):
+    from selium_spark.operators import dedup
+
+    # star: 0 connected to 1..4 — center must dominate, leaves equal
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "id_a LONG, id_b LONG"
+    )
+    ranks = {r["id"]: r["rank"] for r in dedup.pagerank(edges, iterations=5).collect()}
+    assert len(ranks) == 5
+    assert ranks[0] > max(ranks[i] for i in range(1, 5))
+    assert len({ranks[i] for i in range(1, 5)}) == 1  # symmetry
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # probability mass
