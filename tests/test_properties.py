@@ -132,3 +132,31 @@ def test_wasm_lcg2_wraps_like_model(x):
     lcg2 = ScalarWasmFunction.from_module(SCALAR_MODULE, "lcg2")
     assert lcg2(x) == wrap(LCG_A * wrap(LCG_A * x + LCG_C) + LCG_C)
     assert -(2**63) <= lcg2(x) <= 2**63 - 1
+
+
+@given(
+    st.lists(st.sampled_from("abc"), min_size=1, max_size=40),
+    st.integers(2, 8),
+    st.integers(0, 4),
+)
+@settings(max_examples=15, deadline=None)
+def test_chunking_covers_all_tokens_with_exact_overlap(spark, toks, chunk, overlap):
+    """Every token appears in some chunk; consecutive chunks share
+    exactly the overlap (or less at the tail); stripping the overlap
+    reconstructs the document."""
+    from selium_spark.operators.packing import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    rows = sorted(
+        chunk_documents(df, chunk, overlap=overlap).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    chunks = [r["chunk_text"].split(" ") for r in rows]
+    stride = chunk - overlap
+    rebuilt = chunks[0] + [t for c in chunks[1:] for t in c[overlap:]]
+    assert rebuilt == toks
+    for i, c in enumerate(chunks):
+        assert c == toks[i * stride : i * stride + chunk]
