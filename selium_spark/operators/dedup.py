@@ -593,3 +593,29 @@ def pagerank(
             )
         )
     return ranks
+
+
+def dedup_exact_keep_agg(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Skew-resilient exact-dedup survivor filter: aggregate min-id per
+    content hash (map-side combine collapses each partition's copies of
+    a hot hash to ONE row before the shuffle), then inner-join the
+    survivors back on (hash, id).
+
+    Trade-off vs :func:`dedup_exact_keep` (single window): the window
+    shuffles every copy of a mega-duplicated document into one task
+    (sort-based, spillable, but serialized); this variant's first
+    shuffle carries at most one row per (partition, hash). Prefer it
+    when duplication is extreme (boilerplate pages duplicated millions
+    of times); prefer the window when duplication is mild — this one
+    scans the input twice and shuffles it once more for the join.
+    """
+    h = F.md5(normalize_text(text_col)).alias("content_hash")
+    hashed = df.withColumn("content_hash", F.md5(normalize_text(text_col)))
+    survivors = (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return hashed.join(survivors, ["content_hash", id_col]).drop("content_hash")

@@ -298,3 +298,22 @@ def test_pagerank_star_graph_center_ranks_highest(spark):
     assert ranks[0] > max(ranks[i] for i in range(1, 5))
     assert len({ranks[i] for i in range(1, 5)}) == 1  # symmetry
     assert abs(sum(ranks.values()) - 1.0) < 1e-6  # probability mass
+
+
+def test_dedup_exact_keep_agg_equals_window_variant(spark):
+    from selium_spark.operators import dedup
+
+    df = _docs(
+        spark,
+        [
+            (1, "same thing", "s"), (5, "same  THING", "s"),  # dupes of 1
+            (2, "unique a", "s"), (3, "unique b", "s"),
+            (4, "same thing", "s"),
+        ],
+    )
+    w = {r["doc_id"] for r in dedup.dedup_exact_keep(df).collect()}
+    a = {r["doc_id"] for r in dedup.dedup_exact_keep_agg(df).collect()}
+    assert w == a == {1, 2, 3}
+    # all original columns survive
+    cols = set(dedup.dedup_exact_keep_agg(df).columns)
+    assert cols == {"doc_id", "text", "source"}
