@@ -3694,6 +3694,54 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-key stats over an unbounded stream: count + exact
+    decimal sum/sumsq per event_type in complete mode — the state is
+    |keys| x 3 numbers, and the snapshot equals the batch answer
+    (DuckDB oracle). This is the streaming side of
+    windows.zscore_outliers' stats stage."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        dv = F.col("value").cast("decimal(18,2)")
+        return stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dv).cast("double").alias("s"),
+            F.sum(dv * dv).cast("double").alias("ss"),
+        )
+
+    snap = replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform,
+        output_mode="complete", shuffle_partitions=8,
+    )
+    return snap.select(
+        "event_type",
+        "n",
+        F.round(F.col("s") / F.col("n"), 9).alias("mean"),
+        F.round(
+            F.sqrt(F.greatest(F.col("ss") / F.col("n") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n")), F.lit(0.0))),
+            9,
+        ).alias("std"),
+    )
+
+
+SQL_STREAM_STATS = """
+WITH stats AS (
+  SELECT event_type, COUNT(*) AS n,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+  FROM events GROUP BY 1
+)
+SELECT event_type, n, round(s / n, 9) AS mean,
+  round(sqrt(greatest(ss / n - (s / n) * (s / n), 0.0)), 9) AS std
+FROM stats
+"""
+
+
 def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HLL: the register-update stage is a plain groupBy/max,
     so the SAME operator code runs under Structured Streaming with 64
@@ -4140,6 +4188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cohort_retention_weekly": cohort_retention_weekly,
     "zscore_value_outliers": zscore_value_outliers,
     "stream_funnel_steps": stream_funnel_steps,
+    "stream_running_stats": stream_running_stats,
 }
 
 ORACLES: dict[str, str] = {
@@ -4273,4 +4322,5 @@ WHERE value % 2 = 0"""
     "cohort_retention_weekly": SQL_COHORT,
     "zscore_value_outliers": SQL_ZSCORE,
     "stream_funnel_steps": SQL_STREAM_FUNNEL,
+    "stream_running_stats": SQL_STREAM_STATS,
 }
