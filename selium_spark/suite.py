@@ -4086,6 +4086,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w2_threshold_alerts": w2_threshold_alerts,
     "w3_latest_enrich": w3_latest_enrich,
     "w1c_session_windows": w1c_session_windows,
+    "funnel_steps": funnel_steps,
+    "cohort_retention_weekly": cohort_retention_weekly,
+    "zscore_value_outliers": zscore_value_outliers,
     "m3_fanout_assign": m3_fanout_assign,
     "m4_request_reply": m4_request_reply,
     "s10_lcg_pipeline": s10_lcg_pipeline,
@@ -4127,6 +4130,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udaf_user_entropy": udaf_user_entropy,
     "stream_window_counts": stream_window_counts,
     "stream_dedup_exact": stream_dedup_exact,
+    "stream_funnel_steps": stream_funnel_steps,
+    "stream_running_stats": stream_running_stats,
+    "stream_cms_table": stream_cms_table,
     "rollup_hierarchical": rollup_hierarchical,
     "q_rollup_returns": q_rollup_returns,
     "q_topk_orders": q_topk_orders,
@@ -4183,12 +4189,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wasm_udf_clamp": wasm_udf_clamp,
     "sketch_kmv_setops": sketch_kmv_setops,
     "stream_hll_registers": stream_hll_registers,
-    "stream_cms_table": stream_cms_table,
-    "funnel_steps": funnel_steps,
-    "cohort_retention_weekly": cohort_retention_weekly,
-    "zscore_value_outliers": zscore_value_outliers,
-    "stream_funnel_steps": stream_funnel_steps,
-    "stream_running_stats": stream_running_stats,
 }
 
 ORACLES: dict[str, str] = {
