@@ -476,3 +476,34 @@ def quality_calibrate(
         F.round("quality_score", 9).alias("quality_score"),
         F.ntile(n_buckets).over(w).alias("q_bucket"),
     ).withColumn("keep", F.col("q_bucket") <= keep_buckets)
+
+
+def bigram_lm_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Bigram language-model count tables: (w1, w2, c) pair counts plus
+    the two marginals Kneser-Ney smoothing needs — left_types(w2) =
+    |{w1 : c(w1,w2)>0}| (continuation count) and right_types(w1).
+    One explode + one groupBy on the pair; the marginals re-aggregate
+    the PAIR table (vocab-sized, not corpus-sized) — the same
+    partial-reaggregation shape as the hierarchical rollup."""
+    pairs_col = F.zip_with(
+        tokens(text_col),
+        F.slice(tokens(text_col), 2, F.greatest(F.size(tokens(text_col)) - 1, F.lit(1))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = (
+        df.select(F.explode(pairs_col).alias("p"))
+        .where(F.col("p.w2").isNotNull())
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+    )
+    left = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("left_types"))
+    right = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("right_types"))
+    return pairs.join(left, "w2").join(right, "w1").select(
+        "w1", "w2", "c", "left_types", "right_types"
+    )

@@ -231,3 +231,34 @@ def weighted_sample(
         .orderBy(F.col("sample_priority").desc(), c_id.asc())
         .limit(k)
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float],
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: the md5-bucket of the id
+    (0..255) is mapped onto cumulative weight ranges, so every engine,
+    run, and scale factor assigns the same rows to the same split —
+    and adding rows later never reshuffles existing assignments
+    (hash-stable, unlike a random or modulo-on-count split). Map-side
+    expression only; composes with partition pruning.
+    """
+    total = sum(weights.values())
+    bucket = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col(id_col).cast("string")), 1, 1)) - 1) * 16
+        + (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col(id_col).cast("string")), 2, 1)) - 1)
+    )
+    expr = None
+    acc = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        cut = int(round(acc * 256))
+        cond = bucket < cut
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)

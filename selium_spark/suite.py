@@ -4035,6 +4035,61 @@ FROM s GROUP BY shard_id
 """
 
 
+def mix_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by md5 bucket
+    (transforms.split_assign): per-split doc counts + id checksum —
+    hash-stable, so later ingests never reshuffle old assignments."""
+    docs = _t(spark, sf_dir, "documents")
+    out = transforms.split_assign(
+        docs, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("doc_id").alias("idsum")
+    )
+
+
+SQL_SPLIT_ASSIGN = """
+WITH b AS (
+  SELECT doc_id,
+    (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 13 THEN 'test'
+            WHEN bucket < 243 THEN 'train'
+            ELSE 'val' END AS split,
+  COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS idsum
+FROM b GROUP BY 1
+"""
+
+
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM count tables with Kneser-Ney marginals
+    (text.bigram_lm_counts), top-200 pairs by count for a bounded
+    result (ties broken lexicographically)."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = text.bigram_lm_counts(docs, min_count=2)
+    return counts.orderBy(F.desc("c"), "w1", "w2").limit(200)
+
+
+SQL_BIGRAM_LM = f"""
+WITH t AS (SELECT {SQL_TOKS} AS toks FROM documents),
+pairs_raw AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, greatest(len(toks), 1))) AS u(i)
+),
+pairs AS (
+  SELECT w1, w2, COUNT(*) AS c FROM pairs_raw GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+l AS (SELECT w2, COUNT(*) AS left_types FROM pairs GROUP BY 1),
+r AS (SELECT w1, COUNT(*) AS right_types FROM pairs GROUP BY 1)
+SELECT p.w1, p.w2, p.c, l.left_types, r.right_types
+FROM pairs p JOIN l ON p.w2 = l.w2 JOIN r ON p.w1 = r.w1
+ORDER BY p.c DESC, p.w1, p.w2
+LIMIT 200
+"""
+
+
 def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sample without replacement (Efraimidis-Spirakis A-ES,
     transforms.weighted_sample): 100 docs drawn with probability
@@ -4126,6 +4181,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_domain_caps": url_domain_caps,
     "mix_sample_sources": mix_sample_sources,
     "mix_weighted_sample": mix_weighted_sample,
+    "mix_split_assign": mix_split_assign,
+    "text_bigram_lm": text_bigram_lm,
     "mm_decode_features": mm_decode_features,
     "udaf_user_entropy": udaf_user_entropy,
     "stream_window_counts": stream_window_counts,
@@ -4276,6 +4333,8 @@ WHERE value % 2 = 0"""
     "url_domain_caps": SQL_URL_DOMAIN_CAPS,
     "mix_sample_sources": SQL_MIX_SAMPLE,
     "mix_weighted_sample": SQL_MIX_WEIGHTED,
+    "mix_split_assign": SQL_SPLIT_ASSIGN,
+    "text_bigram_lm": SQL_BIGRAM_LM,
     "q_distinct_users_daily": SQL_DISTINCT_USERS,
     "pipeline_data_prep": SQL_DATA_PREP,
     "dedup_exact_docs": SQL_DEDUP_EXACT,

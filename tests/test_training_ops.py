@@ -317,3 +317,32 @@ def test_dedup_exact_keep_agg_equals_window_variant(spark):
     # all original columns survive
     cols = set(dedup.dedup_exact_keep_agg(df).columns)
     assert cols == {"doc_id", "text", "source"}
+
+
+def test_split_assign_is_stable_and_respects_weights(spark):
+    from selium_spark.operators import transforms
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    out = transforms.split_assign(df, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1600  # ~90%
+    assert 40 < counts["val"] < 180 and 40 < counts["test"] < 180
+    # stability: growing the dataset never changes old assignments
+    small = {r["doc_id"]: r["split"] for r in transforms.split_assign(
+        spark.range(500).withColumnRenamed("id", "doc_id"),
+        "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}).collect()}
+    big = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert all(big[k] == v for k, v in small.items())
+
+
+def test_bigram_lm_counts_hand_example(spark):
+    from selium_spark.operators import text as t
+
+    df = _docs(spark, [(1, "a b a b c", "s"), (2, "a b", "s")])
+    rows = {(r["w1"], r["w2"]): (r["c"], r["left_types"], r["right_types"])
+            for r in t.bigram_lm_counts(df).collect()}
+    # pairs: (a,b)x3, (b,a)x1, (b,c)x1
+    assert rows[("a", "b")] == (3, 1, 1)   # b seen after {a}; a precedes {b}
+    assert rows[("b", "a")] == (1, 1, 2)   # a seen after {b}; b precedes {a,c}
+    assert rows[("b", "c")] == (1, 1, 2)
