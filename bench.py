@@ -70,6 +70,9 @@ HEADLINE = [
     "cohort_retention_weekly",
     "zscore_value_outliers",
     "mix_weighted_sample",
+    "mix_split_assign",
+    "text_bigram_lm",
+    "dedup_pagerank_canonical",
 ]
 
 

@@ -566,9 +566,13 @@ def pagerank(
     ).unionAll(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
     ).distinct()
-    verts = sym.select(F.col("src").alias("id")).distinct()
+    # materialize the graph ONCE: the iterations re-join sym/deg every
+    # round, and without a persist the upstream edge pipeline (e.g. the
+    # whole LSH signature plan) re-executes per iteration
+    sym = sym.persist()
+    verts = sym.select(F.col("src").alias("id")).distinct().persist()
     n = verts.count()
-    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg")).persist()
     ranks = verts.select("id", F.round(F.lit(1.0 / n), round_to).alias("rank"))
     base = F.round(F.lit((1.0 - damping) / n), round_to)  # engine-side
     # rounding (half-up) — Python's banker's round would diverge from
