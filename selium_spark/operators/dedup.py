@@ -372,21 +372,32 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    exact: bool = False,
+    dim: int = 64,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold.
 
-    Test-SF plan: all-pairs (self cross join pruned by id<). Scale
-    plan: prefilter candidates with similarity.ivf_assign buckets or
-    LSH, then verify exactly — documented in similarity.py; the exact
-    verification step is this same expression.
+    Default (scale) plan: banded RHP-LSH prefilter
+    (similarity.rhp_banded_candidate_pairs — band count auto-sized from
+    the threshold for <=1e-4 miss probability per qualifying pair) ->
+    exact cosine verification on candidates only. The band join
+    shuffles narrow (id, band) keys; the verify join rehydrates just
+    the candidate vectors. ``exact=True`` opts into the O(n^2)
+    all-pairs baseline (the audited brute-force reference plan).
     """
-    from .similarity import cosine
+    from .similarity import cosine, rhp_banded_candidate_pairs
 
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        cand = rhp_banded_candidate_pairs(
+            emb, threshold=threshold, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -134,6 +136,105 @@ def rhp_candidate_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.rhp_sig").alias("rhp_sig"),
         )
+    )
+
+
+def rhp_band_plan(threshold: float, band_bits: int = 6, miss_target: float = 1e-4,
+                  max_bands: int = 64) -> int:
+    """Number of RHP bands needed so a pair at exactly ``threshold``
+    cosine is missed with probability <= ``miss_target``.
+
+    Charikar's bound: P(one hyperplane bit agrees) = 1 - acos(s)/pi.
+    A band of r bits matches with p^r; b independent bands miss with
+    (1 - p^r)^b, so b = ceil(ln(miss) / ln(1 - p^r)). Low thresholds
+    need many bands (the LSH S-curve flattens) — capped at
+    ``max_bands``, which keeps the signature pass bounded; recall below
+    the cap is still exact *for the pairs the bands catch* because a
+    verification join recomputes true cosine.
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    pr = p**band_bits
+    if pr >= 1.0:
+        return 1
+    b = math.ceil(math.log(miss_target) / math.log(1.0 - pr))
+    return max(4, min(max_bands, b))
+
+
+def rhp_banded_signatures(
+    emb: DataFrame,
+    n_bands: int = 16,
+    band_bits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 17,
+) -> DataFrame:
+    """Banded random-hyperplane signatures: ``n_bands`` int band values,
+    each packing ``band_bits`` sign bits of Gaussian projections.
+
+    One Arrow-vectorized pass (numpy matmul over the whole batch —
+    n_bands*band_bits projections per row would blow up the Catalyst
+    expression tree as per-plane folds, so this is the documented
+    pandas_udf exception). Planes come from a seeded generator, so they
+    are identical on every executor with zero broadcast state. Output:
+    (id, bands: array<bigint>) — narrow, shuffle-friendly.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    n_planes = n_bands * band_bits
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    weights = (2 ** np.arange(band_bits)).astype(np.int64)
+
+    @pandas_udf("array<bigint>")
+    def band_values(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (mat @ planes) > 0.0                      # (batch, n_planes)
+        vals = bits.reshape(len(mat), n_bands, band_bits).astype(np.int64) @ weights
+        return pd.Series(list(vals))
+
+    emb = fan_out(emb)  # matmul per row: CPU-bound
+    return emb.select(F.col(id_col), band_values(F.col(vec_col)).alias("bands"))
+
+
+def rhp_banded_candidate_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    band_bits: int = 6,
+    miss_target: float = 1e-4,
+    seed: int = 17,
+) -> DataFrame:
+    """Candidate near-neighbor pairs from banded RHP-LSH: explode each
+    signature into (band_id, band_value) keys and equi-self-join — the
+    same shuffle-friendly shape as the MinHash band join (dedup.py).
+    At 100 TB only (id, band_id, band_value) rows shuffle, keys are
+    hash-uniform, and no bucket ever sees the corpus cross product.
+    Callers verify candidates with exact cosine (see
+    dedup.embedding_neardup_pairs).
+    """
+    n_bands = rhp_band_plan(threshold, band_bits, miss_target)
+    sig = rhp_banded_signatures(emb, n_bands, band_bits, id_col, vec_col, dim, seed)
+    keyed = sig.select(
+        F.col(id_col), F.posexplode("bands").alias("band_id", "band_val")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
     )
 
 

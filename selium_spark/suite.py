@@ -1279,9 +1279,11 @@ SELECT doc_id, n_tokens, logppl, logppl <= 3.4 AS keep FROM d
 
 
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (cosine >= 0.8). All-pairs at test SF;
-    the scale path prefilters with IVF buckets (similarity.ivf_assign)
-    before this exact verification."""
+    """Embedding near-dup pairs (cosine >= 0.8): banded RHP-LSH
+    prefilter (auto-sized bands for <=1e-4 miss at the threshold) ->
+    exact cosine verify on candidates. The DuckDB oracle is the exact
+    all-pairs definition; the Spark plan never builds the cross
+    product."""
     emb = _t(spark, sf_dir, "embeddings")
     return dedup.embedding_neardup_pairs(emb, threshold=0.8)
 

@@ -161,6 +161,35 @@ def test_cosine_and_topk(spark):
     assert [r.vec_id for r in out.collect()] == [0, 1]
 
 
+def test_embedding_neardup_banded_default_matches_exact(spark):
+    # planted near-dups: 0/1 nearly parallel (cos ~0.999), 2 a rotated
+    # copy of 3 (cos ~0.98), 4/5 unrelated. The banded-LSH default must
+    # return exactly the pairs the all-pairs baseline returns.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base1 = rng.standard_normal(64)
+    base2 = rng.standard_normal(64)
+    rows = [
+        (0, [float(x) for x in base1]),
+        (1, [float(x) for x in base1 + 0.02 * rng.standard_normal(64)]),
+        (2, [float(x) for x in base2]),
+        (3, [float(x) for x in base2 + 0.1 * rng.standard_normal(64)]),
+        (4, [float(x) for x in rng.standard_normal(64)]),
+        (5, [float(x) for x in rng.standard_normal(64)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_neardup_pairs(df, threshold=0.9).collect()
+    )
+    want = sorted(
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_neardup_pairs(df, threshold=0.9, exact=True).collect()
+    )
+    assert got == want and len(want) >= 2
+
+
 def test_lang_id_and_quality(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the mat and it is a cat"), (2, "der hund ist ein hund und das ist gut")],

@@ -150,7 +150,6 @@ def test_dedup_incremental_is_anti_join_no_rescan(spark):
 # corpus totals, n_total) or a documented brute-force baseline whose
 # scale path is the LSH/IVF variant.
 _INTENTIONAL_CARTESIAN = {
-    "dedup_embedding_neardup",   # brute-force pairs; scale path = ann_rhp_pairs
     "dedup_semantic",            # within-cluster pairs after IVF partitioning
     "ann_bruteforce_topk",       # the exact baseline by definition
     "ann_ivf_topk",              # centroid table cross (K rows)
