@@ -27,6 +27,86 @@ from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 from .catalog import StreamCatalog
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — correct
+    for local paths AND object-store/HDFS URIs, where ``os.path``
+    probes silently see nothing (ADVICE r2)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def fs_mkdirs(spark: SparkSession, path: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    fs.mkdirs(p)
+
+
+def fs_touch(spark: SparkSession, path: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    fs.create(p, True).close()
+
+
+def dedup_index_epoch_write(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    survivors_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One epoch of continuous-ingest dedup, idempotent by
+    construction: both outputs are partitioned by ``epoch`` and written
+    with *dynamic partition overwrite*, so a crashed epoch replays by
+    REWRITING its own partitions instead of appending beside them.
+
+    The index read excludes the current epoch's rows before the
+    anti-join: a crash after the index append but before the ledger
+    marker must not let the epoch's own partial writes shadow the
+    batch, or the replay would compute an empty survivor set and leave
+    the half-written partitions in place. With the exclusion the
+    replayed computation is bit-identical to the first attempt
+    (epoch ids are monotonic per checkpoint; the batch content is
+    pinned by the source offsets).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from .operators.dedup import dedup_against_index
+
+    try:
+        index = spark.read.parquet(index_path).where(F.col("epoch") != int(epoch_id))
+    except AnalysisException:
+        # first epoch, or a crashed attempt left only an empty dir
+        index = spark.createDataFrame([], "content_hash string")
+    survivors = dedup_against_index(
+        batch_df, index.select("content_hash"), text_col=text_col, id_col=id_col
+    )
+    # one delta-sized materialization reused for both writes
+    survivors = survivors.withColumn("epoch", F.lit(int(epoch_id))).persist()
+    try:
+        (
+            survivors.drop("content_hash")
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(survivors_path)
+        )
+        (
+            survivors.select("content_hash", id_col, "epoch")
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(index_path)
+        )
+    finally:
+        survivors.unpersist()
+
+
 class LossMetricsListener(StreamingQueryListener):
     """Accounts rows behind / dropped for weak (Drop-mode) readers.
 
@@ -192,23 +272,26 @@ class Engine:
         ledger_dir: str,
     ) -> QueryHandle:
         """Exactly-once custom sink: ``write_fn(batch_df, epoch_id)``
-        runs at most once per epoch, enforced by an epoch ledger on
-        disk. After a crash between sink-write and checkpoint-commit,
-        the replayed epoch is skipped instead of double-written — the
-        standard idempotent-foreachBatch pattern for sinks without
-        transactional semantics.
+        runs at most once per epoch, enforced by an epoch ledger. After
+        a crash between sink-write and checkpoint-commit, the replayed
+        epoch is skipped instead of double-written — the standard
+        idempotent-foreachBatch pattern for sinks without transactional
+        semantics. The ledger marker only closes the *at-most-once*
+        side; a ``write_fn`` that is not itself idempotent still has an
+        at-least-once window between its first byte and the marker
+        write (see ``dedup_index_epoch_write`` for the idempotent
+        shape). Ledger I/O goes through the Hadoop FileSystem API, so
+        ``ledger_dir`` may be any supported URI (local, HDFS, s3a).
         """
-        import os
-
-        os.makedirs(ledger_dir, exist_ok=True)
+        spark = self.spark
+        fs_mkdirs(spark, ledger_dir)
 
         def _process(batch_df: DataFrame, epoch_id: int) -> None:
-            marker = os.path.join(ledger_dir, f"epoch_{epoch_id}")
-            if os.path.exists(marker):
+            marker = f"{ledger_dir.rstrip('/')}/epoch_{epoch_id}"
+            if fs_exists(spark, marker):
                 return  # epoch already written: replay after crash
             write_fn(batch_df, epoch_id)
-            with open(marker, "w") as f:
-                f.write("done")
+            fs_touch(spark, marker)
 
         q = (
             df.writeStream.queryName(name)
@@ -243,33 +326,23 @@ class Engine:
         bucketed by content_hash so the anti-join co-locates, and a
         Bloom sketch of the index can pre-prune the delta. State lives
         in parquet, not the state store — unbounded corpus, bounded
-        memory.
+        memory. Both sinks are epoch-partitioned and replay by dynamic
+        partition overwrite (``dedup_index_epoch_write``), so a crash
+        anywhere between the first byte and the ledger marker is
+        repaired, not duplicated.
         """
-        import os
-
-        from .operators.dedup import dedup_against_index
-
         spark = self.spark
 
         def _write(batch_df: DataFrame, epoch_id: int) -> None:
-            if os.path.exists(index_path):
-                index = spark.read.parquet(index_path).select("content_hash")
-            else:
-                index = spark.createDataFrame([], "content_hash string")
-            survivors = dedup_against_index(
-                batch_df, index, text_col=text_col, id_col=id_col
+            dedup_index_epoch_write(
+                spark,
+                batch_df,
+                epoch_id,
+                index_path=index_path,
+                survivors_path=survivors_path,
+                text_col=text_col,
+                id_col=id_col,
             )
-            # one delta-sized materialization reused for both appends
-            survivors.persist()
-            try:
-                survivors.drop("content_hash").write.mode("append").parquet(
-                    survivors_path
-                )
-                survivors.select("content_hash", id_col).write.mode("append").parquet(
-                    index_path
-                )
-            finally:
-                survivors.unpersist()
 
         return self.idempotent_foreach_batch(
             name, df, _write, checkpoint=checkpoint, ledger_dir=ledger_dir

@@ -202,3 +202,46 @@ def test_streaming_rollup_partials_match_batch_truth(spark, tmp_path):
     again = {(r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
              for r in Engine.rollup_read(spark, partials, "hour").collect()}
     assert again == want
+
+
+def test_dedup_index_epoch_write_replay_is_idempotent(spark, tmp_path):
+    """The ADVICE-r2 crash window: an epoch that wrote its survivors
+    but died before the ledger marker must repair on replay, not append
+    a second copy of the same survivor rows."""
+    import shutil
+
+    from selium_spark.engine import dedup_index_epoch_write
+
+    b1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "ALPHA   beta")],
+        "doc_id LONG, text STRING",
+    )
+    idx, surv = str(tmp_path / "index"), str(tmp_path / "survivors")
+
+    def state():
+        s = sorted(r["doc_id"] for r in spark.read.parquet(surv).collect())
+        i = spark.read.parquet(idx)
+        return s, i.count(), i.select("content_hash").distinct().count()
+
+    # clean first write: in-batch dedup collapses 3 into 1
+    dedup_index_epoch_write(spark, b1, 0, idx, surv)
+    assert state() == ([1, 2], 2, 2)
+
+    # crash case A: survivors committed, index partition lost (died
+    # between the two writes) -> replay must rebuild both, no dupes
+    shutil.rmtree(str(tmp_path / "index" / "epoch=0"))
+    dedup_index_epoch_write(spark, b1, 0, idx, surv)
+    assert state() == ([1, 2], 2, 2)
+
+    # crash case B: both outputs committed, marker lost -> replay must
+    # overwrite in place (the index read excludes epoch 0's own rows,
+    # so the recomputed survivor set is identical, never empty)
+    dedup_index_epoch_write(spark, b1, 0, idx, surv)
+    assert state() == ([1, 2], 2, 2)
+
+    # next epoch dedups against epoch 0's index as usual
+    b2 = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "epsilon")], "doc_id LONG, text STRING"
+    )
+    dedup_index_epoch_write(spark, b2, 1, idx, surv)
+    assert state() == ([1, 2, 11], 3, 3)
