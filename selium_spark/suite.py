@@ -597,6 +597,14 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') c
 """
 
 
+SQL_STREAM_LATEST = """
+SELECT w.event_id, CAST(c.value AS VARCHAR) AS signup_value_asof
+FROM (SELECT * FROM events WHERE event_type <> 'signup') w
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') c
+  ON w.user_id = c.user_id AND w.ts >= c.ts
+"""
+
+
 def w4_route_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 routing fan-out, alert branch: every verdict -> audit; blocked
     -> alerts (examples/waf/src/lib.rs:216-233). This query returns the
@@ -1743,8 +1751,9 @@ FROM s GROUP BY user_id, session_id
 
 def stream_latest_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3 streaming: applyInPandasWithState latest-value enrich over the
-    replayed events stream (rows-only check; the batch as-of twin
-    w3_latest_enrich carries the value oracle)."""
+    replayed events stream. Value oracle: the same as-of semantics as
+    the batch twin w3_latest_enrich (ASOF LEFT JOIN at w.ts >= c.ts),
+    with the config value carried as the operator's string envelope."""
     import tempfile
 
     from .operators.stateful import latest_enrich_stream, tag_union
@@ -4362,6 +4371,7 @@ WHERE value % 2 = 0"""
     "stream_window_counts": SQL_W1,
     "stream_threshold_alerts": SQL_W2,
     "stream_dedup_exact": SQL_STREAM_DEDUP,
+    "stream_latest_enrich": SQL_STREAM_LATEST,
     "stream_join_clicks_purchases": SQL_STREAM_JOIN,
     "stream_session_windows": SQL_W1C,
     # (streaming latest-enrich is covered rows-only in tests; its batch
