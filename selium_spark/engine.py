@@ -27,27 +27,8 @@ from pyspark.sql.streaming import StreamingQuery, StreamingQueryListener
 from .catalog import StreamCatalog
 
 
-def _hadoop_fs(spark: SparkSession, path: str):
-    """(FileSystem, Path) for ``path`` via the JVM Hadoop API — correct
-    for local paths AND object-store/HDFS URIs, where ``os.path``
-    probes silently see nothing (ADVICE r2)."""
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-
-def fs_exists(spark: SparkSession, path: str) -> bool:
-    fs, p = _hadoop_fs(spark, path)
-    return bool(fs.exists(p))
-
-
-def fs_mkdirs(spark: SparkSession, path: str) -> None:
-    fs, p = _hadoop_fs(spark, path)
-    fs.mkdirs(p)
-
-
-def fs_touch(spark: SparkSession, path: str) -> None:
-    fs, p = _hadoop_fs(spark, path)
-    fs.create(p, True).close()
+from .fsutil import fs_exists, fs_mkdirs, fs_touch  # noqa: E402  (re-export:
+# the ledger and epoch-write below are the primary consumers)
 
 
 def dedup_index_epoch_write(

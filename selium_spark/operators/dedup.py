@@ -571,6 +571,12 @@ def pagerank(
     iteration so the double sums are reproducible cross-engine (the
     rounded values are the next iteration's exact inputs). Isolated
     vertices keep the teleport mass (1-d)/N.
+
+    The loop invariants (graph, vertices, degrees) are persisted for
+    the iterations and unpersisted before returning; the final ranks
+    are materialized (persist + count — one row per vertex, bounded)
+    so the caches are releasable at all. Callers may ``unpersist()``
+    the returned frame when done.
     """
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -607,6 +613,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+    ranks = ranks.persist()
+    ranks.count()  # cut the lineage off the loop caches before freeing them
+    for cached in (sym, verts, deg):
+        cached.unpersist()
     return ranks
 
 

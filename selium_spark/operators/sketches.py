@@ -238,10 +238,11 @@ def histogram_quantiles(
     # q list against the 256-row cumulative table, keep each q's first
     # bin with cum >= ceil(q*N) via min_by, and ride the exact
     # percentiles along as ONE array-typed aggregate.
+    # constant q-list row from range(1), NOT a global agg over df —
+    # Catalyst doesn't prune a global aggregate's child, so the agg
+    # form re-scanned the whole input just to emit one row (ADVICE r2)
     qarr = F.array(*[F.lit(float(q)) for q in qs])
-    qrows = df.groupBy().agg(F.lit(1).alias("_one")).select(
-        F.posexplode(qarr).alias("qi", "q")
-    )
+    qrows = df.sparkSession.range(1).select(F.posexplode(qarr).alias("qi", "q"))
     hit = (
         qrows.crossJoin(cum)
         .withColumn("k", F.ceil(F.col("q") * F.col("n_total")))

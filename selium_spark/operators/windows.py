@@ -232,9 +232,17 @@ def cohort_retention(
 
     Two shuffles total at any scale: min-per-user (first touch, map-side
     combinable) and the (cohort, offset) count-distinct — no per-period
-    rescans, no self-joins. The offset arithmetic is integer period
-    subtraction, deterministic across engines.
+    rescans, no self-joins. Offsets use CALENDAR day arithmetic
+    (``datediff`` on the truncated periods), not epoch-second division:
+    in a DST-observing session timezone a 23/25-hour day would make the
+    fixed-divisor form silently truncate an offset by one period
+    (ADVICE r2). Grains beyond day/week raise up front.
     """
+    supported = {"day": 1, "week": 7}
+    if grain not in supported:
+        raise ValueError(
+            f"cohort_retention grain must be one of {sorted(supported)}, got {grain!r}"
+        )
     period = F.date_trunc(grain, F.col(ts_col))
     firsts = df.groupBy(F.col(user_col).alias("user")).agg(
         F.min(period).alias("cohort")
@@ -242,9 +250,8 @@ def cohort_retention(
     active = df.select(
         F.col(user_col).alias("user"), period.alias("period")
     ).distinct()
-    div = {"day": 86400, "week": 604800}[grain]
-    offset = (
-        (F.unix_timestamp("period") - F.unix_timestamp("cohort")) / F.lit(div)
+    offset = F.floor(
+        F.datediff(F.to_date("period"), F.to_date("cohort")) / F.lit(supported[grain])
     ).cast("long")
     return (
         active.join(firsts, "user")

@@ -123,14 +123,15 @@ def compact(
 
     Returns the number of output files. File count = ceil(input_bytes /
     target); range partitioning keeps them near-equal by ROWS (byte
-    equality is close enough when rows are similar width).
+    equality is close enough when rows are similar width). The size
+    probe goes through the Hadoop FileSystem API, so ``src_path`` may
+    be a local path or any supported URI (HDFS, s3a) alike.
     """
     import math
-    import os
 
-    total = 0
-    for root, _dirs, files in os.walk(src_path):
-        total += sum(os.path.getsize(os.path.join(root, f)) for f in files if f.endswith(".parquet"))
+    from ..fsutil import fs_bytes
+
+    total = fs_bytes(spark, src_path)
     n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(src_path)
     (

@@ -37,5 +37,5 @@ def test_query_executes(spark, name):
 
 def test_registry_alignment():
     assert set(ORACLES) <= set(QUERIES)
-    # exactly one rows-only query by design
-    assert sorted(set(QUERIES) - set(ORACLES)) == ["stream_latest_enrich"]
+    # every suite query carries a value oracle (zero rows-only entries)
+    assert sorted(set(QUERIES) - set(ORACLES)) == []
