@@ -155,7 +155,11 @@ def scan_http_frames(df: DataFrame, raw_col: str) -> DataFrame:
         .withColumn("path", F.split(request_line, " ").getItem(1))
         .withColumn(
             "content_length",
-            F.regexp_extract(head, r"(?i)content-length:\s*(\d+)", 1).cast("long"),
+            # no header -> regexp_extract yields '' which ANSI cast
+            # rejects; absent content-length must be NULL, not an error
+            F.nullif(
+                F.regexp_extract(head, r"(?i)content-length:\s*(\d+)", 1), F.lit("")
+            ).cast("long"),
         )
         .withColumn(
             "body",

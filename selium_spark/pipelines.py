@@ -11,6 +11,9 @@ their pipelines here (SURVEY §7.5).
 | examples/data-pipeline | run_data_pipeline | LCG generator (S10), map x2/+5 (T1), even filter (T2), chained publish (T7) |
 | examples/waf | run_waf | classify (T4), routing fan-out audit/alerts (W4) in one pass |
 | examples/orchestrator | run_orchestrator | latest-value config enrich (W3) via applyInPandasWithState |
+| examples/load-balancer | run_load_balancer | atlas insert (M6), Fanout exactly-one-consumer (M3), HTTP framing scan (T11), streaming publish (M1) |
+| examples/rest-api | run_rest_api | frame reassembly + byte-protocol scan (T11), JSON parse/validate (T10), response build (M4 reply shape) |
+| examples/echo | run_echo | Client/Server request-reply round-trip (M4) over atlas-registered channels (M6) |
 """
 
 from __future__ import annotations
@@ -200,3 +203,176 @@ def run_orchestrator(
         )
 
     return replay_to_memory(spark, dirs["tagged"], schema, transform)
+
+
+def run_load_balancer(
+    spark: SparkSession,
+    workdir: str,
+    connections: DataFrame,
+    n_workers: int = 4,
+) -> dict[str, DataFrame]:
+    """examples/load-balancer/src/lib.rs:21-61: the HTTP listener
+    forwards every accepted connection into a Fanout registered in the
+    atlas at sel://example.org/web/prod/api; conn_handler workers each
+    receive EXACTLY ONE copy of a connection (for_each_concurrent(50))
+    and answer ``ok`` / ``bad request``.
+
+    Engine rendering: ``connections`` rows are the row-framed accepted
+    connections (conn_id, raw request text). The stream is fanned out
+    to ``n_workers`` deterministic partitions (messaging.fanout — the
+    exactly-one-consumer contract, SURVEY §7.4.2; the reference's
+    CONCURRENT_REQUESTS bound maps to Spark's task slots per worker),
+    validated with the same framing rules as lib.rs:63-104 (header
+    terminator present, 3-part request line, content-length satisfied),
+    and the per-connection response is published to a reply channel.
+    """
+    from .operators import messaging, transforms
+
+    dirs = _mkdirs(workdir, "conns", "responses", "ckpt")
+    connections.write.mode("overwrite").parquet(dirs["conns"])
+    cat = StreamCatalog(spark)
+    lb_uri = "sel://example.org/web/prod/api"
+    cat.insert(lb_uri, dirs["conns"])
+
+    incoming = cat.read_stream(lb_uri)
+    assigned = messaging.fanout(incoming, n_workers)
+    scanned = transforms.scan_http_frames(assigned, "raw")
+    complete = (
+        (F.instr("raw", "\r\n\r\n") > 0)
+        & (F.size(F.split(F.substring_index(F.col("raw"), "\r\n", 1), " ")) == 3)
+        & (
+            F.col("content_length").isNull()
+            | (F.length(F.coalesce(F.col("body"), F.lit(""))) >= F.col("content_length"))
+        )
+    )
+    responses = scanned.select(
+        "conn_id",
+        "worker",
+        F.when(complete, F.lit(200)).otherwise(F.lit(400)).alias("status_code"),
+        F.when(complete, F.lit("ok")).otherwise(F.lit("bad request")).alias("body"),
+    )
+
+    empty = spark.createDataFrame([], responses.schema)
+    empty.write.mode("overwrite").parquet(dirs["responses"])
+    cat.insert("sel://example.org/web/prod/responses", dirs["responses"])
+    q = messaging.publish(
+        cat,
+        responses,
+        "sel://example.org/web/prod/responses",
+        checkpoint=os.path.join(dirs["ckpt"], "lb"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    return {"responses": cat.read("sel://example.org/web/prod/responses")}
+
+
+def run_rest_api(spark: SparkSession, workdir: str, frames: DataFrame) -> DataFrame:
+    """examples/rest-api/src/lib.rs:52-130: reassemble each
+    connection's byte frames, locate the header terminator, honor
+    Content-Length, JSON-parse the body's ``password`` field, and build
+    the exact response the reference builds (200 {"status":true|false}
+    on a parseable request, 400 {"error":"invalid request"} otherwise).
+
+    ``frames``: (conn_id, seq, payload) — the recv() loop's chunks,
+    row-framed. Reassembly is one groupBy (collect frames, order by
+    seq, concatenate); everything after is JVM string surgery shared
+    with transforms.scan_http_frames. Output one response row per
+    connection.
+    """
+    from .operators import transforms
+
+    password_ok = F.col("_pw").isin(
+        "It's an illusion, Michael!", "Its an illusion, Michael!"
+    )
+    raw = frames.groupBy("conn_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "payload"))),
+                lambda s: s["payload"],
+            ),
+            "",
+        ).alias("raw")
+    )
+    scanned = transforms.scan_http_frames(raw, "raw")
+    # the reference truncates the body at Content-Length before parsing
+    body = F.when(
+        F.col("content_length").isNotNull(),
+        F.substring(F.col("body"), 1, F.col("content_length").cast("int")),
+    ).otherwise(F.col("body"))
+    parsed = scanned.select(
+        "conn_id",
+        "raw",
+        F.from_json(body, "password STRING").getField("password").alias("_pw"),
+    )
+    bad = F.col("_pw").isNull()  # unframed, empty, or unparseable body
+    response_body = (
+        F.when(bad, F.lit('{"error":"invalid request"}'))
+        .when(password_ok, F.lit('{"status":true}'))
+        .otherwise(F.lit('{"status":false}'))
+    )
+    status = F.when(bad, F.lit(400)).otherwise(F.lit(200))
+    reason = F.when(bad, F.lit("Bad Request")).otherwise(F.lit("OK"))
+    out = parsed.select(
+        "conn_id",
+        status.alias("status_code"),
+        reason.alias("reason"),
+        response_body.alias("body"),
+    )
+    return out.withColumn(
+        "response",
+        F.concat(
+            F.lit("HTTP/1.1 "),
+            F.col("status_code").cast("string"),
+            F.lit(" "),
+            F.col("reason"),
+            F.lit("\r\nContent-Type: application/json\r\nContent-Length: "),
+            F.length("body").cast("string"),
+            F.lit("\r\nConnection: close\r\n\r\n"),
+            F.col("body"),
+        ),
+    )
+
+
+def run_echo(spark: SparkSession, workdir: str, messages: DataFrame) -> dict[str, DataFrame]:
+    """examples/echo/src/lib.rs:29-60: a Client publishes EchoMsg
+    requests to the atlas-registered sel://moo/cow endpoint; the Server
+    consumes each request and sends the SAME message back through the
+    responder; the client reads its reply.
+
+    Engine rendering: requests channel + reply channel in the catalog;
+    the server is messaging.request_reply_stream with the identity
+    handler (the FlatResult envelope carries the echoed payload); the
+    client round-trip is the join of requests to replies on request_id.
+    """
+    from .operators import messaging
+
+    dirs = _mkdirs(workdir, "requests", "replies", "ckpt")
+    messages.write.mode("overwrite").parquet(dirs["requests"])
+    cat = StreamCatalog(spark)
+    cat.insert("sel://moo/cow", dirs["requests"])
+    empty = spark.createDataFrame([], "request_id LONG, payload BINARY, error STRING")
+    empty.write.mode("overwrite").parquet(dirs["replies"])
+    cat.insert("sel://moo/cow/replies", dirs["replies"])
+
+    q = messaging.request_reply_stream(
+        cat,
+        cat.read_stream("sel://moo/cow"),
+        handler=lambda df: df.select("request_id", F.col("msg").alias("payload")),
+        reply_uri="sel://moo/cow/replies",
+        checkpoint=os.path.join(dirs["ckpt"], "echo"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    replies = cat.read("sel://moo/cow/replies")
+    roundtrip = (
+        cat.read("sel://moo/cow")
+        .join(replies, "request_id")
+        .select(
+            "request_id",
+            "msg",
+            F.col("payload").cast("string").alias("echoed"),
+            "error",
+        )
+    )
+    return {"replies": replies, "roundtrip": roundtrip}
