@@ -11,11 +11,15 @@ LEB128) and interprets the straight-line numeric opcode subset that
 scalar UDF modules need — i64/f64 arithmetic, locals, ``select``,
 comparisons, sign-correct two's-complement wrap-around.
 
-This is NOT a general wasm runtime (no memory, tables, calls, or
-control flow beyond ``select``); it is a deterministic host for the
-scalar-function profile, and the sandbox property is trivially true —
-the interpreter exposes no imports at all. With wasmtime installed,
-functions/wasm.py runs the SAME bytes on the real engine instead.
+This is NOT a general wasm runtime (no memory, tables, or calls); it
+is a deterministic host for the scalar-function profile, and the
+sandbox property is trivially true — the interpreter exposes no
+imports at all. The scalar tier executes structured control flow
+(``block``/``loop``/``if``/``else``/``br``/``br_if``/``return`` with
+void block types), so loop-bearing guest bodies run without wasmtime;
+the vectorized compiler stays straight-line and falls back to this
+tier for such bodies. With wasmtime installed, functions/wasm.py runs
+the SAME bytes on the real engine instead.
 """
 
 from __future__ import annotations
@@ -159,18 +163,62 @@ def _trunc_rem(a: int, b: int) -> int:
     return a - _trunc_div(a, b) * b
 
 
+# opcodes whose single immediate is a uleb (branch depths, indices)
+_IMM_ULEB = frozenset({0x0C, 0x0D, 0x10, 0x20, 0x21, 0x22, 0x23, 0x24})
+_BLOCK_OPS = frozenset({0x02, 0x03, 0x04})  # block / loop / if
+_VOID_BT = 0x40
+
+
+def _scan_control(body: bytes) -> dict[int, tuple[int, int | None]]:
+    """Match every block/loop/if opcode offset to (end_offset,
+    else_offset|None) in one immediate-aware pass, so the interpreter
+    can jump instead of re-scanning on every branch."""
+    r = _Reader(body)
+    open_blocks: list[list] = []
+    out: dict[int, tuple[int, int | None]] = {}
+    while not r.eof():
+        off = r.pos
+        op = r.byte()
+        if op in _BLOCK_OPS:
+            bt = r.byte()
+            if bt not in (_VOID_BT, I32, I64, F32, F64):
+                raise NotImplementedError(
+                    "wasm block types beyond void/single-value are unsupported"
+                )
+            open_blocks.append([off, None])
+        elif op == 0x05:  # else
+            open_blocks[-1][1] = off
+        elif op == 0x0B and open_blocks:  # end of a structured block
+            start, els = open_blocks.pop()
+            out[start] = (off, els)
+        elif op in _IMM_ULEB:
+            r.uleb()
+        elif op in (0x41, 0x42):  # i32/i64.const
+            r.sleb()
+        elif op == 0x43:  # f32.const
+            r.take(4)
+        elif op == 0x44:  # f64.const
+            r.take(8)
+    return out
+
+
 class ScalarWasmFunction:
     """Callable interpreting one exported function's body per invocation.
 
-    Straight-line numeric profile: locals, constants, i64/f64
-    arithmetic, comparisons (producing i32 0/1), ``select``. Raises
-    NotImplementedError at call time on an opcode outside the profile,
-    naming it — so an unsupported module fails loudly, not wrongly.
+    Numeric profile: locals, constants, i64/f64 arithmetic, comparisons
+    (producing i32 0/1), ``select``, and structured control flow —
+    ``block``/``loop``/``if``/``else`` (void block types) with
+    ``br``/``br_if``/``return`` — enough for loop-bearing scalar
+    guests (iterative hashes, digit scans, counted recurrences).
+    Raises NotImplementedError at call time on an opcode outside the
+    profile, naming it — so an unsupported module fails loudly, not
+    wrongly.
     """
 
     def __init__(self, func: WasmFunc):
         self.func = func
         self.arity = len(func.params)
+        self.ctrl = _scan_control(func.body)
 
     @classmethod
     def from_module(cls, module_bytes: bytes, name: str) -> "ScalarWasmFunction":
@@ -192,13 +240,55 @@ class ScalarWasmFunction:
             locals_.append(0.0 if vt == F64 else 0)
 
         stack: list = []
+        # (kind, loop_start, end_pos) — kind: 'block' | 'loop' | 'if'
+        frames: list[tuple[str, int, int]] = []
+        ctrl = self.ctrl
         r = _Reader(f.body)
         push = stack.append
         pop = stack.pop
         while True:
+            op_off = r.pos
             op = r.byte()
-            if op == 0x0B:  # end
+            if op == 0x0B:  # end: of a structured block, or the body
+                if frames:
+                    frames.pop()
+                    continue
                 break
+            elif op == 0x02:  # block (void)
+                r.byte()
+                frames.append(("block", op_off, ctrl[op_off][0]))
+            elif op == 0x03:  # loop (void)
+                r.byte()
+                frames.append(("loop", op_off, ctrl[op_off][0]))
+            elif op == 0x04:  # if (void)
+                r.byte()
+                end_pos, else_pos = ctrl[op_off]
+                if pop():
+                    frames.append(("if", op_off, end_pos))
+                elif else_pos is not None:
+                    r.pos = else_pos + 1
+                    frames.append(("if", op_off, end_pos))
+                else:
+                    r.pos = end_pos + 1  # skip the whole if, no frame
+            elif op == 0x05:  # else: then-branch finished -> its end
+                r.pos = frames[-1][2]  # the main loop pops at the end op
+            elif op in (0x0C, 0x0D):  # br / br_if
+                depth = r.uleb()
+                if op == 0x0D and not pop():
+                    continue
+                if depth >= len(frames):  # branch to the function label
+                    frames.clear()
+                    break
+                kind, start, end_pos = frames[len(frames) - 1 - depth]
+                del frames[len(frames) - 1 - depth :]
+                if kind == "loop":
+                    r.pos = start  # re-execute the loop op: fresh frame
+                else:
+                    r.pos = end_pos + 1  # past the end; frame already gone
+            elif op == 0x0F:  # return
+                break
+            elif op == 0x01:  # nop
+                pass
             elif op == 0x20:  # local.get
                 push(locals_[r.uleb()])
             elif op == 0x21:  # local.set

@@ -21,11 +21,15 @@ import struct
 I32, I64, F32, F64 = 0x7F, 0x7E, 0x7D, 0x7C
 
 # -- opcode mnemonics used by the module bodies ---------------------------
-LOCAL_GET = 0x20
+LOCAL_GET, LOCAL_SET = 0x20, 0x21
 SELECT = 0x1B
-I64_CONST, I64_ADD, I64_MUL = 0x42, 0x7C, 0x7E
-I64_LT_S, I64_GT_S = 0x53, 0x55
+I64_CONST, I64_ADD, I64_SUB, I64_MUL = 0x42, 0x7C, 0x7D, 0x7E
+I64_DIV_S, I64_REM_S = 0x7F, 0x81
+I64_LT_S, I64_GT_S, I64_GE_S = 0x53, 0x55, 0x59
+I64_EQZ = 0x50
 F64_CONST, F64_SUB, F64_MUL = 0x44, 0xA1, 0xA2
+BLOCK, LOOP, BR, BR_IF = 0x02, 0x03, 0x0C, 0x0D
+VOID = 0x40
 END = 0x0B
 
 
@@ -72,23 +76,28 @@ def _vec(items: list[bytes]) -> bytes:
     return _uleb(len(items)) + b"".join(items)
 
 
-def _assemble(funcs: list[tuple[str, list[int], list[int], bytes]]) -> bytes:
+def _assemble(funcs: list[tuple]) -> bytes:
     """Emit a wasm-MVP binary from (name, param_types, result_types,
-    body) tuples. One functype per function; no imports, memory, or
-    locals beyond params (the scalar straight-line profile)."""
+    body[, local_types]) tuples. One functype per function; no imports
+    or memory. ``local_types`` (optional) declares extra locals beyond
+    the params — loop-bearing bodies keep their state there."""
+    funcs = [f if len(f) == 5 else (*f, []) for f in funcs]
     types = _vec(
         [b"\x60" + _vec([bytes([t]) for t in p]) + _vec([bytes([t]) for t in r])
-         for _, p, r, _ in funcs]
+         for _, p, r, _, _ in funcs]
     )
     func_decls = _vec([_uleb(i) for i in range(len(funcs))])
     exports = _vec(
         [_uleb(len(n.encode())) + n.encode() + b"\x00" + _uleb(i)
-         for i, (n, _, _, _) in enumerate(funcs)]
+         for i, (n, _, _, _, _) in enumerate(funcs)]
     )
-    codes = _vec(
-        [_uleb(len(body) + 1) + b"\x00" + body  # 0 local decls, then expr
-         for _, _, _, body in funcs]
-    )
+    codes = []
+    for _, _, _, body, local_types in funcs:
+        # local decls: one (count, valtype) run per declared local
+        decls = _vec([_uleb(1) + bytes([t]) for t in local_types])
+        code = decls + body
+        codes.append(_uleb(len(code)) + code)
+    codes = _vec(codes)
     return (
         b"\x00asm\x01\x00\x00\x00"
         + _section(1, types)
@@ -160,6 +169,63 @@ SCALAR_MODULE: bytes = _assemble(
             + (local_get(0) + local_get(1) + local_get(0) + local_get(1)
                + bytes([I64_GT_S, SELECT]))
             + local_get(2) + bytes([I64_LT_S, SELECT, END]),
+        ),
+    ]
+)
+
+
+def local_set(i: int) -> bytes:
+    return bytes([LOCAL_SET]) + _uleb(i)
+
+
+#: Loop-bearing guest (the interpreter-tier control-flow profile):
+#:
+#: WAT::
+#:   (module
+#:     (func (export "digit_sum") (param i64) (result i64)
+#:       (local $n i64) (local $acc i64)
+#:       ;; $n = abs(x) — branchless select
+#:       local.get 0
+#:       i64.const 0  local.get 0  i64.sub
+#:       local.get 0  i64.const 0  i64.ge_s
+#:       select
+#:       local.set $n
+#:       block
+#:         loop
+#:           local.get $n  i64.eqz  br_if 1      ;; done -> exit block
+#:           local.get $acc
+#:           local.get $n  i64.const 10  i64.rem_s
+#:           i64.add  local.set $acc
+#:           local.get $n  i64.const 10  i64.div_s
+#:           local.set $n
+#:           br 0                                ;; continue loop
+#:         end
+#:       end
+#:       local.get $acc))
+LOOP_MODULE: bytes = _assemble(
+    [
+        (
+            "digit_sum",
+            [I64],
+            [I64],
+            # abs into local 1
+            local_get(0)
+            + i64_const(0) + local_get(0) + bytes([I64_SUB])
+            + local_get(0) + i64_const(0) + bytes([I64_GE_S, SELECT])
+            + local_set(1)
+            # block/loop digit scan, state in locals 1 (n) and 2 (acc)
+            + bytes([BLOCK, VOID, LOOP, VOID])
+            + local_get(1) + bytes([I64_EQZ, BR_IF]) + _uleb(1)
+            + local_get(2)
+            + local_get(1) + i64_const(10) + bytes([I64_REM_S, I64_ADD])
+            + local_set(2)
+            + local_get(1) + i64_const(10) + bytes([I64_DIV_S])
+            + local_set(1)
+            + bytes([BR]) + _uleb(0)
+            + bytes([END, END])
+            + local_get(2)
+            + bytes([END]),
+            [I64, I64],
         ),
     ]
 )

@@ -3100,6 +3100,38 @@ ORDER BY 1, 2
 """
 
 
+def wasm_udf_digit_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOOP-bearing wasm guest (``digit_sum``: block/loop/br_if digit
+    scan with state in locals) run on the built-in interpreter tier —
+    no wasmtime needed, proving out-of-straight-line guest bodies
+    execute. The vectorized compiler correctly refuses the control
+    flow; the per-row tier hosts it (fan_out spreads the CPU)."""
+    from selium_spark.functions.wasm import wasm_pandas_udf
+    from selium_spark.functions.wasm_modules import LOOP_MODULE
+    from selium_spark.sources.layout import fan_out
+
+    ds = wasm_pandas_udf(LOOP_MODULE, "digit_sum", "long")
+    o = fan_out(_t(spark, sf_dir, "orders"))
+    return (
+        o.select("o_orderpriority", ds(F.col("o_orderkey")).alias("dsum"))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("dsum").cast("long").alias("sum_digits"), F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_WASM_DIGIT_SUM = """
+SELECT o_orderpriority,
+  CAST(SUM(list_aggregate(list_transform(string_split(CAST(o_orderkey AS VARCHAR), ''),
+                                         c -> CAST(c AS BIGINT)), 'sum')) AS BIGINT)
+    AS sum_digits,
+  COUNT(*) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) cardinality sketch over orders.o_custkey:
     k=256 smallest 52-bit md5 hashes -> (k-1)/U_k estimate, reported
@@ -4257,6 +4289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wasm_udf_clamp": wasm_udf_clamp,
     "sketch_kmv_setops": sketch_kmv_setops,
     "stream_hll_registers": stream_hll_registers,
+    "wasm_udf_digit_sum": wasm_udf_digit_sum,
 }
 
 ORACLES: dict[str, str] = {
@@ -4388,6 +4421,7 @@ WHERE value % 2 = 0"""
     "sketch_cms_heavy_hitters": SQL_SKETCH_CMS,
     "rollup_hierarchical": SQL_ROLLUP_HIER,
     "stream_hll_registers": SQL_STREAM_HLL,
+    "wasm_udf_digit_sum": SQL_WASM_DIGIT_SUM,
     "stream_cms_table": SQL_STREAM_CMS,
     "funnel_steps": SQL_FUNNEL,
     "cohort_retention_weekly": SQL_COHORT,

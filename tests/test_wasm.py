@@ -186,3 +186,60 @@ def test_clamp_guest_on_spark(spark):
         clamp(F.col("id"), F.lit(3), F.lit(6)).alias("c")
     )
     assert [r.c for r in df.collect()] == [3, 3, 3, 3, 4, 5, 6, 6, 6, 6]
+
+
+# -- control-flow (loop) profile -----------------------------------------
+
+LOOP_GOLDEN_SHA256 = "4341dae8d73e9aa3ebe1f3df2b66c7ab68d71843e05bdaeb68a4f30d7506d926"
+
+
+def test_loop_module_bytes_are_pinned():
+    from selium_spark.functions.wasm_modules import LOOP_MODULE
+
+    assert LOOP_MODULE[:8] == b"\x00asm\x01\x00\x00\x00"
+    assert hashlib.sha256(LOOP_MODULE).hexdigest() == LOOP_GOLDEN_SHA256
+
+
+def test_interpreter_digit_sum_loop():
+    from selium_spark.functions.wasm_modules import LOOP_MODULE
+
+    f = ScalarWasmFunction.from_module(LOOP_MODULE, "digit_sum")
+    for x in (0, 7, 10, 99, 123456789, -405, 10**15 - 1):
+        assert f(x) == sum(int(c) for c in str(abs(x))), x
+
+
+def test_interpreter_if_else_and_nested_branches():
+    """Hand-built body exercising if/else and br out of nested blocks:
+    f(x) = 1 if x > 10 else -1 (if/else), via locals."""
+    from selium_spark.functions import wasm_modules as m
+
+    body = (
+        m.local_get(0) + m.i64_const(10) + bytes([m.I64_GT_S])
+        + bytes([0x04, m.VOID])          # if
+        + m.i64_const(1) + bytes([0x21]) + m._uleb(1)   # local.set 1
+        + bytes([0x05])                   # else
+        + m.i64_const(-1) + bytes([0x21]) + m._uleb(1)
+        + bytes([m.END])
+        + m.local_get(1)
+        + bytes([m.END])
+    )
+    mod = m._assemble([("sign10", [m.I64], [m.I64], body, [m.I64])])
+    f = ScalarWasmFunction.from_module(mod, "sign10")
+    assert f(11) == 1 and f(10) == -1 and f(-5) == -1
+
+
+def test_vectorized_compiler_refuses_loops_interpreter_hosts_them():
+    from selium_spark.functions.wasm_interp import compile_vectorized
+    from selium_spark.functions.wasm_modules import LOOP_MODULE
+
+    with pytest.raises(NotImplementedError):
+        compile_vectorized(parse_module(LOOP_MODULE)["digit_sum"])
+
+
+def test_digit_sum_guest_on_spark(spark):
+    from selium_spark.functions.wasm_modules import LOOP_MODULE
+
+    ds = wasm_pandas_udf(LOOP_MODULE, "digit_sum", "long")
+    df = spark.createDataFrame([(123,), (4567,), (-89,)], "x LONG")
+    got = {r.x: r.d for r in df.select("x", ds("x").alias("d")).collect()}
+    assert got == {123: 6, 4567: 22, -89: 17}
