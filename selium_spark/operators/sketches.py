@@ -163,37 +163,51 @@ def _cms_pos(col: Column, d: int, w: int) -> Column:
     return hash52(F.concat(F.lit(f"{d}:"), col.cast("string"))) % w
 
 
-def cms_table(df: DataFrame, col: str, w: int = 256) -> DataFrame:
-    """Count-min sketch table: (row, pos, cnt) — d=4 rows of w counters
-    (d·w longs total, additively mergeable, streaming-able). One wide
-    groupBy on a constant key space; map-side combine collapses every
-    partition to <= d·w rows before the shuffle, so the shuffled bytes
-    are constant in the input size."""
+def cms_table(df: DataFrame, col: str, w: int = 256, by: tuple[str, ...] = ()) -> DataFrame:
+    """Count-min sketch table: (*by, row, pos, cnt) — d=4 rows of w
+    counters per ``by`` group (d·w longs each, additively mergeable,
+    streaming-able; ``by`` is typically a time window for windowed
+    sketches). One wide groupBy on a constant key space per group;
+    map-side combine collapses every partition to <= d·w rows before
+    the shuffle, so the shuffled bytes are constant in the input size."""
     rows = [
-        df.select(F.lit(d).alias("row"), _cms_pos(F.col(col), d, w).alias("pos"))
+        df.select(
+            *[F.col(b) for b in by],
+            F.lit(d).alias("row"),
+            _cms_pos(F.col(col), d, w).alias("pos"),
+        )
         for d in range(CMS_D)
     ]
     unioned = rows[0]
     for r in rows[1:]:
         unioned = unioned.unionAll(r)
-    return unioned.groupBy("row", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+    return unioned.groupBy(*by, "row", "pos").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def cms_estimate(table: DataFrame, keys: DataFrame, col: str, w: int = 256) -> DataFrame:
+def cms_estimate(
+    table: DataFrame,
+    keys: DataFrame,
+    col: str,
+    w: int = 256,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
     """Point-lookup the sketch for each key in ``keys``: est = min over
     the d rows of the addressed counter (classic count-min upper
-    bound: est >= true, overshoot only from collisions). The sketch
-    table is tiny — every join here is broadcast."""
+    bound: est >= true, overshoot only from collisions). With ``by``,
+    keys probe their own group's counters (e.g. per-window). The
+    sketch table is tiny — every join here is broadcast."""
     out = keys
     for d in range(CMS_D):
         t = table.where(F.col("row") == d).select(
-            F.col("pos").alias(f"_p{d}"), F.col("cnt").alias(f"_c{d}")
+            *[F.col(b) for b in by],
+            F.col("pos").alias(f"_p{d}"),
+            F.col("cnt").alias(f"_c{d}"),
         )
         out = out.withColumn(f"_p{d}", _cms_pos(F.col(col), d, w)).join(
-            F.broadcast(t), f"_p{d}", "left"
+            F.broadcast(t), [*by, f"_p{d}"], "left"
         )
     est = F.least(*[F.col(f"_c{d}") for d in range(CMS_D)])
-    return out.select(col, est.alias("est_count"))
+    return out.select(*by, col, est.alias("est_count"))
 def histogram_quantiles(
     df: DataFrame,
     col: str,

@@ -3572,6 +3572,84 @@ SELECT row_ AS cms_row, pos, COUNT(*) AS cnt FROM (
 """
 
 
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed streaming top-k over CMS sketch state: the stream
+    maintains a per-DAY count-min sketch (complete-mode agg — d*w longs
+    per day, constant per window regardless of row count); the emitted
+    counter table is then probed merge-on-read for each observed
+    (day, user) and ranked to the top-5 heavy hitters per day —
+    deterministic ties (est desc, user asc). The same continuous-
+    aggregate shape as streaming_rollup: bounded streaming state,
+    rank-on-read."""
+    from pyspark.sql import Window
+
+    from .sources.tables import ensure_nanos_as_long, load_table
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema)
+        return sketches.cms_table(
+            ev.withColumn("day", F.date_trunc("day", "ts")), "user_id", w=256, by=("day",)
+        ).select("day", F.col("row").alias("cms_row"), "pos", "cnt")
+
+    emitted = replay_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        transform,
+        output_mode="complete",
+        shuffle_partitions=8,
+    )
+    counters = emitted.select("day", F.col("cms_row").alias("row"), "pos", "cnt")
+    keys = (
+        load_table(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    est = sketches.cms_estimate(counters, keys, "user_id", w=256, by=("day",))
+    rk = F.row_number().over(
+        Window.partitionBy("day").orderBy(F.col("est_count").desc(), F.col("user_id").asc())
+    )
+    return (
+        est.withColumn("rk", rk)
+        .where(F.col("rk") <= 5)
+        .select("day", "user_id", F.col("est_count").cast("long").alias("est_count"), "rk")
+    )
+
+
+SQL_STREAM_TOPK = f"""
+WITH cms AS (
+  SELECT day, row_, pos, COUNT(*) AS cnt FROM (
+    SELECT date_trunc('day', ts) AS day, 0 AS row_, {_cms_pos_sql(0)} AS pos FROM events
+    UNION ALL SELECT date_trunc('day', ts), 1, {_cms_pos_sql(1)} FROM events
+    UNION ALL SELECT date_trunc('day', ts), 2, {_cms_pos_sql(2)} FROM events
+    UNION ALL SELECT date_trunc('day', ts), 3, {_cms_pos_sql(3)} FROM events
+  ) GROUP BY 1, 2, 3
+),
+keys AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+est AS (
+  SELECT k.day, k.user_id,
+    least(c0.cnt, c1.cnt, c2.cnt, c3.cnt) AS est_count
+  FROM keys k
+  JOIN cms c0 ON c0.day = k.day AND c0.row_ = 0
+    AND c0.pos = CAST('0x' || substr(md5('0:' || CAST(k.user_id AS VARCHAR)), 1, 13) AS BIGINT) % 256
+  JOIN cms c1 ON c1.day = k.day AND c1.row_ = 1
+    AND c1.pos = CAST('0x' || substr(md5('1:' || CAST(k.user_id AS VARCHAR)), 1, 13) AS BIGINT) % 256
+  JOIN cms c2 ON c2.day = k.day AND c2.row_ = 2
+    AND c2.pos = CAST('0x' || substr(md5('2:' || CAST(k.user_id AS VARCHAR)), 1, 13) AS BIGINT) % 256
+  JOIN cms c3 ON c3.day = k.day AND c3.row_ = 3
+    AND c3.pos = CAST('0x' || substr(md5('3:' || CAST(k.user_id AS VARCHAR)), 1, 13) AS BIGINT) % 256
+)
+SELECT day, user_id, CAST(est_count AS BIGINT) AS est_count, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY day ORDER BY est_count DESC, user_id) AS rk
+  FROM est
+) WHERE rk <= 5
+"""
+
+
 def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel analysis (windows.funnel): signup -> click ->
     purchase with first-touch semantics (each step's first occurrence
@@ -4290,6 +4368,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_kmv_setops": sketch_kmv_setops,
     "stream_hll_registers": stream_hll_registers,
     "wasm_udf_digit_sum": wasm_udf_digit_sum,
+    "stream_topk_windowed": stream_topk_windowed,
 }
 
 ORACLES: dict[str, str] = {
@@ -4422,6 +4501,7 @@ WHERE value % 2 = 0"""
     "rollup_hierarchical": SQL_ROLLUP_HIER,
     "stream_hll_registers": SQL_STREAM_HLL,
     "wasm_udf_digit_sum": SQL_WASM_DIGIT_SUM,
+    "stream_topk_windowed": SQL_STREAM_TOPK,
     "stream_cms_table": SQL_STREAM_CMS,
     "funnel_steps": SQL_FUNNEL,
     "cohort_retention_weekly": SQL_COHORT,
