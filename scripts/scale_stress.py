@@ -3,8 +3,17 @@ fan-outs stay linear, not quadratic) and measure headline queries at
 both scales. A plan that "would survive 100x" should show ~linear wall
 time here; a super-linear query indicates a shuffle/skew problem.
 
-Usage: python scripts/scale_stress.py [N]   (default 10)
-Writes the scaled dataset under /root/repo/tmp/scaled_sfX/ (gitignored).
+Usage: python scripts/scale_stress.py [N]          (default 10)
+       python scripts/scale_stress.py [N] --skew   (skewed-corpus mode)
+
+--skew builds a SECOND Nx documents table where one domain carries 30%
+of all rows and the same 30% share ONE boilerplate text (hot LSH band
+buckets + hot content hash — the realistic web-corpus worst case), then
+times the skew-sensitive document queries on uniform-Nx vs skewed-Nx.
+Bounded ratios are the evidence that the salted top-k (urls.domain_cap),
+the LSH hot-band cap, and the star-edge grouping hold under skew.
+
+Writes the scaled dataset under /root/repo/tmp/scaled_xN/ (gitignored).
 """
 
 from __future__ import annotations
@@ -81,9 +90,56 @@ def build_scaled(spark, n_copies: int, out_dir: str) -> None:
         shutil.copy(f"{BASE_SF}/{name}.parquet", f"{out_dir}/{name}.parquet")
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+# Queries that group/join on corpus-driven document keys — the set the
+# --skew mode times on uniform vs skewed data.
+SKEW_QUERY_SET = [
+    "url_domain_caps",      # salted top-k vs 30%-hot domain
+    "dedup_exact_docs",     # groupBy content hash (map-side combinable)
+    "dedup_lsh_candidates", # hot-band cap vs 30%-hot band buckets
+    "dedup_groups",         # star edges vs quadratic pair blowup
+    "pipeline_data_prep",   # composite: quality -> dedup window
+]
+
+
+def build_doc_corpus(spark, n_rows: int, out_dir: str, hot_frac: float) -> None:
+    """Synthetic documents table (schema-identical to the testdata one)
+    where skew is the ONLY variable: hot_frac == 0 gives every row a
+    unique (lang, source) bucket and unique 12-word text; hot_frac > 0
+    reroutes that fraction to ONE (lang, source) pair — making
+    url_domain_caps' synthesized domain hot — and ONE boilerplate text
+    (hot LSH band buckets + hot content hash). The Nx-replicated
+    dataset can't serve here: replication makes EVERY doc an N-fold
+    duplicate, so its 'uniform' corpus is already degenerate for
+    content-keyed operators."""
+    os.makedirs(out_dir, exist_ok=True)
+    hot = (F.abs(F.xxhash64("doc_id")) % 100) < int(hot_frac * 100)
+    boiler = (
+        "the same cookie consent banner text appears on every single page "
+        "of this very large site template"
+    )
+    uniq_text = F.concat_ws(
+        " ", *[F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"#w{i}")))
+               for i in range(12)]
+    )
+    docs = spark.range(n_rows).select(
+        F.col("id").alias("doc_id"),
+        F.when(hot, F.lit(boiler)).otherwise(uniq_text).alias("text"),
+        F.when(hot, F.lit("en"))
+        .otherwise(F.concat(F.lit("l"), (F.col("id") % 97).cast("string")))
+        .alias("lang"),
+        F.when(hot, F.lit("megahost"))
+        .otherwise(F.concat(F.lit("s"), (F.col("id") % 1013).cast("string")))
+        .alias("source"),
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    for name in ("customer", "supplier", "part", "nation", "region", "embeddings"):
+        if not os.path.exists(f"{out_dir}/{name}.parquet"):
+            shutil.copy(f"{BASE_SF}/{name}.parquet", f"{out_dir}/{name}.parquet")
+
+
+def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     out = {}
-    for name in QUERY_SET:
+    for name in names:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         out[name] = round(time.time() - t0, 2)
@@ -91,14 +147,38 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    skew_mode = "--skew" in sys.argv
+    n = int(args[0]) if args else 10
     out_dir = f"/root/repo/tmp/scaled_x{n}"
     spark = get_spark(app_name="scale_stress", cpus=32, shuffle_partitions=64)
-    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+    if not skew_mode and not os.path.exists(f"{out_dir}/lineitem.parquet"):
         print(f"building {n}x dataset at {out_dir} ...", file=sys.stderr)
         build_scaled(spark, n, out_dir)
-    base = time_queries(spark, BASE_SF)
-    scaled = time_queries(spark, out_dir)
+    if skew_mode:
+        n_docs = n * 50_000  # N=10 -> 500k unique docs
+        uni_dir = f"/root/repo/tmp/docs_uniform_{n_docs}"
+        skew_dir = f"/root/repo/tmp/docs_skewed_{n_docs}"
+        for d, frac in ((uni_dir, 0.0), (skew_dir, 0.3)):
+            if not os.path.exists(f"{d}/documents.parquet"):
+                print(f"building {n_docs}-doc corpus (hot_frac={frac}) at {d} ...",
+                      file=sys.stderr)
+                build_doc_corpus(spark, n_docs, d, frac)
+        uniform = time_queries(spark, uni_dir, SKEW_QUERY_SET)
+        skewed = time_queries(spark, skew_dir, SKEW_QUERY_SET)
+        report = {
+            name: {
+                "uniform_s": uniform[name],
+                "skewed_s": skewed[name],
+                "ratio": round(skewed[name] / max(uniform[name], 0.01), 2),
+            }
+            for name in SKEW_QUERY_SET
+        }
+        print(json.dumps({"n_copies": n, "mode": "skew", "hot_frac": 0.3,
+                          "queries": report}, indent=2))
+        return
+    base = time_queries(spark, BASE_SF, QUERY_SET)
+    scaled = time_queries(spark, out_dir, QUERY_SET)
     report = {
         name: {
             "base_s": base[name],

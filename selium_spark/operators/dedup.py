@@ -159,19 +159,36 @@ def lsh_candidate_pairs(
     k: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the k-signature into ``bands`` bands of
     r = k/bands rows; docs sharing any band key are candidates.
 
     Plan: signature (narrow) -> explode to (doc, band_id, band_key)
     -> self equi-join on (band_id, band_key) -> distinct pairs.
-    The join keys are md5 hashes: uniform, skew-free at any scale.
+    The md5 band keys hash uniformly, but the ROW distribution over
+    keys follows the corpus: boilerplate-heavy corpora put thousands of
+    near-identical docs in one band, and a band of m docs emits
+    m(m-1)/2 pairs — a semantic blowup no AQE setting can split.
+    ``max_band_size`` drops buckets above the cap before the join (the
+    standard web-dedup mitigation: a bucket that hot is wall-to-wall
+    boilerplate better handled by exact dedup / star grouping, see
+    ``lsh_band_star_edges``). Pass None only when the corpus is known
+    de-boilerplated.
     """
     exploded = banded_keys(df, text_col, id_col, k, bands, shingle_n)
     # The band table is tiny (k hashes per doc) next to the corpus; at
     # any scale you materialize it once rather than recompute the
     # signature pipeline for both sides of the self-join.
     exploded = exploded.persist()
+    if max_band_size is not None:
+        sizes = (
+            exploded.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .where(F.col("_bsz") <= max_band_size)
+            .drop("_bsz")
+        )
+        exploded = exploded.join(sizes, ["band_id", "band_key"])
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -188,6 +205,38 @@ def lsh_candidate_pairs(
         .distinct()
     )
     return pairs
+
+
+def lsh_band_star_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Connectivity-equivalent LSH edge set, LINEAR in bucket size.
+
+    For duplicate GROUPING the m(m-1)/2 pairs of a band bucket are
+    redundant: connecting every member to the bucket's min id yields
+    the same connected components with m-1 edges. A band holding 30%
+    of a 100 TB corpus emits 0.3n star edges instead of ~0.05n^2
+    pairs — this is the edge set ``connected_components`` should
+    consume at scale. Use ``lsh_candidate_pairs`` only when downstream
+    needs the actual pairs (e.g. Jaccard verification).
+
+    The bucket-min comes from a map-side-combinable groupBy (no
+    window, so no single hot task); the back-join's one-row-per-key
+    min side broadcasts or AQE-splits cleanly.
+    """
+    banded = banded_keys(df, text_col, id_col, k, bands, shingle_n).persist()
+    mins = banded.groupBy("band_id", "band_key").agg(F.min(id_col).alias("_bmin"))
+    return (
+        banded.join(mins, ["band_id", "band_key"])
+        .where(F.col(id_col) != F.col("_bmin"))
+        .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
 
 
 # -- n-gram Jaccard ------------------------------------------------------

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .relational import top_k_per_group
+from .relational import salted_top_k_per_group
 
 # scheme://host[/path...] — capture groups used by the extractors below.
 _URL_RE = r"^([a-z][a-z0-9+.-]*)://([^/?#]+)(.*)$"
@@ -57,24 +57,30 @@ def domain_cap(
     id_col: str,
     cap: int,
     domain_col: str = "domain",
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Per-domain document budget: keep at most ``cap`` rows per
     registered domain, chosen by deterministic md5-of-id order (a
     content-blind uniform sample, stable across runs and engines).
 
-    One shuffle on the domain key; the per-partition sort is bounded by
-    row_number's partial top-k. Skewed mega-domains are exactly the
-    rows this operator discards, and AQE skew-join splitting handles
-    the shuffle imbalance before the filter lands.
+    Skew-hardened: the cap runs as a two-phase salted top-k
+    (relational.salted_top_k_per_group) because mega-domains are the
+    NORM in web corpora — one host can carry 30%+ of all rows, and a
+    single-window plan would push that whole domain through one task.
+    Phase 1 caps within (domain, salt) slices, phase 2 re-ranks the
+    <= salt_buckets*cap survivors; output is identical to the
+    single-window form since (md5(id), id) is a total order.
     """
     normed = df.withColumn("_url_norm", url_normalize(url_col)).withColumn(
         domain_col, url_domain(F.col("_url_norm"))
     )
-    capped = top_k_per_group(
+    capped = salted_top_k_per_group(
         normed,
         [domain_col],
         [F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()],
         cap,
+        salt_col=F.col(id_col),
+        salt_buckets=salt_buckets,
         rank_col="_rn",
     )
     return capped.drop("_rn", "_url_norm")

