@@ -45,19 +45,35 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def dedup_exact_keep(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def dedup_exact_keep(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_buckets: int = 32,
+) -> DataFrame:
     """Exact-dedup survivor FILTER: keep each content-hash group's
-    min-id row, preserving all input columns. One window pass = ONE
-    shuffle on the hash key, vs dedup_exact + self-join's two shuffles
-    and a second scan — the right shape when the downstream needs the
-    surviving rows (not the group stats) at 100 TB."""
-    h = F.md5(normalize_text(text_col))
-    w = Window.partitionBy(h).orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    min-id row, preserving all input columns, in a single pass over
+    the input (no second scan of the upstream lineage, unlike the
+    agg+join variant).
+
+    Skew-hardened as a salted top-1 (relational.salted_top_k_per_group):
+    a boilerplate page duplicated millions of times is ONE content hash,
+    and a plain window would serialize all its copies through one task.
+    Phase 1 keeps min-id per (hash, salt) slice — bounding any task at
+    ~1/salt_buckets of a hot hash — phase 2 re-ranks the <= salt_buckets
+    candidates per hash. Output identical (id is a total order)."""
+    from .relational import salted_top_k_per_group
+
+    hashed = df.withColumn("_ek_hash", F.md5(normalize_text(text_col)))
+    return salted_top_k_per_group(
+        hashed,
+        ["_ek_hash"],
+        [F.col(id_col).asc()],
+        1,
+        salt_col=F.col(id_col),
+        salt_buckets=salt_buckets,
+        rank_col="_ek_rn",
+    ).drop("_ek_rn", "_ek_hash")
 
 
 # -- MinHash -------------------------------------------------------------

@@ -46,22 +46,36 @@ def bpe_token_count(col: str | Column) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_REGEX), 0))
 
 
-def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
-    toks = tokens(col)
+def stopword_ratio(col: str | Column, lang: str = "en", toks: Column | None = None) -> Column:
+    """Fraction of tokens that are stopwords of ``lang``. Pass ``toks``
+    (a pre-split token array column) when the caller already tokenized
+    — re-splitting the text per ratio is the dominant cost when several
+    ratios are computed over the same column."""
+    if toks is None:
+        toks = tokens(col)
     sw = STOPWORDS[lang]
     hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(sw)))
     return hits / F.greatest(F.size(toks), F.lit(1))
 
 
-def lang_id(col: str | Column, threshold: float = 0.05) -> Column:
+def lang_id(col: str | Column, threshold: float = 0.05, toks: Column | None = None) -> Column:
     """Heuristic language ID: language with the highest stopword ratio,
     'unknown' when no language clears the threshold. Deterministic
     tie-break = language order en < de < fr < es (strictly-greater
-    comparisons keep first-seen on ties)."""
+    comparisons keep first-seen on ties).
+
+    Tokenizes and lowercases ONCE, then scores all languages against
+    the shared lowered array — the naive per-language form costs 4
+    splits + 4 per-token lowers per row, pure waste at corpus scale.
+    Pass ``toks`` to share an existing token array across operators."""
+    if toks is None:
+        toks = tokens(col)
+    toks_l = F.transform(toks, F.lower)
+    n = F.greatest(F.size(toks), F.lit(1))
     best_lang = F.lit("unknown")
     best_ratio = F.lit(threshold)
     for lang in ["es", "fr", "de", "en"]:  # reversed => earlier wins ties
-        r = stopword_ratio(col, lang)
+        r = F.size(F.filter(toks_l, lambda t: t.isin(STOPWORDS[lang]))) / n
         keep = r > best_ratio
         best_lang = F.when(keep, F.lit(lang)).otherwise(best_lang)
         best_ratio = F.when(keep, r).otherwise(best_ratio)
@@ -70,16 +84,21 @@ def lang_id(col: str | Column, threshold: float = 0.05) -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: length, token stats, punct/digit/upper
-    ratios, stopword ratio, mean token length."""
+    ratios, stopword ratio, mean token length.
+
+    The token array is MATERIALIZED once into a scratch column and
+    every token-consuming feature reads it — one split per row instead
+    of three (token count, stopword ratio, mean length)."""
     df = fan_out(df)  # regex-per-row work: unlock full-core parallelism
     c = F.col(text_col)
     n_chars = F.length(c)
-    toks = tokens(text_col)
+    toks = F.col("_qf_toks")
     n_tokens = F.size(toks)
     safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
     safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
     return (
-        df.withColumn("n_chars_calc", n_chars)
+        df.withColumn("_qf_toks", tokens(text_col))
+        .withColumn("n_chars_calc", n_chars)
         .withColumn("n_tokens", n_tokens)
         .withColumn(
             "punct_ratio",
@@ -87,11 +106,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn("digit_ratio", F.length(F.regexp_replace(c, r"[^0-9]", "")) / safe_chars)
         .withColumn("upper_ratio", F.length(F.regexp_replace(c, r"[^A-Z]", "")) / safe_chars)
-        .withColumn("stopword_ratio", stopword_ratio(text_col, "en"))
+        .withColumn("stopword_ratio", stopword_ratio(text_col, "en", toks=toks))
         .withColumn(
             "mean_token_len",
             F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)) / safe_tokens,
         )
+        .drop("_qf_toks")
     )
 
 
