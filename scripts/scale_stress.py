@@ -64,7 +64,16 @@ def build_scaled(spark, n_copies: int, out_dir: str) -> None:
 
     def replicate(df, key_cols, ts_cols=()):
         maxes = {c: df.agg(F.max(c)).first()[0] + 1 for c in key_cols}
-        out = df.crossJoin(F.broadcast(copies))
+        # Spread the SMALL base table over 64 partitions BEFORE the
+        # replicating cross-join: the join inherits that partitioning,
+        # so the writer emits 64 splittable files. Without this the
+        # base's single-file scan partitioning makes ONE writer task
+        # pack the whole Nx table into ONE parquet row group — an
+        # unsplittable file that serializes every downstream scan on a
+        # single task (a layout no real 100 TB table has). Shuffling
+        # the base costs MB; shuffling the replicated output (the
+        # obvious post-hoc fix) moves N*base and stalls the driver.
+        out = df.repartition(64).crossJoin(F.broadcast(copies))
         for c in key_cols:
             out = out.withColumn(c, F.col(c) + F.col("_copy") * F.lit(maxes[c]))
         for c in ts_cols:

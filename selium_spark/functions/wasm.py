@@ -135,3 +135,43 @@ def wasm_pandas_udf(
                 )
 
     return udf
+
+
+def wasm_bytes_udf(
+    module_bytes: bytes,
+    func_name: str,
+    return_type: str = "long",
+):
+    """Vectorized UDF hosting a BYTE-PROCESSING wasm export over linear
+    memory — the reference's actual compute shape: guests scan record
+    bytes the host hands them (system/userland/src/io.rs:288 chunked
+    stream reads; 16 MiB preallocated guest memory at
+    subsystem/wasmtime/src/lib.rs:259-270).
+
+    Calling convention: the export takes (ptr: i32, len: i32); per row
+    the host writes the string's utf-8 bytes into guest memory at
+    offset 0 and invokes the export. One interpreter instance (and one
+    memory) per task, reused across the Arrow batches. This tier is
+    per-row interpretation — correct and sandbox-faithful; with a
+    wasmtime wheel present the same bytes run on the real engine.
+    """
+    if return_type not in _SUPPORTED:
+        raise ValueError(f"unsupported return type {return_type!r}")
+    parsed = ScalarWasmFunction.from_module(module_bytes, func_name)
+    if parsed.arity != 2:
+        raise ValueError(f"{func_name} must take (ptr, len); arity={parsed.arity}")
+    if parsed.memory is None:
+        raise ValueError(f"{func_name}'s module declares no linear memory")
+
+    @F.pandas_udf(return_type)
+    def udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        fn = ScalarWasmFunction.from_module(module_bytes, func_name)
+        for s in batches:
+            out_vals = []
+            for v in s:
+                data = ("" if v is None else str(v)).encode("utf-8")
+                fn.write_memory(0, data)
+                out_vals.append(fn(0, len(data)))
+            yield pd.Series(out_vals, dtype="int64")
+
+    return udf

@@ -11,15 +11,19 @@ LEB128) and interprets the straight-line numeric opcode subset that
 scalar UDF modules need — i64/f64 arithmetic, locals, ``select``,
 comparisons, sign-correct two's-complement wrap-around.
 
-This is NOT a general wasm runtime (no memory, tables, or calls); it
-is a deterministic host for the scalar-function profile, and the
+This is NOT a general wasm runtime (no tables, no calls, no imports);
+it is a deterministic host for the scalar-function profile, and the
 sandbox property is trivially true — the interpreter exposes no
 imports at all. The scalar tier executes structured control flow
 (``block``/``loop``/``if``/``else``/``br``/``br_if``/``return`` with
-void block types), so loop-bearing guest bodies run without wasmtime;
-the vectorized compiler stays straight-line and falls back to this
-tier for such bodies. With wasmtime installed, functions/wasm.py runs
-the SAME bytes on the real engine instead.
+void block types), i32 AND i64/f64 arithmetic, and LINEAR MEMORY
+(load/store, host-injected input bytes) — so byte-processing guests
+(the reference's chunked-stream compute model,
+system/userland/src/io.rs:288) run without wasmtime: the host writes
+a record's bytes into guest memory and calls the export with
+(ptr, len). The vectorized compiler stays straight-line and falls
+back to this tier for loop/memory bodies. With wasmtime installed,
+functions/wasm.py runs the SAME bytes on the real engine instead.
 """
 
 from __future__ import annotations
@@ -29,6 +33,9 @@ from dataclasses import dataclass
 
 _U64 = 1 << 64
 _I64_MAX = (1 << 63) - 1
+_U32 = 1 << 32
+_I32_MAX = (1 << 31) - 1
+_PAGE = 65536  # wasm page size
 
 I32, I64, F32, F64 = 0x7F, 0x7E, 0x7D, 0x7C
 _VALTYPE_NAMES = {I32: "i32", I64: "i64", F32: "f32", F64: "f64"}
@@ -38,6 +45,12 @@ def _wrap64(v: int) -> int:
     """Two's-complement wrap to signed i64."""
     v &= _U64 - 1
     return v - _U64 if v > _I64_MAX else v
+
+
+def _wrap32(v: int) -> int:
+    """Two's-complement wrap to signed i32."""
+    v &= _U32 - 1
+    return v - _U32 if v > _I32_MAX else v
 
 
 class _Reader:
@@ -150,6 +163,25 @@ def parse_module(module_bytes: bytes) -> dict[str, WasmFunc]:
     return out
 
 
+def parse_memory_pages(module_bytes: bytes) -> int:
+    """Initial page count of the module's memory section (0 = none).
+    Matches the reference's preallocated-guest-memory model
+    (subsystem/wasmtime/src/lib.rs:259-270, 256 pages pinned)."""
+    r = _Reader(module_bytes)
+    r.take(8)  # magic + version (validated by parse_module)
+    while not r.eof():
+        sec_id = r.byte()
+        size = r.uleb()
+        body = _Reader(r.take(size))
+        if sec_id == 5:  # memory section
+            if body.uleb() < 1:
+                return 0
+            flags = body.byte()  # 0: min only, 1: min+max
+            del flags
+            return body.uleb()
+    return 0
+
+
 def _trunc_div(a: int, b: int) -> int:
     if b == 0:
         raise ZeroDivisionError("wasm i64.div_s by zero")
@@ -165,6 +197,8 @@ def _trunc_rem(a: int, b: int) -> int:
 
 # opcodes whose single immediate is a uleb (branch depths, indices)
 _IMM_ULEB = frozenset({0x0C, 0x0D, 0x10, 0x20, 0x21, 0x22, 0x23, 0x24})
+# memory load/store opcodes: two uleb immediates (align, offset)
+_IMM_MEM = frozenset(range(0x28, 0x3F))
 _BLOCK_OPS = frozenset({0x02, 0x03, 0x04})  # block / loop / if
 _VOID_BT = 0x40
 
@@ -193,6 +227,11 @@ def _scan_control(body: bytes) -> dict[int, tuple[int, int | None]]:
             out[start] = (off, els)
         elif op in _IMM_ULEB:
             r.uleb()
+        elif op in _IMM_MEM:  # loads/stores: align + offset
+            r.uleb()
+            r.uleb()
+        elif op in (0x3F, 0x40):  # memory.size / memory.grow: mem index
+            r.byte()
         elif op in (0x41, 0x42):  # i32/i64.const
             r.sleb()
         elif op == 0x43:  # f32.const
@@ -215,10 +254,24 @@ class ScalarWasmFunction:
     wrongly.
     """
 
-    def __init__(self, func: WasmFunc):
+    def __init__(self, func: WasmFunc, memory_pages: int = 0):
         self.func = func
         self.arity = len(func.params)
         self.ctrl = _scan_control(func.body)
+        # Linear memory (the guest's only workspace — no imports, so the
+        # host decides what bytes it sees, mirroring the reference's
+        # capability-deny sandbox). Allocated once per instance.
+        self.memory = bytearray(memory_pages * _PAGE) if memory_pages else None
+
+    def write_memory(self, offset: int, data: bytes) -> None:
+        """Host-side input injection: place ``data`` into guest memory
+        (the host half of a (ptr, len) calling convention)."""
+        if self.memory is None:
+            raise ValueError(f"{self.func.name}: module declares no memory")
+        need = offset + len(data)
+        if need > len(self.memory):  # grow by whole pages, like memory.grow
+            self.memory.extend(bytes(((need - len(self.memory)) // _PAGE + 1) * _PAGE))
+        self.memory[offset : offset + len(data)] = data
 
     @classmethod
     def from_module(cls, module_bytes: bytes, name: str) -> "ScalarWasmFunction":
@@ -227,7 +280,7 @@ class ScalarWasmFunction:
             raise KeyError(
                 f"export {name!r} not found; module exports: {sorted(funcs)}"
             )
-        return cls(funcs[name])
+        return cls(funcs[name], memory_pages=parse_memory_pages(module_bytes))
 
     def __call__(self, *args):
         f = self.func
@@ -362,6 +415,83 @@ class ScalarWasmFunction:
                 push(float(pop()))
             elif op == 0xB0:  # i64.trunc_f64_s
                 push(_wrap64(int(pop())))
+            elif op == 0x41:  # i32.const
+                push(_wrap32(r.sleb()))
+            elif op == 0x6A:  # i32.add
+                b = pop(); push(_wrap32(pop() + b))
+            elif op == 0x6B:  # i32.sub
+                b = pop(); push(_wrap32(pop() - b))
+            elif op == 0x6C:  # i32.mul
+                b = pop(); push(_wrap32(pop() * b))
+            elif op == 0x71:  # i32.and
+                b = pop(); push(_wrap32(pop() & b))
+            elif op == 0x72:  # i32.or
+                b = pop(); push(_wrap32(pop() | b))
+            elif op == 0x73:  # i32.xor
+                b = pop(); push(_wrap32(pop() ^ b))
+            elif op == 0x74:  # i32.shl
+                b = pop() & 31; push(_wrap32(pop() << b))
+            elif op == 0x75:  # i32.shr_s
+                b = pop() & 31; push(pop() >> b)
+            elif op == 0x76:  # i32.shr_u
+                b = pop() & 31; push(_wrap32((pop() & (_U32 - 1)) >> b))
+            elif op == 0x45:  # i32.eqz
+                push(1 if pop() == 0 else 0)
+            elif op == 0x46:  # i32.eq
+                b = pop(); push(1 if pop() == b else 0)
+            elif op == 0x47:  # i32.ne
+                b = pop(); push(1 if pop() != b else 0)
+            elif op == 0x48:  # i32.lt_s
+                b = pop(); push(1 if pop() < b else 0)
+            elif op == 0x49:  # i32.lt_u
+                b = pop() & (_U32 - 1); push(1 if (pop() & (_U32 - 1)) < b else 0)
+            elif op == 0x4A:  # i32.gt_s
+                b = pop(); push(1 if pop() > b else 0)
+            elif op == 0x4B:  # i32.gt_u
+                b = pop() & (_U32 - 1); push(1 if (pop() & (_U32 - 1)) > b else 0)
+            elif op == 0x4C:  # i32.le_s
+                b = pop(); push(1 if pop() <= b else 0)
+            elif op == 0x4E:  # i32.ge_s
+                b = pop(); push(1 if pop() >= b else 0)
+            elif op == 0x4F:  # i32.ge_u
+                b = pop() & (_U32 - 1); push(1 if (pop() & (_U32 - 1)) >= b else 0)
+            elif op == 0xAC:  # i64.extend_i32_s
+                push(_wrap64(pop()))
+            elif op == 0xAD:  # i64.extend_i32_u
+                push(pop() & (_U32 - 1))
+            elif op == 0xA7:  # i32.wrap_i64
+                push(_wrap32(pop()))
+            elif op in (0x28, 0x29, 0x2C, 0x2D, 0x31, 0x36, 0x37, 0x3A):
+                # loads/stores: immediates are (align, offset)
+                r.uleb()
+                moff = r.uleb()
+                mem = self.memory
+                if mem is None:
+                    raise NotImplementedError(
+                        "memory opcode in a module with no memory section"
+                    )
+                if op == 0x3A:  # i32.store8
+                    v = pop(); addr = (pop() & (_U32 - 1)) + moff
+                    mem[addr] = v & 0xFF
+                elif op == 0x36:  # i32.store
+                    v = pop(); addr = (pop() & (_U32 - 1)) + moff
+                    mem[addr : addr + 4] = (v & (_U32 - 1)).to_bytes(4, "little")
+                elif op == 0x37:  # i64.store
+                    v = pop(); addr = (pop() & (_U32 - 1)) + moff
+                    mem[addr : addr + 8] = (v & (_U64 - 1)).to_bytes(8, "little")
+                else:
+                    addr = (pop() & (_U32 - 1)) + moff
+                    if op == 0x2D:  # i32.load8_u
+                        push(mem[addr])
+                    elif op == 0x2C:  # i32.load8_s
+                        b = mem[addr]
+                        push(b - 256 if b > 127 else b)
+                    elif op == 0x31:  # i64.load8_u
+                        push(mem[addr])
+                    elif op == 0x28:  # i32.load
+                        push(_wrap32(int.from_bytes(mem[addr : addr + 4], "little")))
+                    else:  # 0x29 i64.load
+                        push(_wrap64(int.from_bytes(mem[addr : addr + 8], "little")))
             else:
                 raise NotImplementedError(
                     f"wasm opcode 0x{op:02x} outside the scalar-UDF profile"

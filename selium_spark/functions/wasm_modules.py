@@ -76,11 +76,14 @@ def _vec(items: list[bytes]) -> bytes:
     return _uleb(len(items)) + b"".join(items)
 
 
-def _assemble(funcs: list[tuple]) -> bytes:
+def _assemble(funcs: list[tuple], memory_pages: int = 0) -> bytes:
     """Emit a wasm-MVP binary from (name, param_types, result_types,
-    body[, local_types]) tuples. One functype per function; no imports
-    or memory. ``local_types`` (optional) declares extra locals beyond
-    the params — loop-bearing bodies keep their state there."""
+    body[, local_types]) tuples. One functype per function; no imports.
+    ``local_types`` (optional) declares extra locals beyond the
+    params — loop-bearing bodies keep their state there.
+    ``memory_pages`` > 0 adds a memory section (min pages, no max) —
+    the guest workspace byte-processing modules read host-injected
+    input from."""
     funcs = [f if len(f) == 5 else (*f, []) for f in funcs]
     types = _vec(
         [b"\x60" + _vec([bytes([t]) for t in p]) + _vec([bytes([t]) for t in r])
@@ -98,10 +101,14 @@ def _assemble(funcs: list[tuple]) -> bytes:
         code = decls + body
         codes.append(_uleb(len(code)) + code)
     codes = _vec(codes)
+    memory = (
+        _section(5, _vec([b"\x00" + _uleb(memory_pages)])) if memory_pages else b""
+    )
     return (
         b"\x00asm\x01\x00\x00\x00"
         + _section(1, types)
         + _section(3, func_decls)
+        + memory
         + _section(7, exports)
         + _section(10, codes)
     )
@@ -202,6 +209,72 @@ def local_set(i: int) -> bytes:
 #:         end
 #:       end
 #:       local.get $acc))
+I32_CONST, I32_ADD, I32_GE_U = 0x41, 0x6A, 0x4F
+I32_LOAD8_U = 0x2D
+I64_XOR, I64_AND = 0x85, 0x83
+I64_EXTEND_I32_U = 0xAD
+
+
+def i32_const(v: int) -> bytes:
+    return bytes([I32_CONST]) + _sleb(v)
+
+
+#: Byte-processing guest over LINEAR MEMORY — the reference's compute
+#: shape (guests scan record bytes handed to them by the host,
+#: system/userland/src/io.rs:288 chunked reads). The host writes the
+#: record's utf-8 bytes into guest memory and calls
+#: ``fnv1a32(ptr, len)``; the guest folds FNV-1a (32-bit, masked in
+#: i64 arithmetic) over the bytes.
+#:
+#: WAT::
+#:   (module
+#:     (memory 1)
+#:     (func (export "fnv1a32") (param $ptr i32) (param $len i32) (result i64)
+#:       (local $h i64) (local $end i32)
+#:       i64.const 2166136261  local.set $h
+#:       local.get $ptr  local.get $len  i32.add  local.set $end
+#:       block
+#:         loop
+#:           local.get $ptr  local.get $end  i32.ge_u  br_if 1
+#:           local.get $h
+#:           local.get $ptr  i32.load8_u  i64.extend_i32_u
+#:           i64.xor
+#:           i64.const 16777619  i64.mul
+#:           i64.const 0xFFFFFFFF  i64.and
+#:           local.set $h
+#:           local.get $ptr  i32.const 1  i32.add  local.set $ptr
+#:           br 0
+#:         end
+#:       end
+#:       local.get $h))
+MEM_MODULE: bytes = _assemble(
+    [
+        (
+            "fnv1a32",
+            [I32, I32],
+            [I64],
+            i64_const(2166136261) + local_set(2)
+            + local_get(0) + local_get(1) + bytes([I32_ADD]) + local_set(3)
+            + bytes([BLOCK, VOID, LOOP, VOID])
+            + local_get(0) + local_get(3) + bytes([I32_GE_U, BR_IF]) + _uleb(1)
+            + local_get(2)
+            + local_get(0) + bytes([I32_LOAD8_U]) + _uleb(0) + _uleb(0)
+            + bytes([I64_EXTEND_I32_U, I64_XOR])
+            + i64_const(16777619) + bytes([I64_MUL])
+            + i64_const(0xFFFFFFFF) + bytes([I64_AND])
+            + local_set(2)
+            + local_get(0) + i32_const(1) + bytes([I32_ADD]) + local_set(0)
+            + bytes([BR]) + _uleb(0)
+            + bytes([END, END])
+            + local_get(2)
+            + bytes([END]),
+            [I64, I32],
+        ),
+    ],
+    memory_pages=1,
+)
+
+
 LOOP_MODULE: bytes = _assemble(
     [
         (

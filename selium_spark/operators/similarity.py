@@ -490,6 +490,62 @@ def pq_encode(
     )
 
 
+def pq_encode_stateless(
+    df: DataFrame,
+    codebook_rows: list,
+    m_subs: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming-safe PQ encoder: the codebook (m_subs * k_codes rows,
+    collected driver-side — K-bounded exactly like the IVF centroid
+    probe) is folded into LITERAL expressions, so encoding is a pure
+    per-row map — no join, no aggregation, no state. That makes it
+    legal in streaming append mode: the streaming twin of
+    :func:`pq_encode`, with the identical output contract
+    (id, m, code_id) and the identical argmin tiebreak
+    (round(l2sq, 6) then code_id — array_min over (dist, code_id)
+    structs compares fieldwise, matching min_by's struct ordering).
+
+    At 100 TB this is the shape you want anyway: the codebook is a few
+    KB, so shipping it as literals beats a broadcast-join hop, and each
+    incoming vector costs m_subs * k_codes fixed-size L2 evaluations —
+    embarrassingly parallel, zero shuffle.
+    """
+    by_m: dict[int, list] = {}
+    for r in codebook_rows:
+        by_m.setdefault(int(r["m"]), []).append(
+            (int(r["code_id"]), [float(x) for x in r["subvec"]])
+        )
+    sub_d = len(next(iter(by_m.values()))[0][1])
+    vec = F.col(vec_col)
+
+    def code_for(m: int) -> Column:
+        esub = F.slice(vec, m * sub_d + 1, sub_d)
+        cands = [
+            F.struct(
+                F.round(l2sq(esub, F.array(*[F.lit(x) for x in subvec])), 6).alias(
+                    "dist"
+                ),
+                F.lit(code_id).alias("code_id"),
+            )
+            for code_id, subvec in sorted(by_m[m])
+        ]
+        return F.array_min(F.array(*cands))["code_id"]
+
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(m).alias("m"), code_for(m).alias("code_id"))
+                    for m in range(m_subs)
+                ]
+            )
+        ).alias("_mc"),
+    ).select(id_col, F.col("_mc.m").alias("m"), F.col("_mc.code_id").alias("code_id"))
+
+
 def pq_adc_topk(
     encoded: DataFrame,
     codebook: DataFrame,

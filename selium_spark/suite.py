@@ -2606,6 +2606,51 @@ SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
 """
 
 
+def stream_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PQ encode: embeddings replayed as a file stream through
+    the stateless literal-codebook encoder
+    (similarity.pq_encode_stateless) in APPEND mode — a pure per-row
+    map, no state store at all. Emission equals batch pq_encode (same
+    round(l2sq,6)/code_id argmin tiebreak), so this streaming query
+    carries a full value oracle. The streamed shape of the reference's
+    per-record guest compute over a subscription
+    (system/userland/src/io.rs:288 chunked stream reads)."""
+    from .streaming.replay import replay_to_memory
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb_rows = similarity.pq_codebook(emb, m_subs=8, k_codes=16).collect()
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return similarity.pq_encode_stateless(stream, cb_rows, m_subs=8)
+
+    return replay_to_memory(
+        spark, f"{sf_dir}/embeddings.parquet", schema, transform,
+        output_mode="append",
+    )
+
+
+SQL_STREAM_PQ_ENCODE = """
+WITH ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+cb AS (
+  SELECT ms.m, e.vec_id AS code_id, e.embedding[ms.m*8+1 : ms.m*8+8] AS subvec
+  FROM embeddings e CROSS JOIN ms WHERE e.vec_id < 16
+),
+sub AS (
+  SELECT e.vec_id, ms.m, e.embedding[ms.m*8+1 : ms.m*8+8] AS esub
+  FROM embeddings e CROSS JOIN ms
+),
+scored AS (
+  SELECT s.vec_id, s.m, cb.code_id,
+    round(list_aggregate(list_transform(generate_series(1, 8),
+      i -> (s.esub[i]::DOUBLE - cb.subvec[i]::DOUBLE) * (s.esub[i]::DOUBLE - cb.subvec[i]::DOUBLE)), 'sum'), 6) AS d
+  FROM sub s JOIN cb ON s.m = cb.m
+)
+SELECT vec_id, m, code_id FROM scored
+QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code_id) = 1
+"""
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): wide per-priority aggregates to long
     (metric, value) rows via stack — the inverse of q_pivot_status."""
@@ -3190,6 +3235,38 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
+"""
+
+
+def wasm_udf_text_fnv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-PROCESSING wasm guest over linear memory: the host writes
+    each document's (ASCII-filtered, 120-char-truncated) utf-8 bytes
+    into guest memory and calls ``fnv1a32(ptr, len)`` — the reference's
+    actual compute model (guests scanning record bytes,
+    system/userland/src/io.rs:288), running on the built-in interpreter
+    tier (i32 + memory opcodes), no wasmtime needed."""
+    from selium_spark.functions.wasm import wasm_bytes_udf
+    from selium_spark.functions.wasm_modules import MEM_MODULE
+    from selium_spark.sources.layout import fan_out
+
+    fnv = wasm_bytes_udf(MEM_MODULE, "fnv1a32", "long")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    s = F.substring(F.regexp_replace(F.col("text"), "[^ -~]", ""), 1, 120)
+    return docs.select("doc_id", fnv(s).alias("fnv32"))
+
+
+SQL_WASM_TEXT_FNV = """
+WITH s AS (
+  SELECT doc_id, substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 120) AS t
+  FROM documents
+)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(2166136261::BIGINT,
+      list_transform(range(1, length(t)+1), i -> ascii(substr(t, i::INT, 1)))),
+    (h, b) -> (xor(h, b) * 16777619) % 4294967296
+  ) AS fnv32
+FROM s
 """
 
 
@@ -4429,7 +4506,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_kmv_setops": sketch_kmv_setops,
     "stream_hll_registers": stream_hll_registers,
     "wasm_udf_digit_sum": wasm_udf_digit_sum,
+    "wasm_udf_text_fnv": wasm_udf_text_fnv,
     "stream_topk_windowed": stream_topk_windowed,
+    "stream_pq_encode": stream_pq_encode,
 }
 
 ORACLES: dict[str, str] = {
@@ -4562,7 +4641,9 @@ WHERE value % 2 = 0"""
     "rollup_hierarchical": SQL_ROLLUP_HIER,
     "stream_hll_registers": SQL_STREAM_HLL,
     "wasm_udf_digit_sum": SQL_WASM_DIGIT_SUM,
+    "wasm_udf_text_fnv": SQL_WASM_TEXT_FNV,
     "stream_topk_windowed": SQL_STREAM_TOPK,
+    "stream_pq_encode": SQL_STREAM_PQ_ENCODE,
     "stream_cms_table": SQL_STREAM_CMS,
     "funnel_steps": SQL_FUNNEL,
     "cohort_retention_weekly": SQL_COHORT,

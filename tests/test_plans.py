@@ -126,7 +126,7 @@ def test_shard_assign_single_shuffle_on_shard_key(spark):
     assert "Window" in p.text
 
 
-def test_domain_cap_single_shuffle(spark):
+def test_domain_cap_two_phase_salted_shuffles(spark):
     from selium_spark.operators import urls
 
     df = spark.createDataFrame(
@@ -134,7 +134,12 @@ def test_domain_cap_single_shuffle(spark):
         "doc_id LONG, url STRING",
     )
     p = summarize(urls.domain_cap(df, "url", "doc_id", cap=5))
-    assert p.n_exchanges == 1  # one hash exchange on the domain key
+    # exactly the two-phase salted top-k: phase 1 hashes on
+    # (domain, salt) — no single hot-domain task — phase 2 re-ranks the
+    # <= salt*cap survivors on the domain key. More than 2 would mean a
+    # gratuitous extra shuffle crept in.
+    assert p.n_exchanges == 2
+    assert "Window" in p.text
 
 
 def test_dedup_incremental_is_anti_join_no_rescan(spark):

@@ -190,3 +190,17 @@ def test_compact_merges_small_files_range_sorted(spark, tmp_path):
     t = pq.read_table(os.path.join(dst, files[0]), columns=["k"])
     ks = t.column("k").to_pylist()
     assert ks == sorted(ks)
+
+
+def test_pq_encode_stateless_matches_grouped(spark):
+    # the literal-codebook (streaming-safe) encoder must agree with the
+    # broadcast-join + min_by batch encoder on every (vec, subspace)
+    from selium_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = similarity.pq_codebook(emb, m_subs=8, k_codes=16)
+    grouped = sorted(map(tuple, similarity.pq_encode(emb, cb, m_subs=8).collect()))
+    stateless = sorted(
+        map(tuple, similarity.pq_encode_stateless(emb, cb.collect(), m_subs=8).collect())
+    )
+    assert grouped == stateless
