@@ -28,6 +28,7 @@ functions/wasm.py runs the SAME bytes on the real engine instead.
 
 from __future__ import annotations
 
+import math
 import struct
 from dataclasses import dataclass
 
@@ -105,12 +106,44 @@ class WasmFunc:
     body: bytes  # instruction stream including trailing 0x0b
 
 
-def parse_module(module_bytes: bytes) -> dict[str, WasmFunc]:
-    """Decode a wasm binary's exported functions.
+@dataclass(frozen=True)
+class ModuleImage:
+    """Whole-module decode: functions BY INDEX (so ``call`` resolves),
+    exports, memory size, mutable-global initials, and active data
+    segments (string constants land in memory before the first call —
+    the same instantiation order wasmtime follows)."""
+
+    funcs: tuple[WasmFunc, ...]  # by function index
+    exports: dict[str, int]
+    memory_pages: int
+    globals_init: tuple[tuple[int, bool, object], ...]  # (valtype, mut, value)
+    data_segments: tuple[tuple[int, bytes], ...]  # (offset, bytes)
+
+
+def _const_expr(body: "_Reader"):
+    """Evaluate a constant initializer expression (global/data offsets)."""
+    op = body.byte()
+    if op == 0x41:  # i32.const
+        v = _wrap32(body.sleb())
+    elif op == 0x42:  # i64.const
+        v = _wrap64(body.sleb())
+    elif op == 0x44:  # f64.const
+        v = struct.unpack("<d", body.take(8))[0]
+    else:
+        raise NotImplementedError(f"unsupported const-expr opcode 0x{op:02x}")
+    if body.byte() != 0x0B:
+        raise ValueError("const expr not terminated by end")
+    return v
+
+
+def parse_module_image(module_bytes: bytes) -> ModuleImage:
+    """Decode a wasm binary: all defined functions, exports, memory,
+    globals, data segments.
 
     Validates magic/version and the section framing; ignores sections
     this profile doesn't use (skipped by their declared size, like any
-    conforming decoder).
+    conforming decoder). Imported functions are rejected at call time
+    (the sandbox has no ambient authority to offer them).
     """
     r = _Reader(module_bytes)
     if r.take(4) != b"\x00asm":
@@ -122,6 +155,9 @@ def parse_module(module_bytes: bytes) -> dict[str, WasmFunc]:
     func_type_idx: list[int] = []
     exports: dict[str, int] = {}
     codes: list[tuple[tuple[int, ...], bytes]] = []
+    memory_pages = 0
+    globals_init: list[tuple[int, bool, object]] = []
+    data_segments: list[tuple[int, bytes]] = []
 
     while not r.eof():
         sec_id = r.byte()
@@ -136,6 +172,15 @@ def parse_module(module_bytes: bytes) -> dict[str, WasmFunc]:
                 types.append((params, results))
         elif sec_id == 3:  # function section
             func_type_idx = [body.uleb() for _ in range(body.uleb())]
+        elif sec_id == 5:  # memory section
+            if body.uleb() >= 1:
+                body.byte()  # limits flag (0: min only, 1: min+max)
+                memory_pages = body.uleb()
+        elif sec_id == 6:  # global section
+            for _ in range(body.uleb()):
+                vt = body.byte()
+                mut = body.byte() == 1
+                globals_init.append((vt, mut, _const_expr(body)))
         elif sec_id == 7:  # export section
             for _ in range(body.uleb()):
                 name = body.take(body.uleb()).decode("utf-8")
@@ -151,35 +196,43 @@ def parse_module(module_bytes: bytes) -> dict[str, WasmFunc]:
                     n = code.uleb()
                     local_types.extend([code.byte()] * n)
                 codes.append((tuple(local_types), bytes(code.data[code.pos :])))
-        # other sections (custom, import, memory, ...) skipped by size
+        elif sec_id == 11:  # data section (active segments only)
+            for _ in range(body.uleb()):
+                flags = body.uleb()
+                if flags == 0:  # active, memory 0, offset expr
+                    off = int(_const_expr(body))
+                    data_segments.append((off, bytes(body.take(body.uleb()))))
+                elif flags == 1:  # passive — no instantiation effect
+                    body.take(body.uleb())
+                else:
+                    raise NotImplementedError(f"data segment flags {flags}")
+        # other sections (custom, import, table, start, ...) skipped by size
 
-    out: dict[str, WasmFunc] = {}
-    for name, idx in exports.items():
-        if idx >= len(codes):  # imported function — out of profile
-            continue
+    funcs = []
+    for idx, (local_types, instrs) in enumerate(codes):
         params, results = types[func_type_idx[idx]]
-        local_types, instrs = codes[idx]
-        out[name] = WasmFunc(name, params, results, local_types, instrs)
-    return out
+        name = next((n for n, i in exports.items() if i == idx), f"$f{idx}")
+        funcs.append(WasmFunc(name, params, results, local_types, instrs))
+    return ModuleImage(
+        funcs=tuple(funcs),
+        exports={n: i for n, i in exports.items() if i < len(codes)},
+        memory_pages=memory_pages,
+        globals_init=tuple(globals_init),
+        data_segments=tuple(data_segments),
+    )
+
+
+def parse_module(module_bytes: bytes) -> dict[str, WasmFunc]:
+    """Back-compat view: exported name -> WasmFunc."""
+    img = parse_module_image(module_bytes)
+    return {name: img.funcs[idx] for name, idx in img.exports.items()}
 
 
 def parse_memory_pages(module_bytes: bytes) -> int:
     """Initial page count of the module's memory section (0 = none).
     Matches the reference's preallocated-guest-memory model
     (subsystem/wasmtime/src/lib.rs:259-270, 256 pages pinned)."""
-    r = _Reader(module_bytes)
-    r.take(8)  # magic + version (validated by parse_module)
-    while not r.eof():
-        sec_id = r.byte()
-        size = r.uleb()
-        body = _Reader(r.take(size))
-        if sec_id == 5:  # memory section
-            if body.uleb() < 1:
-                return 0
-            flags = body.byte()  # 0: min only, 1: min+max
-            del flags
-            return body.uleb()
-    return 0
+    return parse_module_image(module_bytes).memory_pages
 
 
 def _trunc_div(a: int, b: int) -> int:
@@ -199,6 +252,16 @@ def _trunc_rem(a: int, b: int) -> int:
 _IMM_ULEB = frozenset({0x0C, 0x0D, 0x10, 0x20, 0x21, 0x22, 0x23, 0x24})
 # memory load/store opcodes: two uleb immediates (align, offset)
 _IMM_MEM = frozenset(range(0x28, 0x3F))
+# integer load op -> (byte width, sign-extend); store op -> byte width
+_LOAD_SPEC = {
+    0x28: (4, True), 0x29: (8, True),                  # i32.load / i64.load
+    0x2C: (1, True), 0x2D: (1, False),                 # i32.load8_s/u
+    0x2E: (2, True), 0x2F: (2, False),                 # i32.load16_s/u
+    0x30: (1, True), 0x31: (1, False),                 # i64.load8_s/u
+    0x32: (2, True), 0x33: (2, False),                 # i64.load16_s/u
+    0x34: (4, True), 0x35: (4, False),                 # i64.load32_s/u
+}
+_STORE_SPEC = {0x36: 4, 0x37: 8, 0x3A: 1, 0x3B: 2, 0x3C: 1, 0x3D: 2, 0x3E: 4}
 _BLOCK_OPS = frozenset({0x02, 0x03, 0x04})  # block / loop / if
 _VOID_BT = 0x40
 
@@ -227,6 +290,10 @@ def _scan_control(body: bytes) -> dict[int, tuple[int, int | None]]:
             out[start] = (off, els)
         elif op in _IMM_ULEB:
             r.uleb()
+        elif op == 0x0E:  # br_table: depth vector + default
+            for _ in range(r.uleb()):
+                r.uleb()
+            r.uleb()
         elif op in _IMM_MEM:  # loads/stores: align + offset
             r.uleb()
             r.uleb()
@@ -244,24 +311,50 @@ def _scan_control(body: bytes) -> dict[int, tuple[int, int | None]]:
 class ScalarWasmFunction:
     """Callable interpreting one exported function's body per invocation.
 
-    Numeric profile: locals, constants, i64/f64 arithmetic, comparisons
-    (producing i32 0/1), ``select``, and structured control flow —
-    ``block``/``loop``/``if``/``else`` (void block types) with
-    ``br``/``br_if``/``return`` — enough for loop-bearing scalar
-    guests (iterative hashes, digit scans, counted recurrences).
-    Raises NotImplementedError at call time on an opcode outside the
-    profile, naming it — so an unsupported module fails loudly, not
-    wrongly.
+    Profile: locals, globals, constants, i32/i64/f64 arithmetic,
+    comparisons (producing i32 0/1), ``select``, linear memory
+    (all MVP load/store widths, ``memory.size``/``memory.grow``,
+    active data segments), intra-module ``call``, and structured
+    control flow — ``block``/``loop``/``if``/``else`` (void block
+    types) with ``br``/``br_if``/``br_table``/``return`` — enough for
+    whole multi-function byte-processing guests (tokenizers, framing
+    scanners, iterative hashes). Raises NotImplementedError at call
+    time on an opcode outside the profile, naming it — so an
+    unsupported module fails loudly, not wrongly. No imports exist, so
+    the sandbox property (capability-deny, like the reference's
+    wasmtime config at subsystem/wasmtime/src/lib.rs:87-231) is
+    trivially true.
     """
 
-    def __init__(self, func: WasmFunc, memory_pages: int = 0):
+    def __init__(
+        self,
+        func: WasmFunc,
+        memory_pages: int = 0,
+        image: "ModuleImage | None" = None,
+    ):
         self.func = func
         self.arity = len(func.params)
-        self.ctrl = _scan_control(func.body)
+        self.image = image
+        self._ctrl: dict[bytes, dict] = {}
+        self.ctrl = self._ctrl_for(func)
         # Linear memory (the guest's only workspace — no imports, so the
         # host decides what bytes it sees, mirroring the reference's
         # capability-deny sandbox). Allocated once per instance.
-        self.memory = bytearray(memory_pages * _PAGE) if memory_pages else None
+        pages = image.memory_pages if image else memory_pages
+        self.memory = bytearray(pages * _PAGE) if pages else None
+        self.globals_: list = []
+        if image:
+            for off, data in image.data_segments:
+                if self.memory is None:
+                    raise ValueError("data segment but no memory section")
+                self.memory[off : off + len(data)] = data
+            self.globals_ = [v for (_vt, _mut, v) in image.globals_init]
+
+    def _ctrl_for(self, func: WasmFunc) -> dict:
+        c = self._ctrl.get(func.body)
+        if c is None:
+            c = self._ctrl[func.body] = _scan_control(func.body)
+        return c
 
     def write_memory(self, offset: int, data: bytes) -> None:
         """Host-side input injection: place ``data`` into guest memory
@@ -275,17 +368,24 @@ class ScalarWasmFunction:
 
     @classmethod
     def from_module(cls, module_bytes: bytes, name: str) -> "ScalarWasmFunction":
-        funcs = parse_module(module_bytes)
-        if name not in funcs:
+        img = parse_module_image(module_bytes)
+        if name not in img.exports:
             raise KeyError(
-                f"export {name!r} not found; module exports: {sorted(funcs)}"
+                f"export {name!r} not found; module exports: {sorted(img.exports)}"
             )
-        return cls(funcs[name], memory_pages=parse_memory_pages(module_bytes))
+        return cls(img.funcs[img.exports[name]], image=img)
 
     def __call__(self, *args):
         f = self.func
         if len(args) != len(f.params):
             raise TypeError(f"{f.name} expects {len(f.params)} args, got {len(args)}")
+        results = self._invoke(f, list(args))
+        result = results[-1] if results else None
+        if f.results and f.results[0] == F64:
+            return float(result)
+        return result
+
+    def _invoke(self, f: WasmFunc, args: list) -> list:
         locals_: list = []
         for vt, a in zip(f.params, args):
             locals_.append(float(a) if vt == F64 else _wrap64(int(a)))
@@ -295,7 +395,7 @@ class ScalarWasmFunction:
         stack: list = []
         # (kind, loop_start, end_pos) — kind: 'block' | 'loop' | 'if'
         frames: list[tuple[str, int, int]] = []
-        ctrl = self.ctrl
+        ctrl = self._ctrl_for(f)
         r = _Reader(f.body)
         push = stack.append
         pop = stack.pop
@@ -461,7 +561,7 @@ class ScalarWasmFunction:
                 push(pop() & (_U32 - 1))
             elif op == 0xA7:  # i32.wrap_i64
                 push(_wrap32(pop()))
-            elif op in (0x28, 0x29, 0x2C, 0x2D, 0x31, 0x36, 0x37, 0x3A):
+            elif op in _LOAD_SPEC or op in _STORE_SPEC or op in (0x2B, 0x39):
                 # loads/stores: immediates are (align, offset)
                 r.uleb()
                 moff = r.uleb()
@@ -470,36 +570,159 @@ class ScalarWasmFunction:
                     raise NotImplementedError(
                         "memory opcode in a module with no memory section"
                     )
-                if op == 0x3A:  # i32.store8
+                if op in _STORE_SPEC:
                     v = pop(); addr = (pop() & (_U32 - 1)) + moff
-                    mem[addr] = v & 0xFF
-                elif op == 0x36:  # i32.store
+                    size = _STORE_SPEC[op]
+                    mem[addr : addr + size] = (
+                        v & ((1 << (8 * size)) - 1)
+                    ).to_bytes(size, "little")
+                elif op == 0x39:  # f64.store
                     v = pop(); addr = (pop() & (_U32 - 1)) + moff
-                    mem[addr : addr + 4] = (v & (_U32 - 1)).to_bytes(4, "little")
-                elif op == 0x37:  # i64.store
-                    v = pop(); addr = (pop() & (_U32 - 1)) + moff
-                    mem[addr : addr + 8] = (v & (_U64 - 1)).to_bytes(8, "little")
+                    mem[addr : addr + 8] = struct.pack("<d", v)
+                elif op == 0x2B:  # f64.load
+                    addr = (pop() & (_U32 - 1)) + moff
+                    push(struct.unpack("<d", bytes(mem[addr : addr + 8]))[0])
                 else:
                     addr = (pop() & (_U32 - 1)) + moff
-                    if op == 0x2D:  # i32.load8_u
-                        push(mem[addr])
-                    elif op == 0x2C:  # i32.load8_s
-                        b = mem[addr]
-                        push(b - 256 if b > 127 else b)
-                    elif op == 0x31:  # i64.load8_u
-                        push(mem[addr])
-                    elif op == 0x28:  # i32.load
-                        push(_wrap32(int.from_bytes(mem[addr : addr + 4], "little")))
-                    else:  # 0x29 i64.load
-                        push(_wrap64(int.from_bytes(mem[addr : addr + 8], "little")))
+                    size, signed = _LOAD_SPEC[op]
+                    push(
+                        int.from_bytes(
+                            bytes(mem[addr : addr + size]), "little", signed=signed
+                        )
+                    )
+            elif op == 0x10:  # call (intra-module; imports don't exist)
+                idx = r.uleb()
+                if self.image is None or idx >= len(self.image.funcs):
+                    raise NotImplementedError(
+                        f"call to function index {idx} unavailable "
+                        "(imported function, or constructed without a module image)"
+                    )
+                target = self.image.funcs[idx]
+                n = len(target.params)
+                cargs = stack[len(stack) - n :] if n else []
+                if n:
+                    del stack[len(stack) - n :]
+                stack.extend(self._invoke(target, cargs))
+            elif op == 0x23:  # global.get
+                push(self.globals_[r.uleb()])
+            elif op == 0x24:  # global.set
+                self.globals_[r.uleb()] = pop()
+            elif op == 0x0E:  # br_table
+                n = r.uleb()
+                depths = [r.uleb() for _ in range(n)]
+                default = r.uleb()
+                i = pop()
+                depth = depths[i] if 0 <= i < n else default
+                if depth >= len(frames):
+                    frames.clear()
+                    break
+                kind, start, end_pos = frames[len(frames) - 1 - depth]
+                del frames[len(frames) - 1 - depth :]
+                r.pos = start if kind == "loop" else end_pos + 1
+            elif op == 0x3F:  # memory.size
+                r.byte()
+                push(0 if self.memory is None else len(self.memory) // _PAGE)
+            elif op == 0x40:  # memory.grow
+                r.byte()
+                n = pop()
+                if self.memory is None:
+                    push(-1)
+                else:
+                    old = len(self.memory) // _PAGE
+                    self.memory.extend(bytes(n * _PAGE))
+                    push(old)
+            elif op == 0x6D:  # i32.div_s
+                b = pop(); push(_wrap32(_trunc_div(pop(), b)))
+            elif op == 0x6E:  # i32.div_u
+                b = pop() & (_U32 - 1); a = pop() & (_U32 - 1)
+                if b == 0:
+                    raise ZeroDivisionError("wasm i32.div_u by zero")
+                push(_wrap32(a // b))
+            elif op == 0x6F:  # i32.rem_s
+                b = pop(); push(_wrap32(_trunc_rem(pop(), b)))
+            elif op == 0x70:  # i32.rem_u
+                b = pop() & (_U32 - 1); a = pop() & (_U32 - 1)
+                if b == 0:
+                    raise ZeroDivisionError("wasm i32.rem_u by zero")
+                push(_wrap32(a % b))
+            elif op == 0x67:  # i32.clz
+                v = pop() & (_U32 - 1); push(32 - v.bit_length())
+            elif op == 0x68:  # i32.ctz
+                v = pop() & (_U32 - 1)
+                push(32 if v == 0 else (v & -v).bit_length() - 1)
+            elif op == 0x69:  # i32.popcnt
+                push((pop() & (_U32 - 1)).bit_count())
+            elif op == 0x77:  # i32.rotl
+                b = pop() & 31; a = pop() & (_U32 - 1)
+                push(_wrap32((a << b) | (a >> (32 - b))) if b else _wrap32(a))
+            elif op == 0x78:  # i32.rotr
+                b = pop() & 31; a = pop() & (_U32 - 1)
+                push(_wrap32((a >> b) | (a << (32 - b))) if b else _wrap32(a))
+            elif op == 0x4D:  # i32.le_u
+                b = pop() & (_U32 - 1); push(1 if (pop() & (_U32 - 1)) <= b else 0)
+            elif op == 0x80:  # i64.div_u
+                b = pop() & (_U64 - 1); a = pop() & (_U64 - 1)
+                if b == 0:
+                    raise ZeroDivisionError("wasm i64.div_u by zero")
+                push(_wrap64(a // b))
+            elif op == 0x82:  # i64.rem_u
+                b = pop() & (_U64 - 1); a = pop() & (_U64 - 1)
+                if b == 0:
+                    raise ZeroDivisionError("wasm i64.rem_u by zero")
+                push(_wrap64(a % b))
+            elif op == 0x79:  # i64.clz
+                v = pop() & (_U64 - 1); push(64 - v.bit_length())
+            elif op == 0x7A:  # i64.ctz
+                v = pop() & (_U64 - 1)
+                push(64 if v == 0 else (v & -v).bit_length() - 1)
+            elif op == 0x7B:  # i64.popcnt
+                push((pop() & (_U64 - 1)).bit_count())
+            elif op == 0x89:  # i64.rotl
+                b = pop() & 63; a = pop() & (_U64 - 1)
+                push(_wrap64((a << b) | (a >> (64 - b))) if b else _wrap64(a))
+            elif op == 0x8A:  # i64.rotr
+                b = pop() & 63; a = pop() & (_U64 - 1)
+                push(_wrap64((a >> b) | (a << (64 - b))) if b else _wrap64(a))
+            elif op == 0x54:  # i64.lt_u
+                b = pop() & (_U64 - 1); push(1 if (pop() & (_U64 - 1)) < b else 0)
+            elif op == 0x56:  # i64.gt_u
+                b = pop() & (_U64 - 1); push(1 if (pop() & (_U64 - 1)) > b else 0)
+            elif op == 0x58:  # i64.le_u
+                b = pop() & (_U64 - 1); push(1 if (pop() & (_U64 - 1)) <= b else 0)
+            elif op == 0x5A:  # i64.ge_u
+                b = pop() & (_U64 - 1); push(1 if (pop() & (_U64 - 1)) >= b else 0)
+            elif op == 0x61:  # f64.eq
+                b = pop(); push(1 if pop() == b else 0)
+            elif op == 0x62:  # f64.ne
+                b = pop(); push(1 if pop() != b else 0)
+            elif op == 0x63:  # f64.lt
+                b = pop(); push(1 if pop() < b else 0)
+            elif op == 0x64:  # f64.gt
+                b = pop(); push(1 if pop() > b else 0)
+            elif op == 0x65:  # f64.le
+                b = pop(); push(1 if pop() <= b else 0)
+            elif op == 0x66:  # f64.ge
+                b = pop(); push(1 if pop() >= b else 0)
+            elif op == 0x9B:  # f64.ceil
+                push(float(math.ceil(pop())))
+            elif op == 0x9C:  # f64.floor
+                push(float(math.floor(pop())))
+            elif op == 0x9D:  # f64.trunc
+                push(float(math.trunc(pop())))
+            elif op == 0xB7:  # f64.convert_i32_s
+                push(float(pop()))
+            elif op == 0xB8:  # f64.convert_i32_u
+                push(float(pop() & (_U32 - 1)))
+            elif op == 0xBA:  # f64.convert_i64_u
+                push(float(pop() & (_U64 - 1)))
+            elif op == 0xAA:  # i32.trunc_f64_s
+                push(_wrap32(int(pop())))
             else:
                 raise NotImplementedError(
                     f"wasm opcode 0x{op:02x} outside the scalar-UDF profile"
                 )
-        result = pop()
-        if f.results and f.results[0] == F64:
-            return float(result)
-        return result
+        n_res = len(f.results)
+        return stack[len(stack) - n_res :] if n_res else []
 
     def signature(self) -> str:
         p = ", ".join(_VALTYPE_NAMES.get(t, hex(t)) for t in self.func.params)

@@ -302,3 +302,85 @@ LOOP_MODULE: bytes = _assemble(
         ),
     ]
 )
+
+
+IF, ELSE = 0x04, 0x05
+CALL = 0x10
+I32_EQ, I32_OR, I32_EQZ = 0x46, 0x72, 0x45
+
+
+#: MULTI-FUNCTION byte-processing guest: ``count_tokens(ptr, len)``
+#: walks host-injected bytes in linear memory and counts
+#: delimiter-separated tokens, calling the helper ``is_delim`` PER BYTE
+#: — the intra-module ``call`` shape every non-trivial real guest has
+#: (the reference's guests are ordinary compiled Rust with internal
+#: function calls, e.g. examples/rest-api/src/lib.rs:52-130's framing
+#: helpers).
+#:
+#: WAT::
+#:   (module
+#:     (memory 1)
+#:     (func $is_delim (param $b i32) (result i32)
+#:       local.get $b  i32.const 32  i32.eq        ;; space
+#:       local.get $b  i32.const 9   i32.eq  i32.or ;; tab
+#:       local.get $b  i32.const 10  i32.eq  i32.or ;; LF
+#:       local.get $b  i32.const 13  i32.eq  i32.or) ;; CR
+#:     (func (export "count_tokens") (param $ptr i32) (param $len i32) (result i64)
+#:       (local $n i64) (local $in i32) (local $end i32)
+#:       local.get $ptr  local.get $len  i32.add  local.set $end
+#:       block
+#:         loop
+#:           local.get $ptr  local.get $end  i32.ge_u  br_if 1
+#:           local.get $ptr  i32.load8_u  call $is_delim
+#:           if                                   ;; delimiter: close token
+#:             i32.const 0  local.set $in
+#:           else                                 ;; token byte: count starts
+#:             local.get $in  i32.eqz
+#:             if
+#:               local.get $n  i64.const 1  i64.add  local.set $n
+#:               i32.const 1  local.set $in
+#:             end
+#:           end
+#:           local.get $ptr  i32.const 1  i32.add  local.set $ptr
+#:           br 0
+#:         end
+#:       end
+#:       local.get $n))
+def _is_delim_body() -> bytes:
+    out = local_get(0) + i32_const(32) + bytes([I32_EQ])
+    for code in (9, 10, 13):
+        out += local_get(0) + i32_const(code) + bytes([I32_EQ, I32_OR])
+    return out + bytes([END])
+
+
+TOKENIZER_MODULE: bytes = _assemble(
+    [
+        ("is_delim", [I32], [I32], _is_delim_body()),
+        (
+            "count_tokens",
+            [I32, I32],
+            [I64],
+            # end = ptr + len  (locals: 2=$n i64, 3=$in i32, 4=$end i32)
+            local_get(0) + local_get(1) + bytes([I32_ADD]) + local_set(4)
+            + bytes([BLOCK, VOID, LOOP, VOID])
+            + local_get(0) + local_get(4) + bytes([I32_GE_U, BR_IF]) + _uleb(1)
+            + local_get(0) + bytes([I32_LOAD8_U]) + _uleb(0) + _uleb(0)
+            + bytes([CALL]) + _uleb(0)          # call $is_delim
+            + bytes([IF, VOID])
+            + i32_const(0) + local_set(3)
+            + bytes([ELSE])
+            + local_get(3) + bytes([I32_EQZ, IF, VOID])
+            + local_get(2) + i64_const(1) + bytes([I64_ADD]) + local_set(2)
+            + i32_const(1) + local_set(3)
+            + bytes([END])                      # inner if
+            + bytes([END])                      # if/else
+            + local_get(0) + i32_const(1) + bytes([I32_ADD]) + local_set(0)
+            + bytes([BR]) + _uleb(0)
+            + bytes([END, END])
+            + local_get(2)
+            + bytes([END]),
+            [I64, I32, I32],
+        ),
+    ],
+    memory_pages=1,
+)

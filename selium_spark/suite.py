@@ -3270,6 +3270,36 @@ FROM s
 """
 
 
+def wasm_udf_guest_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-FUNCTION wasm guest: ``count_tokens(ptr, len)`` walks each
+    document's bytes in linear memory and CALLS the module's
+    ``is_delim`` helper per byte — intra-module function calls, the
+    shape every compiled real guest has (the reference's examples are
+    ordinary Rust with internal helpers, e.g. the rest-api framing
+    functions at examples/rest-api/src/lib.rs:52-130). Runs on the
+    built-in interpreter tier (call + memory + structured control),
+    no wasmtime needed."""
+    from selium_spark.functions.wasm import wasm_bytes_udf
+    from selium_spark.functions.wasm_modules import TOKENIZER_MODULE
+    from selium_spark.sources.layout import fan_out
+
+    toks = wasm_bytes_udf(TOKENIZER_MODULE, "count_tokens", "long")
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    s = F.substring(F.regexp_replace(F.col("text"), "[^ -~]", ""), 1, 200)
+    return docs.select("doc_id", toks(s).alias("n_tokens"))
+
+
+SQL_WASM_GUEST_TOKENS = """
+WITH s AS (
+  SELECT doc_id, substr(regexp_replace(text, '[^ -~]', '', 'g'), 1, 200) AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(list_filter(string_split(t, ' '), x -> x <> ''))::BIGINT AS n_tokens
+FROM s
+"""
+
+
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) cardinality sketch over orders.o_custkey:
     k=256 smallest 52-bit md5 hashes -> (k-1)/U_k estimate, reported
@@ -4507,6 +4537,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hll_registers": stream_hll_registers,
     "wasm_udf_digit_sum": wasm_udf_digit_sum,
     "wasm_udf_text_fnv": wasm_udf_text_fnv,
+    "wasm_udf_guest_tokens": wasm_udf_guest_tokens,
     "stream_topk_windowed": stream_topk_windowed,
     "stream_pq_encode": stream_pq_encode,
 }
@@ -4642,6 +4673,7 @@ WHERE value % 2 = 0"""
     "stream_hll_registers": SQL_STREAM_HLL,
     "wasm_udf_digit_sum": SQL_WASM_DIGIT_SUM,
     "wasm_udf_text_fnv": SQL_WASM_TEXT_FNV,
+    "wasm_udf_guest_tokens": SQL_WASM_GUEST_TOKENS,
     "stream_topk_windowed": SQL_STREAM_TOPK,
     "stream_pq_encode": SQL_STREAM_PQ_ENCODE,
     "stream_cms_table": SQL_STREAM_CMS,

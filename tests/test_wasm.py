@@ -309,3 +309,221 @@ def test_wasm_bytes_udf_on_spark(spark):
     got = {r["id"]: r["h"] for r in df.select("id", fnv("s").alias("h")).collect()}
     assert got[1] == 0xD58B3FA7
     assert got[2] == got[3] == 0x811C9DC5  # empty and NULL hash alike
+
+
+TOKENIZER_GOLDEN_SHA256 = (
+    "0e2119e7fdcb5174366b679c724f2c962e49d85d85af67d2cb45dc15986c1752"
+)
+
+
+def test_tokenizer_module_bytes_are_pinned():
+    import hashlib
+
+    from selium_spark.functions.wasm_modules import TOKENIZER_MODULE
+
+    assert hashlib.sha256(TOKENIZER_MODULE).hexdigest() == TOKENIZER_GOLDEN_SHA256
+
+
+def test_interpreter_intra_module_call_tokenizer():
+    # count_tokens calls is_delim per byte: the `call` opcode, if/else
+    # control, and memory reads all in one guest
+    import re
+
+    from selium_spark.functions.wasm_interp import ScalarWasmFunction
+    from selium_spark.functions.wasm_modules import TOKENIZER_MODULE
+
+    fn = ScalarWasmFunction.from_module(TOKENIZER_MODULE, "count_tokens")
+    cases = [
+        b"", b"a", b"   ", b"hello world", b" lead", b"trail ",
+        b"one  two\tthree\nfour \r five", bytes(range(1, 128)) * 3,
+    ]
+    for s in cases:
+        fn.write_memory(0, s)
+        want = len([t for t in re.split(rb"[ \t\n\r]+", s) if t])
+        assert fn(0, len(s)) == want, s
+
+
+def test_interpreter_globals_and_data_segments():
+    # hand-assemble a module with a mutable global counter and an
+    # active data segment; `bump(n)` adds n to the global and returns it
+    from selium_spark.functions.wasm_interp import (
+        ScalarWasmFunction,
+        parse_module_image,
+    )
+    from selium_spark.functions.wasm_modules import (
+        END,
+        I64,
+        _assemble,
+        _section,
+        _sleb,
+        _uleb,
+        _vec,
+        i64_const,
+        local_get,
+    )
+
+    base = _assemble(
+        [
+            (
+                "bump",
+                [I64],
+                [I64],
+                bytes([0x23]) + _uleb(0)          # global.get 0
+                + local_get(0) + bytes([0x7C])    # i64.add
+                + bytes([0x24]) + _uleb(0)        # global.set 0
+                + bytes([0x23]) + _uleb(0)        # global.get 0
+                + bytes([END]),
+            ),
+            (
+                "first_byte",
+                [],
+                [I64],
+                i64_const(0)[0:0]                  # (empty)
+                + bytes([0x41]) + _sleb(16)        # i32.const 16
+                + bytes([0x31]) + _uleb(0) + _uleb(0)  # i64.load8_u
+                + bytes([END]),
+            ),
+        ],
+        memory_pages=1,
+    )
+    # splice in a global section (id 6: one mutable i64 = 100) and a
+    # data section (id 11: "Z" at offset 16) before/after code section
+    glob = _section(6, _vec([bytes([I64, 0x01]) + i64_const(100) + bytes([END])]))
+    data = _section(
+        11, _vec([bytes([0x00]) + bytes([0x41]) + _sleb(16) + bytes([END]) + _uleb(1) + b"Z"])
+    )
+    # sections must appear in id order: insert global before export (7)
+    # and data at the end. Rebuild by scanning section framing.
+    out = bytearray(base[:8])
+    pos = 8
+    placed_glob = False
+    while pos < len(base):
+        sec_id = base[pos]
+        # read section size (uleb)
+        p = pos + 1
+        size = shift = 0
+        while True:
+            b = base[p]
+            size |= (b & 0x7F) << shift
+            p += 1
+            if not b & 0x80:
+                break
+            shift += 7
+        end = p + size
+        if sec_id >= 7 and not placed_glob:
+            out += glob
+            placed_glob = True
+        out += base[pos:end]
+        pos = end
+    out += data
+    img = parse_module_image(bytes(out))
+    assert img.globals_init == ((I64, True, 100),)
+    assert img.data_segments == ((16, b"Z"),)
+
+    bump = ScalarWasmFunction.from_module(bytes(out), "bump")
+    assert bump(5) == 105
+    assert bump(5) == 110  # global state persists across calls
+    fb = ScalarWasmFunction.from_module(bytes(out), "first_byte")
+    assert fb() == ord("Z")  # data segment landed in memory
+
+
+def test_interpreter_br_table_and_wide_ops():
+    # br_table dispatch + div_u/rotl/popcnt/clz/ctz and 16/32-bit
+    # loads/stores round-trips
+    from selium_spark.functions.wasm_interp import (
+        ScalarWasmFunction,
+        parse_module_image,
+    )
+    from selium_spark.functions.wasm_modules import (
+        BLOCK,
+        END,
+        I64,
+        VOID,
+        _assemble,
+        _uleb,
+        i64_const,
+        local_get,
+        local_set,
+    )
+
+    # classify(x): br_table on x -> returns 10 for 0, 20 for 1, 99 default
+    body = (
+        bytes([BLOCK, VOID, BLOCK, VOID, BLOCK, VOID])
+        + local_get(0) + bytes([0xA7])            # i32.wrap_i64
+        + bytes([0x0E]) + _uleb(2) + _uleb(0) + _uleb(1) + _uleb(2)  # br_table
+        + bytes([END])
+        + i64_const(10) + local_set(1) + bytes([0x0C]) + _uleb(1)    # br out
+        + bytes([END])
+        + i64_const(20) + local_set(1) + bytes([0x0C]) + _uleb(0)
+        + bytes([END])
+        + local_get(1)
+        + bytes([0x50])                            # i64.eqz -> default?
+        + bytes([0x04, VOID])                      # if
+        + i64_const(99) + local_set(1)
+        + bytes([END])
+        + local_get(1)
+        + bytes([END])
+    )
+    mod = _assemble([("classify", [I64], [I64], body, [I64])])
+    f = ScalarWasmFunction.from_module(mod, "classify")
+    assert [f(0), f(1), f(2), f(7)] == [10, 20, 99, 99]
+
+    # arithmetic spot-checks through tiny bodies
+    def unop(op_byte, arg, expect, as_i32=False):
+        b = local_get(0)
+        if as_i32:
+            b += bytes([0xA7, op_byte, 0xAC])      # wrap, op, extend_s
+        else:
+            b += bytes([op_byte])
+        b += bytes([END])
+        m = _assemble([("f", [I64], [I64], b)])
+        assert ScalarWasmFunction.from_module(m, "f")(arg) == expect
+
+    unop(0x7B, 0b1011, 3)          # i64.popcnt
+    unop(0x79, 1, 63)              # i64.clz
+    unop(0x7A, 8, 3)               # i64.ctz
+    unop(0x69, 0xFF, 8, as_i32=True)   # i32.popcnt
+    # i64.div_u on a "negative" bit pattern
+    m = _assemble([
+        ("f", [I64, I64], [I64],
+         local_get(0) + local_get(1) + bytes([0x80, END])),
+    ])
+    f = ScalarWasmFunction.from_module(m, "f")
+    assert f(-2, 2) == (2**64 - 2) // 2
+    # i32.store16 / i32.load16_u round-trip through memory
+    m = _assemble([
+        ("f", [I64], [I64],
+         bytes([0x41]) + b"\x00"                  # i32.const 0 (addr)
+         + local_get(0) + bytes([0xA7])           # wrap to i32
+         + bytes([0x3B]) + _uleb(0) + _uleb(0)    # i32.store16
+         + bytes([0x41]) + b"\x00"
+         + bytes([0x2F]) + _uleb(0) + _uleb(0)    # i32.load16_u
+         + bytes([0xAD])                          # i64.extend_i32_u
+         + bytes([END])),
+    ], memory_pages=1)
+    f = ScalarWasmFunction.from_module(m, "f")
+    assert f(0x12345) == 0x2345
+    # memory.size / memory.grow
+    m = _assemble([
+        ("f", [], [I64],
+         bytes([0x3F, 0x00])                      # memory.size -> 1
+         + bytes([0x41, 0x02])                    # i32.const 2
+         + bytes([0x40, 0x00])                    # memory.grow -> old size
+         + bytes([0x6A])                          # i32.add: 1 + 1
+         + bytes([0x3F, 0x00])                    # memory.size -> 3
+         + bytes([0x6A, 0xAC, END])),             # total: 2 + 3 = 5
+    ], memory_pages=1)
+    assert ScalarWasmFunction.from_module(m, "f")() == 5
+
+
+def test_wasm_guest_tokens_udf_on_spark(spark):
+    from selium_spark.functions.wasm import wasm_bytes_udf
+    from selium_spark.functions.wasm_modules import TOKENIZER_MODULE
+
+    toks = wasm_bytes_udf(TOKENIZER_MODULE, "count_tokens", "long")
+    df = spark.createDataFrame(
+        [(1, "hello  world x"), (2, ""), (3, None), (4, "  a  ")],
+        "id LONG, s STRING",
+    )
+    got = {r["id"]: r["n"] for r in df.select("id", toks("s").alias("n")).collect()}
+    assert got == {1: 3, 2: 0, 3: 0, 4: 1}
