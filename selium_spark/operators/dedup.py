@@ -195,16 +195,31 @@ def lsh_candidate_pairs(
     exploded = banded_keys(df, text_col, id_col, k, bands, shingle_n)
     # The band table is tiny (k hashes per doc) next to the corpus; at
     # any scale you materialize it once rather than recompute the
-    # signature pipeline for both sides of the self-join.
+    # signature pipeline for both sides of the self-join. The count()
+    # pins the cache BEFORE the downstream consumers (size filter,
+    # both self-join sides) fan out — concurrent branches of one job
+    # otherwise race the unpopulated cache and each re-run the
+    # signature pipeline.
     exploded = exploded.persist()
+    exploded.count()
     if max_band_size is not None:
-        sizes = (
+        # Enforce the cap as a BLACKLIST of over-cap keys, not a
+        # whitelist join: the groupBy map-side-combines to one row per
+        # (task, key) before its shuffle, and the surviving `> cap`
+        # keys are few by construction (≤ n/cap, realistically the
+        # handful of boilerplate clusters), so they broadcast and the
+        # anti-join stays map-side — the band table itself is never
+        # re-shuffled to apply the cap. No hot task anywhere: the only
+        # shuffle moves pre-combined counts.
+        hot = (
             exploded.groupBy("band_id", "band_key")
             .agg(F.count(F.lit(1)).alias("_bsz"))
-            .where(F.col("_bsz") <= max_band_size)
-            .drop("_bsz")
+            .where(F.col("_bsz") > max_band_size)
+            .select("band_id", "band_key")
         )
-        exploded = exploded.join(sizes, ["band_id", "band_key"])
+        exploded = exploded.join(
+            F.broadcast(hot), ["band_id", "band_key"], "left_anti"
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     pairs = (
@@ -372,6 +387,24 @@ def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 # -- duplicate-group clustering ------------------------------------------
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` and cut its logical lineage — THE pattern for
+    iterative DataFrame loops (label propagation, PageRank): without it
+    each round's plan nests the previous round's whole tree, so
+    Catalyst re-analysis grows superlinearly and dominates wall time
+    long before the data does.
+
+    Uses a reliable ``checkpoint()`` when the caller configured
+    ``sparkContext.setCheckpointDir`` (the real-cluster path — survives
+    executor loss, required at 100 TB), else ``localCheckpoint()``
+    (executor-local blocks, fastest on a single box). Checkpoint blocks
+    are freed by the ContextCleaner once the frame is unreferenced."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir():
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -385,20 +418,21 @@ def connected_components(
     every iteration each node takes the min label among itself and its
     neighbors, until a fixpoint. Iterations = graph diameter, which for
     dedup graphs (dense cliques of near-identical docs) is tiny; each
-    iteration is one shuffle join on node id. Labels are persisted per
-    round so lineage doesn't recompute the whole chain.
+    iteration is one shuffle join on node id. Labels are checkpointed
+    per round (:func:`_truncate_lineage`) so both the executed lineage
+    AND the logical plan stay flat — a persist alone leaves each
+    round's plan nesting all previous rounds, and Catalyst re-analysis
+    of that growing tree dominates wall time.
     """
-    edges = (
+    edges = _truncate_lineage(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .persist()
     )
-    labels = (
+    labels = _truncate_lineage(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("group_id", F.col("id"))
-        .persist()
     )
     for _ in range(max_iterations):
         neighbor_min = (
@@ -406,7 +440,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("group_id").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = _truncate_lineage(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -414,7 +448,6 @@ def connected_components(
                     F.col("group_id"), F.coalesce(F.col("nbr_min"), F.col("group_id"))
                 ).alias("group_id"),
             )
-            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -423,11 +456,9 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select("id", "group_id")
 
 
@@ -624,6 +655,7 @@ def pagerank(
     src_col: str = "id_a",
     dst_col: str = "id_b",
     round_to: int = 9,
+    dedupe_edges: bool = True,
 ) -> DataFrame:
     """PageRank over an undirected pair graph (e.g. near-duplicate
     candidate pairs): rank r_i+1(v) = (1-d)/N + d * sum_u r_i(u)/deg(u)
@@ -637,24 +669,44 @@ def pagerank(
     rounded values are the next iteration's exact inputs). Isolated
     vertices keep the teleport mass (1-d)/N.
 
-    The loop invariants (graph, vertices, degrees) are persisted for
-    the iterations and unpersisted before returning; the final ranks
-    are materialized (persist + count — one row per vertex, bounded)
-    so the caches are releasable at all. Callers may ``unpersist()``
-    the returned frame when done.
+    The loop invariants (graph, degrees) and each round's ranks are
+    materialized with :func:`_truncate_lineage` (checkpoint), so every
+    iteration plans one join + one agg over flat inputs instead of a
+    plan that nests all previous rounds. The returned ranks frame is
+    already materialized; its checkpoint blocks are freed once the
+    frame is unreferenced.
     """
+    # the symmetrizing union consumes ``edges`` twice — checkpoint so
+    # the upstream edge pipeline (e.g. the whole LSH signature plan,
+    # including its band-size-cap aggregation) executes once, not once
+    # per union arm, and so the loop below starts from a flat plan
+    edges = _truncate_lineage(edges)
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionAll(
         edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-    ).distinct()
-    # materialize the graph ONCE: the iterations re-join sym/deg every
-    # round, and without a persist the upstream edge pipeline (e.g. the
-    # whole LSH signature plan) re-executes per iteration
-    sym = sym.persist()
-    verts = sym.select(F.col("src").alias("id")).distinct().persist()
+    )
+    if dedupe_edges:
+        # Needed only when the input may carry duplicate pairs: a dup
+        # edge would otherwise double its contribution. Canonical LSH
+        # pairs (DISTINCT, src < dst) cannot collide across the two
+        # union arms — callers pass dedupe_edges=False and skip this
+        # 2|E| shuffle entirely.
+        sym = sym.distinct()
+    # materialize the graph ONCE, pre-partitioned on src: every
+    # iteration joins ranks+deg onto sym by src and deg itself
+    # aggregates by src, so the hash(src) layout makes the
+    # per-iteration sym/deg sides exchange-free (ranks is one row per
+    # vertex — AQE broadcasts it).
+    sym = _truncate_lineage(sym.repartition(F.col("src")))
+    deg = _truncate_lineage(
+        sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # vertex set straight off the degree table (one row per vertex) —
+    # no separate distinct over the edge list; the alias mints a fresh
+    # attribute so later verts⋈deg-derived joins aren't self-ambiguous
+    verts = deg.select(F.col("id").alias("id"))
     n = verts.count()
-    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg")).persist()
     ranks = verts.select("id", F.round(F.lit(1.0 / n), round_to).alias("rank"))
     base = F.round(F.lit((1.0 - damping) / n), round_to)  # engine-side
     # rounding (half-up) — Python's banker's round would diverge from
@@ -678,10 +730,10 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-    ranks = ranks.persist()
-    ranks.count()  # cut the lineage off the loop caches before freeing them
-    for cached in (sym, verts, deg):
-        cached.unpersist()
+        # per-iteration truncation keeps every round's plan constant
+        # size (one join + one agg over flat inputs) — analysis cost
+        # stays O(1) per round instead of compounding
+        ranks = _truncate_lineage(ranks)
     return ranks
 
 

@@ -1170,7 +1170,9 @@ def dedup_pagerank_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.lsh_candidate_pairs(
         docs, k=8, bands=4, shingle_n=3, max_band_size=LSH_MAX_BAND
     )
-    return dedup.pagerank(pairs, iterations=3, damping=0.85)
+    # LSH pairs are DISTINCT with id_a < id_b, so the symmetrized
+    # graph can't contain duplicates — skip pagerank's dedupe shuffle
+    return dedup.pagerank(pairs, iterations=3, damping=0.85, dedupe_edges=False)
 
 
 _PAIRS_BODY = SQL_LSH_PAIRS.strip()

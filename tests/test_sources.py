@@ -165,3 +165,33 @@ def test_catalog_reads_jsonl_and_csv_channels(spark, tmp_path):
         output_mode="complete", fmt="json",
     )
     assert {(r["kind"], r["count"]) for r in out.collect()} == {("a", 5), ("b", 5)}
+
+
+def test_catalog_reads_orc_channels(spark, tmp_path):
+    """ORC endpoints ride the same catalog surface as parquet — Spark's
+    built-in columnar alternative (no external package), with predicate
+    pushdown and splittable stripes at scale. Batch and streaming
+    subscribe both work off the registered fmt."""
+    from selium_spark.catalog import StreamCatalog
+    from selium_spark.streaming.replay import replay_to_memory
+
+    src = str(tmp_path / "ev_orc")
+    spark.range(20).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS kind"
+    ).write.orc(src)
+
+    cat = StreamCatalog(spark)
+    cat.insert("sel://raw/events_orc", src, fmt="orc")  # schema inferred
+
+    ev = cat.read("sel://raw/events_orc")
+    assert ev.count() == 20
+    assert dict(ev.groupBy("kind").count().collect()) == {"even": 10, "odd": 10}
+
+    out = replay_to_memory(
+        spark, src, "id LONG, kind STRING",
+        lambda s: s.groupBy("kind").count(),
+        output_mode="complete", fmt="orc",
+    )
+    assert {(r["kind"], r["count"]) for r in out.collect()} == {
+        ("even", 10), ("odd", 10),
+    }
