@@ -260,3 +260,39 @@ def dec_avg(col: str | Column, alias: str, scale_in: int = 2) -> Column:
     return (
         F.sum(c.cast(f"decimal(18,{scale_in})")).cast("double") / F.count(F.lit(1))
     ).alias(alias)
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    state_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Collapse a change stream into slowly-changing-dimension type-2
+    history: one row per (keys..., state run) with ``valid_from`` /
+    ``valid_to`` (null = current). The warehouse-side twin of the
+    latest-value enrich (W3): where as-of join answers "state at time
+    t", SCD2 materializes EVERY state interval.
+
+    Plan: one shuffle on (keys); both windows (lag to detect state
+    edges, lead to close intervals) share that partitioning, so
+    Catalyst plans a single exchange + sort. Rows are totally ordered
+    per key by (ts, tiebreak) so runs are deterministic under ts ties.
+    A key's history sorts in one spillable task — the standard ordered-
+    window constraint; interval count is bounded by change count, not
+    corpus size.
+    """
+    kcols = [F.col(k) for k in keys]
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    edges = (
+        df.withColumn("_prev", F.lag(F.col(state_col)).over(w))
+        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col(state_col)))
+    )
+    w_run = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    return edges.select(
+        *kcols,
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(F.col(ts_col)).over(w_run).alias("valid_to"),
+    )

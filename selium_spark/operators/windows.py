@@ -15,7 +15,7 @@ shuffle carries only per-partition partials, not raw rows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -298,4 +298,114 @@ def zscore_outliers(
         df.join(F.broadcast(stats), keys)
         .withColumn("zscore", z)
         .withColumn("is_outlier", F.abs(F.col("zscore")) > threshold)
+    )
+
+
+def gapfill_locf(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    tiebreak_col: str,
+    grain: str = "day",
+) -> DataFrame:
+    """Gap-fill a per-key time series to a dense calendar grid and fill
+    the holes by last-observation-carried-forward (the hypertable
+    ``time_bucket_gapfill + locf`` shape — no reference analogue; a
+    metric-series op the reference's log-analyser users would reach for
+    next).
+
+    Per key: take the LAST observed ``value_col`` of each period
+    (latest ``ts_col``, ties broken by ``tiebreak_col``), build the
+    full period grid between the key's first and last observation with
+    ``sequence``/``explode``, and carry the previous period's value
+    into empty periods. Output: one row per (keys..., period) with
+    ``value`` (filled) and ``is_filled``.
+
+    Scale plan: the per-key span aggregate is map-side combinable and
+    tiny (one row per key); the grid explode is map-side over that
+    tiny frame; the observation pick and the LOCF window both hash on
+    the SAME (keys) partitioning so the grid join + fill run in one
+    shuffle stage each. A key's whole grid lives in one task — the
+    standard constraint for ordered carry-forward; series length is
+    bounded by the calendar span, not corpus size.
+    """
+    supported = {"day"}
+    if grain not in supported:
+        raise ValueError(f"gapfill_locf grain must be one of {sorted(supported)}, got {grain!r}")
+    kcols = [F.col(k) for k in keys]
+    period = F.to_date(F.date_trunc(grain, F.col(ts_col)))
+    w_pick = Window.partitionBy(*keys, F.col("_period")).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    obs = (
+        df.withColumn("_period", period)
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .where(F.col("_rn") == 1)
+        .select(*kcols, "_period", F.col(value_col).alias("_obs"))
+    )
+    span = obs.groupBy(*kcols).agg(
+        F.min("_period").alias("_p0"), F.max("_period").alias("_p1")
+    )
+    grid = span.select(
+        *kcols,
+        # sequence over DATE steps by 1 day when no step is given
+        F.explode(F.sequence("_p0", "_p1")).alias("_period"),
+    )
+    w_fill = (
+        Window.partitionBy(*keys)
+        .orderBy("_period")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, [*keys, "_period"], "left")
+        .select(
+            *kcols,
+            F.col("_period").alias("period"),
+            F.last("_obs", ignorenulls=True).over(w_fill).alias("value"),
+            F.col("_obs").isNull().alias("is_filled"),
+        )
+    )
+
+
+def rolling_time_features(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    days: int = 7,
+    round_to: int = 9,
+    scale_in: int = 2,
+) -> DataFrame:
+    """Per-row trailing time-window features: count / sum / avg of
+    ``value_col`` over the last ``days`` days per key — the feature-
+    engineering primitive behind "7-day spend" style signals.
+
+    The frame is a RANGE window over epoch seconds
+    (``[t - days*86400 + 1, t]``), so rows landing on the same second
+    always share a frame — tie-order-free. Sums run on DECIMAL
+    (``scale_in`` fixed decimal digits), so they're exact and
+    order-free; the single double cast happens after the window.
+
+    One shuffle on (keys); the range frame is maintained by a sliding
+    aggregate over the per-key sort, not a self-join — per-row cost is
+    amortized O(1), and a key's rows live in one (spillable) sort
+    task, the standard constraint for ordered window features.
+    """
+    # NTZ timestamps don't cast to long directly; hop through LTZ —
+    # with the engine's pinned UTC session the two agree
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    dv = F.col(value_col).cast(f"decimal(18,{scale_in})")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(epoch)
+        .rangeBetween(-(days * 86400 - 1), Window.currentRow)
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    s = F.sum(dv).over(w)
+    return df.select(
+        "*",
+        cnt.alias(f"n_{days}d"),
+        s.cast("double").alias(f"sum_{days}d"),
+        F.round((s / cnt).cast("double"), round_to).alias(f"avg_{days}d"),
     )

@@ -3926,6 +3926,113 @@ WHERE abs(round((e.value - st.key_mean) / greatest(st.key_std, 1e-12), 9)) > 3.0
 """
 
 
+def w_gapfill_locf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily grid per (user, event_type) with last-observation-
+    carried-forward fill (windows.gapfill_locf) — the hypertable
+    time_bucket_gapfill+locf shape over the events stream table."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.gapfill_locf(
+        ev, "ts", ["user_id", "event_type"], "value", tiebreak_col="event_id"
+    )
+    # DATE → string for the cross-engine hash (pandas widens DuckDB
+    # DATEs to midnight timestamps, which would type-mismatch)
+    return out.withColumn("period", F.date_format("period", "yyyy-MM-dd"))
+
+
+SQL_GAPFILL = """
+WITH obs AS (
+  SELECT user_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS _period, value,
+    row_number() OVER (
+      PARTITION BY user_id, event_type, date_trunc('day', ts)
+      ORDER BY ts DESC, event_id DESC
+    ) AS _rn
+  FROM events
+), picked AS (
+  SELECT user_id, event_type, _period, value FROM obs WHERE _rn = 1
+), span AS (
+  SELECT user_id, event_type, min(_period) AS _p0, max(_period) AS _p1
+  FROM picked GROUP BY 1, 2
+), grid AS (
+  SELECT user_id, event_type,
+    CAST(unnest(generate_series(CAST(_p0 AS TIMESTAMP), CAST(_p1 AS TIMESTAMP),
+                                INTERVAL 1 DAY)) AS DATE) AS period
+  FROM span
+)
+SELECT g.user_id, g.event_type, strftime(g.period, '%Y-%m-%d') AS period,
+  last_value(p.value IGNORE NULLS) OVER (
+    PARTITION BY g.user_id, g.event_type ORDER BY g.period
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS value,
+  p.value IS NULL AS is_filled
+FROM grid g
+LEFT JOIN picked p
+  ON g.user_id = p.user_id AND g.event_type = p.event_type AND g.period = p._period
+"""
+
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history of each user's event_type "state"
+    (relational.scd2_history): one row per state run with
+    valid_from/valid_to, the warehouse twin of the as-of enrich."""
+    ev = _t(spark, sf_dir, "events")
+    out = relational.scd2_history(
+        ev, ["user_id"], "ts", "event_type", tiebreak_col="event_id"
+    )
+    # open intervals use the conventional SCD2 high-date sentinel (also
+    # sidesteps pandas NaT-vs-None null-timestamp hashing)
+    return out.withColumn(
+        "valid_to",
+        F.coalesce(
+            F.col("valid_to"),
+            # match valid_to's exact timestamp flavor (NTZ at sf0.01)
+            F.lit("9999-12-31 00:00:00").cast(dict(out.dtypes)["valid_to"]),
+        ),
+    )
+
+
+SQL_SCD2 = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _prev
+  FROM events
+), edges AS (
+  SELECT user_id, event_type AS state, ts, event_id
+  FROM ordered WHERE _prev IS NULL OR _prev <> event_type
+)
+SELECT user_id, state, ts AS valid_from,
+  coalesce(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+           TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+FROM edges
+"""
+
+
+def q_rolling_7d_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 7-day count/sum/avg of value per user
+    (windows.rolling_time_features): RANGE frame over epoch seconds,
+    exact decimal sums — the "7-day spend" feature primitive."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.rolling_time_features(ev, "ts", ["user_id"], "value", days=7)
+    return out.select("event_id", "user_id", "n_7d", "sum_7d", "avg_7d")
+
+
+SQL_ROLLING = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(value AS DECIMAL(18,2)) AS dv,
+    CAST(floor(epoch(ts)) AS BIGINT) AS ep
+  FROM events
+)
+SELECT event_id, user_id,
+  count(*) OVER w AS n_7d,
+  CAST(sum(dv) OVER w AS DOUBLE) AS sum_7d,
+  round(CAST(sum(dv) OVER w AS DOUBLE) / count(*) OVER w, 9) AS avg_7d
+FROM e
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ep
+  RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 def stream_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming funnel (stateful.streaming_funnel): per-user
     (step, last_ts) state driven by the replayed events stream, then
@@ -4542,6 +4649,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wasm_udf_guest_tokens": wasm_udf_guest_tokens,
     "stream_topk_windowed": stream_topk_windowed,
     "stream_pq_encode": stream_pq_encode,
+    "w_gapfill_locf_daily": w_gapfill_locf_daily,
+    "q_scd2_user_state": q_scd2_user_state,
+    "q_rolling_7d_features": q_rolling_7d_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -4684,4 +4794,7 @@ WHERE value % 2 = 0"""
     "zscore_value_outliers": SQL_ZSCORE,
     "stream_funnel_steps": SQL_STREAM_FUNNEL,
     "stream_running_stats": SQL_STREAM_STATS,
+    "w_gapfill_locf_daily": SQL_GAPFILL,
+    "q_scd2_user_state": SQL_SCD2,
+    "q_rolling_7d_features": SQL_ROLLING,
 }

@@ -294,3 +294,87 @@ def test_funnel_within_budget_demotes_slow_completion(spark):
         within="1 DAY",
     ).collect()[0]
     assert out["step_reached"] == 2  # completed, but not within budget
+
+
+def test_gapfill_locf_fills_holes_and_marks_them(spark):
+    import datetime as dt
+
+    from selium_spark.operators import windows
+
+    rows = [  # key "a": days 1,2,4 observed (3 is a hole); two obs on day 2
+        ("a", dt.datetime(2024, 1, 1, 12, 0), 1, 10.0),
+        ("a", dt.datetime(2024, 1, 2, 8, 0), 2, 20.0),
+        ("a", dt.datetime(2024, 1, 2, 9, 0), 3, 25.0),  # later -> wins day 2
+        ("a", dt.datetime(2024, 1, 4, 1, 0), 4, 40.0),
+        ("b", dt.datetime(2024, 1, 2, 0, 0), 5, 7.0),  # single-day key
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, eid LONG, value DOUBLE")
+    out = {
+        (r["k"], str(r["period"])): (r["value"], r["is_filled"])
+        for r in windows.gapfill_locf(df, "ts", ["k"], "value", "eid").collect()
+    }
+    assert out == {
+        ("a", "2024-01-01"): (10.0, False),
+        ("a", "2024-01-02"): (25.0, False),
+        ("a", "2024-01-03"): (25.0, True),  # carried forward
+        ("a", "2024-01-04"): (40.0, False),
+        ("b", "2024-01-02"): (7.0, False),
+    }
+
+
+def test_gapfill_locf_rejects_unknown_grain(spark):
+    import pytest as _pytest
+
+    from selium_spark.operators import windows
+
+    df = spark.range(1).selectExpr("'a' k", "timestamp'2024-01-01' ts", "id eid", "1.0 value")
+    with _pytest.raises(ValueError):
+        windows.gapfill_locf(df, "ts", ["k"], "value", "eid", grain="hour")
+
+
+def test_scd2_history_collapses_runs_with_tiebreaks(spark):
+    import datetime as dt
+
+    from selium_spark.operators import relational
+
+    t = dt.datetime
+    rows = [  # state runs: x (2 rows) -> y -> x; same-ts tie decided by eid
+        (1, t(2024, 1, 1, 0, 0), 1, "x"),
+        (1, t(2024, 1, 1, 1, 0), 2, "x"),
+        (1, t(2024, 1, 1, 2, 0), 3, "y"),
+        (1, t(2024, 1, 1, 3, 0), 4, "x"),
+        (2, t(2024, 1, 1, 0, 0), 6, "q"),  # eid 5 at the SAME ts sorts first
+        (2, t(2024, 1, 1, 0, 0), 5, "p"),
+    ]
+    df = spark.createDataFrame(rows, "uid LONG, ts TIMESTAMP, eid LONG, state STRING")
+    got = {
+        (r["uid"], r["state"], str(r["valid_from"])): str(r["valid_to"])
+        for r in relational.scd2_history(df, ["uid"], "ts", "state", "eid").collect()
+    }
+    assert got == {
+        (1, "x", "2024-01-01 00:00:00"): "2024-01-01 02:00:00",
+        (1, "y", "2024-01-01 02:00:00"): "2024-01-01 03:00:00",
+        (1, "x", "2024-01-01 03:00:00"): "None",
+        (2, "p", "2024-01-01 00:00:00"): "2024-01-01 00:00:00",
+        (2, "q", "2024-01-01 00:00:00"): "None",
+    }
+
+
+def test_rolling_time_features_exact_frame_boundary(spark):
+    import datetime as dt
+
+    from selium_spark.operators import windows
+
+    base = dt.datetime(2024, 1, 8, 0, 0, 0)
+    rows = [
+        (1, base - dt.timedelta(seconds=7 * 86400), 1.0),   # 1s OUTSIDE the frame
+        (1, base - dt.timedelta(seconds=7 * 86400 - 1), 2.0),  # last second inside
+        (1, base, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "uid LONG, ts TIMESTAMP, value DOUBLE")
+    out = {
+        r["value"]: (r["n_7d"], r["sum_7d"])
+        for r in windows.rolling_time_features(df, "ts", ["uid"], "value").collect()
+    }
+    assert out[4.0] == (2, 6.0)  # the 7-day frame excludes the first row
+    assert out[1.0] == (1, 1.0)
