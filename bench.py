@@ -73,6 +73,9 @@ HEADLINE = [
     "mix_split_assign",
     "text_bigram_lm",
     "dedup_pagerank_canonical",
+    "w_gapfill_locf_daily",
+    "q_scd2_user_state",
+    "q_rolling_7d_features",
 ]
 
 

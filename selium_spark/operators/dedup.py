@@ -261,6 +261,10 @@ def lsh_band_star_edges(
     min side broadcasts or AQE-splits cleanly.
     """
     banded = banded_keys(df, text_col, id_col, k, bands, shingle_n).persist()
+    # pin the cache before the two consumers (min side, probe side)
+    # fan out — concurrent scans of an unpopulated cache each re-run
+    # the signature pipeline
+    banded.count()
     mins = banded.groupBy("band_id", "band_key").agg(F.min(id_col).alias("_bmin"))
     return (
         banded.join(mins, ["band_id", "band_key"])

@@ -160,3 +160,71 @@ def test_chunking_covers_all_tokens_with_exact_overlap(spark, toks, chunk, overl
     assert rebuilt == toks
     for i, c in enumerate(chunks):
         assert c == toks[i * stride : i * stride + chunk]
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.sampled_from("xyz")),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda r: r[0],  # unique ts -> total order without tiebreak
+    )
+)
+def test_scd2_matches_bruteforce_runs(spark_h, obs):
+    """scd2_history == run-length encoding of the ts-ordered state
+    sequence, with each interval closed by the next run's start."""
+    import datetime as dt
+
+    from selium_spark.operators.relational import scd2_history
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(hours=t), i, s)
+        for i, (t, s) in enumerate(obs)
+    ]
+    df = spark_h.createDataFrame(rows, "uid LONG, ts TIMESTAMP, eid LONG, state STRING")
+    got = sorted(
+        (r["valid_from"], r["state"], r["valid_to"])
+        for r in scd2_history(df, ["uid"], "ts", "state", "eid").collect()
+    )
+    ordered = sorted(rows, key=lambda r: r[1])
+    runs = []
+    for _, ts, _, s in ordered:
+        if not runs or runs[-1][1] != s:
+            runs.append([ts, s])
+    expect = [
+        (start, s, runs[j + 1][0] if j + 1 < len(runs) else None)
+        for j, (start, s) in enumerate(runs)
+    ]
+    assert got == sorted(expect)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10 * 86400), st.integers(0, 9999)),
+        min_size=1,
+        max_size=10,
+        unique_by=lambda r: r[0],
+    ),
+    st.integers(1, 3),
+)
+def test_rolling_features_match_bruteforce_frames(spark_h, obs, days):
+    """rolling_time_features == per-row brute-force scan of the
+    trailing [t - days*86400 + 1, t] frame (exact 2-decimal sums)."""
+    import datetime as dt
+
+    from selium_spark.operators.windows import rolling_time_features
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec), cents / 100.0)
+        for sec, cents in obs
+    ]
+    df = spark_h.createDataFrame(rows, "uid LONG, ts TIMESTAMP, value DOUBLE")
+    out = rolling_time_features(df, "ts", ["uid"], "value", days=days)
+    got = {r["ts"]: (r[f"n_{days}d"], r[f"sum_{days}d"]) for r in out.collect()}
+    lo = days * 86400 - 1
+    for _, ts, _v in rows:
+        frame = [c for s2, c in obs if 0 <= (ts - (dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s2))).total_seconds() <= lo]
+        assert got[ts][0] == len(frame)
+        assert got[ts][1] == sum(frame) / 100.0
