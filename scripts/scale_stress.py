@@ -106,6 +106,7 @@ SKEW_QUERY_SET = [
     "dedup_exact_docs",     # groupBy content hash (map-side combinable)
     "dedup_lsh_candidates", # hot-band cap vs 30%-hot band buckets
     "dedup_groups",         # star edges vs quadratic pair blowup
+    "dedup_pagerank_canonical",  # checkpointed iterations over capped pairs
     "pipeline_data_prep",   # composite: quality -> dedup window
 ]
 

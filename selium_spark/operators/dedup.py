@@ -711,6 +711,11 @@ def pagerank(
     # attribute so later verts⋈deg-derived joins aren't self-ambiguous
     verts = deg.select(F.col("id").alias("id"))
     n = verts.count()
+    if n == 0:
+        # empty graph (e.g. a corpus with no duplicate candidates) —
+        # no vertices to rank; return the empty typed frame instead of
+        # dividing by zero
+        return verts.select("id", F.lit(None).cast("double").alias("rank"))
     ranks = verts.select("id", F.round(F.lit(1.0 / n), round_to).alias("rank"))
     base = F.round(F.lit((1.0 - damping) / n), round_to)  # engine-side
     # rounding (half-up) — Python's banker's round would diverge from

@@ -378,3 +378,12 @@ def test_rolling_time_features_exact_frame_boundary(spark):
     }
     assert out[4.0] == (2, 6.0)  # the 7-day frame excludes the first row
     assert out[1.0] == (1, 1.0)
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    from selium_spark.operators import dedup
+
+    empty = spark.createDataFrame([], "id_a LONG, id_b LONG")
+    out = dedup.pagerank(empty, iterations=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "rank"]
