@@ -176,41 +176,52 @@ def lsh_candidate_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     max_band_size: int | None = None,
+    cap_mode: str = "group",
 ) -> DataFrame:
     """LSH banding: split the k-signature into ``bands`` bands of
     r = k/bands rows; docs sharing any band key are candidates.
 
-    Plan: signature (narrow) -> explode to (doc, band_id, band_key)
-    -> self equi-join on (band_id, band_key) -> distinct pairs.
+    Plan (``cap_mode="group"``, default): signature (narrow) -> explode
+    to (doc, band_id, band_key) -> groupBy (band_id, band_key) collect
+    the bucket's ids -> emit each bucket's C(m,2) pairs with array
+    combinatorics -> distinct. No self-join at all: the signature
+    pipeline is computed exactly ONCE (a self-join would compute it per
+    side — its two sides canonicalize as different exchange shapes, so
+    ReuseExchange does not collapse them), and the only shuffles are
+    the bucket groupBy and the final distinct. ``max_band_size`` is a
+    ``size(ids) <= cap`` filter on the collected bucket, equivalent to
+    the oracle's ``QUALIFY count(*) OVER (PARTITION BY band) <= cap``
+    + self-join formulation.
+
     The md5 band keys hash uniformly, but the ROW distribution over
     keys follows the corpus: boilerplate-heavy corpora put thousands of
     near-identical docs in one band, and a band of m docs emits
     m(m-1)/2 pairs — a semantic blowup no AQE setting can split.
-    ``max_band_size`` drops buckets above the cap before the join (the
-    standard web-dedup mitigation: a bucket that hot is wall-to-wall
-    boilerplate better handled by exact dedup / star grouping, see
+    ``max_band_size`` drops those buckets (the standard web-dedup
+    mitigation: a bucket that hot is wall-to-wall boilerplate better
+    handled by exact dedup / star grouping, see
     ``lsh_band_star_edges``). Pass None only when the corpus is known
     de-boilerplated.
+
+    ``cap_mode="blacklist"`` is the EXTREME-skew variant: in group
+    mode an over-cap bucket is still *collected* on one task before
+    being dropped (linear work and memory in the bucket size — fine
+    for realistic boilerplate clusters, a straggler if one band holds
+    a double-digit percentage of a 100 TB corpus). Blacklist mode
+    never co-locates the hot bucket: per-key counts aggregate with
+    map-side combine, the few over-cap keys broadcast, and a map-side
+    anti-join drops their rows BEFORE the bucket shuffle. Costs a
+    persist+count barrier plus the count-aggregation job — use it when
+    the corpus is known to carry mega-buckets.
     """
     exploded = banded_keys(df, text_col, id_col, k, bands, shingle_n)
-    # The band table is tiny (k hashes per doc) next to the corpus; at
-    # any scale you materialize it once rather than recompute the
-    # signature pipeline for both sides of the self-join. The count()
-    # pins the cache BEFORE the downstream consumers (size filter,
-    # both self-join sides) fan out — concurrent branches of one job
-    # otherwise race the unpopulated cache and each re-run the
-    # signature pipeline.
-    exploded = exploded.persist()
-    exploded.count()
-    if max_band_size is not None:
-        # Enforce the cap as a BLACKLIST of over-cap keys, not a
-        # whitelist join: the groupBy map-side-combines to one row per
-        # (task, key) before its shuffle, and the surviving `> cap`
-        # keys are few by construction (≤ n/cap, realistically the
-        # handful of boilerplate clusters), so they broadcast and the
-        # anti-join stays map-side — the band table itself is never
-        # re-shuffled to apply the cap. No hot task anywhere: the only
-        # shuffle moves pre-combined counts.
+    if max_band_size is not None and cap_mode == "blacklist":
+        # The band table is tiny (k hashes per doc) next to the corpus;
+        # materialize it once rather than recompute the signature
+        # pipeline for the count-agg job AND the probe side. The
+        # count() pins the cache BEFORE the consumers fan out.
+        exploded = exploded.persist()
+        exploded.count()
         hot = (
             exploded.groupBy("band_id", "band_key")
             .agg(F.count(F.lit(1)).alias("_bsz"))
@@ -220,22 +231,31 @@ def lsh_candidate_pairs(
         exploded = exploded.join(
             F.broadcast(hot), ["band_id", "band_key"], "left_anti"
         )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+    buckets = exploded.groupBy("band_id", "band_key").agg(
+        F.collect_list(id_col).alias("_ids")
+    )
+    if max_band_size is not None and cap_mode != "blacklist":
+        buckets = buckets.where(F.size("_ids") <= max_band_size)
+    # each unordered pair appears exactly once regardless of array
+    # order (x < y picks one orientation from the full cross product);
+    # ids can't repeat within a bucket (one band row per doc per band)
+    arr = F.col("_ids")
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                arr,
+                lambda x: F.transform(
+                    arr, lambda y: F.struct(x.alias("ia"), y.alias("ib"))
+                ),
+            )
+        ),
+        lambda s: s["ia"] < s["ib"],
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.ia").alias("id_a"), F.col("p.ib").alias("id_b"))
         .distinct()
     )
-    return pairs
 
 
 def lsh_band_star_edges(
@@ -660,6 +680,7 @@ def pagerank(
     dst_col: str = "id_b",
     round_to: int = 9,
     dedupe_edges: bool = True,
+    truncate_threshold: int = 4,
 ) -> DataFrame:
     """PageRank over an undirected pair graph (e.g. near-duplicate
     candidate pairs): rank r_i+1(v) = (1-d)/N + d * sum_u r_i(u)/deg(u)
@@ -673,12 +694,17 @@ def pagerank(
     rounded values are the next iteration's exact inputs). Isolated
     vertices keep the teleport mass (1-d)/N.
 
-    The loop invariants (graph, degrees) and each round's ranks are
-    materialized with :func:`_truncate_lineage` (checkpoint), so every
-    iteration plans one join + one agg over flat inputs instead of a
-    plan that nests all previous rounds. The returned ranks frame is
-    already materialized; its checkpoint blocks are freed once the
-    frame is unreferenced.
+    The loop invariants (graph, degrees) are materialized with
+    :func:`_truncate_lineage` (checkpoint). Each round's ranks are
+    checkpointed too — but only when ``iterations`` exceeds
+    ``truncate_threshold``: per-round truncation exists to stop
+    Catalyst re-analysis of an unboundedly nesting plan, and for a
+    handful of rounds the nested plan is small enough that the
+    checkpoint's materialization job costs more than the analysis it
+    saves (measured ~1 s of fixed job cost per round at sf0.1). Below
+    the threshold the whole loop evaluates as ONE action over the flat
+    checkpointed sym/deg inputs; above it every round truncates, which
+    keeps analysis O(1)/round for deep loops.
     """
     # the symmetrizing union consumes ``edges`` twice — checkpoint so
     # the upstream edge pipeline (e.g. the whole LSH signature plan,
@@ -740,9 +766,11 @@ def pagerank(
             )
         )
         # per-iteration truncation keeps every round's plan constant
-        # size (one join + one agg over flat inputs) — analysis cost
-        # stays O(1) per round instead of compounding
-        ranks = _truncate_lineage(ranks)
+        # size (one join + one agg over flat inputs) for DEEP loops;
+        # shallow loops (<= truncate_threshold rounds) skip it — the
+        # nested plan is bounded and one action beats N checkpoint jobs
+        if iterations > truncate_threshold:
+            ranks = _truncate_lineage(ranks)
     return ranks
 
 
