@@ -166,12 +166,13 @@ def wasm_bytes_udf(
     @F.pandas_udf(return_type)
     def udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         fn = ScalarWasmFunction.from_module(module_bytes, func_name)
+        dtype = "float64" if return_type == "double" else "int64"
         for s in batches:
             out_vals = []
             for v in s:
                 data = ("" if v is None else str(v)).encode("utf-8")
                 fn.write_memory(0, data)
                 out_vals.append(fn(0, len(data)))
-            yield pd.Series(out_vals, dtype="int64")
+            yield pd.Series(out_vals, dtype=dtype)
 
     return udf

@@ -11,13 +11,18 @@ LEB128) and interprets the straight-line numeric opcode subset that
 scalar UDF modules need — i64/f64 arithmetic, locals, ``select``,
 comparisons, sign-correct two's-complement wrap-around.
 
-This is NOT a general wasm runtime (no tables, no calls, no imports);
+This is NOT a general wasm runtime (no host imports — function imports
+are counted so the index space resolves, but calling one traps);
 it is a deterministic host for the scalar-function profile, and the
-sandbox property is trivially true — the interpreter exposes no
-imports at all. The scalar tier executes structured control flow
+sandbox property is trivially true — the interpreter supplies no
+import implementations at all. The scalar tier executes structured
+control flow
 (``block``/``loop``/``if``/``else``/``br``/``br_if``/``return`` with
-void block types), i32 AND i64/f64 arithmetic, and LINEAR MEMORY
-(load/store, host-injected input bytes) — so byte-processing guests
+void block types), i32/i64/f32/f64 arithmetic, ``call`` and
+``call_indirect`` (funcref table 0), and LINEAR MEMORY (bounds-checked
+load/store that traps OOB like wasmtime, ``memory.grow`` capped at the
+declared max under a 256-page host arena, host-injected input
+bytes) — so byte-processing guests
 (the reference's chunked-stream compute model,
 system/userland/src/io.rs:288) run without wasmtime: the host writes
 a record's bytes into guest memory and calls the export with
@@ -37,6 +42,16 @@ _I64_MAX = (1 << 63) - 1
 _U32 = 1 << 32
 _I32_MAX = (1 << 31) - 1
 _PAGE = 65536  # wasm page size
+# Host-side guest-memory ceiling, matching the reference's preallocated
+# 256-page guest arena (subsystem/wasmtime/src/lib.rs:259-270): an
+# untrusted module may not grow past it regardless of its declared max.
+HOST_MAX_PAGES = 256
+
+
+class WasmTrap(RuntimeError):
+    """Guest trap (OOB memory access, bad indirect call, type mismatch)
+    — the same conditions wasmtime traps on, so interpreter-tier and
+    real-engine-tier behavior agree instead of silently diverging."""
 
 I32, I64, F32, F64 = 0x7F, 0x7E, 0x7D, 0x7C
 _VALTYPE_NAMES = {I32: "i32", I64: "i64", F32: "f32", F64: "f64"}
@@ -108,16 +123,40 @@ class WasmFunc:
 
 @dataclass(frozen=True)
 class ModuleImage:
-    """Whole-module decode: functions BY INDEX (so ``call`` resolves),
-    exports, memory size, mutable-global initials, and active data
-    segments (string constants land in memory before the first call —
-    the same instantiation order wasmtime follows)."""
+    """Whole-module decode: defined functions, exports, memory size,
+    mutable-global initials, and active data segments (string constants
+    land in memory before the first call — the same instantiation order
+    wasmtime follows).
 
-    funcs: tuple[WasmFunc, ...]  # by function index
-    exports: dict[str, int]
+    Function indices in ``exports``, ``call`` immediates, and ``table``
+    entries are MODULE function indices: the first
+    ``num_func_imports`` indices are imported functions (callable only
+    by a real engine with a host to supply them — the sandbox offers
+    none, so calls landing there trap), and defined function index i
+    lives at ``funcs[i - num_func_imports]``."""
+
+    funcs: tuple[WasmFunc, ...]  # defined functions, in code-section order
+    exports: dict[str, int]  # name -> MODULE function index
     memory_pages: int
     globals_init: tuple[tuple[int, bool, object], ...]  # (valtype, mut, value)
     data_segments: tuple[tuple[int, bytes], ...]  # (offset, bytes)
+    num_func_imports: int = 0
+    max_pages: int | None = None  # declared memory max (None = no max)
+    table: tuple[int | None, ...] = ()  # funcref table 0 (module func idx)
+    types: tuple[tuple[tuple[int, ...], tuple[int, ...]], ...] = ()
+
+    def resolve(self, module_func_idx: int) -> WasmFunc:
+        """Defined WasmFunc for a module function index; traps on an
+        import index (no host functions exist in this sandbox)."""
+        if module_func_idx < self.num_func_imports:
+            raise NotImplementedError(
+                f"call to imported function index {module_func_idx} — the "
+                "interpreter sandbox offers no host imports"
+            )
+        idx = module_func_idx - self.num_func_imports
+        if idx >= len(self.funcs):
+            raise WasmTrap(f"function index {module_func_idx} out of range")
+        return self.funcs[idx]
 
 
 def _const_expr(body: "_Reader"):
@@ -127,6 +166,8 @@ def _const_expr(body: "_Reader"):
         v = _wrap32(body.sleb())
     elif op == 0x42:  # i64.const
         v = _wrap64(body.sleb())
+    elif op == 0x43:  # f32.const
+        v = struct.unpack("<f", body.take(4))[0]
     elif op == 0x44:  # f64.const
         v = struct.unpack("<d", body.take(8))[0]
     else:
@@ -142,8 +183,12 @@ def parse_module_image(module_bytes: bytes) -> ModuleImage:
 
     Validates magic/version and the section framing; ignores sections
     this profile doesn't use (skipped by their declared size, like any
-    conforming decoder). Imported functions are rejected at call time
-    (the sandbox has no ambient authority to offer them).
+    conforming decoder). The import section IS parsed: function imports
+    shift the function index space (export/call immediates count them
+    first), so they must be counted even though the sandbox offers no
+    host functions — calls that land on an import index trap at call
+    time. Global/memory imports would shift index spaces the
+    interpreter resolves locally, so they are rejected at parse time.
     """
     r = _Reader(module_bytes)
     if r.take(4) != b"\x00asm":
@@ -156,8 +201,18 @@ def parse_module_image(module_bytes: bytes) -> ModuleImage:
     exports: dict[str, int] = {}
     codes: list[tuple[tuple[int, ...], bytes]] = []
     memory_pages = 0
+    max_pages: int | None = None
+    num_func_imports = 0
+    table_size = 0
+    elem_segments: list[tuple[int, list[int]]] = []
     globals_init: list[tuple[int, bool, object]] = []
     data_segments: list[tuple[int, bytes]] = []
+
+    def _limits(rd: "_Reader") -> tuple[int, int | None]:
+        flag = rd.byte()
+        lo = rd.uleb()
+        hi = rd.uleb() if flag == 1 else None
+        return lo, hi
 
     while not r.eof():
         sec_id = r.byte()
@@ -170,12 +225,51 @@ def parse_module_image(module_bytes: bytes) -> ModuleImage:
                 params = tuple(body.byte() for _ in range(body.uleb()))
                 results = tuple(body.byte() for _ in range(body.uleb()))
                 types.append((params, results))
+        elif sec_id == 2:  # import section
+            for _ in range(body.uleb()):
+                body.take(body.uleb())  # module name
+                body.take(body.uleb())  # field name
+                kind = body.byte()
+                if kind == 0x00:  # function import: shifts func index space
+                    body.uleb()  # type index
+                    num_func_imports += 1
+                elif kind == 0x01:  # table import
+                    body.byte()  # reftype
+                    _limits(body)
+                    raise NotImplementedError(
+                        "wasm table imports outside the interpreter profile"
+                    )
+                elif kind == 0x02:  # memory import
+                    _limits(body)
+                    raise NotImplementedError(
+                        "wasm memory imports outside the interpreter profile"
+                    )
+                elif kind == 0x03:  # global import: shifts global index space
+                    body.byte()  # valtype
+                    body.byte()  # mutability
+                    raise NotImplementedError(
+                        "wasm global imports outside the interpreter profile"
+                    )
+                else:
+                    raise ValueError(f"bad import kind {kind}")
         elif sec_id == 3:  # function section
             func_type_idx = [body.uleb() for _ in range(body.uleb())]
+        elif sec_id == 4:  # table section (funcref table for call_indirect)
+            if body.uleb() >= 1:
+                body.byte()  # reftype (0x70 funcref)
+                table_size, _tmax = _limits(body)
         elif sec_id == 5:  # memory section
             if body.uleb() >= 1:
-                body.byte()  # limits flag (0: min only, 1: min+max)
-                memory_pages = body.uleb()
+                memory_pages, max_pages = _limits(body)
+        elif sec_id == 9:  # element section (active funcref segments)
+            for _ in range(body.uleb()):
+                flags = body.uleb()
+                if flags == 0:  # active, table 0, offset expr, func indices
+                    off = int(_const_expr(body))
+                    idxs = [body.uleb() for _ in range(body.uleb())]
+                    elem_segments.append((off, idxs))
+                else:
+                    raise NotImplementedError(f"element segment flags {flags}")
         elif sec_id == 6:  # global section
             for _ in range(body.uleb()):
                 vt = body.byte()
@@ -211,21 +305,39 @@ def parse_module_image(module_bytes: bytes) -> ModuleImage:
     funcs = []
     for idx, (local_types, instrs) in enumerate(codes):
         params, results = types[func_type_idx[idx]]
-        name = next((n for n, i in exports.items() if i == idx), f"$f{idx}")
+        mod_idx = num_func_imports + idx  # module function index space
+        name = next((n for n, i in exports.items() if i == mod_idx), f"$f{idx}")
         funcs.append(WasmFunc(name, params, results, local_types, instrs))
+    table: list[int | None] = [None] * table_size
+    for off, idxs in elem_segments:
+        if off + len(idxs) > len(table):
+            raise ValueError("element segment exceeds table size")
+        table[off : off + len(idxs)] = idxs
     return ModuleImage(
         funcs=tuple(funcs),
-        exports={n: i for n, i in exports.items() if i < len(codes)},
+        exports={
+            n: i
+            for n, i in exports.items()
+            if i < num_func_imports + len(codes)
+        },
         memory_pages=memory_pages,
         globals_init=tuple(globals_init),
         data_segments=tuple(data_segments),
+        num_func_imports=num_func_imports,
+        max_pages=max_pages,
+        table=tuple(table),
+        types=tuple(types),
     )
 
 
 def parse_module(module_bytes: bytes) -> dict[str, WasmFunc]:
-    """Back-compat view: exported name -> WasmFunc."""
+    """Back-compat view: exported name -> WasmFunc (defined only)."""
     img = parse_module_image(module_bytes)
-    return {name: img.funcs[idx] for name, idx in img.exports.items()}
+    return {
+        name: img.resolve(idx)
+        for name, idx in img.exports.items()
+        if idx >= img.num_func_imports
+    }
 
 
 def parse_memory_pages(module_bytes: bytes) -> int:
@@ -233,6 +345,12 @@ def parse_memory_pages(module_bytes: bytes) -> int:
     Matches the reference's preallocated-guest-memory model
     (subsystem/wasmtime/src/lib.rs:259-270, 256 pages pinned)."""
     return parse_module_image(module_bytes).memory_pages
+
+
+def _f32(v: float) -> float:
+    """Round a Python float through IEEE-754 single precision — every
+    f32 op result must carry f32 precision, not double."""
+    return struct.unpack("<f", struct.pack("<f", v))[0]
 
 
 def _trunc_div(a: int, b: int) -> int:
@@ -290,6 +408,9 @@ def _scan_control(body: bytes) -> dict[int, tuple[int, int | None]]:
             out[start] = (off, els)
         elif op in _IMM_ULEB:
             r.uleb()
+        elif op == 0x11:  # call_indirect: type index + table index
+            r.uleb()
+            r.uleb()
         elif op == 0x0E:  # br_table: depth vector + default
             for _ in range(r.uleb()):
                 r.uleb()
@@ -342,11 +463,23 @@ class ScalarWasmFunction:
         # capability-deny sandbox). Allocated once per instance.
         pages = image.memory_pages if image else memory_pages
         self.memory = bytearray(pages * _PAGE) if pages else None
+        # growth ceiling: the module's declared max, under the host's
+        # 256-page arena cap (reference PREALLOC_PAGES) — an untrusted
+        # guest must not be able to allocate arbitrary host RAM
+        declared_max = image.max_pages if image else None
+        cap = (
+            min(declared_max, HOST_MAX_PAGES)
+            if declared_max is not None
+            else HOST_MAX_PAGES
+        )
+        self._page_cap = max(pages, cap)
         self.globals_: list = []
         if image:
             for off, data in image.data_segments:
                 if self.memory is None:
                     raise ValueError("data segment but no memory section")
+                if off + len(data) > len(self.memory):
+                    raise WasmTrap("data segment out of bounds")
                 self.memory[off : off + len(data)] = data
             self.globals_ = [v for (_vt, _mut, v) in image.globals_init]
 
@@ -362,6 +495,11 @@ class ScalarWasmFunction:
         if self.memory is None:
             raise ValueError(f"{self.func.name}: module declares no memory")
         need = offset + len(data)
+        if need > self._page_cap * _PAGE:
+            raise WasmTrap(
+                f"write_memory past the {self._page_cap}-page cap "
+                f"(offset={offset}, len={len(data)})"
+            )
         if need > len(self.memory):  # grow by whole pages, like memory.grow
             self.memory.extend(bytes(((need - len(self.memory)) // _PAGE + 1) * _PAGE))
         self.memory[offset : offset + len(data)] = data
@@ -373,7 +511,7 @@ class ScalarWasmFunction:
             raise KeyError(
                 f"export {name!r} not found; module exports: {sorted(img.exports)}"
             )
-        return cls(img.funcs[img.exports[name]], image=img)
+        return cls(img.resolve(img.exports[name]), image=img)
 
     def __call__(self, *args):
         f = self.func
@@ -381,16 +519,21 @@ class ScalarWasmFunction:
             raise TypeError(f"{f.name} expects {len(f.params)} args, got {len(args)}")
         results = self._invoke(f, list(args))
         result = results[-1] if results else None
-        if f.results and f.results[0] == F64:
+        if f.results and f.results[0] in (F64, F32):
             return float(result)
         return result
 
     def _invoke(self, f: WasmFunc, args: list) -> list:
         locals_: list = []
         for vt, a in zip(f.params, args):
-            locals_.append(float(a) if vt == F64 else _wrap64(int(a)))
+            if vt == F64:
+                locals_.append(float(a))
+            elif vt == F32:
+                locals_.append(_f32(float(a)))
+            else:
+                locals_.append(_wrap64(int(a)))
         for vt in f.locals:
-            locals_.append(0.0 if vt == F64 else 0)
+            locals_.append(0.0 if vt in (F64, F32) else 0)
 
         stack: list = []
         # (kind, loop_start, end_pos) — kind: 'block' | 'loop' | 'if'
@@ -561,8 +704,11 @@ class ScalarWasmFunction:
                 push(pop() & (_U32 - 1))
             elif op == 0xA7:  # i32.wrap_i64
                 push(_wrap32(pop()))
-            elif op in _LOAD_SPEC or op in _STORE_SPEC or op in (0x2B, 0x39):
-                # loads/stores: immediates are (align, offset)
+            elif op in _LOAD_SPEC or op in _STORE_SPEC or op in (0x2A, 0x2B, 0x38, 0x39):
+                # loads/stores: immediates are (align, offset); every
+                # access is bounds-checked against the CURRENT memory —
+                # OOB traps like wasmtime (reference MemoryCapacity
+                # bounds-check) instead of Python's silent short slice
                 r.uleb()
                 moff = r.uleb()
                 mem = self.memory
@@ -573,31 +719,67 @@ class ScalarWasmFunction:
                 if op in _STORE_SPEC:
                     v = pop(); addr = (pop() & (_U32 - 1)) + moff
                     size = _STORE_SPEC[op]
+                elif op in (0x38, 0x39):  # f32.store / f64.store
+                    v = pop(); addr = (pop() & (_U32 - 1)) + moff
+                    size = 4 if op == 0x38 else 8
+                else:
+                    v = None; addr = (pop() & (_U32 - 1)) + moff
+                    size = (
+                        4 if op == 0x2A else 8 if op == 0x2B else _LOAD_SPEC[op][0]
+                    )
+                if addr + size > len(mem):
+                    raise WasmTrap(
+                        f"out of bounds memory access (addr={addr}, "
+                        f"size={size}, memory={len(mem)} bytes)"
+                    )
+                if op in _STORE_SPEC:
                     mem[addr : addr + size] = (
                         v & ((1 << (8 * size)) - 1)
                     ).to_bytes(size, "little")
                 elif op == 0x39:  # f64.store
-                    v = pop(); addr = (pop() & (_U32 - 1)) + moff
                     mem[addr : addr + 8] = struct.pack("<d", v)
+                elif op == 0x38:  # f32.store
+                    mem[addr : addr + 4] = struct.pack("<f", v)
                 elif op == 0x2B:  # f64.load
-                    addr = (pop() & (_U32 - 1)) + moff
                     push(struct.unpack("<d", bytes(mem[addr : addr + 8]))[0])
+                elif op == 0x2A:  # f32.load
+                    push(struct.unpack("<f", bytes(mem[addr : addr + 4]))[0])
                 else:
-                    addr = (pop() & (_U32 - 1)) + moff
-                    size, signed = _LOAD_SPEC[op]
+                    _, signed = _LOAD_SPEC[op]
                     push(
                         int.from_bytes(
                             bytes(mem[addr : addr + size]), "little", signed=signed
                         )
                     )
-            elif op == 0x10:  # call (intra-module; imports don't exist)
+            elif op == 0x10:  # call (module function index space)
                 idx = r.uleb()
-                if self.image is None or idx >= len(self.image.funcs):
+                if self.image is None:
                     raise NotImplementedError(
                         f"call to function index {idx} unavailable "
-                        "(imported function, or constructed without a module image)"
+                        "(constructed without a module image)"
                     )
-                target = self.image.funcs[idx]
+                target = self.image.resolve(idx)
+                n = len(target.params)
+                cargs = stack[len(stack) - n :] if n else []
+                if n:
+                    del stack[len(stack) - n :]
+                stack.extend(self._invoke(target, cargs))
+            elif op == 0x11:  # call_indirect via funcref table 0
+                type_idx = r.uleb()
+                r.uleb()  # table index (0 in MVP)
+                i = pop()
+                img = self.image
+                if img is None:
+                    raise NotImplementedError(
+                        "call_indirect without a module image"
+                    )
+                if not (0 <= i < len(img.table)) or img.table[i] is None:
+                    raise WasmTrap(f"undefined table element {i}")
+                target = img.resolve(img.table[i])
+                if (target.params, target.results) != img.types[type_idx]:
+                    raise WasmTrap(
+                        f"indirect call type mismatch at table element {i}"
+                    )
                 n = len(target.params)
                 cargs = stack[len(stack) - n :] if n else []
                 if n:
@@ -622,15 +804,20 @@ class ScalarWasmFunction:
             elif op == 0x3F:  # memory.size
                 r.byte()
                 push(0 if self.memory is None else len(self.memory) // _PAGE)
-            elif op == 0x40:  # memory.grow
+            elif op == 0x40:  # memory.grow (capped: declared max under
+                # the host's 256-page arena, like the reference's
+                # preallocated guest memory — past the cap returns -1)
                 r.byte()
                 n = pop()
                 if self.memory is None:
                     push(-1)
                 else:
                     old = len(self.memory) // _PAGE
-                    self.memory.extend(bytes(n * _PAGE))
-                    push(old)
+                    if n < 0 or old + n > self._page_cap:
+                        push(-1)
+                    else:
+                        self.memory.extend(bytes(n * _PAGE))
+                        push(old)
             elif op == 0x6D:  # i32.div_s
                 b = pop(); push(_wrap32(_trunc_div(pop(), b)))
             elif op == 0x6E:  # i32.div_u
@@ -717,6 +904,82 @@ class ScalarWasmFunction:
                 push(float(pop() & (_U64 - 1)))
             elif op == 0xAA:  # i32.trunc_f64_s
                 push(_wrap32(int(pop())))
+            elif op == 0x43:  # f32.const
+                push(struct.unpack("<f", r.take(4))[0])
+            elif op in (0x5B, 0x5C, 0x5D, 0x5E, 0x5F, 0x60):  # f32 cmps
+                b = pop(); a = pop()
+                push(
+                    1
+                    if {
+                        0x5B: a == b, 0x5C: a != b, 0x5D: a < b,
+                        0x5E: a > b, 0x5F: a <= b, 0x60: a >= b,
+                    }[op]
+                    else 0
+                )
+            elif op == 0x8B:  # f32.abs
+                push(_f32(abs(pop())))
+            elif op == 0x8C:  # f32.neg
+                push(_f32(-pop()))
+            elif op == 0x8D:  # f32.ceil
+                push(_f32(math.ceil(pop())))
+            elif op == 0x8E:  # f32.floor
+                push(_f32(math.floor(pop())))
+            elif op == 0x8F:  # f32.trunc
+                push(_f32(math.trunc(pop())))
+            elif op == 0x90:  # f32.nearest (ties to even, like round())
+                push(_f32(round(pop())))
+            elif op == 0x91:  # f32.sqrt
+                push(_f32(pop() ** 0.5))
+            elif op == 0x92:  # f32.add
+                b = pop(); push(_f32(pop() + b))
+            elif op == 0x93:  # f32.sub
+                b = pop(); push(_f32(pop() - b))
+            elif op == 0x94:  # f32.mul
+                b = pop(); push(_f32(pop() * b))
+            elif op == 0x95:  # f32.div
+                b = pop(); push(_f32(pop() / b))
+            elif op == 0x96:  # f32.min
+                b = pop(); a = pop(); push(_f32(min(a, b)))
+            elif op == 0x97:  # f32.max
+                b = pop(); a = pop(); push(_f32(max(a, b)))
+            elif op == 0x98:  # f32.copysign
+                b = pop(); push(_f32(math.copysign(pop(), b)))
+            elif op == 0x9E:  # f64.nearest
+                push(float(round(pop())))
+            elif op == 0xA6:  # f64.copysign
+                b = pop(); push(math.copysign(pop(), b))
+            elif op == 0xB2:  # f32.convert_i32_s
+                push(_f32(float(pop())))
+            elif op == 0xB3:  # f32.convert_i32_u
+                push(_f32(float(pop() & (_U32 - 1))))
+            elif op == 0xB4:  # f32.convert_i64_s
+                push(_f32(float(pop())))
+            elif op == 0xB5:  # f32.convert_i64_u
+                push(_f32(float(pop() & (_U64 - 1))))
+            elif op == 0xB6:  # f32.demote_f64
+                push(_f32(pop()))
+            elif op == 0xBB:  # f64.promote_f32
+                push(float(pop()))
+            elif op == 0xA8:  # i32.trunc_f32_s
+                push(_wrap32(int(pop())))
+            elif op == 0xA9:  # i32.trunc_f32_u
+                push(_wrap32(int(pop()) & (_U32 - 1)))
+            elif op == 0xAE:  # i64.trunc_f32_s
+                push(_wrap64(int(pop())))
+            elif op == 0xAF:  # i64.trunc_f32_u
+                push(_wrap64(int(pop()) & (_U64 - 1)))
+            elif op == 0xAB:  # i32.trunc_f64_u
+                push(_wrap32(int(pop()) & (_U32 - 1)))
+            elif op == 0xB1:  # i64.trunc_f64_u
+                push(_wrap64(int(pop()) & (_U64 - 1)))
+            elif op == 0xBC:  # i32.reinterpret_f32
+                push(_wrap32(int.from_bytes(struct.pack("<f", pop()), "little")))
+            elif op == 0xBD:  # i64.reinterpret_f64
+                push(_wrap64(int.from_bytes(struct.pack("<d", pop()), "little")))
+            elif op == 0xBE:  # f32.reinterpret_i32
+                push(struct.unpack("<f", (pop() & (_U32 - 1)).to_bytes(4, "little"))[0])
+            elif op == 0xBF:  # f64.reinterpret_i64
+                push(struct.unpack("<d", (pop() & (_U64 - 1)).to_bytes(8, "little"))[0])
             else:
                 raise NotImplementedError(
                     f"wasm opcode 0x{op:02x} outside the scalar-UDF profile"

@@ -76,14 +76,17 @@ def _vec(items: list[bytes]) -> bytes:
     return _uleb(len(items)) + b"".join(items)
 
 
-def _assemble(funcs: list[tuple], memory_pages: int = 0) -> bytes:
+def _assemble(
+    funcs: list[tuple], memory_pages: int = 0, table: list[int] | None = None
+) -> bytes:
     """Emit a wasm-MVP binary from (name, param_types, result_types,
     body[, local_types]) tuples. One functype per function; no imports.
     ``local_types`` (optional) declares extra locals beyond the
     params — loop-bearing bodies keep their state there.
     ``memory_pages`` > 0 adds a memory section (min pages, no max) —
     the guest workspace byte-processing modules read host-injected
-    input from."""
+    input from. ``table`` (list of function indices) adds a funcref
+    table + active element segment for ``call_indirect`` guests."""
     funcs = [f if len(f) == 5 else (*f, []) for f in funcs]
     types = _vec(
         [b"\x60" + _vec([bytes([t]) for t in p]) + _vec([bytes([t]) for t in r])
@@ -104,12 +107,28 @@ def _assemble(funcs: list[tuple], memory_pages: int = 0) -> bytes:
     memory = (
         _section(5, _vec([b"\x00" + _uleb(memory_pages)])) if memory_pages else b""
     )
+    table_sec = elem_sec = b""
+    if table:
+        # table section: one funcref table, min = max = len(table)
+        table_sec = _section(
+            4, _vec([b"\x70\x01" + _uleb(len(table)) + _uleb(len(table))])
+        )
+        # element section: one active segment at offset 0
+        elem_sec = _section(
+            9,
+            _vec(
+                [b"\x00" + bytes([0x41]) + _sleb(0) + bytes([END])
+                 + _vec([_uleb(i) for i in table])]
+            ),
+        )
     return (
         b"\x00asm\x01\x00\x00\x00"
         + _section(1, types)
         + _section(3, func_decls)
+        + table_sec
         + memory
         + _section(7, exports)
+        + elem_sec
         + _section(10, codes)
     )
 
@@ -351,6 +370,65 @@ def _is_delim_body() -> bytes:
     for code in (9, 10, 13):
         out += local_get(0) + i32_const(code) + bytes([I32_EQ, I32_OR])
     return out + bytes([END])
+
+
+F32_CONST, F32_MUL = 0x43, 0x94
+F32_DEMOTE_F64, F64_PROMOTE_F32 = 0xB6, 0xBB
+I32_WRAP_I64 = 0xA7
+CALL_INDIRECT = 0x11
+
+
+def f32_const(v: float) -> bytes:
+    return bytes([F32_CONST]) + struct.pack("<f", v)
+
+
+#: f32 + ``call_indirect`` guest — the two most common profile gaps for
+#: real compiled guests (Rust/C toolchains emit funcref-table dispatch
+#: for trait objects / function pointers, and f32 math for
+#: single-precision features). ``route_scale(x f64, sel i64) -> f64``
+#: demotes x to f32, dispatches through the funcref table on
+#: ``sel`` (0 -> halve, 1 -> double), and promotes the single-precision
+#: product back — so the result carries REAL f32 rounding the DuckDB
+#: oracle reproduces with CAST(:: REAL) arithmetic.
+#:
+#: WAT::
+#:   (module
+#:     (table funcref (elem $half $dbl))
+#:     (func $half (param f32) (result f32)
+#:       local.get 0  f32.const 0.5  f32.mul)
+#:     (func $dbl  (param f32) (result f32)
+#:       local.get 0  f32.const 2.0  f32.mul)
+#:     (func (export "route_scale") (param f64 i64) (result f64)
+#:       local.get 0  f32.demote_f64
+#:       local.get 1  i32.wrap_i64
+#:       call_indirect (param f32) (result f32)
+#:       f64.promote_f32))
+ROUTE_MODULE: bytes = _assemble(
+    [
+        (
+            "half",
+            [F32],
+            [F32],
+            local_get(0) + f32_const(0.5) + bytes([F32_MUL, END]),
+        ),
+        (
+            "dbl",
+            [F32],
+            [F32],
+            local_get(0) + f32_const(2.0) + bytes([F32_MUL, END]),
+        ),
+        (
+            "route_scale",
+            [F64, I64],
+            [F64],
+            local_get(0) + bytes([F32_DEMOTE_F64])
+            + local_get(1) + bytes([I32_WRAP_I64])
+            + bytes([CALL_INDIRECT]) + _uleb(0) + _uleb(0)  # type 0, table 0
+            + bytes([F64_PROMOTE_F32, END]),
+        ),
+    ],
+    table=[0, 1],
+)
 
 
 TOKENIZER_MODULE: bytes = _assemble(

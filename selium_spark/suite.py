@@ -3302,6 +3302,41 @@ FROM s
 """
 
 
+def wasm_udf_route_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f32 + ``call_indirect`` wasm guest: ``route_scale`` demotes the
+    price to SINGLE precision and dispatches through the module's
+    funcref table (sel 0 -> halve, sel 1 -> double) — the function-
+    pointer dispatch shape Rust/C toolchains emit for trait objects
+    (the reference runs such guests on wasmtime,
+    subsystem/wasmtime/src/lib.rs:87-231). Runs on the built-in
+    interpreter tier; the f32 rounding is REAL single-precision that
+    the DuckDB oracle reproduces with REAL-typed arithmetic."""
+    from selium_spark.functions.wasm import wasm_pandas_udf
+    from selium_spark.functions.wasm_modules import ROUTE_MODULE
+
+    route = wasm_pandas_udf(ROUTE_MODULE, "route_scale", "double")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        route(
+            F.col("l_extendedprice").cast("double"),
+            (F.col("l_linenumber") % 2).cast("long"),
+        ).alias("scaled"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+SQL_WASM_ROUTE_SCALE = """
+SELECT l_orderkey, l_linenumber,
+  CAST(CAST(CAST(l_extendedprice AS DOUBLE) AS REAL)
+       * CAST(CASE WHEN l_linenumber % 2 = 0 THEN 0.5 ELSE 2.0 END AS REAL)
+       AS DOUBLE) AS scaled
+FROM lineitem
+WHERE l_orderkey < 200
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) cardinality sketch over orders.o_custkey:
     k=256 smallest 52-bit md5 hashes -> (k-1)/U_k estimate, reported
@@ -4647,6 +4682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wasm_udf_digit_sum": wasm_udf_digit_sum,
     "wasm_udf_text_fnv": wasm_udf_text_fnv,
     "wasm_udf_guest_tokens": wasm_udf_guest_tokens,
+    "wasm_udf_route_scale": wasm_udf_route_scale,
     "stream_topk_windowed": stream_topk_windowed,
     "stream_pq_encode": stream_pq_encode,
     "w_gapfill_locf_daily": w_gapfill_locf_daily,
@@ -4786,6 +4822,7 @@ WHERE value % 2 = 0"""
     "wasm_udf_digit_sum": SQL_WASM_DIGIT_SUM,
     "wasm_udf_text_fnv": SQL_WASM_TEXT_FNV,
     "wasm_udf_guest_tokens": SQL_WASM_GUEST_TOKENS,
+    "wasm_udf_route_scale": SQL_WASM_ROUTE_SCALE,
     "stream_topk_windowed": SQL_STREAM_TOPK,
     "stream_pq_encode": SQL_STREAM_PQ_ENCODE,
     "stream_cms_table": SQL_STREAM_CMS,

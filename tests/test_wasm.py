@@ -527,3 +527,163 @@ def test_wasm_guest_tokens_udf_on_spark(spark):
     )
     got = {r["id"]: r["n"] for r in df.select("id", toks("s").alias("n")).collect()}
     assert got == {1: 3, 2: 0, 3: 0, 4: 1}
+
+
+# -- round-4 profile widening: f32, call_indirect, traps, imports --------
+def test_route_scale_f32_call_indirect():
+    """f32 arithmetic + funcref-table dispatch (the two most common
+    profile gaps for real compiled guests)."""
+    import struct as _struct
+
+    from selium_spark.functions.wasm_modules import ROUTE_MODULE
+
+    def f32(v):
+        return _struct.unpack("<f", _struct.pack("<f", v))[0]
+
+    rs = ScalarWasmFunction.from_module(ROUTE_MODULE, "route_scale")
+    for x in (100.0, 0.1, 3.14159, 1e30, -7.25, 0.0):
+        assert rs(x, 0) == f32(f32(x) * f32(0.5))
+        assert rs(x, 1) == f32(f32(x) * f32(2.0))
+
+
+def test_call_indirect_bad_table_element_traps():
+    from selium_spark.functions.wasm_interp import WasmTrap
+    from selium_spark.functions.wasm_modules import ROUTE_MODULE
+
+    rs = ScalarWasmFunction.from_module(ROUTE_MODULE, "route_scale")
+    with pytest.raises(WasmTrap):
+        rs(1.0, 5)  # table has 2 elements
+
+
+def test_route_scale_on_spark(spark):
+    import struct as _struct
+
+    from selium_spark.functions.wasm_modules import ROUTE_MODULE
+
+    def f32(v):
+        return _struct.unpack("<f", _struct.pack("<f", v))[0]
+
+    route = wasm_pandas_udf(ROUTE_MODULE, "route_scale", "double")
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.1, 1), (123.456, 0)], "v DOUBLE, sel LONG"
+    ).select(route("v", "sel").alias("out"))
+    got = [r.out for r in df.collect()]
+    assert got == [
+        f32(f32(0.1) * f32(0.5)),
+        f32(f32(0.1) * f32(2.0)),
+        f32(f32(123.456) * f32(0.5)),
+    ]
+
+
+def test_oob_memory_access_traps():
+    """OOB loads/stores trap like wasmtime instead of silently reading
+    short slices / appending at the end of the bytearray (ADVICE r3)."""
+    from selium_spark.functions.wasm_interp import WasmTrap
+    from selium_spark.functions.wasm_modules import MEM_MODULE
+
+    fnv = ScalarWasmFunction.from_module(MEM_MODULE, "fnv1a32")
+    with pytest.raises(WasmTrap, match="out of bounds"):
+        fnv(65530, 100)  # reads past the 1-page memory
+    # in-bounds still fine
+    fnv.write_memory(0, b"abc")
+    assert isinstance(fnv(0, 3), int)
+
+
+def test_memory_grow_capped():
+    """memory.grow honors min(declared max, 256-page host arena) and
+    returns -1 past it — an untrusted guest can't allocate arbitrary
+    host RAM (reference pins PREALLOC_PAGES=256)."""
+    from selium_spark.functions.wasm_modules import (
+        _section, _sleb, _uleb, _vec, i32_const,
+    )
+
+    # (func (export "grow") (param i32) (result i32)
+    #   local.get 0  memory.grow)
+    body = b"\x20\x00\x40\x00\x0b"
+    types = _vec([b"\x60" + _vec([b"\x7f"]) + _vec([b"\x7f"])])
+    mod = (
+        b"\x00asm\x01\x00\x00\x00"
+        + _section(1, types)
+        + _section(3, _vec([_uleb(0)]))
+        + _section(5, _vec([b"\x00" + _uleb(1)]))  # memory: 1 page, no max
+        + _section(7, _vec([_uleb(4) + b"grow" + b"\x00" + _uleb(0)]))
+        + _section(10, _vec([_uleb(len(body) + 1) + b"\x00" + body]))
+    )
+    g = ScalarWasmFunction.from_module(mod, "grow")
+    assert g(2) == 1      # grew from 1 page
+    assert g(100000) == -1  # past the 256-page cap
+    assert g(0) == 3      # size unchanged by the failed grow
+
+
+def _module_with_import(call_idx: int):
+    """One func import (env.host : (i64)->(i64)) + defined add1 (module
+    idx 1) + exported caller (module idx 2) that calls ``call_idx``."""
+    from selium_spark.functions.wasm_modules import (
+        END, I64, _section, _uleb, _vec, i64_const, local_get,
+    )
+
+    types = _vec([b"\x60" + _vec([bytes([I64])]) + _vec([bytes([I64])])])
+    imports = _vec(
+        [_uleb(3) + b"env" + _uleb(4) + b"host" + b"\x00" + _uleb(0)]
+    )
+    inner = local_get(0) + i64_const(1) + bytes([0x7C, END])  # x+1
+    outer = (
+        local_get(0)
+        + bytes([0x10]) + _uleb(call_idx)
+        + bytes([0x10]) + _uleb(call_idx)
+        + bytes([END])
+    )
+    return (
+        b"\x00asm\x01\x00\x00\x00"
+        + _section(1, types)
+        + _section(2, imports)
+        + _section(3, _vec([_uleb(0), _uleb(0)]))
+        + _section(7, _vec([_uleb(5) + b"twice" + b"\x00" + _uleb(2)]))
+        + _section(
+            10,
+            _vec(
+                [
+                    _uleb(len(inner) + 1) + b"\x00" + inner,
+                    _uleb(len(outer) + 1) + b"\x00" + outer,
+                ]
+            ),
+        )
+    )
+
+
+def test_function_import_shifts_index_space():
+    """A module with a function import resolves exports/calls with the
+    import-count offset (ADVICE r3: previously the wrong defined
+    function executed silently)."""
+    twice = ScalarWasmFunction.from_module(_module_with_import(1), "twice")
+    assert twice(5) == 7  # (5+1)+1, NOT the import and NOT func idx 2
+
+
+def test_calling_an_import_index_raises():
+    bad = ScalarWasmFunction.from_module(_module_with_import(0), "twice")
+    with pytest.raises(NotImplementedError, match="imported function"):
+        bad(5)
+
+
+def test_wasm_bytes_udf_double_dtype(spark):
+    """return_type='double' yields float64 results (ADVICE r3: was
+    unconditionally int64)."""
+    from selium_spark.functions.wasm_modules import (
+        _assemble, local_get, I32, F64,
+    )
+    from selium_spark.functions.wasm import wasm_bytes_udf
+
+    # (func (export "len_half") (param i32 i32) (result f64)
+    #   local.get 1  f64.convert_i32_s  f64.const 0.5  f64.mul)
+    import struct as _struct
+    body = (
+        local_get(1) + bytes([0xB7])
+        + bytes([0x44]) + _struct.pack("<d", 0.5)
+        + bytes([0xA2, 0x0B])
+    )
+    mod = _assemble([("len_half", [I32, I32], [F64], body)], memory_pages=1)
+    udf = wasm_bytes_udf(mod, "len_half", "double")
+    df = spark.createDataFrame([("abcd",), ("xy",)], "s STRING").select(
+        udf("s").alias("h")
+    )
+    assert sorted(r.h for r in df.collect()) == [1.0, 2.0]
