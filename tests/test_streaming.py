@@ -389,25 +389,34 @@ def test_state_metrics_observed(spark, tmp_path):
     )
     try:
         handle.query.processAllAvailable()
-        # lastProgress lags processAllAvailable (progress events are
-        # emitted asynchronously) — poll until a state-bearing progress
-        # report lands rather than asserting on the first snapshot.
-        direct = None
-        deadline = time.monotonic() + 15
-        while time.monotonic() < deadline:
-            direct = state_metrics(handle.query.lastProgress)
-            if direct and direct[0]["rows_total"] == 2:
-                break
+        # Progress events are emitted asynchronously AFTER
+        # processAllAvailable returns, and lastProgress holds only the
+        # newest snapshot (which can be a no-data batch under suite
+        # load). Scan ALL retained progress reports for a state-bearing
+        # one, with a deadline sized for a heavily loaded box — the
+        # poll exits in milliseconds on a quiet one.
+        def state_rows_seen() -> bool:
+            reports = list(handle.query.recentProgress)
+            last = handle.query.lastProgress
+            if last is not None:
+                reports.append(last)
+            return any(
+                m and m[0]["rows_total"] == 2
+                for m in (state_metrics(p) for p in reports if p)
+            )
+
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline and not state_rows_seen():
             time.sleep(0.2)
-        assert direct and direct[0]["rows_total"] == 2
-        deadline = time.monotonic() + 10
-        while (
-            time.monotonic() < deadline
-            and "state_metrics_q" not in eng.loss_listener.state_by_query
-        ):
+        assert state_rows_seen()
+        def listener_rows_seen() -> bool:
+            seen = eng.loss_listener.state_by_query.get("state_metrics_q")
+            return bool(seen) and seen[0]["rows_total"] == 2
+
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline and not listener_rows_seen():
             time.sleep(0.2)
-        listener_seen = eng.loss_listener.state_by_query.get("state_metrics_q")
-        assert listener_seen and listener_seen[0]["rows_total"] == 2
+        assert listener_rows_seen()
     finally:
         eng.stop("state_metrics_q")
 
