@@ -224,3 +224,89 @@ def streaming_funnel(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_scd2(
+    events: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Streaming twin of :func:`relational.scd2_history`: fold a keyed
+    change stream into SCD type-2 intervals incrementally — the CDC
+    shape of the reference's config-version state machine
+    (examples/orchestrator/src/lib.rs:81-94,244-287), evolved one step
+    from "latest value per key" to "every historical interval".
+
+    State per key is TWO scalars — the open run's (state, valid_from) —
+    so state size is O(#keys), never O(#events). Each micro-batch folds
+    its rows in (ts, tiebreak) order: a state change CLOSES the open
+    interval (emitted once, with its valid_to) and opens a new one; the
+    batch ends by re-emitting the key's current OPEN interval (null
+    valid_to). The memory-sink snapshot therefore carries every closed
+    interval exactly once plus possibly-stale open-interval emissions;
+    readers collapse them with
+    ``groupBy(key, state, valid_from).agg(min(coalesce(valid_to,
+    sentinel)))`` — a closed emission (real valid_to < sentinel)
+    supersedes the stale open one. Equal to the batch fold when batches
+    arrive in event-time order (the replay harness's file order) —
+    the same caveat as :func:`streaming_funnel`.
+    """
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_state, cur_from_us = state.get
+        else:
+            cur_state, cur_from_us = None, None
+        out_state: list = []
+        out_from: list = []
+        out_to: list = []
+        touched = False
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, tiebreak_col]).reset_index(drop=True)
+            for _, row in pdf.iterrows():
+                touched = True
+                ts_us = int(row[ts_col].value // 1000)  # pandas ns -> us
+                st = row[state_col]
+                if cur_state is None:
+                    cur_state, cur_from_us = st, ts_us
+                elif st != cur_state:
+                    out_state.append(cur_state)
+                    out_from.append(cur_from_us)
+                    out_to.append(ts_us)
+                    cur_state, cur_from_us = st, ts_us
+        state.update((cur_state, cur_from_us))
+        if touched:
+            # the key's current open interval, re-emitted so the final
+            # snapshot always holds the newest run
+            out_state.append(cur_state)
+            out_from.append(cur_from_us)
+            out_to.append(None)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(out_state),
+                "state": out_state,
+                "valid_from": pd.to_datetime(out_from, unit="us"),
+                "valid_to": pd.to_datetime(
+                    [pd.NaT if t is None else t for t in out_to], unit="us"
+                ),
+            }
+        )
+
+    return events.select(
+        F.col(key_col).alias("key"),
+        F.col(state_col),
+        F.col(ts_col),
+        F.col(tiebreak_col),
+    ).groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "key long, state string, valid_from timestamp, valid_to timestamp"
+        ),
+        stateStructType="cur_state string, cur_from_us long",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -4068,6 +4068,41 @@ WINDOW w AS (
 """
 
 
+def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 twin (stateful.streaming_scd2): the events change
+    stream folds into type-2 state intervals incrementally — per-key
+    state is just the open run — and the replayed snapshot, collapsed
+    of stale open-interval emissions, must equal the batch
+    q_scd2_user_state fold (same DuckDB oracle)."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema)
+        from .operators.stateful import streaming_scd2
+
+        return streaming_scd2(ev, "user_id", "event_type", "ts", "event_id")
+
+    snap = replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform,
+        output_mode="update", shuffle_partitions=8,
+    )
+    # Collapse re-emissions: each run is keyed (user, state, valid_from);
+    # a closed emission carries a real valid_to (< the open-interval
+    # sentinel), so min() keeps it over any stale open emission.
+    sentinel = F.lit("9999-12-31 00:00:00").cast(dict(snap.dtypes)["valid_to"])
+    return (
+        snap.groupBy("key", "state", "valid_from")
+        .agg(F.min(F.coalesce(F.col("valid_to"), sentinel)).alias("valid_to"))
+        .select(
+            F.col("key").alias("user_id"), "state", "valid_from", "valid_to"
+        )
+    )
+
+
 def stream_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming funnel (stateful.streaming_funnel): per-user
     (step, last_ts) state driven by the replayed events stream, then
@@ -4687,6 +4722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_pq_encode": stream_pq_encode,
     "w_gapfill_locf_daily": w_gapfill_locf_daily,
     "q_scd2_user_state": q_scd2_user_state,
+    "stream_scd2_history": stream_scd2_history,
     "q_rolling_7d_features": q_rolling_7d_features,
 }
 
@@ -4833,5 +4869,6 @@ WHERE value % 2 = 0"""
     "stream_running_stats": SQL_STREAM_STATS,
     "w_gapfill_locf_daily": SQL_GAPFILL,
     "q_scd2_user_state": SQL_SCD2,
+    "stream_scd2_history": SQL_SCD2,
     "q_rolling_7d_features": SQL_ROLLING,
 }

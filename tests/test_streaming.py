@@ -491,3 +491,69 @@ def test_streaming_funnel_matches_batch_fold(spark, tmp_path):
         for r in windows.funnel(ev, "user_id", "event_type", "ts", steps).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_scd2_matches_batch_history(spark, tmp_path):
+    """Two event-time-ordered micro-batches drive the per-key SCD2
+    state to the same interval set as the batch window fold — including
+    runs that OPEN in batch 1 and CLOSE in batch 2 (the cross-batch
+    state handoff)."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import relational, stateful
+    from selium_spark.sources.tables import load_table
+    from selium_spark.streaming.replay import replay_to_memory
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 40
+    )
+    src = str(tmp_path / "ev")
+    cut = "2024-01-04"
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    snap = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_scd2(
+            s, "user_id", "event_type", "ts", "event_id"
+        ),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=4,
+    )
+    sentinel = F.lit("9999-12-31 00:00:00").cast(dict(snap.dtypes)["valid_to"])
+    got = {
+        (r.user_id, r.state, r.valid_from, r.valid_to)
+        for r in snap.groupBy("key", "state", "valid_from")
+        .agg(F.min(F.coalesce(F.col("valid_to"), sentinel)).alias("valid_to"))
+        .select(F.col("key").alias("user_id"), "state", "valid_from", "valid_to")
+        .collect()
+    }
+    batch = relational.scd2_history(
+        ev, ["user_id"], "ts", "event_type", tiebreak_col="event_id"
+    )
+    want = {
+        (r.user_id, r.state, r.valid_from, r.valid_to)
+        for r in batch.withColumn(
+            "valid_to",
+            F.coalesce(
+                F.col("valid_to"),
+                F.lit("9999-12-31 00:00:00").cast(dict(batch.dtypes)["valid_to"]),
+            ),
+        ).collect()
+    }
+    assert got == want and len(got) > 50
+    # a real cross-batch closure exists: some run opens before the cut
+    # and closes at/after it
+    assert any(
+        vf < _dt(cut) <= vt for (_, _, vf, vt) in want if vt.year < 9999
+    )
+
+
+def _dt(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
