@@ -330,11 +330,22 @@ def gapfill_locf(
     standard constraint for ordered carry-forward; series length is
     bounded by the calendar span, not corpus size.
     """
-    supported = {"day"}
+    supported = {"hour", "day", "week"}
     if grain not in supported:
         raise ValueError(f"gapfill_locf grain must be one of {sorted(supported)}, got {grain!r}")
     kcols = [F.col(k) for k in keys]
-    period = F.to_date(F.date_trunc(grain, F.col(ts_col)))
+    # hour periods stay TIMESTAMP; day/week become DATE. week aligns to
+    # Monday (date_trunc semantics), so a 7-day sequence step keeps the
+    # whole grid week-aligned.
+    if grain == "hour":
+        period = F.date_trunc("hour", F.col(ts_col))
+        step = F.expr("interval 1 hour")
+    elif grain == "week":
+        period = F.to_date(F.date_trunc("week", F.col(ts_col)))
+        step = F.expr("interval 7 days")
+    else:
+        period = F.to_date(F.date_trunc("day", F.col(ts_col)))
+        step = None
     w_pick = Window.partitionBy(*keys, F.col("_period")).orderBy(
         F.col(ts_col).desc(), F.col(tiebreak_col).desc()
     )
@@ -350,7 +361,11 @@ def gapfill_locf(
     grid = span.select(
         *kcols,
         # sequence over DATE steps by 1 day when no step is given
-        F.explode(F.sequence("_p0", "_p1")).alias("_period"),
+        F.explode(
+            F.sequence("_p0", "_p1")
+            if step is None
+            else F.sequence("_p0", "_p1", step)
+        ).alias("_period"),
     )
     w_fill = (
         Window.partitionBy(*keys)

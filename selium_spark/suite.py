@@ -4005,6 +4005,48 @@ LEFT JOIN picked p
 """
 
 
+def w_gapfill_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-grain gap-fill: dense hour grid per user with LOCF fill —
+    the sub-day grain the daily query can't express (grid length is the
+    key's hour span, so the per-key series stays calendar-bounded)."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    out = windows.gapfill_locf(
+        ev, "ts", ["user_id"], "value", tiebreak_col="event_id", grain="hour"
+    )
+    return out.withColumn(
+        "period", F.date_format("period", "yyyy-MM-dd HH:mm:ss")
+    )
+
+
+SQL_GAPFILL_HOURLY = """
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS _period, value,
+    row_number() OVER (
+      PARTITION BY user_id, date_trunc('hour', ts)
+      ORDER BY ts DESC, event_id DESC
+    ) AS _rn
+  FROM events WHERE user_id < 50
+), picked AS (
+  SELECT user_id, _period, value FROM obs WHERE _rn = 1
+), span AS (
+  SELECT user_id, min(_period) AS _p0, max(_period) AS _p1
+  FROM picked GROUP BY 1
+), grid AS (
+  SELECT user_id,
+    unnest(generate_series(_p0, _p1, INTERVAL 1 HOUR)) AS period
+  FROM span
+)
+SELECT g.user_id, strftime(g.period, '%Y-%m-%d %H:%M:%S') AS period,
+  last_value(p.value IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.period
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS value,
+  p.value IS NULL AS is_filled
+FROM grid g
+LEFT JOIN picked p ON g.user_id = p.user_id AND g.period = p._period
+"""
+
+
 def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history of each user's event_type "state"
     (relational.scd2_history): one row per state run with
@@ -4721,6 +4763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_topk_windowed": stream_topk_windowed,
     "stream_pq_encode": stream_pq_encode,
     "w_gapfill_locf_daily": w_gapfill_locf_daily,
+    "w_gapfill_locf_hourly": w_gapfill_locf_hourly,
     "q_scd2_user_state": q_scd2_user_state,
     "stream_scd2_history": stream_scd2_history,
     "q_rolling_7d_features": q_rolling_7d_features,
@@ -4868,6 +4911,7 @@ WHERE value % 2 = 0"""
     "stream_funnel_steps": SQL_STREAM_FUNNEL,
     "stream_running_stats": SQL_STREAM_STATS,
     "w_gapfill_locf_daily": SQL_GAPFILL,
+    "w_gapfill_locf_hourly": SQL_GAPFILL_HOURLY,
     "q_scd2_user_state": SQL_SCD2,
     "stream_scd2_history": SQL_SCD2,
     "q_rolling_7d_features": SQL_ROLLING,

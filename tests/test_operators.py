@@ -329,7 +329,45 @@ def test_gapfill_locf_rejects_unknown_grain(spark):
 
     df = spark.range(1).selectExpr("'a' k", "timestamp'2024-01-01' ts", "id eid", "1.0 value")
     with _pytest.raises(ValueError):
-        windows.gapfill_locf(df, "ts", ["k"], "value", "eid", grain="hour")
+        windows.gapfill_locf(df, "ts", ["k"], "value", "eid", grain="minute")
+
+
+def test_gapfill_locf_hourly_and_weekly_grains(spark):
+    import datetime as dt
+
+    from selium_spark.operators import windows
+
+    rows = [  # hours 10, 13 observed (11-12 are holes); two obs in hour 10
+        ("a", dt.datetime(2024, 1, 1, 10, 5), 1, 1.0),
+        ("a", dt.datetime(2024, 1, 1, 10, 55), 2, 2.0),  # later -> wins hour 10
+        ("a", dt.datetime(2024, 1, 1, 13, 0), 3, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, eid LONG, value DOUBLE")
+    out = {
+        str(r["period"]): (r["value"], r["is_filled"])
+        for r in windows.gapfill_locf(df, "ts", ["k"], "value", "eid", grain="hour").collect()
+    }
+    assert out == {
+        "2024-01-01 10:00:00": (2.0, False),
+        "2024-01-01 11:00:00": (2.0, True),
+        "2024-01-01 12:00:00": (2.0, True),
+        "2024-01-01 13:00:00": (9.0, False),
+    }
+    # weeks: 2024-01-01 and 2024-01-15 are Mondays; week of the 8th is a hole
+    wrows = [
+        ("a", dt.datetime(2024, 1, 3), 1, 5.0),
+        ("a", dt.datetime(2024, 1, 16), 2, 6.0),
+    ]
+    wdf = spark.createDataFrame(wrows, "k STRING, ts TIMESTAMP, eid LONG, value DOUBLE")
+    wout = {
+        str(r["period"]): (r["value"], r["is_filled"])
+        for r in windows.gapfill_locf(wdf, "ts", ["k"], "value", "eid", grain="week").collect()
+    }
+    assert wout == {
+        "2024-01-01": (5.0, False),
+        "2024-01-08": (5.0, True),
+        "2024-01-15": (6.0, False),
+    }
 
 
 def test_scd2_history_collapses_runs_with_tiebreaks(spark):
