@@ -425,3 +425,43 @@ def test_pagerank_empty_graph_returns_empty(spark):
     out = dedup.pagerank(empty, iterations=2)
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == ["id", "rank"]
+
+
+def test_lsh_xxhash64_fast_path_same_recall(spark):
+    """The xxhash64 production hash family recalls the same true
+    near-dup pairs as the oracle-parity md5 family on the fixture
+    corpus (candidate sets may differ on sub-threshold noise pairs;
+    what matters is recall of the Jaccard-verified pairs)."""
+    from selium_spark.operators import dedup
+    from selium_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+
+    def verified(hash_fn):
+        pairs = dedup.lsh_candidate_pairs(
+            docs, k=8, bands=4, shingle_n=3, hash_fn=hash_fn
+        )
+        return {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, pairs, n=3, threshold=0.5
+            ).collect()
+        }
+
+    md5_pairs = verified("md5")
+    xx_pairs = verified("xxhash64")
+    assert len(md5_pairs) > 0
+    assert xx_pairs == md5_pairs
+
+
+def test_minhash_xxhash64_signature_shape(spark):
+    from selium_spark.operators import dedup
+    from selium_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    sig = dedup.minhash_signature(docs, k=8, hash_fn="xxhash64")
+    assert [c for c in sig.columns if c.startswith("mh")] == [f"mh{i}" for i in range(8)]
+    assert all(t == "bigint" for c, t in sig.dtypes if c.startswith("mh"))
+    # identical texts -> identical signatures (hash-family independent)
+    rows = sig.collect()
+    assert len(rows) == 20
