@@ -557,3 +557,76 @@ def _dt(s):
     import datetime
 
     return datetime.datetime.fromisoformat(s)
+
+
+def test_request_reply_rtt_measured(spark, tmp_path):
+    """Measure micro-batch request->reply round-trip: drop request
+    files one at a time and poll the reply sink for each request_id.
+    The default trigger (no interval = process-as-available) bounds RTT
+    by micro-batch planning + handler + parquet append — the measured
+    p50 is recorded in USAGE.md. Asserts only a loose ceiling so
+    co-tenant load can't flake the suite."""
+    import os
+
+    from selium_spark.schemas import FLAT_RESULT
+
+    req_dir = str(tmp_path / "req")
+    os.makedirs(req_dir)
+    reply_dir = str(tmp_path / "replies")
+    spark.createDataFrame([], FLAT_RESULT).write.parquet(reply_dir)
+    cat = StreamCatalog(spark)
+    # seed the request schema with an empty file so the stream can start
+    spark.createDataFrame([], "request_id LONG, v INT").write.mode(
+        "append"
+    ).parquet(req_dir)
+    cat.insert("sel://rtt/requests", req_dir)
+    cat.insert("sel://rtt/replies", reply_dir, schema=FLAT_RESULT)
+
+    def handler(reqs):
+        return reqs.select(
+            "request_id",
+            F.concat(F.lit("echo:"), F.col("request_id").cast("string")).alias(
+                "payload"
+            ),
+            F.lit(None).cast("string").alias("error"),
+        )
+
+    q = messaging.request_reply_stream(
+        cat,
+        cat.read_stream("sel://rtt/requests"),
+        handler,
+        "sel://rtt/replies",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        rtts = []
+        for rid in range(1, 6):
+            spark.createDataFrame(
+                [(rid, rid * 10)], "request_id LONG, v INT"
+            ).write.mode("append").parquet(req_dir)
+            t0 = time.monotonic()
+            deadline = t0 + 60
+            seen = False
+            while time.monotonic() < deadline and not seen:
+                try:
+                    seen = (
+                        spark.read.parquet(reply_dir)
+                        .where(F.col("request_id") == rid)
+                        .limit(1)
+                        .count()
+                        > 0
+                    )
+                except Exception:
+                    seen = False
+                if not seen:
+                    time.sleep(0.05)
+            assert seen, f"no reply for request {rid} within 60s"
+            rtts.append(time.monotonic() - t0)
+        rtts.sort()
+        p50 = rtts[len(rtts) // 2]
+        print(f"\nrequest/reply RTT p50={p50:.2f}s all={[f'{r:.2f}' for r in rtts]}")
+        # loose ceiling: micro-batch R/R is seconds-scale, never minutes
+        assert p50 < 30
+    finally:
+        q.stop()
