@@ -310,3 +310,93 @@ def streaming_scd2(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def streaming_gapfill_locf(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    grain: str = "day",
+) -> DataFrame:
+    """Streaming twin of :func:`windows.gapfill_locf`: emit the dense
+    per-key period grid incrementally as observations arrive, holes
+    filled by last-observation-carried-forward.
+
+    State per key is FOUR scalars — the current period ordinal, the
+    winning observation's (ts, tiebreak) within it, and its value — so
+    state is O(#keys) regardless of series length. Each micro-batch
+    folds its rows in (ts, tiebreak) order: an observation in a LATER
+    period first emits one filled row per skipped period (carrying the
+    previous value), then opens the new period; an observation in the
+    CURRENT period re-emits it when (ts, tiebreak) beats the stored
+    winner (the per-period "last obs wins" pick). Rows carry the
+    winning (src_ts_us, src_tb) so readers collapse re-emissions with
+    ``max_by((value, is_filled), (src_ts_us, src_tb))`` per
+    (key, period). Equal to the batch fold when batches arrive in
+    event-time order (the replay harness's file order) — periods never
+    reopen, the same caveat as :func:`streaming_funnel` /
+    :func:`streaming_scd2`.
+    """
+    if grain not in ("day", "hour"):
+        raise ValueError(f"streaming_gapfill_locf grain must be 'day' or 'hour', got {grain!r}")
+    period_us = 86_400_000_000 if grain == "day" else 3_600_000_000
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_p, cur_ts_us, cur_tb, cur_val = state.get
+        else:
+            cur_p, cur_ts_us, cur_tb, cur_val = None, None, None, None
+        out: list[tuple] = []  # (period_ord, value, is_filled, src_ts, src_tb)
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, tiebreak_col]).reset_index(drop=True)
+            for _, row in pdf.iterrows():
+                ts_us = int(row[ts_col].value // 1000)
+                tb = int(row[tiebreak_col])
+                val = float(row[value_col])
+                p = ts_us // period_us
+                if cur_p is None:
+                    cur_p, cur_ts_us, cur_tb, cur_val = p, ts_us, tb, val
+                    out.append((p, val, False, ts_us, tb))
+                elif p > cur_p:
+                    for hole in range(cur_p + 1, p):
+                        # filled rows inherit the carried obs's ordering
+                        out.append((hole, cur_val, True, cur_ts_us, cur_tb))
+                    cur_p, cur_ts_us, cur_tb, cur_val = p, ts_us, tb, val
+                    out.append((p, val, False, ts_us, tb))
+                elif p == cur_p and (ts_us, tb) > (cur_ts_us, cur_tb):
+                    cur_ts_us, cur_tb, cur_val = ts_us, tb, val
+                    out.append((p, val, False, ts_us, tb))
+                # p < cur_p (late data) is dropped: periods never reopen
+        state.update((cur_p, cur_ts_us, cur_tb, cur_val))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(out),
+                "period": pd.to_datetime([o[0] * period_us for o in out], unit="us"),
+                "value": [o[1] for o in out],
+                "is_filled": [o[2] for o in out],
+                "src_ts_us": [o[3] for o in out],
+                "src_tb": [o[4] for o in out],
+            }
+        )
+
+    return events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col),
+        F.col(value_col),
+        F.col(tiebreak_col),
+    ).groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "key long, period timestamp, value double, is_filled boolean, "
+            "src_ts_us long, src_tb long"
+        ),
+        stateStructType=(
+            "cur_p long, cur_ts_us long, cur_tb long, cur_val double"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -4047,6 +4047,77 @@ LEFT JOIN picked p ON g.user_id = p.user_id AND g.period = p._period
 """
 
 
+def stream_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gapfill/LOCF twin (stateful.streaming_gapfill_locf):
+    the dense daily grid emerges incrementally from the replayed events
+    stream — per-key state is one open period (4 scalars) — and the
+    collapsed snapshot must equal the batch gapfill fold (DuckDB
+    oracle). Re-emissions of a period (a later obs in the same period
+    arriving in a later batch) are collapsed by max_by on the winning
+    observation's (ts, tiebreak)."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema).where(F.col("user_id") < 50)
+        from .operators.stateful import streaming_gapfill_locf as op
+
+        return op(ev, "user_id", "ts", "value", "event_id", grain="day")
+
+    snap = replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform,
+        output_mode="update", shuffle_partitions=8,
+    )
+    return (
+        snap.groupBy("key", "period")
+        .agg(
+            F.max_by(
+                F.struct("value", "is_filled"),
+                F.struct("src_ts_us", "src_tb"),
+            ).alias("w")
+        )
+        .select(
+            F.col("key").alias("user_id"),
+            F.date_format("period", "yyyy-MM-dd").alias("period"),
+            F.col("w.value").alias("value"),
+            F.col("w.is_filled").alias("is_filled"),
+        )
+    )
+
+
+SQL_STREAM_GAPFILL = """
+WITH obs AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS _period, value,
+    row_number() OVER (
+      PARTITION BY user_id, date_trunc('day', ts)
+      ORDER BY ts DESC, event_id DESC
+    ) AS _rn
+  FROM events WHERE user_id < 50
+), picked AS (
+  SELECT user_id, _period, value FROM obs WHERE _rn = 1
+), span AS (
+  SELECT user_id, min(_period) AS _p0, max(_period) AS _p1
+  FROM picked GROUP BY 1
+), grid AS (
+  SELECT user_id,
+    CAST(unnest(generate_series(CAST(_p0 AS TIMESTAMP), CAST(_p1 AS TIMESTAMP),
+                                INTERVAL 1 DAY)) AS DATE) AS period
+  FROM span
+)
+SELECT g.user_id, strftime(g.period, '%Y-%m-%d') AS period,
+  last_value(p.value IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.period
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS value,
+  p.value IS NULL AS is_filled
+FROM grid g
+LEFT JOIN picked p ON g.user_id = p.user_id AND g.period = p._period
+"""
+
+
 def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history of each user's event_type "state"
     (relational.scd2_history): one row per state run with
@@ -4766,6 +4837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_gapfill_locf_hourly": w_gapfill_locf_hourly,
     "q_scd2_user_state": q_scd2_user_state,
     "stream_scd2_history": stream_scd2_history,
+    "stream_gapfill_locf": stream_gapfill_locf,
     "q_rolling_7d_features": q_rolling_7d_features,
 }
 
@@ -4914,5 +4986,6 @@ WHERE value % 2 = 0"""
     "w_gapfill_locf_hourly": SQL_GAPFILL_HOURLY,
     "q_scd2_user_state": SQL_SCD2,
     "stream_scd2_history": SQL_SCD2,
+    "stream_gapfill_locf": SQL_STREAM_GAPFILL,
     "q_rolling_7d_features": SQL_ROLLING,
 }

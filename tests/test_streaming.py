@@ -630,3 +630,60 @@ def test_request_reply_rtt_measured(spark, tmp_path):
         assert p50 < 30
     finally:
         q.stop()
+
+
+def test_streaming_gapfill_matches_batch_locf(spark, tmp_path):
+    """Two event-time-ordered micro-batches drive the per-key gapfill
+    state to the same dense grid as the batch fold — including holes
+    that SPAN the batch boundary (gap jumped only when the batch-2 obs
+    arrives) and a period whose winning obs arrives in a later batch."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import stateful, windows
+    from selium_spark.sources.tables import load_table
+    from selium_spark.streaming.replay import replay_to_memory
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 30
+    )
+    src = str(tmp_path / "ev")
+    cut = "2024-01-04"
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    snap = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_gapfill_locf(
+            s, "user_id", "ts", "value", "event_id", grain="day"
+        ),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=4,
+    )
+    got = {
+        (r.user_id, r.period): (r.value, r.is_filled)
+        for r in snap.groupBy("key", "period")
+        .agg(
+            F.max_by(
+                F.struct("value", "is_filled"), F.struct("src_ts_us", "src_tb")
+            ).alias("w")
+        )
+        .select(
+            F.col("key").alias("user_id"),
+            F.date_format("period", "yyyy-MM-dd").alias("period"),
+            F.col("w.value").alias("value"),
+            F.col("w.is_filled").alias("is_filled"),
+        )
+        .collect()
+    }
+    want = {
+        (r.user_id, str(r.period)): (r.value, r.is_filled)
+        for r in windows.gapfill_locf(
+            ev, "ts", ["user_id"], "value", "event_id"
+        ).collect()
+    }
+    assert got == want and len(got) > 100
+    assert any(filled for (_, filled) in want.values())
