@@ -123,7 +123,11 @@ def minhash_signature(
     minhash column.
     """
     df = fan_out(df)  # shingle+hash per doc: CPU-bound per row
-    grams = df.select(F.col(id_col), ngram_set(text_col, shingle_n).alias("_grams"))
+    # ngram_list, not ngram_set: min over all grams == min over distinct
+    # grams, so the signature skips the per-doc distinct hash-set pass
+    # (oracle-equivalent for the same reason — the SQL's distinct grams
+    # produce the identical minima)
+    grams = df.select(F.col(id_col), ngram_list(text_col, shingle_n).alias("_grams"))
     if hash_fn == "xxhash64":
         n_xx = (k + 1) // 2
         hashed = grams.select(
@@ -358,11 +362,14 @@ def lsh_band_star_edges(
 
 
 # -- n-gram Jaccard ------------------------------------------------------
-def ngram_set(text_col: str | Column, n: int) -> Column:
-    """Distinct word n-grams of the normalized text (n=1 -> tokens)."""
+def ngram_list(text_col: str | Column, n: int) -> Column:
+    """Word n-grams of the normalized text WITH duplicates (n=1 ->
+    tokens). The cheap building block for min-hash style consumers: a
+    min over all grams equals the min over distinct grams, so they can
+    skip the per-doc hash-set pass :func:`ngram_set` pays."""
     toks = tokens(text_col)
     if n == 1:
-        return F.array_distinct(toks)
+        return toks
     # zip_with chain instead of per-position slice+concat (an O(n*k)
     # array-copy pattern that dominated shingling cost): each zip pads
     # the shorter side with null and concat_ws skips nulls, so trailing
@@ -373,8 +380,15 @@ def ngram_set(text_col: str | Column, n: int) -> Column:
     for j in range(1, n):
         shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1)))
         grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.slice(grams, 1, F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
-    return F.array_distinct(grams)
+    return F.slice(grams, 1, F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+
+
+def ngram_set(text_col: str | Column, n: int) -> Column:
+    """Distinct word n-grams of the normalized text (n=1 -> tokens) —
+    the set form Jaccard needs."""
+    if n == 1:
+        return F.array_distinct(tokens(text_col))
+    return F.array_distinct(ngram_list(text_col, n))
 
 
 def jaccard(a: Column, b: Column) -> Column:
