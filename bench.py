@@ -76,6 +76,12 @@ HEADLINE = [
     "w_gapfill_locf_daily",
     "q_scd2_user_state",
     "q_rolling_7d_features",
+    # round 4: hourly gapfill grain, streaming time-series twins,
+    # f32+call_indirect wasm guest
+    "w_gapfill_locf_hourly",
+    "stream_scd2_history",
+    "stream_gapfill_locf",
+    "wasm_udf_route_scale",
 ]
 
 

@@ -261,30 +261,39 @@ def streaming_scd2(
             cur_state, cur_from_us = state.get
         else:
             cur_state, cur_from_us = None, None
-        out_state: list = []
-        out_from: list = []
-        out_to: list = []
-        touched = False
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, tiebreak_col]).reset_index(drop=True)
-            for _, row in pdf.iterrows():
-                touched = True
-                ts_us = int(row[ts_col].value // 1000)  # pandas ns -> us
-                st = row[state_col]
-                if cur_state is None:
-                    cur_state, cur_from_us = st, ts_us
-                elif st != cur_state:
-                    out_state.append(cur_state)
-                    out_from.append(cur_from_us)
-                    out_to.append(ts_us)
-                    cur_state, cur_from_us = st, ts_us
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update((cur_state, cur_from_us))
+            yield pd.DataFrame(
+                {
+                    "key": pd.Series([], dtype="int64"),
+                    "state": pd.Series([], dtype="object"),
+                    "valid_from": pd.to_datetime([], unit="us"),
+                    "valid_to": pd.to_datetime([], unit="us"),
+                }
+            )
+            return
+        # Vectorized edge detection: a micro-batch carries thousands of
+        # rows per key group, so the fold must not drop to per-row
+        # Python. Sort once, shift to compare each row's state with its
+        # predecessor (the stored open run stands in for row -1), and
+        # only the few EDGE rows reach Python lists.
+        pdf = pd.concat(parts).sort_values([ts_col, tiebreak_col])
+        sts = pdf[state_col].reset_index(drop=True)
+        ts_us = (pdf[ts_col].astype("int64") // 1000).reset_index(drop=True)
+        prev = sts.shift()
+        mask = sts.ne(prev)
+        mask.iloc[0] = cur_state is None or sts.iloc[0] != cur_state
+        e_states = sts[mask].tolist()
+        e_from = ts_us[mask].tolist()
+        run_states = ([cur_state] if cur_state is not None else []) + e_states
+        run_froms = ([cur_from_us] if cur_state is not None else []) + e_from
+        # run i closes where run i+1 opens; the last run stays open
+        out_state = run_states[:-1] + [run_states[-1]]
+        out_from = run_froms[:-1] + [run_froms[-1]]
+        out_to: list = run_froms[1:] + [None]
+        cur_state, cur_from_us = run_states[-1], int(run_froms[-1])
         state.update((cur_state, cur_from_us))
-        if touched:
-            # the key's current open interval, re-emitted so the final
-            # snapshot always holds the newest run
-            out_state.append(cur_state)
-            out_from.append(cur_from_us)
-            out_to.append(None)
         yield pd.DataFrame(
             {
                 "key": [key[0]] * len(out_state),
