@@ -20,10 +20,140 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: In-band marker for "config explicitly set to NULL" during the
+#: vectorized ffill of latest_enrich_stream (config values travel as
+#: strings, so a control-char string cannot collide with real data).
+_NULL_CFG = "\x00__null_config__"
+
+
+def _enrich_fold(pdf: pd.DataFrame, current: dict, ts: str, config_cols, work_cols):
+    """Vectorized core of :func:`latest_enrich_stream`'s per-group fold.
+
+    A micro-batch carries thousands of rows per key group, so the
+    latest-config apply must not drop to per-row Python. Sort once
+    (config before work at equal ts -> latest-wins, the ``select!``
+    bias), put config values on their own rows, forward-fill seeded by
+    the stored state, and read the work rows' as-of values straight
+    off the filled series. Module-level so the fold throughput can be
+    measured directly (scripts/bench_fold_throughput.py).
+
+    Returns ``(work-rows DataFrame with <cfg>_asof columns, new
+    current-config dict)``.
+    """
+    pdf = pdf.sort_values([ts, "_side"], kind="mergesort").reset_index(drop=True)
+    is_cfg = pdf["_side"].eq("config").to_numpy()
+    out_df = pdf.loc[~is_cfg, list(work_cols)].copy()
+    current = dict(current)
+    for c in config_cols:
+        v = pdf[c].astype(object)
+        # a config row carrying NULL must *overwrite* (not carry
+        # forward) -> encode it as a sentinel so ffill sees it
+        v = v.mask(v.isna() & is_cfg, _NULL_CFG)
+        v = v.mask(~is_cfg)  # work rows take the ffilled value
+        v = v.ffill()
+        if current[c] is not None:
+            v = v.fillna(current[c])
+        v = v.mask(v.eq(_NULL_CFG))  # sentinel -> real null
+        last = v.iloc[-1]
+        current[c] = None if pd.isna(last) else last
+        out_df[f"{c}_asof"] = v.to_numpy()[~is_cfg]
+    return out_df, current
+
+
+def _funnel_fold(pdf: pd.DataFrame, step: int, t_prev_us, type_col: str, ts_col: str, steps):
+    """Vectorized core of :func:`streaming_funnel`'s per-group fold.
+
+    Loops over the (few) funnel steps, not the (many) rows: because
+    rows are folded in event-time order with a STRICT ``ts > t_prev``
+    advance rule, the row that advances step ``s`` is simply the
+    minimum-ts row of type ``steps[s]`` with ``ts > t_prev`` — a numpy
+    mask scan per step instead of a per-row Python loop.
+    """
+    types = pdf[type_col].to_numpy()
+    ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+    order = np.argsort(ts_us, kind="stable")
+    types, ts_us = types[order], ts_us[order]
+    while step < len(steps):
+        m = types == steps[step]
+        if step > 0:
+            m &= ts_us > t_prev_us
+        hit = np.flatnonzero(m)
+        if hit.size == 0:
+            break
+        t_prev_us = int(ts_us[hit[0]])
+        step += 1
+    return step, t_prev_us
+
+
+def _gapfill_fold(pdf: pd.DataFrame, st: tuple, ts_col: str, tiebreak_col: str,
+                  value_col: str, period_us: int):
+    """Vectorized core of :func:`streaming_gapfill_locf`'s per-group fold.
+
+    Sort once by (ts, tb); period ordinals are then NON-DECREASING, so
+    the per-period winner within the batch is the last row of each
+    period run. Downstream readers collapse re-emissions with
+    ``max_by((value, is_filled), (src_ts_us, src_tb))``, so emitting
+    one winner per touched period per batch (instead of every
+    intra-batch improvement) is observationally identical and strictly
+    fewer rows.
+
+    Returns ``(out_arrays | None, new_state, n_late_dropped)`` where
+    out_arrays is ``(period_ord, value, is_filled, src_ts_us, src_tb)``.
+    """
+    cur_p, cur_ts_us, cur_tb, cur_val = st
+    pdf = pdf.sort_values([ts_col, tiebreak_col])
+    ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+    tb = pdf[tiebreak_col].to_numpy(dtype="int64")
+    val = pdf[value_col].to_numpy(dtype="float64")
+    p = ts_us // period_us
+    n_late = 0
+    if cur_p is not None:
+        keep = p >= cur_p  # late rows: periods never reopen
+        n_late = int(len(p) - keep.sum())
+        ts_us, tb, val, p = ts_us[keep], tb[keep], val[keep], p[keep]
+    if len(p) == 0:
+        return None, st, n_late
+    last = np.empty(len(p), dtype=bool)
+    last[:-1] = p[1:] != p[:-1]
+    last[-1] = True
+    w_p, w_ts, w_tb, w_val = p[last], ts_us[last], tb[last], val[last]
+    emit = np.ones(len(w_p), dtype=bool)
+    if cur_p is not None:
+        if w_p[0] == cur_p:
+            if (int(w_ts[0]), int(w_tb[0])) <= (cur_ts_us, cur_tb):
+                # stored winner stands: no re-emit, and it keeps
+                # carrying forward into any holes that follow
+                emit[0] = False
+                w_ts[0], w_tb[0], w_val[0] = cur_ts_us, cur_tb, cur_val
+        else:
+            # stored open period anchors the first gap but is not
+            # re-emitted itself
+            w_p = np.concatenate(([cur_p], w_p))
+            w_ts = np.concatenate(([cur_ts_us], w_ts))
+            w_tb = np.concatenate(([cur_tb], w_tb))
+            w_val = np.concatenate(([cur_val], w_val))
+            emit = np.concatenate(([False], emit))
+    # holes between consecutive winners, filled from the earlier
+    # winner; per-gap aranges flattened via the repeat/cumsum trick
+    gaps = (w_p[1:] - w_p[:-1] - 1).astype("int64")
+    gi = np.repeat(np.arange(len(gaps)), gaps)
+    off = np.arange(int(gaps.sum())) - np.repeat(np.cumsum(gaps) - gaps, gaps)
+    h_p = w_p[:-1][gi] + 1 + off
+    out_p = np.concatenate((w_p[emit], h_p))
+    out_val = np.concatenate((w_val[emit], w_val[:-1][gi]))
+    out_fill = np.concatenate(
+        (np.zeros(int(emit.sum()), dtype=bool), np.ones(len(h_p), dtype=bool))
+    )
+    out_ts = np.concatenate((w_ts[emit], w_ts[:-1][gi]))
+    out_tb = np.concatenate((w_tb[emit], w_tb[:-1][gi]))
+    new_state = (int(w_p[-1]), int(w_ts[-1]), int(w_tb[-1]), float(w_val[-1]))
+    return (out_p, out_val, out_fill, out_ts, out_tb), new_state, n_late
 
 
 def tag_union(work: DataFrame, config: DataFrame, ts: str, key_cols: list[str]) -> DataFrame:
@@ -86,21 +216,15 @@ def latest_enrich_stream(
             current = dict(zip(config_cols, state.get))
         else:
             current = {c: None for c in config_cols}
-        out = []
-        for pdf in pdfs:
-            # config rows sort before work rows at equal ts -> latest-wins
-            pdf = pdf.sort_values([ts, "_side"]).reset_index(drop=True)
-            for _, row in pdf.iterrows():
-                if row["_side"] == "config":
-                    current = {c: (None if pd.isna(row[c]) else row[c]) for c in config_cols}
-                else:
-                    rec = {c: row[c] for c in work_cols}
-                    for c in config_cols:
-                        rec[f"{c}_asof"] = current[c]
-                    out.append(rec)
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update(tuple(current[c] for c in config_cols))
+            return
+        out_df, current = _enrich_fold(
+            pd.concat(parts), current, ts, config_cols, work_cols
+        )
         state.update(tuple(current[c] for c in config_cols))
-        if out:
-            out_df = pd.DataFrame(out)
+        if len(out_df):
             for c in int_cols:
                 if c in out_df.columns:
                     out_df[c] = out_df[c].astype("Int64")
@@ -201,17 +325,11 @@ def streaming_funnel(
             step, t_prev_us = state.get
         else:
             step, t_prev_us = 0, None
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col).reset_index(drop=True)
-            for _, row in pdf.iterrows():
-                if step >= len(steps):
-                    break
-                ts_us = int(row[ts_col].value // 1000)  # pandas ns -> us
-                if row[type_col] == steps[step] and (
-                    step == 0 or (t_prev_us is not None and ts_us > t_prev_us)
-                ):
-                    step += 1
-                    t_prev_us = ts_us
+        parts = [p for p in pdfs if len(p)]
+        if parts and step < len(steps):
+            step, t_prev_us = _funnel_fold(
+                pd.concat(parts), step, t_prev_us, type_col, ts_col, steps
+            )
         state.update((step, t_prev_us))
         yield pd.DataFrame({"user": [key[0]], "step_reached": [step]})
 
@@ -359,38 +477,31 @@ def streaming_gapfill_locf(
             cur_p, cur_ts_us, cur_tb, cur_val = state.get
         else:
             cur_p, cur_ts_us, cur_tb, cur_val = None, None, None, None
-        out: list[tuple] = []  # (period_ord, value, is_filled, src_ts, src_tb)
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, tiebreak_col]).reset_index(drop=True)
-            for _, row in pdf.iterrows():
-                ts_us = int(row[ts_col].value // 1000)
-                tb = int(row[tiebreak_col])
-                val = float(row[value_col])
-                p = ts_us // period_us
-                if cur_p is None:
-                    cur_p, cur_ts_us, cur_tb, cur_val = p, ts_us, tb, val
-                    out.append((p, val, False, ts_us, tb))
-                elif p > cur_p:
-                    for hole in range(cur_p + 1, p):
-                        # filled rows inherit the carried obs's ordering
-                        out.append((hole, cur_val, True, cur_ts_us, cur_tb))
-                    cur_p, cur_ts_us, cur_tb, cur_val = p, ts_us, tb, val
-                    out.append((p, val, False, ts_us, tb))
-                elif p == cur_p and (ts_us, tb) > (cur_ts_us, cur_tb):
-                    cur_ts_us, cur_tb, cur_val = ts_us, tb, val
-                    out.append((p, val, False, ts_us, tb))
-                # p < cur_p (late data) is dropped: periods never reopen
-        state.update((cur_p, cur_ts_us, cur_tb, cur_val))
-        yield pd.DataFrame(
-            {
-                "key": [key[0]] * len(out),
-                "period": pd.to_datetime([o[0] * period_us for o in out], unit="us"),
-                "value": [o[1] for o in out],
-                "is_filled": [o[2] for o in out],
-                "src_ts_us": [o[3] for o in out],
-                "src_tb": [o[4] for o in out],
-            }
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update((cur_p, cur_ts_us, cur_tb, cur_val))
+            return
+        out, new_st, _n_late = _gapfill_fold(
+            pd.concat(parts),
+            (cur_p, cur_ts_us, cur_tb, cur_val),
+            ts_col,
+            tiebreak_col,
+            value_col,
+            period_us,
         )
+        state.update(new_st)
+        if out is not None and len(out[0]):
+            out_p, out_val, out_fill, out_ts, out_tb = out
+            yield pd.DataFrame(
+                {
+                    "key": np.full(len(out_p), key[0], dtype="int64"),
+                    "period": pd.to_datetime(out_p * period_us, unit="us"),
+                    "value": out_val,
+                    "is_filled": out_fill,
+                    "src_ts_us": out_ts,
+                    "src_tb": out_tb,
+                }
+            )
 
     return events.select(
         F.col(key_col).alias("key"),
