@@ -376,6 +376,12 @@ def ngram_list(text_col: str | Column, n: int) -> Column:
     # entries become short grams — sliced off to the oracle's
     # greatest(len - n + 1, 1) count (a doc shorter than n tokens keeps
     # its one short gram, same as the oracle).
+    # NOTE (round 5): a single transform(sequence(0, L-n), i ->
+    # concat_ws(get(toks,i), ..., get(toks,i+n-1))) sliding-window
+    # build was tried and measured 3x SLOWER than this chain at 500k
+    # docs (6.7 s vs 2.2 s forced via xxhash64-of-array) — per-element
+    # F.get with a dynamic index loses to zip_with's paired traversal.
+    # Keep the chain; see BASELINE.md "shingle floor" for numbers.
     grams = toks
     for j in range(1, n):
         shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(1)))
