@@ -458,19 +458,62 @@ def simhash_bits(hashes: Column, n_bits: int = 16) -> list[Column]:
     return bits
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 16) -> DataFrame:
+def simhash_bits_xxhash64(hashes: Column, n_bits: int = 16) -> list[Column]:
+    """Per-bit simhash signs over an xxhash64-per-token array — the
+    production fast path: one JVM-intrinsic hash per token feeds all
+    ``n_bits`` bits, each read with two integer ops
+    (``(h >>> i) & 1``) instead of the md5 family's per-bit
+    substring+instr over hex text. Same sign rule (sum of ±1 > 0)."""
+
+    def contrib_fn(i: int):
+        return lambda h: (
+            F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * F.lit(2) - F.lit(1)
+        ).cast("int")
+
+    bits = []
+    for i in range(n_bits):
+        contrib = F.transform(hashes, contrib_fn(i))
+        total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+        bits.append(F.when(total > 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bits: int = 16,
+    hash_fn: str = "md5",
+) -> DataFrame:
     """16-bit simhash as an integer + bit-string (near-dups share
     signatures; group-by simhash ~ O(1) shuffle on a small int key).
 
-    The md5-per-token array is materialized in its own projection so
+    The hash-per-token array is materialized in its own projection so
     the 16 bit-aggregates reference one computed column instead of
-    re-tokenizing/re-hashing 16x (CollapseProject would inline it)."""
-    df = fan_out(df)  # md5 per token x bit-aggregates: CPU-bound per row
-    hashed = df.select(
-        F.col(id_col),
-        F.transform(tokens(text_col), lambda t: F.md5(t)).alias("_hashes"),
-    )
-    bits = simhash_bits(F.col("_hashes"), n_bits)
+    re-tokenizing/re-hashing 16x (CollapseProject would inline it).
+
+    ``hash_fn="md5"`` (default) is the DuckDB-oracle-parity family;
+    ``"xxhash64"`` is the production path (same recipe as
+    :func:`minhash_signature`): one seeded JVM-intrinsic hash per
+    token and integer bit reads — different signature VALUES, same
+    duplicate-grouping behavior (identical texts hash identically in
+    both families; tests pin group equality on the fixture corpus).
+    """
+    df = fan_out(df)  # hash per token x bit-aggregates: CPU-bound per row
+    if hash_fn == "xxhash64":
+        hashed = df.select(
+            F.col(id_col),
+            F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("_hashes"),
+        )
+        bits = simhash_bits_xxhash64(F.col("_hashes"), n_bits)
+    elif hash_fn == "md5":
+        hashed = df.select(
+            F.col(id_col),
+            F.transform(tokens(text_col), lambda t: F.md5(t)).alias("_hashes"),
+        )
+        bits = simhash_bits(F.col("_hashes"), n_bits)
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     value = F.lit(0)
     for bit in bits:
         value = value * F.lit(2) + bit
@@ -482,10 +525,15 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bit
     )
 
 
-def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
     """Documents sharing an identical simhash (candidate near-dup
     groups), smallest id is the survivor."""
-    sh = simhash(df, text_col, id_col)
+    sh = simhash(df, text_col, id_col, hash_fn=hash_fn)
     return (
         sh.groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("survivor"))

@@ -88,6 +88,12 @@ def rhp_signature(
     signatures are near-neighbor candidates (Charikar's SimHash for
     real vectors). One narrow pass; the bucket groupBy shuffles only
     (id, signature).
+
+    NOTE on hash cost: unlike MinHash/simhash/fingerprints, the md5
+    here runs ONCE PER PLANE COMPONENT ON THE DRIVER (n_planes x dim
+    hashlib calls to derive constants) — the per-row work is the dot
+    products, with zero per-row hashing. There is no md5 floor to
+    engineer around in this operator, so no xxhash64 variant exists.
     """
     import hashlib
 

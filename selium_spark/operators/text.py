@@ -254,11 +254,47 @@ def min_shingle_fingerprint(col: str | Column, shingle_len: int = 8) -> Column:
     )
 
 
-def fingerprint_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def min_shingle_fingerprint_xxhash64(col: str | Column, shingle_len: int = 8) -> Column:
+    """Production-speed winnowing fingerprint: minimum xxhash64 (one
+    JVM-intrinsic call per shingle position, no digest allocation)
+    instead of md5 — same recipe as the MinHash fast path
+    (dedup.minhash_signature hash_fn="xxhash64"). Different VALUES than
+    the md5 family, identical dup-grouping behavior (identical
+    normalized texts fingerprint identically in both families)."""
+    norm = F.col(col) if isinstance(col, str) else col
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(norm) - F.lit(shingle_len - 1), F.lit(1))
+    )
+    return F.array_min(
+        F.transform(positions, lambda i: F.xxhash64(norm.substr(i, F.lit(shingle_len))))
+    )
+
+
+def fingerprint_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
     """Both fingerprints with the normalization materialized once: the
-    regex-normalize runs once per doc, not once per shingle."""
+    regex-normalize runs once per doc, not once per shingle.
+
+    ``hash_fn="md5"`` (default, DuckDB-oracle parity) emits string
+    fingerprints ``fp_md5`` / ``fp_min_shingle``; ``"xxhash64"`` (the
+    production path at 100 TB — the rolling min-shingle hash is one
+    md5 per CHARACTER position, the most hash-intensive operator in
+    the text family) emits long fingerprints ``fp_xxh64`` /
+    ``fp_min_shingle``."""
     df = fan_out(df)  # rolling-hash per shingle: CPU-bound per row
     normed = df.select(F.col(id_col), normalize_text(text_col).alias("_norm"))
+    if hash_fn == "xxhash64":
+        return normed.select(
+            F.col(id_col),
+            F.xxhash64(F.col("_norm")).alias("fp_xxh64"),
+            min_shingle_fingerprint_xxhash64(F.col("_norm"), 8).alias("fp_min_shingle"),
+        )
+    if hash_fn != "md5":
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     return normed.select(
         F.col(id_col),
         F.md5(F.col("_norm")).alias("fp_md5"),

@@ -465,3 +465,65 @@ def test_minhash_xxhash64_signature_shape(spark):
     # identical texts -> identical signatures (hash-family independent)
     rows = sig.collect()
     assert len(rows) == 20
+
+
+def test_simhash_xxhash64_fast_path_same_groups(spark):
+    """The xxhash64 simhash family partitions exact-duplicate docs into
+    the same dup groups as the md5 family: signatures differ, grouping
+    doesn't (identical texts hash identically in any family)."""
+    from selium_spark.operators import dedup
+
+    rows = [(i, f"boiler plate text block {i % 5}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def groups(hash_fn):
+        return {
+            (r.survivor, r.n_docs)
+            for r in dedup.simhash_dup_groups(docs, hash_fn=hash_fn).collect()
+        }
+
+    md5_g, xx_g = groups("md5"), groups("xxhash64")
+    assert len(md5_g) == 5 and xx_g == md5_g
+    # and the long signature really differs between families (it is a
+    # different hash, not an alias)
+    sig_md5 = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    sig_xx = {
+        r.doc_id: r.simhash
+        for r in dedup.simhash(docs, hash_fn="xxhash64").collect()
+    }
+    assert sig_md5 != sig_xx
+
+
+def test_fingerprint_xxhash64_fast_path_same_groups(spark):
+    """xxhash64 fingerprints (fp_xxh64 long + long min-shingle) group
+    whitespace/case variants of the same content identically to the
+    md5 family."""
+    from selium_spark.operators import text as T
+
+    rows = [
+        (1, "The  Quick Brown Fox"),
+        (2, "the quick brown fox"),          # normalizes equal to 1
+        (3, "a completely different doc"),
+        (4, "A   COMPLETELY different doc"), # normalizes equal to 3
+        (5, "third unique content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def groups(hash_fn, col):
+        fp = T.fingerprint_table(docs, hash_fn=hash_fn)
+        return {
+            frozenset(r.ids)
+            for r in fp.groupBy(col)
+            .agg(__import__("pyspark").sql.functions.collect_set("doc_id").alias("ids"))
+            .collect()
+        }
+
+    assert groups("md5", "fp_md5") == groups("xxhash64", "fp_xxh64") == {
+        frozenset({1, 2}),
+        frozenset({3, 4}),
+        frozenset({5}),
+    }
+    assert groups("md5", "fp_min_shingle") == groups("xxhash64", "fp_min_shingle")
+    fp_xx = T.fingerprint_table(docs, hash_fn="xxhash64")
+    assert dict(fp_xx.dtypes)["fp_xxh64"] == "bigint"
+    assert dict(fp_xx.dtypes)["fp_min_shingle"] == "bigint"
