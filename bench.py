@@ -82,6 +82,8 @@ HEADLINE = [
     "stream_scd2_history",
     "stream_gapfill_locf",
     "wasm_udf_route_scale",
+    # round 5: toolchain-built (rustc) wasm guest
+    "wasm_udf_toolchain_mix",
 ]
 
 

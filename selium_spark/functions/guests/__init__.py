@@ -1,0 +1,53 @@
+"""Toolchain-built WASM guest binaries (round-5 verdict task #7).
+
+Unlike the modules in ``wasm_modules.py`` (hand-assembled via the
+in-repo encoder), ``splitmix_guest.wasm`` is emitted by a REAL
+compiler toolchain — the honest test of the interpreter's
+"runs whole guests" claim against actual LLVM codegen (section
+layout, local declarations, structured control flow, custom
+sections), the shape selium accepts from arbitrary toolchains
+(reference subsystem/wasmtime/src/lib.rs:87-231).
+
+Build provenance (reproducible in this container):
+
+    rustc 1.97.0-nightly (e50aa6fba 2026-05-19)
+    rustc +nightly --target wasm32-unknown-unknown \
+        -C opt-level=2 -C overflow-checks=off -C panic=abort \
+        --crate-type=cdylib splitmix_guest.rs -o splitmix_guest.wasm
+    sha256: cea205148f5da69ee91875b49cc53917136f5d14661b8583135ca6783f736134
+
+The source (``splitmix_guest.rs``, checked in alongside) is
+``#![no_core]`` because the container ships no wasm32 libcore
+component — the lang-items boilerplate is spelled out libcore-style.
+Exports:
+
+- ``splitmix64(i64) -> i64`` — SplitMix64 finalizer (straight-line:
+  runs on the vectorized numpy tier)
+- ``mix_bucket8(i64) -> i64`` — splitmix64 & 7 (straight-line)
+- ``fib_wrap(i64) -> i64`` — iterative Fibonacci mod 2^64 (REAL
+  LLVM loop/branch structure; vectorizer declines 0x02 block ->
+  scalar tier, by design)
+- ``popcount64(i64) -> i64`` — shift-and-mask loop (scalar tier)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+_HERE = Path(__file__).parent
+
+TOOLCHAIN_GUEST_SHA256 = (
+    "cea205148f5da69ee91875b49cc53917136f5d14661b8583135ca6783f736134"
+)
+
+
+def toolchain_guest_bytes() -> bytes:
+    """The rustc-built guest module, integrity-checked on load."""
+    data = (_HERE / "splitmix_guest.wasm").read_bytes()
+    digest = hashlib.sha256(data).hexdigest()
+    if digest != TOOLCHAIN_GUEST_SHA256:
+        raise ValueError(
+            f"splitmix_guest.wasm digest mismatch: {digest} != {TOOLCHAIN_GUEST_SHA256}"
+        )
+    return data

@@ -3337,6 +3337,67 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+def wasm_udf_toolchain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOOLCHAIN-BUILT wasm guest (rustc nightly ->
+    wasm32-unknown-unknown, provenance in functions/guests/__init__.py):
+    ``splitmix64`` hashes o_orderkey with real LLVM codegen — not the
+    in-repo assembler — exercising the interpreter against actual
+    compiler output the way selium's wasmtime host takes arbitrary
+    guests (subsystem/wasmtime/src/lib.rs:87-231). Straight-line body
+    -> vectorized numpy tier; bucket histogram plus signed min/max of
+    the raw hash value-checks all 64 bits against the DuckDB HUGEINT
+    oracle."""
+    from selium_spark.functions.guests import toolchain_guest_bytes
+    from selium_spark.functions.wasm import wasm_pandas_udf
+
+    sm = wasm_pandas_udf(toolchain_guest_bytes(), "splitmix64", "long")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(sm(F.col("o_orderkey")).alias("h"))
+        .select(F.pmod(F.col("h"), F.lit(16)).alias("bucket"), "h")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# splitmix64 in HUGEINT space: u64 wrap-mul is split hi32/lo32 so the
+# 128-bit intermediate never overflows HUGEINT
+# (0xBF58476D1CE4E5B9 = hi 3210233709 lo 484763065;
+#  0x94D049BB133111EB = hi 2496678331 lo 321982955).
+SQL_WASM_TOOLCHAIN_MIX = """
+WITH u AS (
+  SELECT ((o_orderkey::HUGEINT % 18446744073709551616::HUGEINT)
+          + 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT AS z0
+  FROM orders
+), s1 AS (SELECT xor(z0, z0 >> 30) AS z1 FROM u),
+m1 AS (
+  SELECT ((z1 * 484763065) % 18446744073709551616::HUGEINT
+          + ((z1 * 3210233709) % 4294967296) * 4294967296::HUGEINT)
+         % 18446744073709551616::HUGEINT AS z2
+  FROM s1
+), s2 AS (SELECT xor(z2, z2 >> 27) AS z3 FROM m1),
+m2 AS (
+  SELECT ((z3 * 321982955) % 18446744073709551616::HUGEINT
+          + ((z3 * 2496678331) % 4294967296) * 4294967296::HUGEINT)
+         % 18446744073709551616::HUGEINT AS z4
+  FROM s2
+), fin AS (
+  SELECT CAST(CASE WHEN xor(z4, z4 >> 31) >= 9223372036854775808::HUGEINT
+              THEN xor(z4, z4 >> 31) - 18446744073709551616::HUGEINT
+              ELSE xor(z4, z4 >> 31) END AS BIGINT) AS h,
+         CAST(xor(z4, z4 >> 31) % 16 AS BIGINT) AS bucket
+  FROM m2
+)
+SELECT bucket, COUNT(*) AS n, min(h) AS min_h, max(h) AS max_h
+FROM fin GROUP BY bucket ORDER BY bucket
+"""
+
+
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) cardinality sketch over orders.o_custkey:
     k=256 smallest 52-bit md5 hashes -> (k-1)/U_k estimate, reported
@@ -4831,6 +4892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wasm_udf_text_fnv": wasm_udf_text_fnv,
     "wasm_udf_guest_tokens": wasm_udf_guest_tokens,
     "wasm_udf_route_scale": wasm_udf_route_scale,
+    "wasm_udf_toolchain_mix": wasm_udf_toolchain_mix,
     "stream_topk_windowed": stream_topk_windowed,
     "stream_pq_encode": stream_pq_encode,
     "w_gapfill_locf_daily": w_gapfill_locf_daily,
@@ -4974,6 +5036,7 @@ WHERE value % 2 = 0"""
     "wasm_udf_text_fnv": SQL_WASM_TEXT_FNV,
     "wasm_udf_guest_tokens": SQL_WASM_GUEST_TOKENS,
     "wasm_udf_route_scale": SQL_WASM_ROUTE_SCALE,
+    "wasm_udf_toolchain_mix": SQL_WASM_TOOLCHAIN_MIX,
     "stream_topk_windowed": SQL_STREAM_TOPK,
     "stream_pq_encode": SQL_STREAM_PQ_ENCODE,
     "stream_cms_table": SQL_STREAM_CMS,

@@ -75,7 +75,9 @@ def test_drop_mode_weak_reader_loss_is_reported(spark, tmp_path):
     deadline_rows = None
     import time
 
-    for _ in range(100):
+    # poll the real condition with a load-sized deadline (8a9fc79
+    # pattern): 60 s under suite load, exits on first progress event
+    for _ in range(300):
         time.sleep(0.2)
         consumed = eng.loss_listener.rows_by_query.get("weak_reader", 0)
         if consumed:

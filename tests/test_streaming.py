@@ -63,9 +63,17 @@ def test_engine_start_drain_stop(spark, tmp_path):
     )
     handle.query.processAllAvailable()
     assert spark.read.parquet(sink_dir).count() >= 1
-    # loss listener saw input rows for the named query
-    deadline = time.monotonic() + 10
-    while time.monotonic() < deadline and "copy" not in eng.loss_listener.rows_by_query:
+    # Loss listener saw input rows for the named query. Progress
+    # events land asynchronously AFTER processAllAvailable, and the
+    # first event to land can be a 0-row batch under suite load — poll
+    # the REAL condition (rows >= 1, not dict membership) with a
+    # load-sized deadline; exits in milliseconds on a quiet box (the
+    # 8a9fc79 de-flake pattern, applied to every listener assertion).
+    deadline = time.monotonic() + 60
+    while (
+        time.monotonic() < deadline
+        and eng.loss_listener.rows_by_query.get("copy", 0) < 1
+    ):
         time.sleep(0.2)
     assert eng.loss_listener.rows_by_query.get("copy", 0) >= 1
     eng.stop("copy")

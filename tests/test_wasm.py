@@ -687,3 +687,90 @@ def test_wasm_bytes_udf_double_dtype(spark):
         udf("s").alias("h")
     )
     assert sorted(r.h for r in df.collect()) == [1.0, 2.0]
+
+
+def test_toolchain_guest_golden_digest_and_exports():
+    """The rustc-built guest's bytes are pinned by sha256 and parse to
+    the four documented exports — real LLVM output, not the in-repo
+    assembler (provenance in functions/guests/__init__.py)."""
+    import hashlib
+
+    from selium_spark.functions.guests import (
+        TOOLCHAIN_GUEST_SHA256,
+        toolchain_guest_bytes,
+    )
+    from selium_spark.functions.wasm_interp import parse_module
+
+    data = toolchain_guest_bytes()
+    assert hashlib.sha256(data).hexdigest() == TOOLCHAIN_GUEST_SHA256
+    funcs = parse_module(data)
+    assert {"splitmix64", "mix_bucket8", "fib_wrap", "popcount64"} <= set(funcs)
+
+
+def _py_splitmix64(x: int) -> int:
+    z = x & 0xFFFFFFFFFFFFFFFF
+    z ^= z >> 30
+    z = (z * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z ^= z >> 27
+    z = (z * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    z ^= z >> 31
+    return z - 2**64 if z >= 2**63 else z
+
+
+def test_toolchain_guest_values_all_tiers():
+    """Scalar interpreter matches the Python reference on every export;
+    the straight-line exports also compile on the vectorized tier and
+    agree; the loop exports are declined by the vectorizer (0x02
+    block) and fall back — the documented tiering."""
+    import numpy as np
+    import pytest
+
+    from selium_spark.functions.guests import toolchain_guest_bytes
+    from selium_spark.functions.wasm_interp import (
+        ScalarWasmFunction,
+        compile_vectorized,
+        parse_module,
+    )
+
+    funcs = parse_module(toolchain_guest_bytes())
+    xs = [0, 1, 42, -7, 123456789, 2**62, -(2**63), 2**63 - 1]
+
+    sm = ScalarWasmFunction(funcs["splitmix64"])
+    assert all(sm(x) == _py_splitmix64(x) for x in xs)
+    bk = ScalarWasmFunction(funcs["mix_bucket8"])
+    assert all(bk(x) == (_py_splitmix64(x) & 7) for x in xs)
+
+    def py_fib(n):
+        n = max(0, min(93, n))
+        a, b = 0, 1
+        for _ in range(n):
+            a, b = b, (a + b) & 0xFFFFFFFFFFFFFFFF
+        return a - 2**64 if a >= 2**63 else a
+
+    fib = ScalarWasmFunction(funcs["fib_wrap"])
+    assert all(fib(x) == py_fib(x) for x in [0, 1, 2, 10, 92, 93, 1000, -5])
+    pc = ScalarWasmFunction(funcs["popcount64"])
+    assert all(pc(x) == bin(x & 0xFFFFFFFFFFFFFFFF).count("1") for x in xs)
+
+    arr = np.array(xs, dtype=np.int64)
+    for name in ("splitmix64", "mix_bucket8"):
+        vec = compile_vectorized(funcs[name])
+        ref = ScalarWasmFunction(funcs[name])
+        assert (vec(arr) == np.array([ref(int(x)) for x in xs], dtype=np.int64)).all()
+    for name in ("fib_wrap", "popcount64"):
+        with pytest.raises(NotImplementedError):
+            compile_vectorized(funcs[name])
+
+
+def test_toolchain_guest_spark_udf(spark):
+    """End-to-end: the toolchain guest as a vectorized pandas UDF over
+    a Spark column (the wasm_udf_toolchain_mix suite query's core)."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.functions.guests import toolchain_guest_bytes
+    from selium_spark.functions.wasm import wasm_pandas_udf
+
+    sm = wasm_pandas_udf(toolchain_guest_bytes(), "splitmix64", "long")
+    df = spark.range(100).select(sm(F.col("id")).alias("h"))
+    got = {i: r.h for i, r in enumerate(df.collect())}
+    assert got == {i: _py_splitmix64(i) for i in range(100)}
