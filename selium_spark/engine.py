@@ -213,8 +213,29 @@ class Engine:
         self.catalog = catalog or StreamCatalog(spark)
         self.queries: dict[str, QueryHandle] = {}
         self.loss_listener = LossMetricsListener()
+        self.late_counters: dict[str, object] = {}
         self._singletons: dict[str, object] = {}
         spark.streams.addListener(self.loss_listener)
+
+    # -- loss accounting (S3 Drop-mode, extended to event-time late) ------
+    def late_counter(self, name: str):
+        """Dropped-late-rows accumulator for the streaming time-series
+        twins (stateful.streaming_gapfill_locf / streaming_scd2 /
+        streaming_funnel): pass the returned accumulator as their
+        ``late_counter`` and read ``.value`` (or
+        :meth:`late_rows_dropped`) after the replay. Extends the weak-
+        subscribe loss accounting (``ReaderBehind``, reference
+        subsystem/messaging/src/lib.rs:107-109) from reader-lap loss to
+        event-time lateness: loss is observable, never silent. Task
+        retries can over-count (accumulator-at-least-once) — the same
+        contract as Spark's own numInputRows."""
+        if name not in self.late_counters:
+            self.late_counters[name] = self.spark.sparkContext.accumulator(0)
+        return self.late_counters[name]
+
+    def late_rows_dropped(self, name: str) -> int:
+        acc = self.late_counters.get(name)
+        return int(acc.value) if acc is not None else 0
 
     # -- singletons (P3) --------------------------------------------------
     def register_singleton(self, name: str, value) -> None:

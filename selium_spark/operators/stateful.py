@@ -306,6 +306,7 @@ def streaming_funnel(
     type_col: str,
     ts_col: str,
     steps: list[str],
+    late_counter=None,
 ) -> DataFrame:
     """Incremental ordered-funnel state per user (the streaming twin of
     windows.funnel): state = (step_reached, last_step_ts); each
@@ -318,6 +319,12 @@ def streaming_funnel(
     State is two scalars per user — bounded, applyInPandasWithState
     update mode, the reference's per-key stateful-guest shape
     (SURVEY §2.6).
+
+    Rows arriving with ts before the user's last committed step are
+    the ones a re-ordered replay could have used — pass
+    ``late_counter`` (e.g. ``Engine.late_counter(name)``) to meter
+    them (Drop-mode loss accounting; they were always unable to
+    retract a committed step, now the miss is observable).
     """
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
@@ -326,10 +333,18 @@ def streaming_funnel(
         else:
             step, t_prev_us = 0, None
         parts = [p for p in pdfs if len(p)]
-        if parts and step < len(steps):
-            step, t_prev_us = _funnel_fold(
-                pd.concat(parts), step, t_prev_us, type_col, ts_col, steps
-            )
+        if parts:
+            pdf = pd.concat(parts)
+            if late_counter is not None and t_prev_us is not None:
+                n_late = int(
+                    ((pdf[ts_col].astype("int64") // 1000) < t_prev_us).sum()
+                )
+                if n_late:
+                    late_counter.add(n_late)
+            if step < len(steps):
+                step, t_prev_us = _funnel_fold(
+                    pdf, step, t_prev_us, type_col, ts_col, steps
+                )
         state.update((step, t_prev_us))
         yield pd.DataFrame({"user": [key[0]], "step_reached": [step]})
 
@@ -350,6 +365,7 @@ def streaming_scd2(
     state_col: str,
     ts_col: str,
     tiebreak_col: str,
+    late_counter=None,
 ) -> DataFrame:
     """Streaming twin of :func:`relational.scd2_history`: fold a keyed
     change stream into SCD type-2 intervals incrementally — the CDC
@@ -370,6 +386,15 @@ def streaming_scd2(
     supersedes the stale open one. Equal to the batch fold when batches
     arrive in event-time order (the replay harness's file order) —
     the same caveat as :func:`streaming_funnel`.
+
+    Late rows — rows whose ts precedes the key's OPEN interval start —
+    cannot be folded without rewriting already-emitted intervals; they
+    are DROPPED, and (pass ``late_counter``, e.g.
+    ``Engine.late_counter(name)``) counted, mirroring Drop-mode loss
+    accounting (``ChannelError::ReaderBehind``, reference
+    subsystem/messaging/src/lib.rs:107-109). Before round 5 such rows
+    silently corrupted the fold order; now the drop is explicit and
+    metered.
     """
 
     def fn(
@@ -397,6 +422,18 @@ def streaming_scd2(
         # predecessor (the stored open run stands in for row -1), and
         # only the few EDGE rows reach Python lists.
         pdf = pd.concat(parts).sort_values([ts_col, tiebreak_col])
+        if cur_state is not None:
+            # late rows: before the open interval's start -> drop+count
+            ts_all = pdf[ts_col].astype("int64") // 1000
+            late = ts_all < cur_from_us
+            n_late = int(late.sum())
+            if n_late:
+                if late_counter is not None:
+                    late_counter.add(n_late)
+                pdf = pdf[~late]
+                if not len(pdf):
+                    state.update((cur_state, cur_from_us))
+                    return
         sts = pdf[state_col].reset_index(drop=True)
         ts_us = (pdf[ts_col].astype("int64") // 1000).reset_index(drop=True)
         prev = sts.shift()
@@ -446,6 +483,8 @@ def streaming_gapfill_locf(
     value_col: str,
     tiebreak_col: str,
     grain: str = "day",
+    late_counter=None,
+    emit_to_watermark: bool = False,
 ) -> DataFrame:
     """Streaming twin of :func:`windows.gapfill_locf`: emit the dense
     per-key period grid incrementally as observations arrive, holes
@@ -465,10 +504,37 @@ def streaming_gapfill_locf(
     event-time order (the replay harness's file order) — periods never
     reopen, the same caveat as :func:`streaming_funnel` /
     :func:`streaming_scd2`.
+
+    Loss accounting (the engine's Drop-mode philosophy — loss is
+    observable, never silent; ``ChannelError::ReaderBehind``,
+    reference subsystem/messaging/src/lib.rs:107-109): pass
+    ``late_counter`` (a SparkContext accumulator, e.g.
+    ``Engine.late_counter(name)``) and every dropped late row
+    (period < the key's open period) is counted into it.
+
+    Timer-based emission: with ``emit_to_watermark=True`` (requires
+    ``events.withWatermark(ts_col, ...)`` upstream) a QUIET key still
+    gap-fills — an event-time timeout fires once the watermark passes
+    the end of the key's next period and emits filled rows for every
+    COMPLETE period up to the watermark, without waiting for the key's
+    next observation. Periods filled this way can no longer be
+    reopened by stragglers, but the watermark guarantees those
+    stragglers would have been dropped upstream anyway — the fill
+    horizon and the lateness horizon are the same watermark.
     """
     if grain not in ("day", "hour"):
         raise ValueError(f"streaming_gapfill_locf grain must be 'day' or 'hour', got {grain!r}")
     period_us = 86_400_000_000 if grain == "day" else 3_600_000_000
+
+    def _arm_timeout(state: GroupState, cur_p) -> None:
+        # wake when the watermark passes the end of the NEXT period
+        # (the earliest moment a new hole is known-complete); the API
+        # requires a timestamp strictly beyond the current watermark
+        if cur_p is None:
+            return
+        wm_ms = state.getCurrentWatermarkMs()
+        next_end_ms = (cur_p + 2) * (period_us // 1000)
+        state.setTimeoutTimestamp(max(next_end_ms, wm_ms + 1))
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -477,11 +543,36 @@ def streaming_gapfill_locf(
             cur_p, cur_ts_us, cur_tb, cur_val = state.get
         else:
             cur_p, cur_ts_us, cur_tb, cur_val = None, None, None, None
+        if emit_to_watermark and state.hasTimedOut:
+            # fill every COMPLETE period in (cur_p, wm_p): period wm_p
+            # contains the watermark and is still open
+            wm_p = (state.getCurrentWatermarkMs() * 1000) // period_us
+            holes = np.arange(cur_p + 1, wm_p)
+            if len(holes):
+                cur_p = int(holes[-1])
+                state.update((cur_p, cur_ts_us, cur_tb, cur_val))
+                _arm_timeout(state, cur_p)
+                yield pd.DataFrame(
+                    {
+                        "key": np.full(len(holes), key[0], dtype="int64"),
+                        "period": pd.to_datetime(holes * period_us, unit="us"),
+                        "value": np.full(len(holes), cur_val, dtype="float64"),
+                        "is_filled": np.ones(len(holes), dtype=bool),
+                        "src_ts_us": np.full(len(holes), cur_ts_us, dtype="int64"),
+                        "src_tb": np.full(len(holes), cur_tb, dtype="int64"),
+                    }
+                )
+            else:
+                state.update((cur_p, cur_ts_us, cur_tb, cur_val))
+                _arm_timeout(state, cur_p)
+            return
         parts = [p for p in pdfs if len(p)]
         if not parts:
             state.update((cur_p, cur_ts_us, cur_tb, cur_val))
+            if emit_to_watermark:
+                _arm_timeout(state, cur_p)
             return
-        out, new_st, _n_late = _gapfill_fold(
+        out, new_st, n_late = _gapfill_fold(
             pd.concat(parts),
             (cur_p, cur_ts_us, cur_tb, cur_val),
             ts_col,
@@ -489,7 +580,11 @@ def streaming_gapfill_locf(
             value_col,
             period_us,
         )
+        if n_late and late_counter is not None:
+            late_counter.add(n_late)
         state.update(new_st)
+        if emit_to_watermark:
+            _arm_timeout(state, new_st[0])
         if out is not None and len(out[0]):
             out_p, out_val, out_fill, out_ts, out_tb = out
             yield pd.DataFrame(
@@ -518,5 +613,9 @@ def streaming_gapfill_locf(
             "cur_p long, cur_ts_us long, cur_tb long, cur_val double"
         ),
         outputMode="update",
-        timeoutConf="NoTimeout",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if emit_to_watermark
+            else GroupStateTimeout.NoTimeout
+        ),
     )
