@@ -82,8 +82,10 @@ HEADLINE = [
     "stream_scd2_history",
     "stream_gapfill_locf",
     "wasm_udf_route_scale",
-    # round 5: toolchain-built (rustc) wasm guest
+    # round 5: toolchain-built (rustc) wasm guest, watermark-timeout
+    # gapfill twin
     "wasm_udf_toolchain_mix",
+    "stream_gapfill_watermark_fill",
 ]
 
 

@@ -4179,6 +4179,93 @@ LEFT JOIN picked p ON g.user_id = p.user_id AND g.period = p._period
 """
 
 
+def stream_gapfill_watermark_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer-based gapfill (round-5 verdict #3, graded): with
+    ``emit_to_watermark=True`` a key that goes quiet keeps gap-filling
+    — the event-time timeout emits filled rows for every complete
+    period up to the stream's final watermark, with no further
+    observation for that key (the availableNow replay runs one last
+    batch in which the armed timeouts fire). The oracle therefore
+    extends every key's grid to GREATEST(its own last obs period, the
+    global watermark period - 1) — the rows beyond a key's last
+    observation exist ONLY because the timeout emitted them."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema).where(F.col("user_id") < 50)
+        from .operators.stateful import streaming_gapfill_locf as op
+
+        return op(
+            ev.withWatermark("ts", "0 seconds"),
+            "user_id",
+            "ts",
+            "value",
+            "event_id",
+            grain="day",
+            emit_to_watermark=True,
+        )
+
+    snap = replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform,
+        output_mode="update", shuffle_partitions=8,
+    )
+    return (
+        snap.groupBy("key", "period")
+        .agg(
+            F.max_by(
+                F.struct("value", "is_filled"),
+                F.struct("src_ts_us", "src_tb"),
+            ).alias("w")
+        )
+        .select(
+            F.col("key").alias("user_id"),
+            F.date_format("period", "yyyy-MM-dd").alias("period"),
+            F.col("w.value").alias("value"),
+            F.col("w.is_filled").alias("is_filled"),
+        )
+    )
+
+
+SQL_STREAM_GAPFILL_WM = """
+WITH obs AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS _period, value,
+    row_number() OVER (
+      PARTITION BY user_id, date_trunc('day', ts)
+      ORDER BY ts DESC, event_id DESC
+    ) AS _rn
+  FROM events WHERE user_id < 50
+), picked AS (
+  SELECT user_id, _period, value FROM obs WHERE _rn = 1
+), wm AS (
+  -- final watermark = max event time (0s delay); the period holding
+  -- it is still open, so the fill horizon is the day before
+  SELECT CAST(date_trunc('day', max(ts)) AS DATE) - 1 AS _fill_end
+  FROM events WHERE user_id < 50
+), span AS (
+  SELECT p.user_id, min(p._period) AS _p0,
+         greatest(max(p._period), any_value(w._fill_end)) AS _p1
+  FROM picked p CROSS JOIN wm w GROUP BY 1
+), grid AS (
+  SELECT user_id,
+    CAST(unnest(generate_series(CAST(_p0 AS TIMESTAMP), CAST(_p1 AS TIMESTAMP),
+                                INTERVAL 1 DAY)) AS DATE) AS period
+  FROM span
+)
+SELECT g.user_id, strftime(g.period, '%Y-%m-%d') AS period,
+  last_value(p.value IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.period
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS value,
+  p.value IS NULL AS is_filled
+FROM grid g
+LEFT JOIN picked p ON g.user_id = p.user_id AND g.period = p._period
+"""
+
+
 def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history of each user's event_type "state"
     (relational.scd2_history): one row per state run with
@@ -4900,6 +4987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scd2_user_state": q_scd2_user_state,
     "stream_scd2_history": stream_scd2_history,
     "stream_gapfill_locf": stream_gapfill_locf,
+    "stream_gapfill_watermark_fill": stream_gapfill_watermark_fill,
     "q_rolling_7d_features": q_rolling_7d_features,
 }
 
@@ -5050,5 +5138,6 @@ WHERE value % 2 = 0"""
     "q_scd2_user_state": SQL_SCD2,
     "stream_scd2_history": SQL_SCD2,
     "stream_gapfill_locf": SQL_STREAM_GAPFILL,
+    "stream_gapfill_watermark_fill": SQL_STREAM_GAPFILL_WM,
     "q_rolling_7d_features": SQL_ROLLING,
 }
