@@ -30,10 +30,28 @@ from ..sources.layout import fan_out
 
 
 # -- exact ---------------------------------------------------------------
-def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
     """Exact dedup on normalized text: survivor = min id per content
-    hash. Returns surviving rows (id + content hash + group size)."""
-    h = F.md5(normalize_text(text_col)).alias("content_hash")
+    hash. Returns surviving rows (id + content hash + group size).
+
+    ``hash_fn="xxhash64"`` hashes the normalized text with the JVM
+    intrinsic (8-byte long key instead of a 32-hex string — cheaper
+    hash AND a 4x smaller shuffle key at 100 TB); md5 stays the
+    default for DuckDB-oracle parity. 64-bit collisions are ~n^2/2^65
+    (~0.03 expected collisions at 1e9 docs) — acceptable for dedup,
+    where a collision costs one extra dropped near-copy; use md5 where
+    that is not."""
+    if hash_fn == "xxhash64":
+        h = F.xxhash64(normalize_text(text_col)).alias("content_hash")
+    elif hash_fn == "md5":
+        h = F.md5(normalize_text(text_col)).alias("content_hash")
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     return (
         df.select(F.col(id_col), h)
         .groupBy("content_hash")

@@ -182,6 +182,7 @@ def latest_enrich_stream(
     config_cols: list[str],
     work_cols: list[str],
     output_schema: str,
+    state_ttl: str | None = None,
 ) -> DataFrame:
     """Streaming W3: apply latest-seen config to each work row.
 
@@ -195,8 +196,26 @@ def latest_enrich_stream(
     declared types: the union's null-padding makes pandas widen them to
     float64, so they are coerced back to the output schema before the
     Arrow hand-off.
+
+    ``state_ttl`` (e.g. ``"30 minutes"``) bounds state for CHURNING key
+    spaces: a processing-time timeout evicts a key's stored config
+    after that long without any row for the key, so state is O(active
+    keys in the TTL window), not O(all keys ever seen). A work row
+    arriving after eviction sees null ``_asof`` values until its next
+    config — the same contract as a first-seen key. Leave None (the
+    default) when the key space is small and configs must outlive
+    arbitrary quiet gaps (the orchestrator shape).
     """
     from pyspark.sql import types as T
+
+    ttl_ms: int | None = None
+    if state_ttl is not None:
+        num, unit = state_ttl.split()
+        ttl_ms = int(num) * {
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+        }[unit]
 
     for c in config_cols:
         tagged = tagged.withColumn(c, F.col(c).cast("string"))
@@ -212,6 +231,9 @@ def latest_enrich_stream(
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # quiet key: evict the stored config
+            return
         if state.exists:
             current = dict(zip(config_cols, state.get))
         else:
@@ -219,11 +241,15 @@ def latest_enrich_stream(
         parts = [p for p in pdfs if len(p)]
         if not parts:
             state.update(tuple(current[c] for c in config_cols))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             return
         out_df, current = _enrich_fold(
             pd.concat(parts), current, ts, config_cols, work_cols
         )
         state.update(tuple(current[c] for c in config_cols))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if len(out_df):
             for c in int_cols:
                 if c in out_df.columns:
@@ -235,7 +261,11 @@ def latest_enrich_stream(
         outputStructType=output_schema,
         stateStructType=", ".join(f"{c} string" for c in config_cols),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

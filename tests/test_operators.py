@@ -527,3 +527,22 @@ def test_fingerprint_xxhash64_fast_path_same_groups(spark):
     fp_xx = T.fingerprint_table(docs, hash_fn="xxhash64")
     assert dict(fp_xx.dtypes)["fp_xxh64"] == "bigint"
     assert dict(fp_xx.dtypes)["fp_min_shingle"] == "bigint"
+
+
+def test_dedup_exact_xxhash64_same_groups(spark):
+    """Exact dedup with the long-keyed xxhash64 production path keeps
+    survivor/group-size identical to the md5 family (the hash only
+    names the group), with an 8-byte shuffle key."""
+    from selium_spark.operators import dedup
+
+    rows = [(i, f"content {i % 4}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def surv(hash_fn):
+        out = dedup.dedup_exact(docs, hash_fn=hash_fn)
+        return {(r.doc_id, r.n_copies) for r in out.collect()}
+
+    assert surv("md5") == surv("xxhash64") == {(0, 5), (1, 5), (2, 5), (3, 5)}
+    assert dict(dedup.dedup_exact(docs, hash_fn="xxhash64").dtypes)[
+        "content_hash"
+    ] == "bigint"

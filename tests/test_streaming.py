@@ -887,3 +887,68 @@ def test_streaming_funnel_late_rows_counted(spark, tmp_path):
     ).collect()}
     assert steps == {1: 2}
     assert acc.value == 1
+
+
+def test_latest_enrich_state_ttl_evicts_quiet_keys(spark, tmp_path):
+    """state_ttl bounds enrich state: a key with no rows for longer
+    than the TTL is evicted (processing-time timeout + state.remove),
+    and a later work row sees null _asof until its next config — the
+    first-seen contract. State stays O(active keys), the 100 TB
+    churning-key configuration.
+
+    NOTE: ProcessingTimeTimeout makes the engine schedule batches
+    continuously (to run due timeouts), so processAllAvailable never
+    settles — the test polls the memory sink on the REAL condition
+    instead (the 8a9fc79 pattern)."""
+    src = str(tmp_path / "tagged")
+    sch = "k LONG, ts STRING, _side STRING, id LONG, mult STRING"
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, sch)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    write([(1, "2024-01-01 00:00:01", "config", None, "100"),
+           (1, "2024-01-01 00:00:02", "work", 10, None)])
+    schema = spark.read.parquet(src).schema
+    out = stateful.latest_enrich_stream(
+        spark.readStream.schema(schema).parquet(src),
+        key_cols=["k"],
+        ts="ts",
+        config_cols=["mult"],
+        work_cols=["id"],
+        output_schema="id long, mult_asof string",
+        state_ttl="1 second",
+    )
+    name = "ttl_enrich"
+    q = (
+        out.writeStream.queryName(name)
+        .outputMode("append")
+        .format("memory")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+
+    def wait_for(ident, deadline_s=60):
+        deadline = time.monotonic() + deadline_s
+        while time.monotonic() < deadline:
+            rows = {r.id: r.mult_asof for r in spark.table(name).collect()}
+            if ident in rows:
+                return rows
+            time.sleep(0.3)
+        raise AssertionError(f"work row {ident} never reached the sink")
+
+    try:
+        assert wait_for(10)[10] == "100"
+        time.sleep(2.5)  # TTL 1 s: a continuous batch evicts key 1
+        # key 1 speaks again: enriched as if first-seen (null asof)
+        write([(1, "2024-01-01 00:02:00", "work", 11, None)])
+        got = wait_for(11)
+    finally:
+        q.stop()
+    assert got == {10: "100", 11: None}
