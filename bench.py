@@ -85,6 +85,7 @@ HEADLINE = [
     # round 5: toolchain-built (rustc) wasm guest, watermark-timeout
     # gapfill twin
     "wasm_udf_toolchain_mix",
+    "wasm_udf_toolchain_table",
     "stream_gapfill_watermark_fill",
 ]
 

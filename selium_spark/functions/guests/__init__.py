@@ -41,13 +41,30 @@ TOOLCHAIN_GUEST_SHA256 = (
     "cea205148f5da69ee91875b49cc53917136f5d14661b8583135ca6783f736134"
 )
 
+#: table_guest.wasm: same toolchain/flags as splitmix_guest, built
+#: from table_guest.rs — a static [u8; 16] weight table, so LLVM
+#: emits a REAL linear-memory data segment + memory section (layout
+#: the in-repo assembler never produces). Export
+#: ``nibble_weight_sum(i64) -> i64`` reads the table through raw
+#: pointer loads (i32.load8_u over the data segment).
+TABLE_GUEST_SHA256 = (
+    "090d6f3a4ee52a528bc57eebe6deebb1457e0582324a76eee2fe2d0c18e447a3"
+)
+
+
+def _load(name: str, want_sha: str) -> bytes:
+    data = (_HERE / name).read_bytes()
+    digest = hashlib.sha256(data).hexdigest()
+    if digest != want_sha:
+        raise ValueError(f"{name} digest mismatch: {digest} != {want_sha}")
+    return data
+
 
 def toolchain_guest_bytes() -> bytes:
-    """The rustc-built guest module, integrity-checked on load."""
-    data = (_HERE / "splitmix_guest.wasm").read_bytes()
-    digest = hashlib.sha256(data).hexdigest()
-    if digest != TOOLCHAIN_GUEST_SHA256:
-        raise ValueError(
-            f"splitmix_guest.wasm digest mismatch: {digest} != {TOOLCHAIN_GUEST_SHA256}"
-        )
-    return data
+    """The rustc-built splitmix guest, integrity-checked on load."""
+    return _load("splitmix_guest.wasm", TOOLCHAIN_GUEST_SHA256)
+
+
+def toolchain_table_guest_bytes() -> bytes:
+    """The rustc-built data-segment guest, integrity-checked on load."""
+    return _load("table_guest.wasm", TABLE_GUEST_SHA256)

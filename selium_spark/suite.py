@@ -3398,6 +3398,38 @@ FROM fin GROUP BY bucket ORDER BY bucket
 """
 
 
+def wasm_udf_toolchain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second toolchain guest (rustc, functions/guests/table_guest.rs):
+    a static [u8; 16] weight table makes LLVM emit a REAL linear-memory
+    DATA SEGMENT — the interpreter initializes memory from compiler
+    output, not assembler output, and the export walks the table with
+    i32.load8_u per nibble. Loop body -> scalar tier (the vectorizer
+    declines control flow by design); the input is key-bounded so the
+    per-row tier stays cheap at every SF."""
+    from selium_spark.functions.guests import toolchain_table_guest_bytes
+    from selium_spark.functions.wasm import wasm_pandas_udf
+
+    nws = wasm_pandas_udf(toolchain_table_guest_bytes(), "nibble_weight_sum", "long")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    return (
+        o.select("o_orderkey", nws(F.col("o_orderkey")).alias("weight_sum"))
+        .orderBy("o_orderkey")
+    )
+
+
+# weights table mirrors table_guest.rs WEIGHTS; nibble i of a
+# non-negative BIGINT key is (k >> 4i) & 15
+SQL_WASM_TOOLCHAIN_TABLE = """
+SELECT o_orderkey,
+  CAST(list_sum(list_transform(range(0, 16), i ->
+    ([1,3,7,15,2,6,14,4,12,5,13,8,9,10,11,16])[((o_orderkey >> (4*i)) & 15) + 1]
+  )) AS BIGINT) AS weight_sum
+FROM orders
+WHERE o_orderkey < 2000
+ORDER BY o_orderkey
+"""
+
+
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) cardinality sketch over orders.o_custkey:
     k=256 smallest 52-bit md5 hashes -> (k-1)/U_k estimate, reported
@@ -4980,6 +5012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wasm_udf_guest_tokens": wasm_udf_guest_tokens,
     "wasm_udf_route_scale": wasm_udf_route_scale,
     "wasm_udf_toolchain_mix": wasm_udf_toolchain_mix,
+    "wasm_udf_toolchain_table": wasm_udf_toolchain_table,
     "stream_topk_windowed": stream_topk_windowed,
     "stream_pq_encode": stream_pq_encode,
     "w_gapfill_locf_daily": w_gapfill_locf_daily,
@@ -5125,6 +5158,7 @@ WHERE value % 2 = 0"""
     "wasm_udf_guest_tokens": SQL_WASM_GUEST_TOKENS,
     "wasm_udf_route_scale": SQL_WASM_ROUTE_SCALE,
     "wasm_udf_toolchain_mix": SQL_WASM_TOOLCHAIN_MIX,
+    "wasm_udf_toolchain_table": SQL_WASM_TOOLCHAIN_TABLE,
     "stream_topk_windowed": SQL_STREAM_TOPK,
     "stream_pq_encode": SQL_STREAM_PQ_ENCODE,
     "stream_cms_table": SQL_STREAM_CMS,

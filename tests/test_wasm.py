@@ -774,3 +774,35 @@ def test_toolchain_guest_spark_udf(spark):
     df = spark.range(100).select(sm(F.col("id")).alias("h"))
     got = {i: r.h for i, r in enumerate(df.collect())}
     assert got == {i: _py_splitmix64(i) for i in range(100)}
+
+
+def test_toolchain_table_guest_data_segment():
+    """The rustc-built table guest carries a REAL LLVM data segment
+    (static [u8; 16]) that the interpreter loads into linear memory;
+    nibble_weight_sum reads it via i32.load8_u and matches the Python
+    reference on full-width values."""
+    import hashlib
+
+    from selium_spark.functions.guests import (
+        TABLE_GUEST_SHA256,
+        toolchain_table_guest_bytes,
+    )
+    from selium_spark.functions.wasm_interp import (
+        ScalarWasmFunction,
+        parse_module_image,
+    )
+
+    data = toolchain_table_guest_bytes()
+    assert hashlib.sha256(data).hexdigest() == TABLE_GUEST_SHA256
+    img = parse_module_image(data)
+    assert img.memory_pages >= 1 and len(img.data_segments) >= 1
+
+    weights = [1, 3, 7, 15, 2, 6, 14, 4, 12, 5, 13, 8, 9, 10, 11, 16]
+
+    def ref(x):
+        v = x & 0xFFFFFFFFFFFFFFFF
+        return sum(weights[(v >> (4 * i)) & 15] for i in range(16))
+
+    f = ScalarWasmFunction.from_module(data, "nibble_weight_sum")
+    xs = [0, 1, 42, -7, 123456789, 2**62, -(2**63), 0x123456789ABCDEF0]
+    assert all(f(x) == ref(x) for x in xs)
