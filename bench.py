@@ -87,6 +87,7 @@ HEADLINE = [
     "wasm_udf_toolchain_mix",
     "wasm_udf_toolchain_table",
     "stream_gapfill_watermark_fill",
+    "stream_funnel_abandoned",
 ]
 
 

@@ -337,6 +337,7 @@ def streaming_funnel(
     ts_col: str,
     steps: list[str],
     late_counter=None,
+    abandon_after: str | None = None,
 ) -> DataFrame:
     """Incremental ordered-funnel state per user (the streaming twin of
     windows.funnel): state = (step_reached, last_step_ts); each
@@ -355,13 +356,54 @@ def streaming_funnel(
     ``late_counter`` (e.g. ``Engine.late_counter(name)``) to meter
     them (Drop-mode loss accounting; they were always unable to
     retract a committed step, now the miss is observable).
+
+    Abandonment: with ``abandon_after`` (e.g. ``"7 days"``; requires
+    ``events.withWatermark(ts_col, ...)`` upstream) an INCOMPLETE
+    funnel whose last advance is older than the SLA gets a timer-based
+    ``abandoned=true`` snapshot the moment the watermark passes
+    ``last_step_ts + SLA`` — no further event needed for the user.
+    Readers collapse with ``max(struct(step_reached, abandoned))`` per
+    user: a later real advance supersedes the abandonment row
+    (point-in-time observation, the standard funnel-SLA semantics).
+    Without the option, every emission has ``abandoned=false``.
     """
+    sla_ms: int | None = None
+    if abandon_after is not None:
+        num, unit = abandon_after.split()
+        sla_ms = int(num) * {
+            "second": 1000, "seconds": 1000,
+            "minute": 60_000, "minutes": 60_000,
+            "hour": 3_600_000, "hours": 3_600_000,
+            "day": 86_400_000, "days": 86_400_000,
+        }[unit]
+
+    def _arm(state: GroupState, step: int, t_prev_us) -> None:
+        if sla_ms is None or t_prev_us is None:
+            return
+        wm_ms = state.getCurrentWatermarkMs()
+        if step < len(steps):
+            state.setTimeoutTimestamp(max(t_prev_us // 1000 + sla_ms, wm_ms + 1))
+        else:
+            # completed funnels never abandon: push the armed timeout
+            # beyond any replay horizon (the API has no clear()).
+            # Anchor on EVENT time, not the watermark — in the first
+            # batch the watermark is still 0, and 0 + 10y is 1980,
+            # which a 2024 watermark would immediately "expire".
+            far = max(t_prev_us // 1000, wm_ms) + 10 * 365 * 86_400_000
+            state.setTimeoutTimestamp(far)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
             step, t_prev_us = state.get
         else:
             step, t_prev_us = 0, None
+        if sla_ms is not None and state.hasTimedOut:
+            # SLA expired with the funnel incomplete: flagged snapshot
+            _arm(state, len(steps), t_prev_us)  # emit once per expiry
+            yield pd.DataFrame(
+                {"user": [key[0]], "step_reached": [step], "abandoned": [True]}
+            )
+            return
         parts = [p for p in pdfs if len(p)]
         if parts:
             pdf = pd.concat(parts)
@@ -376,16 +418,23 @@ def streaming_funnel(
                     pdf, step, t_prev_us, type_col, ts_col, steps
                 )
         state.update((step, t_prev_us))
-        yield pd.DataFrame({"user": [key[0]], "step_reached": [step]})
+        _arm(state, step, t_prev_us)
+        yield pd.DataFrame(
+            {"user": [key[0]], "step_reached": [step], "abandoned": [False]}
+        )
 
     return events.select(
         F.col(user_col).alias("user"), F.col(type_col), F.col(ts_col)
     ).groupBy("user").applyInPandasWithState(
         fn,
-        outputStructType="user long, step_reached int",
+        outputStructType="user long, step_reached int, abandoned boolean",
         stateStructType="step int, t_prev_us long",
         outputMode="update",
-        timeoutConf="NoTimeout",
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if abandon_after is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

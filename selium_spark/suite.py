@@ -4455,6 +4455,97 @@ FROM r GROUP BY 1 ORDER BY 1
 """
 
 
+def stream_funnel_abandoned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel-SLA abandonment (timer-based, round 5): an INCOMPLETE
+    funnel quiet past the 5-day SLA gets an event-time-timeout
+    ``abandoned=true`` snapshot with no further event for the user;
+    a later real advance supersedes it under the max(struct) collapse
+    and re-arms the timer from the new step. The oracle computes the
+    same point-in-time rule in batch: abandoned iff the FINAL step is
+    1 or 2 and its timestamp + SLA precedes the stream's final
+    watermark (max event time, 0 s delay). Only QUALIFYING purchases
+    (event_id % 37 == 0) complete the funnel — the synthetic events
+    give every user every type, so without the thinning no user could
+    ever stall and the timeout path would be vacuously green."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    steps = ["signup", "click", "purchase"]
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema).where(
+            (F.col("user_id") < 100)
+            & ((F.col("event_type") != "purchase") | (F.col("event_id") % 37 == 0))
+        )
+        from .operators.stateful import streaming_funnel
+
+        return streaming_funnel(
+            ev.withWatermark("ts", "0 seconds"),
+            "user_id",
+            "event_type",
+            "ts",
+            steps,
+            abandon_after="5 days",
+        )
+
+    snap = replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform,
+        output_mode="update", shuffle_partitions=8,
+    )
+    per_user = snap.groupBy("user").agg(
+        F.max(F.struct("step_reached", "abandoned")).alias("w")
+    )
+    return (
+        per_user.groupBy(
+            F.col("w.step_reached").alias("step_reached"),
+            F.col("w.abandoned").alias("abandoned"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("step_reached", "abandoned")
+    )
+
+
+SQL_STREAM_FUNNEL_ABANDONED = """
+WITH ev AS (
+  SELECT * FROM events
+  WHERE user_id < 100
+    AND (event_type <> 'purchase' OR event_id % 37 = 0)
+),
+users AS (SELECT DISTINCT user_id FROM ev),
+wm AS (SELECT max(ts) AS w FROM ev),
+s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM ev WHERE event_type = 'signup' GROUP BY 1
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t1 FROM ev e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1
+),
+r AS (
+  SELECT u.user_id,
+    CASE WHEN s2.t2 IS NOT NULL THEN 3
+         WHEN s1.t1 IS NOT NULL THEN 2
+         WHEN s0.t0 IS NOT NULL THEN 1
+         ELSE 0 END AS step_reached,
+    coalesce(s2.t2, s1.t1, s0.t0) AS t_last
+  FROM users u
+  LEFT JOIN s0 ON u.user_id = s0.user_id
+  LEFT JOIN s1 ON u.user_id = s1.user_id
+  LEFT JOIN s2 ON u.user_id = s2.user_id
+)
+SELECT CAST(step_reached AS INT) AS step_reached,
+  (step_reached IN (1, 2)
+   AND t_last + INTERVAL 5 DAY < (SELECT w FROM wm)) AS abandoned,
+  COUNT(*) AS n_users
+FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running per-key stats over an unbounded stream: count + exact
     decimal sum/sumsq per event_type in complete mode — the state is
@@ -4949,6 +5040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_window_counts": stream_window_counts,
     "stream_dedup_exact": stream_dedup_exact,
     "stream_funnel_steps": stream_funnel_steps,
+    "stream_funnel_abandoned": stream_funnel_abandoned,
     "stream_running_stats": stream_running_stats,
     "stream_cms_table": stream_cms_table,
     "rollup_hierarchical": rollup_hierarchical,
@@ -5166,6 +5258,7 @@ WHERE value % 2 = 0"""
     "cohort_retention_weekly": SQL_COHORT,
     "zscore_value_outliers": SQL_ZSCORE,
     "stream_funnel_steps": SQL_STREAM_FUNNEL,
+    "stream_funnel_abandoned": SQL_STREAM_FUNNEL_ABANDONED,
     "stream_running_stats": SQL_STREAM_STATS,
     "w_gapfill_locf_daily": SQL_GAPFILL,
     "w_gapfill_locf_hourly": SQL_GAPFILL_HOURLY,
