@@ -86,6 +86,7 @@ HEADLINE = [
     # gapfill twin
     "wasm_udf_toolchain_mix",
     "wasm_udf_toolchain_table",
+    "wasm_udf_toolchain_dispatch",
     "stream_gapfill_watermark_fill",
     "stream_funnel_abandoned",
 ]

@@ -68,3 +68,20 @@ def toolchain_guest_bytes() -> bytes:
 def toolchain_table_guest_bytes() -> bytes:
     """The rustc-built data-segment guest, integrity-checked on load."""
     return _load("table_guest.wasm", TABLE_GUEST_SHA256)
+
+
+#: dispatch_guest.wasm: a static table of fn POINTERS
+#: (dispatch_guest.rs) — LLVM emits a funcref ELEMENT SEGMENT, stores
+#: the table indices in a data segment, and the export loads an index
+#: (i32.load) and dispatches with call_indirect: the lowering shape of
+#: trait objects, from a real compiler. Export
+#: ``route_apply(x: i64, sel: i64) -> i64`` (sel & 3 picks
+#: +1 / *2 / negate / identity).
+DISPATCH_GUEST_SHA256 = (
+    "70a25452e1618aff73eb32cbbc3c1b588320e8c4f45004aee715cb43f8418ce8"
+)
+
+
+def toolchain_dispatch_guest_bytes() -> bytes:
+    """The rustc-built element-segment dispatch guest."""
+    return _load("dispatch_guest.wasm", DISPATCH_GUEST_SHA256)

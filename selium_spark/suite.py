@@ -3430,6 +3430,45 @@ ORDER BY o_orderkey
 """
 
 
+def wasm_udf_toolchain_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third toolchain guest (functions/guests/dispatch_guest.rs): a
+    static fn-pointer table makes rustc emit a funcref ELEMENT SEGMENT
+    + call_indirect — the trait-object lowering shape from a real
+    compiler, not the in-repo assembler. ``route_apply(x, sel)``
+    loads the table index from linear memory and dispatches; the
+    oracle mirrors the four routines with a CASE on sel & 3."""
+    from selium_spark.functions.guests import toolchain_dispatch_guest_bytes
+    from selium_spark.functions.wasm import wasm_pandas_udf
+
+    route = wasm_pandas_udf(toolchain_dispatch_guest_bytes(), "route_apply", "long")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    return (
+        o.select(
+            (F.col("o_custkey") % 4).alias("sel"),
+            route(F.col("o_orderkey"), F.col("o_custkey")).alias("routed"),
+        )
+        .groupBy("sel")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("routed").alias("sum_routed"),
+        )
+        .orderBy("sel")
+    )
+
+
+SQL_WASM_TOOLCHAIN_DISPATCH = """
+SELECT o_custkey % 4 AS sel, COUNT(*) AS n,
+  CAST(SUM(CASE (o_custkey & 3)
+      WHEN 0 THEN o_orderkey + 1
+      WHEN 1 THEN o_orderkey * 2
+      WHEN 2 THEN -o_orderkey
+      ELSE o_orderkey END) AS BIGINT) AS sum_routed
+FROM orders
+WHERE o_orderkey < 2000
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) cardinality sketch over orders.o_custkey:
     k=256 smallest 52-bit md5 hashes -> (k-1)/U_k estimate, reported
@@ -5105,6 +5144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wasm_udf_route_scale": wasm_udf_route_scale,
     "wasm_udf_toolchain_mix": wasm_udf_toolchain_mix,
     "wasm_udf_toolchain_table": wasm_udf_toolchain_table,
+    "wasm_udf_toolchain_dispatch": wasm_udf_toolchain_dispatch,
     "stream_topk_windowed": stream_topk_windowed,
     "stream_pq_encode": stream_pq_encode,
     "w_gapfill_locf_daily": w_gapfill_locf_daily,
@@ -5251,6 +5291,7 @@ WHERE value % 2 = 0"""
     "wasm_udf_route_scale": SQL_WASM_ROUTE_SCALE,
     "wasm_udf_toolchain_mix": SQL_WASM_TOOLCHAIN_MIX,
     "wasm_udf_toolchain_table": SQL_WASM_TOOLCHAIN_TABLE,
+    "wasm_udf_toolchain_dispatch": SQL_WASM_TOOLCHAIN_DISPATCH,
     "stream_topk_windowed": SQL_STREAM_TOPK,
     "stream_pq_encode": SQL_STREAM_PQ_ENCODE,
     "stream_cms_table": SQL_STREAM_CMS,

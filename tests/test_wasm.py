@@ -806,3 +806,33 @@ def test_toolchain_table_guest_data_segment():
     f = ScalarWasmFunction.from_module(data, "nibble_weight_sum")
     xs = [0, 1, 42, -7, 123456789, 2**62, -(2**63), 0x123456789ABCDEF0]
     assert all(f(x) == ref(x) for x in xs)
+
+
+def test_toolchain_dispatch_guest_element_segment():
+    """The rustc-built dispatch guest carries a funcref ELEMENT
+    SEGMENT (static fn-pointer table, the trait-object lowering):
+    route_apply loads a table index from linear memory and
+    call_indirects through it; values match the Python reference,
+    including negative selectors (i64 & semantics)."""
+    import hashlib
+
+    from selium_spark.functions.guests import (
+        DISPATCH_GUEST_SHA256,
+        toolchain_dispatch_guest_bytes,
+    )
+    from selium_spark.functions.wasm_interp import (
+        ScalarWasmFunction,
+        parse_module_image,
+    )
+
+    data = toolchain_dispatch_guest_bytes()
+    assert hashlib.sha256(data).hexdigest() == DISPATCH_GUEST_SHA256
+    img = parse_module_image(data)
+    assert img.table is not None and len([t for t in img.table if t is not None]) >= 4
+
+    def ref(x, sel):
+        return [x + 1, x * 2, -x, x][sel & 3]
+
+    f = ScalarWasmFunction.from_module(data, "route_apply")
+    cases = [(5, s) for s in range(6)] + [(-9, 2), (-9, 3), (7, -3), (0, -1)]
+    assert all(f(x, s) == ref(x, s) for x, s in cases)
