@@ -295,23 +295,39 @@ def streaming_lsh_pairs(
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # Vectorized pair emission (the r5 no-per-row-Python sweep):
+        # each NEW doc pairs with every doc that preceded it in
+        # processing order, so the batch's pairs are the upper-triangle
+        # combinations of [seen ++ kept_new] whose second element is
+        # new, plus (over-cap docs x the capped set) — numpy triu /
+        # broadcast, no Python loop over docs.
         seen: list[int] = list(state.get[0]) if state.exists else []
-        out_a: list[int] = []
-        out_b: list[int] = []
-        for pdf in pdfs:
-            for doc in sorted(pdf[id_col].tolist()):
-                doc = int(doc)
-                if doc in seen:
-                    continue
-                for other in seen:
-                    lo, hi = (other, doc) if other < doc else (doc, other)
-                    out_a.append(lo)
-                    out_b.append(hi)
-                if len(seen) < max_state_ids:
-                    seen.append(doc)
-        state.update(([int(x) for x in seen],))
-        if out_a:
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update(([int(x) for x in seen],))
+            return
+        batch = np.unique(
+            np.concatenate([p[id_col].to_numpy(dtype="int64") for p in parts])
+        )  # sorted + de-duped within the batch
+        if seen:
+            new = batch[~np.isin(batch, np.asarray(seen, dtype="int64"))]
+        else:
+            new = batch
+        if new.size == 0:
+            state.update(([int(x) for x in seen],))
+            return
+        m = len(seen)
+        room = max(max_state_ids - m, 0)
+        kept, over = new[:room], new[room:]
+        arr = np.concatenate((np.asarray(seen, dtype="int64"), kept))
+        ii, jj = np.triu_indices(len(arr), k=1)
+        keep_pair = jj >= m  # second element is a NEW doc
+        a = np.concatenate((arr[ii[keep_pair]], np.repeat(over, len(arr))))
+        b = np.concatenate((arr[jj[keep_pair]], np.tile(arr, len(over))))
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        state.update(([int(x) for x in arr],))
+        if len(lo):
+            yield pd.DataFrame({"id_a": lo, "id_b": hi})
 
     return banded.groupBy(band_key).applyInPandasWithState(
         fn,

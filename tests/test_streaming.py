@@ -1010,3 +1010,33 @@ def test_streaming_funnel_abandonment_timeout(spark, tmp_path):
         (F.col("user") == 3) & F.col("abandoned")
     ).count() >= 0  # may or may not fire before the advance lands; the
     # contract asserted above is the collapsed snapshot
+
+
+def test_streaming_lsh_pairs_cap_semantics(spark, tmp_path):
+    """State cap: docs beyond max_state_ids still pair against the
+    capped set but never enter state (no pairs between two over-cap
+    docs) — the vectorized emission preserves the original fold's
+    contract exactly."""
+    rows = [(d, 0, "bucket0") for d in range(6)]
+    src = str(tmp_path / "banded")
+    (
+        spark.createDataFrame(rows, "doc_id LONG, band_id INT, band_key STRING")
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    schema = spark.read.parquet(src).schema
+    out = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_lsh_pairs(s, max_state_ids=3),
+        output_mode="append",
+        shuffle_partitions=2,
+    )
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    capped = {0, 1, 2}          # enter state
+    over = {3, 4, 5}            # pair against the capped set only
+    want = {(a, b) for b in capped for a in capped if a < b} | {
+        (a, b) for b in over for a in capped if a < b
+    }
+    assert got == want  # no over-x-over pairs
