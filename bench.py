@@ -89,6 +89,8 @@ HEADLINE = [
     "wasm_udf_toolchain_dispatch",
     "stream_gapfill_watermark_fill",
     "stream_funnel_abandoned",
+    # round 5 late: LLVM loop codegen on the masked-lane vectorized tier
+    "wasm_udf_toolchain_loop",
 ]
 
 

@@ -15,10 +15,12 @@ store, subsystem/filesystem-store/src/driver.rs:17-21, maps to
 Execution tiers, best available first:
 
 1. Vectorized numpy kernel (wasm_interp.compile_vectorized): the
-   straight-line body is symbolically executed once into whole-batch
-   array ops (uint64 wrap arithmetic == wasm i64 semantics) — the
-   Arrow batch never drops to per-row Python. This is the scale path
-   and handles every checked-in module.
+   body is symbolically executed into whole-batch array ops (uint64
+   wrap arithmetic == wasm i64 semantics); structured control flow —
+   block/loop/if + br/br_if, the shape LLVM emits for scalar -O2
+   functions — runs SIMT-style under a lane mask, so even loop-codegen
+   guests never drop to per-row Python. This is the scale path and
+   handles every arithmetic export of the checked-in modules.
 2. ``wasmtime`` (if a wheel is importable): the real engine runs the
    module bytes per row — used for bodies the vectorizer declines
    (out-of-profile opcodes), and cross-checked against tier 1 in

@@ -26,9 +26,11 @@ bytes) — so byte-processing guests
 (the reference's chunked-stream compute model,
 system/userland/src/io.rs:288) run without wasmtime: the host writes
 a record's bytes into guest memory and calls the export with
-(ptr, len). The vectorized compiler stays straight-line and falls
-back to this tier for loop/memory bodies. With wasmtime installed,
-functions/wasm.py runs the SAME bytes on the real engine instead.
+(ptr, len). The vectorized compiler handles arithmetic bodies
+INCLUDING structured loops (masked-lane execution, see
+``compile_vectorized``) and falls back to this tier for memory/call
+bodies. With wasmtime installed, functions/wasm.py runs the SAME
+bytes on the real engine instead.
 """
 
 from __future__ import annotations
@@ -998,23 +1000,96 @@ class ScalarWasmFunction:
 # ---------------------------------------------------------------------------
 #
 # Per-row interpretation is the UDF slow path Spark docs warn about. A
-# straight-line wasm body is a pure dataflow over its locals, so we can
-# symbolically execute it ONCE, with numpy arrays on the stack instead
-# of scalars, and get a whole-batch kernel: i64 ops run in uint64
-# (C wrap-around == wasm wrap-around), signed views where sign matters,
-# `select` becomes np.where. ~100x over the scalar interpreter on
-# Arrow-sized batches; semantics pinned equal by tests/test_wasm.py.
+# wasm body is a pure dataflow over its locals, so we can symbolically
+# execute it with numpy arrays on the stack instead of scalars and get
+# a whole-batch kernel: i64 ops run in uint64 (C wrap-around == wasm
+# wrap-around), signed views where sign matters, `select` becomes
+# np.where. Structured control flow — block/loop/if with VOID block
+# types plus br/br_if, the exact shape LLVM emits for -O2 scalar
+# functions (fib_wrap/popcount64 in functions/guests/splitmix_guest.rs)
+# — runs SIMT-style under a lane mask: a taken branch deactivates its
+# lanes and parks them on the target label; a loop re-runs its body
+# until no lane takes the back-edge, exited lanes riding along masked.
+# ~100x over the scalar interpreter on Arrow-sized batches; semantics
+# pinned equal by tests/test_wasm.py.
+
+#: opcodes the vectorized tier executes. Membership is validated
+#: STATICALLY before a kernel is built, so tier selection happens at
+#: compile time — a masked executor must never discover an unsupported
+#: opcode mid-job on a control path the 1-element probe didn't reach.
+_VEC_OPS = frozenset(
+    {
+        0x02, 0x03, 0x04, 0x05, 0x0B, 0x0C, 0x0D,        # structured control
+        0x1A, 0x1B, 0x20, 0x21, 0x22,                     # drop/select/locals
+        0x41, 0x42, 0x44,                                 # consts
+        0x45, 0x46, 0x47, 0x71, 0x72, 0x73,               # i32 eqz/eq/ne, bitwise
+        0x50, 0x51, 0x52, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A,
+        0x7C, 0x7D, 0x7E, 0x7F, 0x80, 0x81, 0x82,         # i64 arithmetic
+        0x83, 0x84, 0x85, 0x86, 0x87, 0x88,               # i64 bitwise/shifts
+        0x99, 0x9A, 0x9F, 0xA0, 0xA1, 0xA2, 0xA3, 0xA4, 0xA5,  # f64
+        0xB0, 0xB9,                                        # f64 <-> i64
+    }
+)
+
+#: runaway-guest guard: max re-entries of one loop frame per batch.
+#: A counted loop converges in <= the max lane trip count (popcount64:
+#: 64; the 8x-unrolled fib_wrap: 13); anything near this cap is a
+#: non-terminating guest and traps like wasmtime's fuel mechanism.
+_VEC_MAX_LOOP_ITERS = 65_536
+
+
+def _validate_vectorizable(body: bytes) -> None:
+    """Static profile check for :func:`compile_vectorized`.
+
+    Raises NotImplementedError naming the first out-of-profile
+    construct: non-void block types, br/br_if targeting the function
+    label (early return), br_table, calls, memory access, or any
+    opcode outside ``_VEC_OPS``.
+    """
+    r = _Reader(body)
+    depth = 0
+    while not r.eof():
+        op = r.byte()
+        if op in _BLOCK_OPS:  # block / loop / if
+            if r.byte() != _VOID_BT:
+                raise NotImplementedError(
+                    "wasm non-void block types not vectorizable in this profile"
+                )
+            depth += 1
+        elif op == 0x0B:
+            if depth:
+                depth -= 1
+        elif op in (0x0C, 0x0D):  # br / br_if
+            if r.uleb() >= depth:
+                raise NotImplementedError(
+                    "wasm br targeting the function label (early return) "
+                    "not vectorizable in this profile"
+                )
+        elif op not in _VEC_OPS:
+            raise NotImplementedError(
+                f"wasm opcode 0x{op:02x} not vectorizable in this profile"
+            )
+        elif op in (0x20, 0x21, 0x22):
+            r.uleb()
+        elif op in (0x41, 0x42):
+            r.sleb()
+        elif op == 0x44:
+            r.take(8)
 
 
 def compile_vectorized(func: WasmFunc):
-    """Build a numpy batch kernel for a straight-line body.
+    """Build a numpy batch kernel for a structured, call-free body.
 
     Returns ``kernel(*arrays) -> array``: i64 params/results use
     int64 arrays (two's-complement), f64 use float64. Raises
-    NotImplementedError for opcodes outside the profile — callers fall
-    back to the scalar interpreter.
+    NotImplementedError at BUILD time for bodies outside the profile
+    (see :func:`_validate_vectorizable`) — callers fall back to
+    wasmtime / the scalar interpreter.
     """
     import numpy as np
+
+    _validate_vectorizable(func.body)
+    ctrl = _scan_control(func.body)
 
     # All i64 stack values are uint64 ndarrays or np.uint64 scalars —
     # never Python ints (mixing those with uint64 promotes to float64
@@ -1048,6 +1123,60 @@ def compile_vectorized(func: WasmFunc):
                 np.zeros(n, np.float64) if vt == F64 else np.zeros(n, np.uint64)
             )
 
+        # --- SIMT lane-mask machinery -------------------------------
+        # ``active`` is the bool mask of lanes executing the current
+        # instruction. It is only ever REASSIGNED (mask arrays are
+        # never mutated in place), so ``all_true`` doubles as a cheap
+        # identity sentinel: straight-line bodies never leave it and
+        # pay zero masking overhead. ``frames`` holds the enclosing
+        # block/loop/if labels (innermost last); a branch parks its
+        # lanes on the target frame's ``pending`` mask, and those
+        # lanes rejoin where wasm says they do — a block's end, a
+        # loop's header, an if's end.
+        all_true = np.ones(n, bool)
+        active = all_true
+        frames: list[dict] = []
+
+        def lanes(cond):
+            """Normalize a (possibly scalar) wasm condition to a mask."""
+            c = np.asarray(cond) != 0
+            if c.ndim == 0:
+                return all_true if bool(c) else np.zeros(n, bool)
+            return c
+
+        def set_local(i, v):
+            if active is all_true:
+                locals_[i] = v
+            else:
+                locals_[i] = np.where(active, v, locals_[i])
+
+        def div_guard(b, one):
+            """Active-lane zero check; inactive lanes' divisors are
+            replaced so masked-out garbage can't fault the batch."""
+            bz = np.asarray(b == 0)
+            if bz.ndim == 0:
+                if bool(bz) and (active is all_true or active.any()):
+                    raise ZeroDivisionError("wasm i64 div/rem by zero")
+                return b
+            if np.any(bz if active is all_true else (bz & active)):
+                raise ZeroDivisionError("wasm i64 div/rem by zero")
+            return np.where(bz, one, b) if bz.any() else b
+
+        def fast_forward(r):
+            """No lane active: jump to the innermost offset where lanes
+            can rejoin — the else arm of an if (so its lanes get
+            swapped in), else the construct's end."""
+            fr = frames[-1]
+            if (
+                fr["kind"] == "if"
+                and fr["else_mask"] is not None
+                and fr["else_off"] is not None
+                and r.pos <= fr["else_off"]
+            ):
+                r.pos = fr["else_off"]
+            else:
+                r.pos = fr["end_off"]
+
         stack: list = []
         push = stack.append
         pop = stack.pop
@@ -1055,21 +1184,126 @@ def compile_vectorized(func: WasmFunc):
         with np.errstate(over="ignore"):
             while True:
                 op = r.byte()
-                if op == 0x0B:
-                    break
+                if op == 0x0B:  # end of function / block / loop / if
+                    if not frames:
+                        break
+                    fr = frames.pop()
+                    if fr["kind"] == "loop":
+                        exited = fr["exited"]
+                        if active.any():
+                            exited = active if exited is None else exited | active
+                        pend = fr["pending"]
+                        if pend is not None and pend.any():
+                            fr["iters"] += 1
+                            if fr["iters"] > _VEC_MAX_LOOP_ITERS:
+                                raise WasmTrap(
+                                    "vectorized loop exceeded "
+                                    f"{_VEC_MAX_LOOP_ITERS} iterations"
+                                )
+                            fr["pending"] = None
+                            fr["exited"] = exited
+                            frames.append(fr)
+                            active = pend
+                            r.pos = fr["body_start"]
+                            continue
+                        active = exited if exited is not None else np.zeros(n, bool)
+                    elif fr["kind"] == "block":
+                        if fr["pending"] is not None:
+                            active = active | fr["pending"]
+                    else:  # if: rejoin arm survivors, skipped lanes, brs
+                        for extra in (fr["then_mask"], fr["else_mask"], fr["pending"]):
+                            if extra is not None:
+                                active = active | extra
+                    if frames and not active.any():
+                        fast_forward(r)
+                elif op == 0x02:  # block (void)
+                    end_off, _els = ctrl[r.pos - 1]
+                    r.byte()  # blocktype (validated void)
+                    frames.append({"kind": "block", "end_off": end_off, "pending": None})
+                elif op == 0x03:  # loop (void)
+                    end_off, _els = ctrl[r.pos - 1]
+                    r.byte()
+                    frames.append(
+                        {
+                            "kind": "loop",
+                            "end_off": end_off,
+                            "body_start": r.pos,
+                            "pending": None,
+                            "exited": None,
+                            "iters": 0,
+                        }
+                    )
+                elif op == 0x04:  # if (void)
+                    end_off, else_off = ctrl[r.pos - 1]
+                    r.byte()
+                    c = lanes(pop())
+                    frames.append(
+                        {
+                            "kind": "if",
+                            "end_off": end_off,
+                            "else_off": else_off,
+                            "pending": None,
+                            "then_mask": None,
+                            "else_mask": active & ~c,
+                        }
+                    )
+                    active = active & c
+                    if not active.any():
+                        fast_forward(r)
+                elif op == 0x05:  # else: park then-arm, run else-arm
+                    fr = frames[-1]
+                    fr["then_mask"] = active
+                    active = fr["else_mask"]
+                    fr["else_mask"] = None
+                    if not active.any():
+                        fast_forward(r)
+                elif op == 0x0C:  # br
+                    d = r.uleb()
+                    fr = frames[-1 - d]
+                    fr["pending"] = (
+                        active if fr["pending"] is None else fr["pending"] | active
+                    )
+                    active = np.zeros(n, bool)
+                    fast_forward(r)
+                elif op == 0x0D:  # br_if
+                    d = r.uleb()
+                    c = lanes(pop())
+                    br_m = active & c
+                    if br_m.any():
+                        fr = frames[-1 - d]
+                        fr["pending"] = (
+                            br_m if fr["pending"] is None else fr["pending"] | br_m
+                        )
+                        active = active & ~c
+                        if not active.any():
+                            fast_forward(r)
                 elif op == 0x20:
                     push(locals_[r.uleb()])
                 elif op == 0x21:
-                    locals_[r.uleb()] = pop()
+                    set_local(r.uleb(), pop())
                 elif op == 0x22:
-                    locals_[r.uleb()] = stack[-1]
+                    set_local(r.uleb(), stack[-1])
+                elif op == 0x1A:  # drop
+                    pop()
                 elif op == 0x1B:  # select
                     c = pop(); b = pop(); a = pop()
                     push(np.where(c != 0, a, b))
+                elif op == 0x41:  # i32.const (low-32 value, zero-extended)
+                    push(np.uint64(r.sleb() & (_U32 - 1)))
                 elif op == 0x42:
                     push(np.uint64(r.sleb() & (_U64 - 1)))
                 elif op == 0x44:
                     push(np.float64(struct.unpack("<d", r.take(8))[0]))
+                elif op == 0x45:  # i32.eqz
+                    push(((_u(pop()) & np.uint64(_U32 - 1)) == 0).astype(np.uint64))
+                elif op in (0x46, 0x47):  # i32.eq / i32.ne (low 32 bits)
+                    b = _u(pop()) & np.uint64(_U32 - 1)
+                    a = _u(pop()) & np.uint64(_U32 - 1)
+                    push(((a == b) if op == 0x46 else (a != b)).astype(np.uint64))
+                elif op in (0x71, 0x72, 0x73):  # i32.and / or / xor
+                    b = _u(pop()); a = _u(pop())
+                    v = {0x71: a & b, 0x72: a | b, 0x73: a ^ b}[op]
+                    push(v & np.uint64(_U32 - 1))
                 elif op == 0x7C:
                     b = pop(); push(_u(pop()) + _u(b))
                 elif op == 0x7D:
@@ -1078,8 +1312,7 @@ def compile_vectorized(func: WasmFunc):
                     b = pop(); push(_u(pop()) * _u(b))
                 elif op in (0x7F, 0x81):  # i64.div_s / rem_s (trunc toward 0)
                     b = _s(pop()); a = _s(pop())
-                    if np.any(b == 0):
-                        raise ZeroDivisionError("wasm i64 div/rem by zero")
+                    b = div_guard(b, np.int64(1))
                     q = (np.abs(a.astype(object)) // np.abs(b.astype(object)))
                     q = np.where((a < 0) != (b < 0), -q, q)
                     if op == 0x7F:
@@ -1087,6 +1320,10 @@ def compile_vectorized(func: WasmFunc):
                     else:
                         out = a.astype(object) - q * b.astype(object)
                     push(np.array([_wrap64(int(x)) for x in out], np.int64).view(np.uint64))
+                elif op in (0x80, 0x82):  # i64.div_u / rem_u
+                    b = _u(pop()); a = _u(pop())
+                    b = div_guard(b, np.uint64(1))
+                    push(a // b if op == 0x80 else a % b)
                 elif op == 0x83:
                     b = pop(); push(_u(pop()) & _u(b))
                 elif op == 0x84:
@@ -1108,6 +1345,12 @@ def compile_vectorized(func: WasmFunc):
                     cmp = {
                         0x51: a == b, 0x52: a != b, 0x53: a < b,
                         0x55: a > b, 0x57: a <= b, 0x59: a >= b,
+                    }[op]
+                    push(cmp.astype(np.uint64))
+                elif op in (0x54, 0x56, 0x58, 0x5A):  # i64 unsigned cmps
+                    b = _u(pop()); a = _u(pop())
+                    cmp = {
+                        0x54: a < b, 0x56: a > b, 0x58: a <= b, 0x5A: a >= b,
                     }[op]
                     push(cmp.astype(np.uint64))
                 elif op == 0xA0:

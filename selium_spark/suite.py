@@ -3403,9 +3403,10 @@ def wasm_udf_toolchain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     a static [u8; 16] weight table makes LLVM emit a REAL linear-memory
     DATA SEGMENT — the interpreter initializes memory from compiler
     output, not assembler output, and the export walks the table with
-    i32.load8_u per nibble. Loop body -> scalar tier (the vectorizer
-    declines control flow by design); the input is key-bounded so the
-    per-row tier stays cheap at every SF."""
+    i32.load8_u per nibble. Memory-reading body -> scalar tier (the
+    vectorizer declines linear-memory access by design; loops alone it
+    runs masked, see wasm_udf_toolchain_loop); the input is key-bounded
+    so the per-row tier stays cheap at every SF."""
     from selium_spark.functions.guests import toolchain_table_guest_bytes
     from selium_spark.functions.wasm import wasm_pandas_udf
 
@@ -3466,6 +3467,47 @@ SELECT o_custkey % 4 AS sel, COUNT(*) AS n,
 FROM orders
 WHERE o_orderkey < 2000
 GROUP BY 1 ORDER BY 1
+"""
+
+
+def wasm_udf_toolchain_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loop-codegen exports of the rustc guest on the VECTORIZED tier:
+    ``popcount64`` (shift-mask loop) and ``fib_wrap`` (8x-unrolled
+    counted loop + epilogue, real LLVM block/loop/br_if structure) run
+    as masked-lane numpy kernels — no per-row Python on the whole scan
+    (wasm_interp.compile_vectorized, ~100-500x over the scalar tier).
+    This is the "arbitrary guests at column scale" claim of selium's
+    wasmtime host (subsystem/wasmtime/src/lib.rs:87-231) exercised
+    against real compiler loop output, un-filtered over orders.
+    fib input is bounded % 50 so the oracle's BIGINT fib table needs
+    no wrap arithmetic; popcount covers all 64 input bits."""
+    from selium_spark.functions.guests import toolchain_guest_bytes
+    from selium_spark.functions.wasm import wasm_pandas_udf
+
+    pc = wasm_pandas_udf(toolchain_guest_bytes(), "popcount64", "long")
+    fib = wasm_pandas_udf(toolchain_guest_bytes(), "fib_wrap", "long")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            pc(F.col("o_orderkey")).alias("bits"),
+            fib(F.col("o_orderkey") % 50).alias("fb"),
+        )
+        .groupBy("bits")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("fb").alias("fib_sum"))
+        .orderBy("bits")
+    )
+
+
+SQL_WASM_TOOLCHAIN_LOOP = """
+WITH RECURSIVE fib(i, a, b) AS (
+  SELECT 0, 0::BIGINT, 1::BIGINT
+  UNION ALL SELECT i + 1, b, a + b FROM fib WHERE i < 49
+)
+SELECT CAST(bit_count(o_orderkey) AS BIGINT) AS bits,
+       COUNT(*) AS n,
+       CAST(SUM(f.a) AS BIGINT) AS fib_sum
+FROM orders o JOIN fib f ON f.i = o.o_orderkey % 50
+GROUP BY bits ORDER BY bits
 """
 
 
@@ -5145,6 +5187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wasm_udf_toolchain_mix": wasm_udf_toolchain_mix,
     "wasm_udf_toolchain_table": wasm_udf_toolchain_table,
     "wasm_udf_toolchain_dispatch": wasm_udf_toolchain_dispatch,
+    "wasm_udf_toolchain_loop": wasm_udf_toolchain_loop,
     "stream_topk_windowed": stream_topk_windowed,
     "stream_pq_encode": stream_pq_encode,
     "w_gapfill_locf_daily": w_gapfill_locf_daily,
@@ -5292,6 +5335,7 @@ WHERE value % 2 = 0"""
     "wasm_udf_toolchain_mix": SQL_WASM_TOOLCHAIN_MIX,
     "wasm_udf_toolchain_table": SQL_WASM_TOOLCHAIN_TABLE,
     "wasm_udf_toolchain_dispatch": SQL_WASM_TOOLCHAIN_DISPATCH,
+    "wasm_udf_toolchain_loop": SQL_WASM_TOOLCHAIN_LOOP,
     "stream_topk_windowed": SQL_STREAM_TOPK,
     "stream_pq_encode": SQL_STREAM_PQ_ENCODE,
     "stream_cms_table": SQL_STREAM_CMS,

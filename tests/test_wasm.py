@@ -228,12 +228,62 @@ def test_interpreter_if_else_and_nested_branches():
     assert f(11) == 1 and f(10) == -1 and f(-5) == -1
 
 
-def test_vectorized_compiler_refuses_loops_interpreter_hosts_them():
+def test_vectorized_compiler_runs_loops_masked():
+    """The masked-lane (SIMT) vectorized tier executes structured
+    loops: divergent per-lane trip counts (digit_sum of 1..16-digit
+    numbers), div/rem inside the loop body, and a br out of nested
+    blocks — all matching the scalar interpreter lane for lane."""
+    import numpy as np
+
     from selium_spark.functions.wasm_interp import compile_vectorized
     from selium_spark.functions.wasm_modules import LOOP_MODULE
 
-    with pytest.raises(NotImplementedError):
-        compile_vectorized(parse_module(LOOP_MODULE)["digit_sum"])
+    vec = compile_vectorized(parse_module(LOOP_MODULE)["digit_sum"])
+    ref = ScalarWasmFunction.from_module(LOOP_MODULE, "digit_sum")
+    xs = np.array(
+        [0, 7, 10, 99, 123456789, -405, 10**15 - 1, -(2**63), 2**63 - 1],
+        dtype=np.int64,
+    )
+    assert [int(v) for v in vec(xs)] == [ref(int(x)) for x in xs]
+
+
+def test_vectorized_loop_iteration_cap_traps():
+    """A guest whose loop never converges traps (the runaway guard,
+    analogous to wasmtime fuel) instead of hanging the executor."""
+    from selium_spark.functions import wasm_modules as m
+    from selium_spark.functions.wasm_interp import WasmTrap, compile_vectorized
+
+    spin = (
+        bytes([0x02, m.VOID, 0x03, m.VOID, 0x0C]) + m._uleb(0)
+        + bytes([m.END, m.END]) + m.i64_const(0) + bytes([m.END])
+    )
+    mod = m._assemble([("spin", [m.I64], [m.I64], spin, [])])
+    with pytest.raises(WasmTrap):
+        compile_vectorized(parse_module(mod)["spin"])
+
+
+def test_vectorized_if_else_masked():
+    """if/else under the lane mask: lanes split between the arms and
+    rejoin at end with the right per-lane values."""
+    import numpy as np
+
+    from selium_spark.functions import wasm_modules as m
+    from selium_spark.functions.wasm_interp import compile_vectorized
+
+    body = (
+        m.local_get(0) + m.i64_const(10) + bytes([m.I64_GT_S])
+        + bytes([0x04, m.VOID])
+        + m.i64_const(1) + bytes([0x21]) + m._uleb(1)
+        + bytes([0x05])
+        + m.i64_const(-1) + bytes([0x21]) + m._uleb(1)
+        + bytes([m.END])
+        + m.local_get(1)
+        + bytes([m.END])
+    )
+    mod = m._assemble([("sign10", [m.I64], [m.I64], body, [m.I64])])
+    vec = compile_vectorized(parse_module(mod)["sign10"])
+    xs = np.array([11, 10, -5, 2**62, -(2**63)], dtype=np.int64)
+    assert [int(v) for v in vec(xs)] == [1, -1, -1, 1, -1]
 
 
 def test_digit_sum_guest_on_spark(spark):
@@ -718,10 +768,10 @@ def _py_splitmix64(x: int) -> int:
 
 
 def test_toolchain_guest_values_all_tiers():
-    """Scalar interpreter matches the Python reference on every export;
-    the straight-line exports also compile on the vectorized tier and
-    agree; the loop exports are declined by the vectorizer (0x02
-    block) and fall back — the documented tiering."""
+    """Scalar interpreter matches the Python reference on every export,
+    and every export — straight-line mixers AND the loop-codegen
+    fib_wrap/popcount64 — compiles on the vectorized masked-lane tier
+    and agrees lane for lane."""
     import numpy as np
     import pytest
 
@@ -753,13 +803,13 @@ def test_toolchain_guest_values_all_tiers():
     assert all(pc(x) == bin(x & 0xFFFFFFFFFFFFFFFF).count("1") for x in xs)
 
     arr = np.array(xs, dtype=np.int64)
-    for name in ("splitmix64", "mix_bucket8"):
+    # ALL four exports — including the loop-codegen fib_wrap/popcount64
+    # (real LLVM block/loop/br_if structure) — now run on the
+    # vectorized masked-lane tier and agree with the scalar reference.
+    for name in ("splitmix64", "mix_bucket8", "fib_wrap", "popcount64"):
         vec = compile_vectorized(funcs[name])
         ref = ScalarWasmFunction(funcs[name])
         assert (vec(arr) == np.array([ref(int(x)) for x in xs], dtype=np.int64)).all()
-    for name in ("fib_wrap", "popcount64"):
-        with pytest.raises(NotImplementedError):
-            compile_vectorized(funcs[name])
 
 
 def test_toolchain_guest_spark_udf(spark):
