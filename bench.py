@@ -89,8 +89,10 @@ HEADLINE = [
     "wasm_udf_toolchain_dispatch",
     "stream_gapfill_watermark_fill",
     "stream_funnel_abandoned",
-    # round 5 late: LLVM loop codegen on the masked-lane vectorized tier
+    # round 5 late: LLVM loop codegen on the masked-lane vectorized
+    # tier; DSIR importance resampling
     "wasm_udf_toolchain_loop",
+    "text_dsir_select",
 ]
 
 

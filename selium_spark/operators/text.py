@@ -563,3 +563,152 @@ def bigram_lm_counts(
     return pairs.join(left, "w2").join(right, "w1").select(
         "w1", "w2", "c", "left_types", "right_types"
     )
+
+
+# -- DSIR importance resampling ------------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al., NeurIPS 2023,
+# arXiv:2302.03169): score each raw document by how much more likely its
+# hashed-ngram features are under a small TARGET corpus than under the
+# raw corpus, then draw the training subset with Gumbel top-k on those
+# log-ratio weights. This is the standard published recipe for steering
+# a 100 TB crawl toward a quality domain with one cheap bag-of-ngrams
+# model — no trained classifier, no Python in the hot path.
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Explode each document into its hashed unigram+bigram feature
+    buckets: one row per feature occurrence, ``bucket`` in
+    [0, n_buckets). Hashing is md5-based (sketches.hash52 % B) so the
+    DuckDB oracle reproduces every bucket id exactly.
+
+    Scale shape: pure map-side expression work then explode — feature
+    rows never shuffle until the caller aggregates them, and the
+    aggregate target is B buckets (constant), not the vocabulary.
+    """
+    from .sketches import hash52
+
+    toks = tokens(text_col)
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    feats = F.concat(toks, bigrams)
+    return df.select(
+        F.col(id_col),
+        F.explode(feats).alias("feat"),
+    ).select(
+        id_col, F.pmod(hash52(F.col("feat")), F.lit(n_buckets)).alias("bucket")
+    )
+
+
+def _bucket_log_probs(
+    spark_range: DataFrame,
+    feats: DataFrame,
+    n_buckets: int,
+    alpha: float,
+    out_col: str,
+) -> DataFrame:
+    """Laplace-smoothed log bucket distribution over ALL B buckets
+    (absent buckets get the alpha floor — essential, or a target-only
+    feature would divide by zero)."""
+    counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    total = feats.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        spark_range.join(counts, "bucket", "left")
+        .na.fill({"c": 0})
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            F.log(
+                (F.col("c") + F.lit(alpha))
+                / (F.col("n_total") + F.lit(alpha * n_buckets))
+            ).alias(out_col),
+        )
+    )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-document DSIR importance weight: the MEAN over the doc's
+    hashed-ngram features of log p_target(bucket) - log p_raw(bucket)
+    (Laplace-smoothed over B buckets). Positive = the doc looks more
+    like the target corpus than the raw corpus.
+
+    Returns (id_col, n_feats, dsir_weight), one row per raw doc that
+    has at least one feature.
+
+    Scale shape: both distributions aggregate to B rows (constant) and
+    broadcast back onto the exploded features; the only corpus-scaled
+    shuffle is the final groupBy(doc). The target corpus is typically
+    tiny (a quality sample) but nothing requires it — both sides use
+    the same constant-size sketch. The raw corpus is scanned twice
+    (once into the denominator distribution, once for scoring) — both
+    scans are column-pruned to (id, text) and the distribution side
+    map-combines to B rows before its shuffle; at very large scale,
+    persist ``hashed_ngram_features(raw)`` and feed it to both. Weights
+    are rounded so JVM/libm ulp differences can't flip a downstream
+    ordering the oracle disagrees with."""
+    spark = raw.sparkSession
+    rng = spark.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
+    raw_feats = hashed_ngram_features(raw, text_col, id_col, n_buckets)
+    tgt_feats = hashed_ngram_features(target, text_col, id_col, n_buckets)
+    ratios = (
+        _bucket_log_probs(rng, tgt_feats, n_buckets, alpha, "lp_t")
+        .join(_bucket_log_probs(rng, raw_feats, n_buckets, alpha, "lp_r"), "bucket")
+        .select("bucket", (F.col("lp_t") - F.col("lp_r")).alias("log_ratio"))
+    )
+    return (
+        raw_feats.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg("log_ratio"), round_to).alias("dsir_weight"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    round_to: int = 9,
+) -> DataFrame:
+    """DSIR selection: Gumbel top-k over the importance weights — the
+    paper's sampling-without-replacement trick. Key = weight + Gumbel
+    noise, with the noise u derived from md5(id) so the draw is fully
+    deterministic and oracle-reproducible (same device as
+    transforms.weighted_sample's A-ES priorities).
+
+    The selection is orderBy().limit(k) = TakeOrderedAndProject —
+    per-partition top-k heaps, no global sort of the corpus."""
+    from .sketches import hash52
+
+    w = dsir_importance(raw, target, text_col, id_col, n_buckets, alpha, round_to)
+    u = (hash52(F.col(id_col), offset=3) + F.lit(0.5)) / F.lit(float(1 << 52))
+    key = F.round(F.col("dsir_weight") - F.log(-F.log(u)), round_to)
+    return (
+        w.withColumn("gumbel_key", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

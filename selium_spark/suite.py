@@ -5023,6 +5023,74 @@ LIMIT 200
 """
 
 
+def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al., NeurIPS 2023,
+    arXiv:2302.03169; text.dsir_resample): score every document by the
+    mean log-ratio of its hashed unigram+bigram buckets under the
+    English subset (the 'target' corpus) vs the full corpus, then draw
+    50 docs by deterministic Gumbel top-k. Both distributions collapse
+    to 1024 buckets (constant-size, broadcast back); the only
+    corpus-scaled shuffle is the per-doc aggregate, and selection is
+    TakeOrderedAndProject — the published recipe for steering a 100 TB
+    crawl toward a quality domain, Spark-shaped."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    return text.dsir_resample(docs, target, k=50)
+
+
+# Mirrors text.hashed_ngram_features / dsir_importance / dsir_resample:
+# unigram+bigram features, md5-52bit % 1024 buckets, Laplace-smoothed
+# (alpha=1) log probs over ALL buckets, mean log-ratio per doc
+# (round 9), Gumbel key from md5(id) offset 3 (round 9).
+SQL_TEXT_DSIR = f"""
+WITH tokd AS (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents),
+featd AS (
+  SELECT doc_id, lang,
+    unnest(list_concat(
+      toks,
+      list_filter(
+        list_transform(range(1, greatest(len(toks), 1)),
+                       i -> toks[i] || ' ' || toks[i + 1]),
+        x -> x IS NOT NULL)
+    )) AS f
+  FROM tokd
+),
+bf AS (
+  SELECT doc_id, lang,
+    CAST('0x' || substr(md5(f), 1, 13) AS BIGINT) % 1024 AS bucket
+  FROM featd
+),
+rawp AS (
+  SELECT r.bucket,
+    ln((COALESCE(c.c, 0) + 1.0)
+       / ((SELECT COUNT(*) FROM bf) + 1024.0)) AS lp_r
+  FROM range(0, 1024) r(bucket)
+  LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM bf GROUP BY 1) c USING (bucket)
+),
+tgtp AS (
+  SELECT r.bucket,
+    ln((COALESCE(c.c, 0) + 1.0)
+       / ((SELECT COUNT(*) FROM bf WHERE lang = 'en') + 1024.0)) AS lp_t
+  FROM range(0, 1024) r(bucket)
+  LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM bf WHERE lang = 'en'
+             GROUP BY 1) c USING (bucket)
+),
+w AS (
+  SELECT bf.doc_id, COUNT(*) AS n_feats,
+    round(avg(tgtp.lp_t - rawp.lp_r), 9) AS dsir_weight
+  FROM bf JOIN tgtp USING (bucket) JOIN rawp USING (bucket)
+  GROUP BY bf.doc_id
+)
+SELECT doc_id, n_feats, dsir_weight,
+  round(dsir_weight - ln(-ln(
+    (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 3, 13) AS BIGINT) + 0.5)
+    / 4503599627370496.0)), 9) AS gumbel_key
+FROM w
+ORDER BY gumbel_key DESC, doc_id
+LIMIT 50
+"""
+
+
 def mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sample without replacement (Efraimidis-Spirakis A-ES,
     transforms.weighted_sample): 100 docs drawn with probability
@@ -5116,6 +5184,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_weighted_sample": mix_weighted_sample,
     "mix_split_assign": mix_split_assign,
     "text_bigram_lm": text_bigram_lm,
+    "text_dsir_select": text_dsir_select,
     "mm_decode_features": mm_decode_features,
     "udaf_user_entropy": udaf_user_entropy,
     "stream_window_counts": stream_window_counts,
@@ -5286,6 +5355,7 @@ WHERE value % 2 = 0"""
     "mix_weighted_sample": SQL_MIX_WEIGHTED,
     "mix_split_assign": SQL_SPLIT_ASSIGN,
     "text_bigram_lm": SQL_BIGRAM_LM,
+    "text_dsir_select": SQL_TEXT_DSIR,
     "q_distinct_users_daily": SQL_DISTINCT_USERS,
     "pipeline_data_prep": SQL_DATA_PREP,
     "dedup_exact_docs": SQL_DEDUP_EXACT,

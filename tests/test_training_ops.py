@@ -346,3 +346,42 @@ def test_bigram_lm_counts_hand_example(spark):
     assert rows[("a", "b")] == (3, 1, 1)   # b seen after {a}; a precedes {b}
     assert rows[("b", "a")] == (1, 1, 2)   # a seen after {b}; b precedes {a,c}
     assert rows[("b", "c")] == (1, 1, 2)
+
+
+def test_dsir_importance_ranks_target_like_docs(spark):
+    """DSIR (hashed-ngram importance) scores docs resembling the target
+    corpus above dissimilar ones, and n_feats = unigrams + bigrams."""
+    raw = _docs(spark, [
+        (1, "the cat sat on the mat", "s"),
+        (2, "el gato se sienta aqui", "s"),
+        (3, "the dog sat on the rug", "s"),
+        (4, "perro grande corre rapido hoy", "s"),
+    ])
+    target = _docs(spark, [
+        (10, "the cat sat on the mat today", "s"),
+        (11, "the dog ran on the hill", "s"),
+    ])
+    rows = {r["doc_id"]: r for r in text.dsir_importance(raw, target).collect()}
+    w = {k: rows[k]["dsir_weight"] for k in rows}
+    assert min(w[1], w[3]) > max(w[2], w[4])
+    assert rows[1]["n_feats"] == 11  # 6 unigrams + 5 bigrams
+
+
+def test_dsir_resample_deterministic_topk(spark):
+    """Gumbel top-k draw is fully deterministic (md5-derived noise) and
+    returns exactly k rows ordered by the gumbel key."""
+    raw = _docs(
+        spark,
+        [(i, ("the quick brown fox " if i % 2 == 0 else "zorro rapido marron ")
+          + f"doc {i}", "s") for i in range(40)],
+    )
+    target = _docs(spark, [(100, "the quick brown fox jumps over", "s")])
+    a = [r["doc_id"] for r in text.dsir_resample(raw, target, k=10).collect()]
+    b = [r["doc_id"] for r in text.dsir_resample(raw, target, k=10).collect()]
+    assert a == b and len(a) == 10
+    # the English half is over-represented vs the 5/10 null (the Gumbel
+    # noise std ~1.28 intentionally keeps the draw exploratory, so this
+    # is a bias check, not a determinism check — that's `a == b` above)
+    assert sum(1 for i in a if i % 2 == 0) >= 6
+    # and the strongest pick is from the target-like half
+    assert a[0] % 2 == 0
