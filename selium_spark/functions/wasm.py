@@ -81,7 +81,11 @@ def wasm_pandas_udf(
                 parse_module,
             )
 
-            vec = compile_vectorized(parse_module(module_bytes)[func_name])
+            # parsed.image carries the module's static memory (data
+            # segments): LUT-reading bodies vectorize as numpy gathers
+            vec = compile_vectorized(
+                parse_module(module_bytes)[func_name], image=parsed.image
+            )
         except NotImplementedError:
             vec = None
         if vec is not None:

