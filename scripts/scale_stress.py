@@ -108,6 +108,11 @@ SKEW_QUERY_SET = [
     "dedup_groups",         # star edges vs quadratic pair blowup
     "dedup_pagerank_canonical",  # checkpointed iterations over capped pairs
     "pipeline_data_prep",   # composite: quality -> dedup window
+    # DSIR: bucket distributions are B=1024 rows regardless of skew;
+    # the per-doc aggregate keys on unique doc_id. In the skewed corpus
+    # the 'en' target balloons to the 30%-hot boilerplate (a far larger
+    # target side than uniform's 1% slice), so the ratio is conservative
+    "text_dsir_select",
 ]
 
 
@@ -134,7 +139,10 @@ def build_doc_corpus(spark, n_rows: int, out_dir: str, hot_frac: float) -> None:
     docs = spark.range(n_rows).select(
         F.col("id").alias("doc_id"),
         F.when(hot, F.lit(boiler)).otherwise(uniq_text).alias("text"),
-        F.when(hot, F.lit("en"))
+        # uniform corpora still carry a ~1% 'en' slice so target-corpus
+        # operators (text_dsir_select) have a non-empty target on BOTH
+        # sides of the skew comparison
+        F.when(hot | (F.col("id") % 97 == 0), F.lit("en"))
         .otherwise(F.concat(F.lit("l"), (F.col("id") % 97).cast("string")))
         .alias("lang"),
         F.when(hot, F.lit("megahost"))

@@ -18,9 +18,11 @@ Execution tiers, best available first:
    body is symbolically executed into whole-batch array ops (uint64
    wrap arithmetic == wasm i64 semantics); structured control flow —
    block/loop/if + br/br_if, the shape LLVM emits for scalar -O2
-   functions — runs SIMT-style under a lane mask, so even loop-codegen
-   guests never drop to per-row Python. This is the scale path and
-   handles every arithmetic export of the checked-in modules.
+   functions — runs SIMT-style under a lane mask; read-only memory
+   loads gather from the static data-segment image; ``call_indirect``
+   dispatches each distinct selector's callee under a sub-mask. Every
+   checked-in export runs here except (ptr,len) byte-stream guests,
+   whose per-row host memory writes make them per-row by construction.
 2. ``wasmtime`` (if a wheel is importable): the real engine runs the
    module bytes per row — used for bodies the vectorizer declines
    (out-of-profile opcodes), and cross-checked against tier 1 in

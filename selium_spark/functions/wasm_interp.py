@@ -1030,6 +1030,8 @@ _VEC_OPS = frozenset(
         0x83, 0x84, 0x85, 0x86, 0x87, 0x88,               # i64 bitwise/shifts
         0x99, 0x9A, 0x9F, 0xA0, 0xA1, 0xA2, 0xA3, 0xA4, 0xA5,  # f64
         0xB0, 0xB9,                                        # f64 <-> i64
+        0x43, 0x8B, 0x8C, 0x91, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97,  # f32
+        0xB6, 0xBB,                                        # f32 <-> f64
     }
 )
 
@@ -1040,18 +1042,24 @@ _VEC_OPS = frozenset(
 _VEC_MAX_LOOP_ITERS = 65_536
 
 
-def _validate_vectorizable(body: bytes, allow_loads: bool = False) -> None:
+def _validate_vectorizable(
+    body: bytes, allow_loads: bool = False, allow_indirect: bool = False
+) -> bool:
     """Static profile check for :func:`compile_vectorized`.
 
     Raises NotImplementedError naming the first out-of-profile
     construct: non-void block types, br/br_if targeting the function
-    label (early return), br_table, calls, memory STORES (per-lane
-    write order is undefined under a mask), or any opcode outside
-    ``_VEC_OPS``. Memory LOADS are allowed only when the caller
-    supplies the module's (read-only) memory image.
+    label (early return), br_table, direct calls, memory STORES
+    (per-lane write order is undefined under a mask), or any opcode
+    outside ``_VEC_OPS``. Memory LOADS are allowed only when the
+    caller supplies the module's (read-only) memory image;
+    ``call_indirect`` only when the module carries a funcref table
+    (whose every target the caller validates too). Returns True iff
+    the body contains ``call_indirect``.
     """
     r = _Reader(body)
     depth = 0
+    has_indirect = False
     while not r.eof():
         op = r.byte()
         if op in _BLOCK_OPS:  # block / loop / if
@@ -1072,6 +1080,10 @@ def _validate_vectorizable(body: bytes, allow_loads: bool = False) -> None:
         elif op in _LOAD_SPEC and allow_loads:  # read-only gathers
             r.uleb()
             r.uleb()
+        elif op == 0x11 and allow_indirect:  # lane-dispatched call_indirect
+            r.uleb()
+            r.uleb()
+            has_indirect = True
         elif op not in _VEC_OPS:
             raise NotImplementedError(
                 f"wasm opcode 0x{op:02x} not vectorizable in this profile"
@@ -1080,25 +1092,58 @@ def _validate_vectorizable(body: bytes, allow_loads: bool = False) -> None:
             r.uleb()
         elif op in (0x41, 0x42):
             r.sleb()
+        elif op == 0x43:
+            r.take(4)
         elif op == 0x44:
             r.take(8)
+    return has_indirect
+
+
+def _validate_vectorizable_tree(
+    func: WasmFunc, image: "ModuleImage | None", allow_loads: bool
+) -> None:
+    """Validate ``func`` AND (if it uses call_indirect) every non-null
+    funcref-table target, transitively — the table is static, so the
+    possible callee set is known at compile time and the whole tree
+    either vectorizes or the export declines to another tier."""
+    allow_indirect = image is not None and bool(image.table)
+    visited: set[bytes] = set()
+
+    def walk(f: WasmFunc) -> None:
+        if f.body in visited:
+            return
+        visited.add(f.body)
+        if _validate_vectorizable(f.body, allow_loads, allow_indirect):
+            for t in image.table:
+                if t is not None:
+                    walk(image.resolve(t))
+
+    walk(func)
 
 
 def compile_vectorized(func: WasmFunc, image: "ModuleImage | None" = None):
-    """Build a numpy batch kernel for a structured, call-free body.
+    """Build a numpy batch kernel for a structured body.
 
     Returns ``kernel(*arrays) -> array``: i64 params/results use
-    int64 arrays (two's-complement), f64 use float64. Raises
+    int64 arrays (two's-complement), f32/f64 use floats. Raises
     NotImplementedError at BUILD time for bodies outside the profile
-    (see :func:`_validate_vectorizable`) — callers fall back to
+    (see :func:`_validate_vectorizable_tree`) — callers fall back to
     wasmtime / the scalar interpreter.
 
-    ``image``: the parsed module image. When it declares linear memory,
-    loads become numpy GATHERS against the module's STATIC memory (data
-    segments only — the profile admits no stores/grow, so the image is
-    immutable and identical across lanes; the shape of LUT guests like
-    functions/guests/table_guest.rs). OOB on any active lane traps like
-    wasmtime. Without an image, memory opcodes decline to other tiers.
+    ``image``: the parsed module image, enabling two more constructs:
+
+    - linear-memory LOADS become numpy GATHERS against the module's
+      STATIC memory (data segments only — the profile admits no
+      stores/grow, so the image is immutable and identical across
+      lanes; the shape of LUT guests like
+      functions/guests/table_guest.rs). OOB on any active lane traps.
+    - ``call_indirect`` over the (static) funcref table dispatches
+      per lane: each distinct selector value among the active lanes
+      runs its callee's body once under the sub-mask, results merged
+      with np.where — the vectorized rendering of the trait-object /
+      fn-pointer shape (functions/guests/dispatch_guest.rs,
+      wasm_modules.ROUTE_MODULE). Type mismatch / null / OOB entries
+      trap exactly like the scalar tier and wasmtime.
     """
     import numpy as np
 
@@ -1109,8 +1154,21 @@ def compile_vectorized(func: WasmFunc, image: "ModuleImage | None" = None):
             if off + len(data) > mem_img.size:
                 raise WasmTrap("data segment out of bounds")
             mem_img[off : off + len(data)] = np.frombuffer(data, np.uint8)
-    _validate_vectorizable(func.body, allow_loads=mem_img is not None)
-    ctrl = _scan_control(func.body)
+    _validate_vectorizable_tree(func, image, allow_loads=mem_img is not None)
+    ctrl_cache: dict[bytes, dict] = {}
+
+    def ctrl_for(f: WasmFunc) -> dict:
+        c = ctrl_cache.get(f.body)
+        if c is None:
+            c = ctrl_cache[f.body] = _scan_control(f.body)
+        return c
+
+    def zeros_for(vt, n):
+        if vt == F64:
+            return np.zeros(n, np.float64)
+        if vt == F32:
+            return np.zeros(n, np.float32)
+        return np.zeros(n, np.uint64)
 
     # All i64 stack values are uint64 ndarrays or np.uint64 scalars —
     # never Python ints (mixing those with uint64 promotes to float64
@@ -1127,22 +1185,13 @@ def compile_vectorized(func: WasmFunc, image: "ModuleImage | None" = None):
             return v.view(np.int64)
         return np.uint64(v).astype(np.int64)  # C cast: bit pattern kept
 
-    def kernel(*arrays):
-        f = func
-        if len(arrays) != len(f.params):
-            raise TypeError(f"{f.name} expects {len(f.params)} arrays")
-        locals_: list = []
-        for vt, a in zip(f.params, arrays):
-            a = np.asarray(a)
-            if vt == F64:
-                locals_.append(a.astype(np.float64, copy=False))
-            else:
-                locals_.append(a.astype(np.int64, copy=False).view(np.uint64))
-        n = len(arrays[0]) if arrays else 1
-        for vt in f.locals:
-            locals_.append(
-                np.zeros(n, np.float64) if vt == F64 else np.zeros(n, np.uint64)
-            )
+    def run(f: WasmFunc, locals_: list, entry_active, n: int, all_true, depth: int):
+        """Execute one function body over full-lane arrays under the
+        ``entry_active`` mask; returns the raw result value (uint64 /
+        float32 / float64 array or scalar). Recursion = call_indirect."""
+        if depth > 64:
+            raise WasmTrap("vectorized call depth exceeded 64")
+        ctrl = ctrl_for(f)
 
         # --- SIMT lane-mask machinery -------------------------------
         # ``active`` is the bool mask of lanes executing the current
@@ -1154,8 +1203,7 @@ def compile_vectorized(func: WasmFunc, image: "ModuleImage | None" = None):
         # lanes on the target frame's ``pending`` mask, and those
         # lanes rejoin where wasm says they do — a block's end, a
         # loop's header, an if's end.
-        all_true = np.ones(n, bool)
-        active = all_true
+        active = entry_active
         frames: list[dict] = []
 
         def lanes(cond):
@@ -1298,6 +1346,49 @@ def compile_vectorized(func: WasmFunc, image: "ModuleImage | None" = None):
                         active = active & ~c
                         if not active.any():
                             fast_forward(r)
+                elif op == 0x11:  # call_indirect: per-lane table dispatch
+                    tidx = r.uleb()
+                    r.uleb()  # table index (single-table MVP)
+                    exp_params, exp_results = image.types[tidx]
+                    sel = _u(pop()) & np.uint64(_U32 - 1)
+                    args = [pop() for _ in range(len(exp_params))][::-1]
+
+                    def dispatch_one(v: int, m):
+                        if v >= len(image.table) or image.table[v] is None:
+                            raise WasmTrap(
+                                f"call_indirect: table index {v} out of "
+                                "range or uninitialized"
+                            )
+                        callee = image.resolve(image.table[v])
+                        if (
+                            callee.params != exp_params
+                            or callee.results != exp_results
+                        ):
+                            raise WasmTrap(
+                                "call_indirect: callee signature does not "
+                                "match the instruction's type"
+                            )
+                        loc = list(args)
+                        for vt in callee.locals:
+                            loc.append(zeros_for(vt, n))
+                        return run(callee, loc, m, n, all_true, depth + 1)
+
+                    sel_a = np.asarray(sel)
+                    if sel_a.ndim == 0:  # uniform selector
+                        push(dispatch_one(int(sel_a), active))
+                    else:
+                        live = sel_a[active] if active is not all_true else sel_a
+                        if live.size == 0:
+                            push(zeros_for(exp_results[0] if exp_results else I64, n))
+                        else:
+                            out = None
+                            for v in np.unique(live):
+                                m = sel_a == v
+                                if active is not all_true:
+                                    m = m & active
+                                sub = dispatch_one(int(v), m)
+                                out = sub if out is None else np.where(m, sub, out)
+                            push(out)
                 elif op == 0x20:
                     push(locals_[r.uleb()])
                 elif op == 0x21:
@@ -1313,6 +1404,8 @@ def compile_vectorized(func: WasmFunc, image: "ModuleImage | None" = None):
                     push(np.uint64(r.sleb() & (_U32 - 1)))
                 elif op == 0x42:
                     push(np.uint64(r.sleb() & (_U64 - 1)))
+                elif op == 0x43:  # f32.const
+                    push(np.float32(struct.unpack("<f", r.take(4))[0]))
                 elif op == 0x44:
                     push(np.float64(struct.unpack("<d", r.take(8))[0]))
                 elif op == 0x45:  # i32.eqz
@@ -1432,24 +1525,32 @@ def compile_vectorized(func: WasmFunc, image: "ModuleImage | None" = None):
                         0x54: a < b, 0x56: a > b, 0x58: a <= b, 0x5A: a >= b,
                     }[op]
                     push(cmp.astype(np.uint64))
-                elif op == 0xA0:
+                elif op in (0x92, 0xA0):  # f32/f64.add
                     b = pop(); push(pop() + b)
-                elif op == 0xA1:
+                elif op in (0x93, 0xA1):  # f32/f64.sub
                     b = pop(); push(pop() - b)
-                elif op == 0xA2:
+                elif op in (0x94, 0xA2):  # f32/f64.mul
                     b = pop(); push(pop() * b)
-                elif op == 0xA3:
+                elif op in (0x95, 0xA3):  # f32/f64.div
                     b = pop(); push(pop() / b)
-                elif op == 0x99:
+                elif op in (0x8B, 0x99):  # f32/f64.abs
                     push(np.abs(pop()))
-                elif op == 0x9A:
+                elif op in (0x8C, 0x9A):  # f32/f64.neg
                     push(-pop())
-                elif op == 0x9F:
+                elif op in (0x91, 0x9F):  # f32/f64.sqrt
                     push(np.sqrt(pop()))
-                elif op == 0xA4:
+                elif op in (0x96, 0xA4):  # f32/f64.min
                     b = pop(); push(np.minimum(pop(), b))
-                elif op == 0xA5:
+                elif op in (0x97, 0xA5):  # f32/f64.max
                     b = pop(); push(np.maximum(pop(), b))
+                elif op == 0xB6:  # f32.demote_f64
+                    v = pop()
+                    push(v.astype(np.float32) if isinstance(v, np.ndarray)
+                         else np.float32(v))
+                elif op == 0xBB:  # f64.promote_f32
+                    v = pop()
+                    push(v.astype(np.float64) if isinstance(v, np.ndarray)
+                         else np.float64(v))
                 elif op == 0xB9:
                     push(_s(pop()).astype(np.float64))
                 elif op == 0xB0:
@@ -1458,9 +1559,31 @@ def compile_vectorized(func: WasmFunc, image: "ModuleImage | None" = None):
                     raise NotImplementedError(
                         f"wasm opcode 0x{op:02x} not vectorizable in this profile"
                     )
-        result = pop()
+        return pop() if stack else None
+
+    def kernel(*arrays):
+        f = func
+        if len(arrays) != len(f.params):
+            raise TypeError(f"{f.name} expects {len(f.params)} arrays")
+        locals_: list = []
+        for vt, a in zip(f.params, arrays):
+            a = np.asarray(a)
+            if vt == F64:
+                locals_.append(a.astype(np.float64, copy=False))
+            elif vt == F32:
+                locals_.append(a.astype(np.float32, copy=False))
+            else:
+                locals_.append(a.astype(np.int64, copy=False).view(np.uint64))
+        n = len(arrays[0]) if arrays else 1
+        for vt in f.locals:
+            locals_.append(zeros_for(vt, n))
+        all_true = np.ones(n, bool)
+        result = run(f, locals_, all_true, n, all_true, 0)
         if f.results and f.results[0] == F64:
             return np.asarray(result, np.float64)
+        if f.results and f.results[0] == F32:
+            # match the scalar tier: f32 values surface as f32-rounded doubles
+            return np.asarray(result, np.float32).astype(np.float64)
         result = np.asarray(result)
         if result.dtype == np.uint64:
             result = result.view(np.int64)
@@ -1469,7 +1592,11 @@ def compile_vectorized(func: WasmFunc, image: "ModuleImage | None" = None):
     # validate the body once, eagerly, on a 1-element probe so bad
     # modules fail at build time, not mid-job
     probe = [
-        np.zeros(1, np.float64 if t == F64 else np.int64) for t in func.params
+        np.zeros(
+            1,
+            np.float64 if t == F64 else np.float32 if t == F32 else np.int64,
+        )
+        for t in func.params
     ]
     kernel(*probe)
     return kernel

@@ -169,6 +169,8 @@ _INTENTIONAL_CARTESIAN = {
     "q22_global_sales_opportunity",  # scalar AVG subquery (TPC-H shape)
     "q11_important_stock",           # scalar total-value subquery
     "q20_excess_inventory",          # scalar threshold subquery
+    "text_dsir_select",              # two 1-row n_total scalars crossed
+                                     # into the 1024-bucket tables
 }
 
 

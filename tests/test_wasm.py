@@ -917,3 +917,44 @@ def test_toolchain_dispatch_guest_element_segment():
     f = ScalarWasmFunction.from_module(data, "route_apply")
     cases = [(5, s) for s in range(6)] + [(-9, 2), (-9, 3), (7, -3), (0, -1)]
     assert all(f(x, s) == ref(x, s) for x, s in cases)
+
+
+def test_vectorized_call_indirect_matches_scalar():
+    """Lane-varying funcref dispatch on the vectorized tier: each
+    distinct selector's callee runs once under a sub-mask (f32 route
+    table AND the rustc dispatch guest's element segment), matching
+    the scalar interpreter lane for lane; a bad selector in any lane
+    traps like the scalar tier."""
+    import numpy as np
+
+    from selium_spark.functions.guests import toolchain_dispatch_guest_bytes
+    from selium_spark.functions.wasm_interp import (
+        WasmTrap,
+        compile_vectorized,
+        parse_module,
+        parse_module_image,
+    )
+    from selium_spark.functions.wasm_modules import ROUTE_MODULE
+
+    rng = np.random.default_rng(11)
+
+    img = parse_module_image(ROUTE_MODULE)
+    vec = compile_vectorized(parse_module(ROUTE_MODULE)["route_scale"], image=img)
+    ref = ScalarWasmFunction.from_module(ROUTE_MODULE, "route_scale")
+    xs = rng.uniform(-1e6, 1e6, 200)
+    sels = rng.integers(0, 2, 200).astype(np.int64)
+    got = vec(xs, sels)
+    exp = np.array([ref(float(x), int(s)) for x, s in zip(xs, sels)])
+    assert np.array_equal(got, exp)
+    with pytest.raises(WasmTrap):
+        vec(np.array([1.0, 2.0]), np.array([0, 5], dtype=np.int64))
+
+    db = toolchain_dispatch_guest_bytes()
+    dv = compile_vectorized(parse_module(db)["route_apply"], image=parse_module_image(db))
+    dref = ScalarWasmFunction.from_module(db, "route_apply")
+    ks = rng.integers(0, 10**9, 300).astype(np.int64)
+    ss = rng.integers(0, 4, 300).astype(np.int64)
+    assert (
+        np.asarray(dv(ks, ss), np.int64)
+        == np.array([dref(int(k), int(s)) for k, s in zip(ks, ss)], np.int64)
+    ).all()
