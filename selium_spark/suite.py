@@ -5107,11 +5107,14 @@ tgtp AS (
   LEFT JOIN (SELECT bucket, COUNT(*) AS c FROM bf WHERE lang = 'en'
              GROUP BY 1) c USING (bucket)
 ),
+pdb AS (
+  SELECT doc_id, bucket, COUNT(*) AS c FROM bf GROUP BY 1, 2
+),
 w AS (
-  SELECT bf.doc_id, COUNT(*) AS n_feats,
-    round(avg(tgtp.lp_t - rawp.lp_r), 9) AS dsir_weight
-  FROM bf JOIN tgtp USING (bucket) JOIN rawp USING (bucket)
-  GROUP BY bf.doc_id
+  SELECT pdb.doc_id, CAST(SUM(c) AS BIGINT) AS n_feats,
+    round(sum(c * (tgtp.lp_t - rawp.lp_r)) / sum(c), 9) AS dsir_weight
+  FROM pdb JOIN tgtp USING (bucket) JOIN rawp USING (bucket)
+  GROUP BY pdb.doc_id
 )
 SELECT doc_id, n_feats, dsir_weight,
   round(dsir_weight - ln(-ln(
