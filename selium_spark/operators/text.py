@@ -581,11 +581,16 @@ def hashed_ngram_features(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 1024,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Explode each document into its hashed unigram+bigram feature
     buckets: one row per feature occurrence, ``bucket`` in
-    [0, n_buckets). Hashing is md5-based (sketches.hash52 % B) so the
-    DuckDB oracle reproduces every bucket id exactly.
+    [0, n_buckets). The default hash is md5-based (sketches.hash52
+    % B) so the DuckDB oracle reproduces every bucket id exactly;
+    ``hash_fn="xxhash64"`` is the production fast path (JVM-intrinsic,
+    same device as the MinHash/simhash/fingerprint families) — the
+    feature hash is the per-token floor of the whole DSIR pass, the
+    same md5 floor the other families engineered around.
 
     Scale shape: pure map-side expression work then explode — feature
     rows never shuffle until the caller aggregates them, and the
@@ -603,12 +608,16 @@ def hashed_ngram_features(
         lambda x: x.isNotNull(),
     )
     feats = F.concat(toks, bigrams)
+    if hash_fn == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.col("feat")), F.lit(n_buckets))
+    elif hash_fn == "md5":
+        bucket = F.pmod(hash52(F.col("feat")), F.lit(n_buckets))
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     return df.select(
         F.col(id_col),
         F.explode(feats).alias("feat"),
-    ).select(
-        id_col, F.pmod(hash52(F.col("feat")), F.lit(n_buckets)).alias("bucket")
-    )
+    ).select(id_col, bucket.alias("bucket"))
 
 
 def _bucket_log_probs(
@@ -645,6 +654,7 @@ def dsir_importance(
     n_buckets: int = 1024,
     alpha: float = 1.0,
     round_to: int = 9,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document DSIR importance weight: the MEAN over the doc's
     hashed-ngram features of log p_target(bucket) - log p_raw(bucket)
@@ -673,13 +683,13 @@ def dsir_importance(
     # here, and the mean over feature OCCURRENCES becomes the
     # cnt-weighted mean — identical values, fewer joined rows
     per_db = (
-        hashed_ngram_features(raw, text_col, id_col, n_buckets)
+        hashed_ngram_features(raw, text_col, id_col, n_buckets, hash_fn)
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
     raw_counts = per_db.groupBy("bucket").agg(F.sum("c").alias("c"))
     tgt_counts = (
-        hashed_ngram_features(target, text_col, id_col, n_buckets)
+        hashed_ngram_features(target, text_col, id_col, n_buckets, hash_fn)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -709,6 +719,7 @@ def dsir_resample(
     n_buckets: int = 1024,
     alpha: float = 1.0,
     round_to: int = 9,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """DSIR selection: Gumbel top-k over the importance weights — the
     paper's sampling-without-replacement trick. Key = weight + Gumbel
@@ -720,7 +731,12 @@ def dsir_resample(
     per-partition top-k heaps, no global sort of the corpus."""
     from .sketches import hash52
 
-    w = dsir_importance(raw, target, text_col, id_col, n_buckets, alpha, round_to)
+    w = dsir_importance(
+        raw, target, text_col, id_col, n_buckets, alpha, round_to, hash_fn
+    )
+    # the Gumbel uniform stays md5 in BOTH modes: it is one hash per
+    # DOC (not per feature), so it is never the floor, and keeping it
+    # fixed means switching hash_fn only reshuffles bucket ids
     u = (hash52(F.col(id_col), offset=3) + F.lit(0.5)) / F.lit(float(1 << 52))
     key = F.round(F.col("dsir_weight") - F.log(-F.log(u)), round_to)
     return (

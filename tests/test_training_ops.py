@@ -385,3 +385,26 @@ def test_dsir_resample_deterministic_topk(spark):
     assert sum(1 for i in a if i % 2 == 0) >= 6
     # and the strongest pick is from the target-like half
     assert a[0] % 2 == 0
+
+
+def test_dsir_xxhash64_production_path(spark):
+    """hash_fn="xxhash64" (JVM-intrinsic feature hashing, the family's
+    production fast path) keeps the selection behavior: deterministic,
+    k rows, biased toward the target-like half. Weights differ from
+    md5 mode (different bucketing) by design; the md5 default stays
+    for oracle parity."""
+    raw = _docs(
+        spark,
+        [(i, ("the quick brown fox " if i % 2 == 0 else "zorro rapido marron ")
+          + f"doc {i}", "s") for i in range(40)],
+    )
+    target = _docs(spark, [(100, "the quick brown fox jumps over", "s")])
+    a = [r["doc_id"] for r in
+         text.dsir_resample(raw, target, k=10, hash_fn="xxhash64").collect()]
+    b = [r["doc_id"] for r in
+         text.dsir_resample(raw, target, k=10, hash_fn="xxhash64").collect()]
+    assert a == b and len(a) == 10
+    assert sum(1 for i in a if i % 2 == 0) >= 6
+    w = {r["doc_id"]: r["dsir_weight"] for r in
+         text.dsir_importance(raw, target, hash_fn="xxhash64").collect()}
+    assert min(w[i] for i in range(0, 40, 2)) > max(w[i] for i in range(1, 40, 2))
