@@ -25,9 +25,10 @@ Exports:
   runs on the vectorized numpy tier)
 - ``mix_bucket8(i64) -> i64`` — splitmix64 & 7 (straight-line)
 - ``fib_wrap(i64) -> i64`` — iterative Fibonacci mod 2^64 (REAL
-  LLVM loop/branch structure; vectorizer declines 0x02 block ->
-  scalar tier, by design)
-- ``popcount64(i64) -> i64`` — shift-and-mask loop (scalar tier)
+  LLVM loop/branch structure; runs on the vectorized masked-lane
+  tier, which executes block/loop/br_if SIMT-style)
+- ``popcount64(i64) -> i64`` — shift-and-mask loop (vectorized
+  masked-lane tier)
 """
 
 from __future__ import annotations

@@ -42,7 +42,7 @@ from typing import Callable, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import functions as F
 
-from selium_spark.functions.wasm_interp import ScalarWasmFunction
+from selium_spark.functions.wasm_interp import ScalarWasmFunction, WasmTrap
 
 try:  # optional: real WASM engine
     import wasmtime  # type: ignore
@@ -88,7 +88,14 @@ def wasm_pandas_udf(
             vec = compile_vectorized(
                 parse_module(module_bytes)[func_name], image=parsed.image
             )
-        except NotImplementedError:
+        except (NotImplementedError, WasmTrap, ZeroDivisionError):
+            # NotImplementedError: body outside the vectorizable profile.
+            # WasmTrap / ZeroDivisionError: the eager 1-element zero
+            # probe tripped a data-dependent trap (e.g. a gather address
+            # derived from input 0 lands OOB, or the body divides by an
+            # input that is zero in the probe) — the module may run real
+            # data fine, so fall back to the scalar tiers instead of
+            # failing UDF construction.
             vec = None
         if vec is not None:
             if arity == 1:

@@ -1043,7 +1043,10 @@ _VEC_MAX_LOOP_ITERS = 65_536
 
 
 def _validate_vectorizable(
-    body: bytes, allow_loads: bool = False, allow_indirect: bool = False
+    body: bytes,
+    allow_loads: bool = False,
+    allow_indirect: bool = False,
+    types: tuple = (),
 ) -> bool:
     """Static profile check for :func:`compile_vectorized`.
 
@@ -1081,8 +1084,17 @@ def _validate_vectorizable(
             r.uleb()
             r.uleb()
         elif op == 0x11 and allow_indirect:  # lane-dispatched call_indirect
+            tidx = r.uleb()
             r.uleb()
-            r.uleb()
+            if tidx < len(types) and not types[tidx][1]:
+                # A void-result indirect call would desync the operand
+                # stack in the vectorized executor (the live==0 branch
+                # pushes a zeros placeholder, the dispatch branch pushes
+                # the callee's None) — decline to the scalar tier.
+                raise NotImplementedError(
+                    "wasm call_indirect with a void-result signature "
+                    "not vectorizable in this profile"
+                )
             has_indirect = True
         elif op not in _VEC_OPS:
             raise NotImplementedError(
@@ -1107,13 +1119,14 @@ def _validate_vectorizable_tree(
     possible callee set is known at compile time and the whole tree
     either vectorizes or the export declines to another tier."""
     allow_indirect = image is not None and bool(image.table)
+    types = image.types if image is not None else ()
     visited: set[bytes] = set()
 
     def walk(f: WasmFunc) -> None:
         if f.body in visited:
             return
         visited.add(f.body)
-        if _validate_vectorizable(f.body, allow_loads, allow_indirect):
+        if _validate_vectorizable(f.body, allow_loads, allow_indirect, types):
             for t in image.table:
                 if t is not None:
                     walk(image.resolve(t))

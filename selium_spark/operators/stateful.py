@@ -31,6 +31,36 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 #: strings, so a control-char string cannot collide with real data).
 _NULL_CFG = "\x00__null_config__"
 
+_DURATION_UNITS_MS = {
+    "second": 1_000, "seconds": 1_000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def parse_duration_ms(text: str, param: str) -> int:
+    """Parse a ``"<n> <unit>"`` duration (the Spark watermark/interval
+    spelling) to milliseconds. One helper shared by every stateful
+    operator that takes a duration (``state_ttl``, ``abandon_after``) so
+    the accepted unit set is consistent and a malformed string raises a
+    named error instead of a bare split/KeyError."""
+    parts = text.split()
+    if (
+        len(parts) != 2
+        or not parts[0].isdigit()
+        or parts[1] not in _DURATION_UNITS_MS
+    ):
+        units = sorted(set(_DURATION_UNITS_MS))
+        raise ValueError(
+            f"{param} must be '<n> <unit>' with a positive integer n and "
+            f"unit one of {units}; got {text!r}"
+        )
+    n = int(parts[0])
+    if n <= 0:
+        raise ValueError(f"{param} must be a positive duration; got {text!r}")
+    return n * _DURATION_UNITS_MS[parts[1]]
+
 
 def _enrich_fold(pdf: pd.DataFrame, current: dict, ts: str, config_cols, work_cols):
     """Vectorized core of :func:`latest_enrich_stream`'s per-group fold.
@@ -210,12 +240,7 @@ def latest_enrich_stream(
 
     ttl_ms: int | None = None
     if state_ttl is not None:
-        num, unit = state_ttl.split()
-        ttl_ms = int(num) * {
-            "second": 1000, "seconds": 1000,
-            "minute": 60_000, "minutes": 60_000,
-            "hour": 3_600_000, "hours": 3_600_000,
-        }[unit]
+        ttl_ms = parse_duration_ms(state_ttl, "state_ttl")
 
     for c in config_cols:
         tagged = tagged.withColumn(c, F.col(c).cast("string"))
@@ -385,13 +410,7 @@ def streaming_funnel(
     """
     sla_ms: int | None = None
     if abandon_after is not None:
-        num, unit = abandon_after.split()
-        sla_ms = int(num) * {
-            "second": 1000, "seconds": 1000,
-            "minute": 60_000, "minutes": 60_000,
-            "hour": 3_600_000, "hours": 3_600_000,
-            "day": 86_400_000, "days": 86_400_000,
-        }[unit]
+        sla_ms = parse_duration_ms(abandon_after, "abandon_after")
 
     def _arm(state: GroupState, step: int, t_prev_us) -> None:
         if sla_ms is None or t_prev_us is None:

@@ -1040,3 +1040,20 @@ def test_streaming_lsh_pairs_cap_semantics(spark, tmp_path):
         (a, b) for b in over for a in capped if a < b
     }
     assert got == want  # no over-x-over pairs
+
+
+def test_parse_duration_ms_shared_units():
+    """One duration parser across stateful operators (ADVICE r5 #4):
+    state_ttl and abandon_after accept the same unit set including
+    day/days, and malformed strings raise a named ValueError."""
+    import pytest
+
+    from selium_spark.operators.stateful import parse_duration_ms
+
+    assert parse_duration_ms("30 minutes", "state_ttl") == 30 * 60_000
+    assert parse_duration_ms("1 second", "state_ttl") == 1_000
+    assert parse_duration_ms("2 hours", "abandon_after") == 2 * 3_600_000
+    assert parse_duration_ms("7 days", "state_ttl") == 7 * 86_400_000
+    for bad in ("5", "five minutes", "-1 hours", "3 fortnights", "0 seconds"):
+        with pytest.raises(ValueError, match="state_ttl"):
+            parse_duration_ms(bad, "state_ttl")

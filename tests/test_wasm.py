@@ -958,3 +958,79 @@ def test_vectorized_call_indirect_matches_scalar():
         np.asarray(dv(ks, ss), np.int64)
         == np.array([dref(int(k), int(s)) for k, s in zip(ks, ss)], np.int64)
     ).all()
+
+
+def test_vectorized_declines_void_result_call_indirect():
+    """A void-result indirect signature would desync the vectorized
+    operand stack (live==0 pushes a placeholder, dispatch pushes the
+    callee's None) — validation must decline it to the scalar tier
+    BEFORE a kernel is built (ADVICE r5 #1)."""
+    from selium_spark.functions.wasm_interp import (
+        compile_vectorized,
+        parse_module,
+        parse_module_image,
+    )
+    from selium_spark.functions.wasm_modules import (
+        CALL_INDIRECT,
+        END,
+        I64,
+        _assemble,
+        _uleb,
+        i64_const,
+        local_get,
+    )
+
+    # (func $noop (param i64))  — void result, table slot 0
+    # (func (export "kick") (param i64) (result i64)
+    #   local.get 0  i32.const 0  call_indirect (type $noop)  i64.const 7)
+    mod = _assemble(
+        [
+            ("noop", [I64], [], bytes([END])),
+            (
+                "kick",
+                [I64],
+                [I64],
+                local_get(0)
+                + b"\x41\x00"  # i32.const 0 (selector)
+                + bytes([CALL_INDIRECT]) + _uleb(0) + _uleb(0)
+                + i64_const(7)
+                + bytes([END]),
+            ),
+        ],
+        table=[0],
+    )
+    img = parse_module_image(mod)
+    with pytest.raises(NotImplementedError, match="void-result"):
+        compile_vectorized(parse_module(mod)["kick"], image=img)
+    # the scalar tier still runs it
+    fn = ScalarWasmFunction.from_module(mod, "kick")
+    assert fn(123) == 7
+
+
+def test_probe_trap_falls_back_to_scalar_tier(spark):
+    """A guest whose zero-input probe traps (div by an input that is 0
+    in the probe) must not fail UDF construction — wasm_pandas_udf
+    falls back past the vectorized tier and runs real data fine
+    (ADVICE r5 #2)."""
+    from selium_spark.functions.wasm_modules import (
+        END,
+        I64,
+        I64_DIV_S,
+        _assemble,
+        i64_const,
+        local_get,
+    )
+
+    mod = _assemble(
+        [
+            (
+                "inv1000",
+                [I64],
+                [I64],
+                i64_const(1000) + local_get(0) + bytes([I64_DIV_S, END]),
+            ),
+        ]
+    )
+    udf = wasm_pandas_udf(mod, "inv1000", "long")  # must not raise
+    df = spark.range(1, 6).select(udf(F.col("id")).alias("v"))
+    assert [r.v for r in df.orderBy("v").collect()] == [200, 250, 333, 500, 1000]
