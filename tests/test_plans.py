@@ -187,3 +187,16 @@ def test_no_accidental_cartesian_in_any_suite_query(spark):
         if p.has_cartesian and name not in _INTENTIONAL_CARTESIAN:
             bad.append(name)
     assert not bad, f"unexpected cartesian plans: {bad}"
+
+
+def test_dsir_feature_subtree_scans_once_via_cache(spark):
+    """dsir_importance pins the per-(doc,bucket) aggregate with
+    persist() and feeds BOTH consumers (the denominator distribution
+    and the scoring join) from the cache — round-5 verdict #2: without
+    the pin, AQE staging kept ReuseExchange from collapsing the two
+    consumers and the raw corpus's tokenize+hash subtree executed
+    twice. Formatted explain prints each node twice (tree + details),
+    so >= 4 occurrences means >= 2 InMemoryTableScan nodes."""
+    p = plan_of(spark, "text_dsir_select")
+    assert p.text.count("InMemoryTableScan") >= 4
+    spark.catalog.clearCache()
