@@ -122,7 +122,7 @@ def _funnel_fold(pdf: pd.DataFrame, step: int, t_prev_us, type_col: str, ts_col:
 
 
 def _gapfill_fold(pdf: pd.DataFrame, st: tuple, ts_col: str, tiebreak_col: str,
-                  value_col: str, period_us: int):
+                  value_col: str, period_us: int, offset_us: int = 0):
     """Vectorized core of :func:`streaming_gapfill_locf`'s per-group fold.
 
     Sort once by (ts, tb); period ordinals are then NON-DECREASING, so
@@ -141,7 +141,10 @@ def _gapfill_fold(pdf: pd.DataFrame, st: tuple, ts_col: str, tiebreak_col: str,
     ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
     tb = pdf[tiebreak_col].to_numpy(dtype="int64")
     val = pdf[value_col].to_numpy(dtype="float64")
-    p = ts_us // period_us
+    # offset_us anchors non-epoch-aligned grains (weeks start Monday;
+    # epoch day 0 is a Thursday) — ordinals count periods from the
+    # anchor, reconstruction adds it back
+    p = (ts_us - offset_us) // period_us
     n_late = 0
     if cur_p is not None:
         keep = p >= cur_p  # late rows: periods never reopen
@@ -602,7 +605,9 @@ def streaming_gapfill_locf(
 ) -> DataFrame:
     """Streaming twin of :func:`windows.gapfill_locf`: emit the dense
     per-key period grid incrementally as observations arrive, holes
-    filled by last-observation-carried-forward.
+    filled by last-observation-carried-forward. Accepts the SAME grain
+    set as the batch op (hour | day | week); weekly periods align to
+    Monday exactly like the batch op's ``date_trunc('week')``.
 
     State per key is FOUR scalars — the current period ordinal, the
     winning observation's (ts, tiebreak) within it, and its value — so
@@ -636,9 +641,21 @@ def streaming_gapfill_locf(
     stragglers would have been dropped upstream anyway — the fill
     horizon and the lateness horizon are the same watermark.
     """
-    if grain not in ("day", "hour"):
-        raise ValueError(f"streaming_gapfill_locf grain must be 'day' or 'hour', got {grain!r}")
-    period_us = 86_400_000_000 if grain == "day" else 3_600_000_000
+    grains_us = {
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+        "week": 7 * 86_400_000_000,
+    }
+    if grain not in grains_us:
+        raise ValueError(
+            f"streaming_gapfill_locf grain must be one of "
+            f"{sorted(grains_us)}, got {grain!r}"
+        )
+    period_us = grains_us[grain]
+    # weeks align to Monday like the batch op's date_trunc('week'):
+    # epoch day 0 (1970-01-01) is a Thursday, so the first Monday is
+    # epoch day 4 — anchor week ordinals there
+    offset_us = 4 * 86_400_000_000 if grain == "week" else 0
 
     def _arm_timeout(state: GroupState, cur_p) -> None:
         # wake when the watermark passes the end of the NEXT period
@@ -647,7 +664,7 @@ def streaming_gapfill_locf(
         if cur_p is None:
             return
         wm_ms = state.getCurrentWatermarkMs()
-        next_end_ms = (cur_p + 2) * (period_us // 1000)
+        next_end_ms = (cur_p + 2) * (period_us // 1000) + offset_us // 1000
         state.setTimeoutTimestamp(max(next_end_ms, wm_ms + 1))
 
     def fn(
@@ -660,7 +677,7 @@ def streaming_gapfill_locf(
         if emit_to_watermark and state.hasTimedOut:
             # fill every COMPLETE period in (cur_p, wm_p): period wm_p
             # contains the watermark and is still open
-            wm_p = (state.getCurrentWatermarkMs() * 1000) // period_us
+            wm_p = (state.getCurrentWatermarkMs() * 1000 - offset_us) // period_us
             holes = np.arange(cur_p + 1, wm_p)
             if len(holes):
                 cur_p = int(holes[-1])
@@ -669,7 +686,9 @@ def streaming_gapfill_locf(
                 yield pd.DataFrame(
                     {
                         "key": np.full(len(holes), key[0], dtype="int64"),
-                        "period": pd.to_datetime(holes * period_us, unit="us"),
+                        "period": pd.to_datetime(
+                            holes * period_us + offset_us, unit="us"
+                        ),
                         "value": np.full(len(holes), cur_val, dtype="float64"),
                         "is_filled": np.ones(len(holes), dtype=bool),
                         "src_ts_us": np.full(len(holes), cur_ts_us, dtype="int64"),
@@ -693,6 +712,7 @@ def streaming_gapfill_locf(
             tiebreak_col,
             value_col,
             period_us,
+            offset_us,
         )
         if n_late and late_counter is not None:
             late_counter.add(n_late)
@@ -704,7 +724,9 @@ def streaming_gapfill_locf(
             yield pd.DataFrame(
                 {
                     "key": np.full(len(out_p), key[0], dtype="int64"),
-                    "period": pd.to_datetime(out_p * period_us, unit="us"),
+                    "period": pd.to_datetime(
+                        out_p * period_us + offset_us, unit="us"
+                    ),
                     "value": out_val,
                     "is_filled": out_fill,
                     "src_ts_us": out_ts,

@@ -1057,3 +1057,69 @@ def test_parse_duration_ms_shared_units():
     for bad in ("5", "five minutes", "-1 hours", "3 fortnights", "0 seconds"):
         with pytest.raises(ValueError, match="state_ttl"):
             parse_duration_ms(bad, "state_ttl")
+
+
+def test_streaming_gapfill_week_grain_matches_batch(spark, tmp_path):
+    """Round-5 verdict #4: the streaming twin accepts the batch op's
+    full grain set — grain='week' replays to the same Monday-aligned
+    weekly grid as windows.gapfill_locf(grain='week'), holes spanning
+    micro-batch boundaries included."""
+    from selium_spark.operators import stateful, windows
+    from selium_spark.sources.tables import load_table
+    from selium_spark.streaming.replay import replay_to_memory
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 30
+    )
+    src = str(tmp_path / "evw")
+    cut = "2024-01-20"
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    snap = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_gapfill_locf(
+            s, "user_id", "ts", "value", "event_id", grain="week"
+        ),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=4,
+    )
+    got = {
+        (r.user_id, r.period): (r.value, r.is_filled)
+        for r in snap.groupBy("key", "period")
+        .agg(
+            F.max_by(
+                F.struct("value", "is_filled"), F.struct("src_ts_us", "src_tb")
+            ).alias("w")
+        )
+        .select(
+            F.col("key").alias("user_id"),
+            F.date_format("period", "yyyy-MM-dd").alias("period"),
+            F.col("w.value").alias("value"),
+            F.col("w.is_filled").alias("is_filled"),
+        )
+        .collect()
+    }
+    want = {
+        (r.user_id, str(r.period)): (r.value, r.is_filled)
+        for r in windows.gapfill_locf(
+            ev, "ts", ["user_id"], "value", "event_id", grain="week"
+        ).collect()
+    }
+    assert got == want and len(got) > 30
+    # every emitted period is a Monday (batch date_trunc('week') anchor)
+    import datetime
+
+    assert all(
+        datetime.date.fromisoformat(p).weekday() == 0 for (_, p) in got
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="grain"):
+        stateful.streaming_gapfill_locf(
+            ev, "user_id", "ts", "value", "event_id", grain="month"
+        )
