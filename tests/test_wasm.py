@@ -1034,3 +1034,142 @@ def test_probe_trap_falls_back_to_scalar_tier(spark):
     udf = wasm_pandas_udf(mod, "inv1000", "long")  # must not raise
     df = spark.range(1, 6).select(udf(F.col("id")).alias("v"))
     assert [r.v for r in df.orderBy("v").collect()] == [200, 250, 333, 500, 1000]
+
+
+def test_bytes_tier_vectorizes_fnv_and_tokenizer():
+    """Round-5 verdict #3: (ptr,len) byte-stream guests leave the
+    per-row interpreter — compile_vectorized(row_memory=True) runs the
+    scan loop masked-lane over a per-row byte matrix. Equivalence with
+    the scalar tier is pinned over empty strings, unicode, delimiter
+    runs, random binary, and lengths spanning three orders of
+    magnitude; ragged slices exercise the zero-padded OOB-read rule."""
+    import numpy as np
+
+    from selium_spark.functions.wasm_interp import (
+        compile_vectorized,
+        parse_module,
+        parse_module_image,
+    )
+    from selium_spark.functions.wasm_modules import MEM_MODULE, TOKENIZER_MODULE
+
+    rng = np.random.default_rng(5)
+    texts = [
+        b"",
+        b"hello world",
+        b"  a  b\tc\nd  ",
+        "héllo wörld ünïcode 世界".encode(),
+        bytes(rng.integers(1, 255, 700, dtype=np.uint8)),
+        b" \t\n\r" * 40,
+        b"x" * 2000,
+        b"a b" * 300,
+    ] + [
+        b" ".join(
+            bytes(rng.integers(97, 123, rng.integers(1, 12), dtype=np.uint8))
+            for _ in range(rng.integers(1, 40))
+        )
+        for _ in range(200)
+    ]
+    lens = np.array([len(t) for t in texts], np.int64)
+    w = int(lens.max())
+    mat = np.zeros((len(texts), w + 8), np.uint8)
+    for i, t in enumerate(texts):
+        mat[i, : len(t)] = np.frombuffer(t, np.uint8)
+    for mod, name in ((MEM_MODULE, "fnv1a32"), (TOKENIZER_MODULE, "count_tokens")):
+        vec = compile_vectorized(
+            parse_module(mod)[name], image=parse_module_image(mod), row_memory=True
+        )
+        got = np.asarray(vec(mat, lens))
+        exp = []
+        for t in texts:
+            fn = ScalarWasmFunction.from_module(mod, name)  # fresh memory
+            fn.write_memory(0, t)
+            exp.append(fn(0, len(t)))
+        assert np.array_equal(got, np.array(exp, np.int64)), name
+
+
+def test_bytes_tier_row_memory_requires_ptr_len_shape():
+    """row_memory declines non-(ptr,len) exports and memory-less
+    modules at build time (falls back to the other tiers)."""
+    from selium_spark.functions.wasm_interp import (
+        compile_vectorized,
+        parse_module,
+        parse_module_image,
+    )
+    from selium_spark.functions.wasm_modules import (
+        MEM_MODULE,
+        SCALAR_MODULE,
+        TOKENIZER_MODULE,
+    )
+
+    # has memory, but is_delim is (i32) -> i32, not (ptr, len)
+    with pytest.raises(NotImplementedError, match="ptr.*len"):
+        compile_vectorized(
+            parse_module(TOKENIZER_MODULE)["is_delim"],
+            image=parse_module_image(TOKENIZER_MODULE),
+            row_memory=True,
+        )
+    # no memory section at all
+    with pytest.raises(NotImplementedError, match="linear memory"):
+        compile_vectorized(
+            parse_module(SCALAR_MODULE)["add1"],
+            image=parse_module_image(SCALAR_MODULE),
+            row_memory=True,
+        )
+    # sanity: the legitimate export still builds
+    assert (
+        compile_vectorized(
+            parse_module(MEM_MODULE)["fnv1a32"],
+            image=parse_module_image(MEM_MODULE),
+            row_memory=True,
+        )
+        is not None
+    )
+
+
+def test_wasm_bytes_udf_rides_vectorized_tier(spark):
+    """The Spark UDF path goes through the row-memory kernel (the
+    per-row fallback would take minutes on this volume) and its values
+    match the scalar interpreter row for row."""
+    from selium_spark.functions.wasm import wasm_bytes_udf
+    from selium_spark.functions.wasm_modules import TOKENIZER_MODULE
+
+    toks = wasm_bytes_udf(TOKENIZER_MODULE, "count_tokens", "long")
+    df = spark.createDataFrame(
+        [(i, f"w{i} " * (i % 17)) for i in range(500)] + [(500, None)],
+        "id long, txt string",
+    )
+    rows = {r.id: r.n for r in df.select("id", toks("txt").alias("n")).collect()}
+    fn = ScalarWasmFunction.from_module(TOKENIZER_MODULE, "count_tokens")
+    for i in range(500):
+        data = (f"w{i} " * (i % 17)).encode()
+        fn.write_memory(0, data)
+        assert rows[i] == fn(0, len(data))
+    assert rows[500] == 0  # null -> empty record
+
+
+def test_bytes_tier_slices_bound_matrix_footprint():
+    """A single long record must not inflate every row's padded width:
+    wasm_bytes_udf slices batches by sorted length under the matrix
+    cap. Exercised by shrinking the cap so slicing MUST trigger, then
+    pinning equivalence."""
+    import numpy as np
+    import pandas as pd
+
+    from selium_spark.functions import wasm as wasm_host
+    from selium_spark.functions.wasm_modules import MEM_MODULE
+
+    old_cap = wasm_host._BYTES_MAT_CAP
+    wasm_host._BYTES_MAT_CAP = 4096  # tiny: forces many slices
+    try:
+        udf = wasm_host.wasm_bytes_udf(MEM_MODULE, "fnv1a32", "long")
+        # grab the wrapped python function to run it directly
+        run = udf.func
+        texts = ["a" * ln for ln in (0, 1, 5, 100, 1000, 3000)] * 3
+        [out] = list(run(iter([pd.Series(texts)])))
+        fn = ScalarWasmFunction.from_module(MEM_MODULE, "fnv1a32")
+        for t, got in zip(texts, out):
+            data = t.encode()
+            fn.write_memory(0, data)
+            assert got == fn(0, len(data))
+    finally:
+        wasm_host._BYTES_MAT_CAP = old_cap
