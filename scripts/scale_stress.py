@@ -3,8 +3,9 @@ fan-outs stay linear, not quadratic) and measure headline queries at
 both scales. A plan that "would survive 100x" should show ~linear wall
 time here; a super-linear query indicates a shuffle/skew problem.
 
-Usage: python scripts/scale_stress.py [N]          (default 10)
-       python scripts/scale_stress.py [N] --skew   (skewed-corpus mode)
+Usage: python scripts/scale_stress.py [N]              (default 10)
+       python scripts/scale_stress.py [N] --skew       (skewed-corpus mode)
+       python scripts/scale_stress.py --streaming      (stateful-stream mode)
 
 --skew builds a SECOND Nx documents table where one domain carries 30%
 of all rows and the same 30% share ONE boilerplate text (hot LSH band
@@ -13,15 +14,31 @@ times the skew-sensitive document queries on uniform-Nx vs skewed-Nx.
 Bounded ratios are the evidence that the salted top-k (urls.domain_cap),
 the LSH hot-band cap, and the star-edge grouping hold under skew.
 
-Writes the scaled dataset under /root/repo/tmp/scaled_xN/ (gitignored).
+--streaming (round-5 verdict task #1) replays the events corpus at
+1x/10x/30x through the four stateful streaming operators
+(streaming_scd2, streaming_gapfill_locf(emit_to_watermark=True),
+streaming_funnel(abandon_after=...), dedup_within_watermark) in
+MULTI-BATCH triggers (maxFilesPerTrigger over time-sliced files, so
+micro-batches arrive in event-time order like a live deployment — NOT
+one availableNow mega-batch), on both the RocksDB and the HDFS state
+providers, and pins rows/s, final state size, and per-batch state
+commit latency. Scaling here multiplies KEYS and ROWS at a constant
+time span (copies are key-remapped, ts UNshifted) — the shape a bigger
+deployment actually has; shifting ts per copy would make the global
+watermark fill every early copy's keys across the whole shifted span,
+a semantic blowup no real corpus exhibits.
+
+Writes the scaled datasets under /root/repo/tmp/ (gitignored).
 """
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -155,6 +172,267 @@ def build_doc_corpus(spark, n_rows: int, out_dir: str, hot_frac: float) -> None:
             shutil.copy(f"{BASE_SF}/{name}.parquet", f"{out_dir}/{name}.parquet")
 
 
+# -- streaming stateful stress (round-5 verdict task #1) -----------------
+
+#: time slices the scaled events corpus is written in — sequential
+#: append jobs give strictly increasing file mtimes, so the file stream
+#: replays micro-batches in event-time order (the live-deployment
+#: arrival shape the folds assume; same device as test_streaming's
+#: two-batch replays).
+STREAM_SLICES = 12
+STREAM_FILES_PER_SLICE = 4
+
+
+def build_stream_scaled(spark, n_copies: int, out_dir: str) -> None:
+    """Nx events corpus for STREAMING stress: key-remapped copies at a
+    CONSTANT time span (no ts shift — see module docstring), written as
+    STREAM_SLICES sequential time slices so replay order == event-time
+    order."""
+    os.makedirs(out_dir, exist_ok=True)
+    ev = load_table(spark, BASE_SF, "events")
+    maxes = {c: ev.agg(F.max(c)).first()[0] + 1 for c in ("event_id", "user_id")}
+    copies = spark.range(n_copies).withColumnRenamed("id", "_copy")
+    out = ev.repartition(64).crossJoin(F.broadcast(copies))
+    for c in ("event_id", "user_id"):
+        out = out.withColumn(c, F.col(c) + F.col("_copy") * F.lit(maxes[c]))
+    # write LTZ timestamps (session tz is UTC, instant-preserving) so
+    # the replayed schema needs no nanos/NTZ special-casing
+    out = out.drop("_copy").withColumn("ts", F.col("ts").cast("timestamp"))
+    ep = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    t0, t1 = ev.agg(F.min(ep), F.max(ep)).first()
+    span = t1 - t0 + 1
+    bucket = F.floor((ep - F.lit(t0)) / F.lit(span / STREAM_SLICES))
+    dest = f"{out_dir}/events.parquet"
+    for i in range(STREAM_SLICES):
+        (
+            out.where(bucket == i)
+            .repartition(STREAM_FILES_PER_SLICE)
+            .write.mode("append")
+            .parquet(dest)
+        )
+
+
+def _stream_ops():
+    """The four stateful streaming operators under stress, as
+    (output_mode, transform) factories over a normalized event stream."""
+    from selium_spark.operators import stateful
+
+    steps = ["signup", "click", "purchase"]
+    return {
+        "streaming_scd2": (
+            "update",
+            lambda ev: stateful.streaming_scd2(
+                ev, "user_id", "event_type", "ts", "event_id"
+            ),
+        ),
+        "streaming_gapfill_wm": (
+            "update",
+            lambda ev: stateful.streaming_gapfill_locf(
+                ev.withWatermark("ts", "0 seconds"),
+                "user_id",
+                "ts",
+                "value",
+                "event_id",
+                grain="day",
+                emit_to_watermark=True,
+            ),
+        ),
+        "streaming_funnel_sla": (
+            "update",
+            lambda ev: stateful.streaming_funnel(
+                ev.withWatermark("ts", "0 seconds"),
+                "user_id",
+                "event_type",
+                "ts",
+                steps,
+                abandon_after="7 days",
+            ),
+        ),
+        "dedup_within_watermark": (
+            "append",
+            lambda ev: stateful.dedup_within_watermark(
+                ev, ["event_id"], "ts", "60 days"
+            ).select("event_id", "event_type"),
+        ),
+    }
+
+
+def stream_replay_metrics(
+    spark,
+    src: str,
+    schema,
+    transform,
+    output_mode: str,
+    state_store: str | None,
+    shuffle_partitions: int = 32,
+    max_files: int = STREAM_FILES_PER_SLICE,
+    timeout_s: float = 1800.0,
+) -> dict:
+    """Replay ``src`` through ``transform`` in maxFilesPerTrigger
+    micro-batches to a noop sink, returning throughput + state-store
+    metrics from the query's progress events."""
+    from selium_spark.streaming.state import state_store_provider
+
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", str(max_files))
+        .load(src)
+    )
+    out = transform(stream)
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    ctx = (
+        state_store_provider(spark, state_store)
+        if state_store
+        else contextlib.nullcontext()
+    )
+    try:
+        with tempfile.TemporaryDirectory(prefix="stress_ckpt_") as ckpt, ctx:
+            t0 = time.time()
+            q = (
+                out.writeStream.outputMode(output_mode)
+                .format("noop")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(timeout_s)
+            if q.isActive:
+                q.stop()
+            wall = time.time() - t0
+            progs = [
+                p if isinstance(p, dict) else json.loads(p.json)
+                for p in q.recentProgress
+            ]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    rows = sum(p.get("numInputRows", 0) for p in progs)
+    out_rows = sum((p.get("sink") or {}).get("numOutputRows", 0) for p in progs)
+    batches = [p for p in progs if p.get("numInputRows", 0) > 0]
+    last_state: list[dict] = []
+    for p in progs:
+        if p.get("stateOperators"):
+            last_state = p["stateOperators"]
+    commits = [
+        sum(o.get("commitTimeMs", 0) for o in (p.get("stateOperators") or []))
+        for p in batches
+    ]
+    return {
+        "rows": rows,
+        "out_rows": out_rows,
+        "wall_s": round(wall, 2),
+        "rows_per_s": round(rows / max(wall, 0.01)),
+        "n_batches": len(batches),
+        "state_rows": sum(o.get("numRowsTotal", 0) for o in last_state),
+        "state_mb": round(
+            sum(o.get("memoryUsedBytes", 0) for o in last_state) / 2**20, 1
+        ),
+        "avg_commit_ms": round(sum(commits) / max(len(commits), 1)),
+    }
+
+
+def build_banded(spark, n_docs: int, hot_frac: float, out_dir: str) -> str:
+    """Banded-keys stream corpus for the LSH hot-band stress: buckets
+    of ~4 docs (realistic dup-cluster size), except ``hot_frac`` of
+    docs which all share ONE band key (the 30%-hot boilerplate shape).
+    Hot docs are spread across every slice, so the swarm arrives
+    continuously like a crawl would deliver it."""
+    os.makedirs(out_dir, exist_ok=True)
+    dest = f"{out_dir}/banded.parquet"
+    hot = (F.col("id") % 100) < int(hot_frac * 100)
+    df = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_id"),
+        F.when(hot, F.lit("hotband"))
+        .otherwise(F.concat(F.lit("u"), (F.col("id") / 4).cast("long").cast("string")))
+        .alias("band_key"),
+    )
+    step = n_docs // 10
+    for i in range(10):
+        (
+            df.where(
+                (F.col("doc_id") >= i * step)
+                & (F.col("doc_id") < ((i + 1) * step if i < 9 else n_docs))
+            )
+            .repartition(2)
+            .write.mode("append")
+            .parquet(dest)
+        )
+    return dest
+
+
+def lsh_main(n_docs: int = 100_000) -> None:
+    """Round-5 verdict task #5: streaming_lsh_pairs under a hot band.
+    Replays a uniform corpus vs a 30%-hot corpus (one band key holding
+    30k docs — far past the state cap) through the default pairs mode
+    and the star overflow mode, 10 micro-batches each."""
+    from selium_spark.operators import stateful
+
+    spark = get_spark(app_name="lsh_stress", cpus=32, shuffle_partitions=32)
+    uni = build_banded(spark, n_docs, 0.0, f"/root/repo/tmp/lsh_uni_{n_docs}") \
+        if not os.path.exists(f"/root/repo/tmp/lsh_uni_{n_docs}/banded.parquet") \
+        else f"/root/repo/tmp/lsh_uni_{n_docs}/banded.parquet"
+    hot = build_banded(spark, n_docs, 0.3, f"/root/repo/tmp/lsh_hot_{n_docs}") \
+        if not os.path.exists(f"/root/repo/tmp/lsh_hot_{n_docs}/banded.parquet") \
+        else f"/root/repo/tmp/lsh_hot_{n_docs}/banded.parquet"
+    schema = spark.read.parquet(uni).schema
+    report = {}
+    runs = [
+        ("uniform_pairs", uni, {}),
+        ("hot_pairs", hot, {}),
+        ("hot_star", hot, {"overflow": "star"}),
+    ]
+    for name, src, kw in runs:
+        m = stream_replay_metrics(
+            spark,
+            src,
+            schema,
+            lambda s, kw=kw: stateful.streaming_lsh_pairs(s, **kw),
+            "append",
+            "rocksdb",
+            max_files=2,
+        )
+        report[name] = m
+        print(f"  {name}: {m}", file=sys.stderr)
+    report["hot_pairs"]["ratio_vs_uniform"] = round(
+        report["hot_pairs"]["wall_s"] / max(report["uniform_pairs"]["wall_s"], 0.01), 2
+    )
+    report["hot_star"]["ratio_vs_uniform"] = round(
+        report["hot_star"]["wall_s"] / max(report["uniform_pairs"]["wall_s"], 0.01), 2
+    )
+    print(json.dumps({"mode": "lsh_hot_band", "n_docs": n_docs, "runs": report}, indent=2))
+
+
+def streaming_main(scales: list[int]) -> None:
+    spark = get_spark(app_name="stream_stress", cpus=32, shuffle_partitions=32)
+    from selium_spark.sources.tables import ensure_nanos_as_long
+    from selium_spark.suite import _norm_stream_ts
+
+    ensure_nanos_as_long(spark)
+    report: dict = {}
+    for n in scales:
+        src_dir = f"/root/repo/tmp/stream_x{n}"
+        dest = f"{src_dir}/events.parquet"
+        if not os.path.exists(dest):
+            print(f"building {n}x streaming corpus at {src_dir} ...", file=sys.stderr)
+            build_stream_scaled(spark, n, src_dir)
+        schema = spark.read.parquet(dest).schema
+        for op_name, (mode, factory) in _stream_ops().items():
+            for provider in ("rocksdb", "hdfs"):
+                m = stream_replay_metrics(
+                    spark,
+                    dest,
+                    schema,
+                    lambda s, f=factory: f(_norm_stream_ts(s, schema)),
+                    mode,
+                    provider,
+                )
+                report.setdefault(op_name, {})[f"x{n}_{provider}"] = m
+                print(f"  {op_name} x{n} {provider}: {m}", file=sys.stderr)
+    print(json.dumps({"mode": "streaming", "scales": scales, "queries": report}, indent=2))
+
+
 def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     out = {}
     for name in names:
@@ -166,6 +444,13 @@ def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--streaming" in sys.argv:
+        scales = [int(a) for a in args] or [1, 10, 30]
+        streaming_main(scales)
+        return
+    if "--lsh" in sys.argv:
+        lsh_main(int(args[0]) if args else 100_000)
+        return
     skew_mode = "--skew" in sys.argv
     n = int(args[0]) if args else 10
     out_dir = f"/root/repo/tmp/scaled_x{n}"
