@@ -301,7 +301,9 @@ def streaming_lsh_pairs(
     banded: DataFrame,
     id_col: str = "doc_id",
     band_key: str = "band_key",
-    max_state_ids: int = 10_000,
+    max_state_ids: int = 4096,
+    overflow: str = "pairs",
+    emit_chunk: int = 1_000_000,
 ) -> DataFrame:
     """Incremental near-dup detection on a document stream: candidate
     pairs are emitted the moment a document lands in a band bucket that
@@ -315,10 +317,36 @@ def streaming_lsh_pairs(
     already-seen id in its bucket, so over a full replay the emitted
     set equals the batch LSH candidate pairs.
 
+    Hot-band scale hardening (round-5 verdict task #5): pairs are
+    CONSTRUCTED incrementally — each new doc contributes exactly its
+    (preceding-docs) pairs, never a full cap^2 ``triu_indices``
+    scratch allocation — and emitted in Arrow frames of at most
+    ``emit_chunk`` pairs, so one boilerplate bucket bounds task memory
+    at O(emit_chunk) regardless of the cap. ``overflow`` picks what an
+    over-cap doc (one arriving after the bucket's state is full) emits:
+
+    - ``"pairs"`` (default, the original contract): it pairs against
+      the ENTIRE capped set — exact, but a swarm bucket emits
+      O(cap) pairs per over-cap doc forever (quadratic-ish output on
+      30%-hot corpora; chunking bounds memory, not volume).
+    - ``"star"``: it pairs only with the bucket's FIRST id — the
+      connectivity-equivalent star edge (same connected components
+      downstream, the batch ``lsh_band_star_edges`` device), O(1)
+      output per over-cap doc. The mode for corpora known to carry
+      mega-buckets.
+
+    The default cap is 4096 (lowered from 10k in round 6): a bucket
+    that saturates still owes its in-cap triangle ONCE — C(cap, 2)
+    pairs in that bucket's single task — and 4096 keeps that at ~8.4M
+    pairs (~1 s of numpy) where 10k meant 5e7. Raise it only with the
+    star overflow mode.
+
     Scale: state is keyed by uniform md5 band keys (no skew); per-key
     state is a short id list. This is the streaming twin of the batch
     band self-join.
     """
+    if overflow not in ("pairs", "star"):
+        raise ValueError(f"overflow must be 'pairs' or 'star', got {overflow!r}")
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -327,8 +355,8 @@ def streaming_lsh_pairs(
         # each NEW doc pairs with every doc that preceded it in
         # processing order, so the batch's pairs are the upper-triangle
         # combinations of [seen ++ kept_new] whose second element is
-        # new, plus (over-cap docs x the capped set) — numpy triu /
-        # broadcast, no Python loop over docs.
+        # new, plus the over-cap emissions — repeat/cumsum construction
+        # sized to the EMITTED pairs, no Python loop over docs.
         seen: list[int] = list(state.get[0]) if state.exists else []
         parts = [p for p in pdfs if len(p)]
         if not parts:
@@ -348,13 +376,43 @@ def streaming_lsh_pairs(
         room = max(max_state_ids - m, 0)
         kept, over = new[:room], new[room:]
         arr = np.concatenate((np.asarray(seen, dtype="int64"), kept))
-        ii, jj = np.triu_indices(len(arr), k=1)
-        keep_pair = jj >= m  # second element is a NEW doc
-        a = np.concatenate((arr[ii[keep_pair]], np.repeat(over, len(arr))))
-        b = np.concatenate((arr[jj[keep_pair]], np.tile(arr, len(over))))
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
         state.update(([int(x) for x in arr],))
-        if len(lo):
+
+        def frames():
+            # in-cap pairs: kept doc t (at index m+t) pairs with every
+            # doc before it; slices sized to <= emit_chunk pairs
+            k = len(kept)
+            counts = m + np.arange(k, dtype="int64")  # pairs per new doc
+            cum = np.cumsum(counts)
+            start = 0
+            while start < k:
+                base = cum[start - 1] if start else 0
+                end = int(np.searchsorted(cum, base + emit_chunk)) + 1
+                end = min(max(end, start + 1), k)
+                sl = counts[start:end]
+                tot = int(sl.sum())
+                if tot:
+                    jj = np.repeat(np.arange(start, end, dtype="int64") + m, sl)
+                    ii = np.arange(tot, dtype="int64") - np.repeat(
+                        np.cumsum(sl) - sl, sl
+                    )
+                    yield arr[ii], arr[jj]
+                start = end
+            # over-cap emissions
+            if over.size and len(arr):
+                if overflow == "star":
+                    yield np.full(over.size, arr[0], dtype="int64"), over
+                else:
+                    per = max(emit_chunk // len(arr), 1)
+                    for s0 in range(0, over.size, per):
+                        ov = over[s0 : s0 + per]
+                        yield (
+                            np.repeat(ov, len(arr)),
+                            np.tile(arr, len(ov)),
+                        )
+
+        for a, b in frames():
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
             yield pd.DataFrame({"id_a": lo, "id_b": hi})
 
     return banded.groupBy(band_key).applyInPandasWithState(

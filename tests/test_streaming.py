@@ -1123,3 +1123,64 @@ def test_streaming_gapfill_week_grain_matches_batch(spark, tmp_path):
         stateful.streaming_gapfill_locf(
             ev, "user_id", "ts", "value", "event_id", grain="month"
         )
+
+
+def test_streaming_lsh_pairs_chunked_and_star_overflow(spark, tmp_path):
+    """Round-5 verdict #5: hot-band hardening. (a) With a tiny
+    emit_chunk the incremental pair construction must emit many small
+    frames whose union equals the unchunked contract; (b) star
+    overflow pairs each over-cap doc with only the bucket's first id
+    (connectivity-equivalent, O(1) per doc) instead of the whole
+    capped set."""
+    rows = [(d, 0, "hot") for d in range(40)] + [(100 + d, 0, f"u{d}") for d in range(10)]
+    src = str(tmp_path / "banded_hot")
+    (
+        spark.createDataFrame(rows, "doc_id LONG, band_id INT, band_key STRING")
+        .coalesce(1)
+        .write.parquet(src)
+    )
+    # second batch: more hot docs, some over-cap
+    (
+        spark.createDataFrame(
+            [(d, 0, "hot") for d in range(40, 60)],
+            "doc_id LONG, band_id INT, band_key STRING",
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(src)
+    )
+    schema = spark.read.parquet(src).schema
+
+    def run(**kw):
+        out = replay_to_memory(
+            spark,
+            src,
+            schema,
+            lambda s: stateful.streaming_lsh_pairs(s, **kw),
+            output_mode="append",
+            max_files_per_trigger=1,
+            shuffle_partitions=2,
+        )
+        return {(r.id_a, r.id_b) for r in out.collect()}
+
+    cap = 50
+    capped = set(range(cap))
+    over = set(range(cap, 60))
+    want_pairs = {(a, b) for b in capped for a in capped if a < b} | {
+        (a, b) for b in over for a in capped if a < b
+    }
+    # chunked emission (7 pairs/frame) == unchunked contract
+    assert run(max_state_ids=cap, emit_chunk=7) == want_pairs
+    assert run(max_state_ids=cap) == want_pairs
+    # star overflow: over-cap docs pair with the first state id only
+    got_star = run(max_state_ids=cap, overflow="star", emit_chunk=7)
+    want_star = {(a, b) for b in capped for a in capped if a < b} | {
+        (0, b) for b in over
+    }
+    assert got_star == want_star
+    import pytest
+
+    with pytest.raises(ValueError, match="overflow"):
+        stateful.streaming_lsh_pairs(
+            spark.readStream.schema(schema).parquet(src), overflow="meteor"
+        )
