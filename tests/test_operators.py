@@ -546,3 +546,73 @@ def test_dedup_exact_xxhash64_same_groups(spark):
     assert dict(dedup.dedup_exact(docs, hash_fn="xxhash64").dtypes)[
         "content_hash"
     ] == "bigint"
+
+
+def test_image_header_codecs_pure():
+    """Round-5 verdict #7: PNG IHDR / JPEG SOFn+EXIF header parsing
+    from real bytes, dependency-free. The PNG fixture is a spec-valid
+    (zlib, CRC-correct) encode; the JPEG fixture is a structurally-real
+    marker stream with a little-endian EXIF orientation tag."""
+    from selium_spark.operators.multimodal import (
+        jpeg_header,
+        parse_media_header,
+        png_header,
+        synth_jpeg,
+        synth_png,
+    )
+
+    p = synth_png(33, 47, (1, 2, 3))
+    assert png_header(p) == {
+        "kind": "png", "width": 33, "height": 47, "channels": 3, "orientation": 1,
+    }
+    j = synth_jpeg(620, 480, orientation=6)
+    assert jpeg_header(j) == {
+        "kind": "jpeg", "width": 620, "height": 480, "channels": 3, "orientation": 6,
+    }
+    # dispatch + junk rejection (truncated, wrong magic, empty)
+    assert parse_media_header(p)["kind"] == "png"
+    assert parse_media_header(j)["kind"] == "jpeg"
+    for junk in (b"", b"GIF89a whatever", p[:10], j[:3], b"\xFF\xD8\xFF"):
+        assert parse_media_header(junk) is None
+    # a JPEG without EXIF keeps the default orientation
+    no_exif = synth_jpeg(10, 20)
+    assert jpeg_header(no_exif)["orientation"] == 1
+    # big-endian EXIF parses too
+    import struct
+
+    tiff = b"MM\x00*" + struct.pack(">I", 8)
+    ifd = (
+        struct.pack(">H", 1)
+        + struct.pack(">HHI", 0x0112, 3, 1)
+        + struct.pack(">HH", 8, 0)
+        + struct.pack(">I", 0)
+    )
+    exif = b"Exif\x00\x00" + tiff + ifd
+    app1 = b"\xFF\xE1" + struct.pack(">H", len(exif) + 2) + exif
+    sof0 = b"\xFF\xC0" + struct.pack(">HBHHB", 11, 8, 5, 7, 1) + bytes([1, 0x11, 0])
+    assert jpeg_header(b"\xFF\xD8" + app1 + sof0 + b"\xFF\xD9") == {
+        "kind": "jpeg", "width": 7, "height": 5, "channels": 1, "orientation": 8,
+    }
+
+
+def test_decode_headers_real_bytes_and_junk(spark):
+    """decode_headers reads dims out of real container bytes and maps
+    unparseable payloads to kind='unknown' with null dims (opaque,
+    never an error)."""
+    from selium_spark.operators.multimodal import decode_headers, synth_media
+
+    ids = spark.range(10).select(F.col("id").alias("doc_id"))
+    out = decode_headers(synth_media(ids)).orderBy("media_id").collect()
+    for r in out:
+        i = r.media_id
+        assert r.kind == ("png" if i % 2 == 0 else "jpeg")
+        assert r.width == 16 + i % 48 and r.height == 16 + (i * 7) % 48
+        assert r.channels == 3
+        assert r.orientation == (1 if i % 2 == 0 else 1 + i % 8)
+        assert r.n_bytes > 0
+    junk = spark.createDataFrame(
+        [(1, "image", bytearray(b"not an image"))],
+        "media_id long, kind string, bytes binary",
+    )
+    [row] = decode_headers(junk).collect()
+    assert row.kind == "unknown" and row.width is None and row.n_bytes == 12
