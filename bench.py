@@ -94,6 +94,12 @@ HEADLINE = [
     "wasm_udf_toolchain_loop",
     "text_dsir_select",
     "wasm_udf_toolchain_table_scale",
+    # round 6: byte-stream guests on the vectorized row-memory tier,
+    # real-bytes header decode, graded streaming LSH
+    "wasm_udf_text_fnv",
+    "wasm_udf_guest_tokens",
+    "mm_header_decode",
+    "stream_lsh_pairs",
 ]
 
 
@@ -124,6 +130,47 @@ def run_one(spark, name: str) -> float:
     dt = time.time() - t0
     _query_load[name] = max(_query_load[name], os.getloadavg()[0])
     return dt
+
+
+#: extra reps a suspect (contaminated) query gets at the end of the run
+RETIME_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_RETIME_REPS", "3"))
+
+
+def retime_suspects(
+    timings: dict,
+    query_load: dict,
+    runner,
+    cpus: int = 32,
+    reps: int = RETIME_REPS,
+    threshold: float = 1.25,
+) -> dict:
+    """Auto re-time queries whose surrounding loadavg peaked above
+    ``cpus * threshold`` (co-tenant steal) — round-5 verdict task #6.
+
+    Each suspect gets ``reps`` fresh back-to-back runs at the END of
+    the sweep (minutes after the contaminated window); BOTH readings
+    are returned ({name: {benched, retimed}}) and ``timings`` is
+    updated in place with the better (min) one, so a contaminated
+    sweep can inflate a query's published number only if the re-time
+    was contaminated too — and the JSON says so either way.
+    """
+    retimes: dict = {}
+    for name, peak in sorted(query_load.items()):
+        if peak <= cpus * threshold or timings.get(name, -1.0) < 0:
+            continue
+        samples = []
+        for _ in range(reps):
+            try:
+                samples.append(runner(name))
+            except Exception:
+                break
+        if not samples:
+            continue
+        best = round(min(samples), 3)
+        retimes[name] = {"benched": timings[name], "retimed": best}
+        if best < timings[name]:
+            timings[name] = best
+    return retimes
 
 
 def main() -> None:
@@ -176,6 +223,18 @@ def main() -> None:
             timings[name] = -1.0
         else:
             timings[name] = round(min(post_warm), 3)
+    # contaminated readings get a fresh standalone re-time, minutes
+    # after the noisy window; both readings land in the JSON below
+    suspects_now = {
+        q: v for q, v in _query_load.items() if v > CPUS * 1.25
+    }
+    retimes = (
+        retime_suspects(
+            timings, suspects_now, lambda n: run_one(spark, n), cpus=CPUS
+        )
+        if suspects_now
+        else {}
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -207,9 +266,12 @@ def main() -> None:
                 # co-tenant steal — discount THOSE readings, not the run
                 "suspect_queries": {
                     q: round(v, 1)
-                    for q, v in sorted(_query_load.items())
-                    if v > CPUS * 1.25
+                    for q, v in sorted(suspects_now.items())
                 },
+                # both readings for every suspect: the sweep's number
+                # and the end-of-run standalone re-time (the published
+                # per-query value is the min of the two)
+                "suspect_retimes": retimes,
             }
         )
     )
