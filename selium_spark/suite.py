@@ -4334,6 +4334,84 @@ LEFT JOIN picked p ON g.user_id = p.user_id AND g.period = p._period
 """
 
 
+def w_gapfill_locf_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-grain gap-fill (round 6): dense Monday-anchored week grid
+    per user with LOCF fill — date_trunc('week') periods, 7-day
+    sequence steps (windows.gapfill_locf grain='week')."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.gapfill_locf(
+        ev, "ts", ["user_id"], "value", tiebreak_col="event_id", grain="week"
+    )
+    return out.withColumn("period", F.date_format("period", "yyyy-MM-dd"))
+
+
+SQL_GAPFILL_WEEKLY = """
+WITH obs AS (
+  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS _period, value,
+    row_number() OVER (
+      PARTITION BY user_id, date_trunc('week', ts)
+      ORDER BY ts DESC, event_id DESC
+    ) AS _rn
+  FROM events
+), picked AS (
+  SELECT user_id, _period, value FROM obs WHERE _rn = 1
+), span AS (
+  SELECT user_id, min(_period) AS _p0, max(_period) AS _p1
+  FROM picked GROUP BY 1
+), grid AS (
+  SELECT user_id,
+    CAST(unnest(generate_series(CAST(_p0 AS TIMESTAMP), CAST(_p1 AS TIMESTAMP),
+                                INTERVAL 7 DAY)) AS DATE) AS period
+  FROM span
+)
+SELECT g.user_id, strftime(g.period, '%Y-%m-%d') AS period,
+  last_value(p.value IGNORE NULLS) OVER (
+    PARTITION BY g.user_id ORDER BY g.period
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS value,
+  p.value IS NULL AS is_filled
+FROM grid g
+LEFT JOIN picked p ON g.user_id = p.user_id AND g.period = p._period
+"""
+
+
+def stream_gapfill_locf_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming weekly gapfill twin (round 6): grain='week' replays to
+    the same Monday-anchored grid as the batch weekly fold — the grain
+    parity the batch/streaming twins promise (round-5 verdict #4)."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema)
+        from .operators.stateful import streaming_gapfill_locf as op
+
+        return op(ev, "user_id", "ts", "value", "event_id", grain="week")
+
+    snap = replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform,
+        output_mode="update", shuffle_partitions=8,
+    )
+    return (
+        snap.groupBy("key", "period")
+        .agg(
+            F.max_by(
+                F.struct("value", "is_filled"),
+                F.struct("src_ts_us", "src_tb"),
+            ).alias("w")
+        )
+        .select(
+            F.col("key").alias("user_id"),
+            F.date_format("period", "yyyy-MM-dd").alias("period"),
+            F.col("w.value").alias("value"),
+            F.col("w.is_filled").alias("is_filled"),
+        )
+    )
+
+
 def stream_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming gapfill/LOCF twin (stateful.streaming_gapfill_locf):
     the dense daily grid emerges incrementally from the replayed events
@@ -5380,6 +5458,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_pq_encode": stream_pq_encode,
     "w_gapfill_locf_daily": w_gapfill_locf_daily,
     "w_gapfill_locf_hourly": w_gapfill_locf_hourly,
+    "w_gapfill_locf_weekly": w_gapfill_locf_weekly,
+    "stream_gapfill_locf_weekly": stream_gapfill_locf_weekly,
     "q_scd2_user_state": q_scd2_user_state,
     "stream_scd2_history": stream_scd2_history,
     "stream_gapfill_locf": stream_gapfill_locf,
@@ -5539,6 +5619,8 @@ WHERE value % 2 = 0"""
     "stream_running_stats": SQL_STREAM_STATS,
     "w_gapfill_locf_daily": SQL_GAPFILL,
     "w_gapfill_locf_hourly": SQL_GAPFILL_HOURLY,
+    "w_gapfill_locf_weekly": SQL_GAPFILL_WEEKLY,
+    "stream_gapfill_locf_weekly": SQL_GAPFILL_WEEKLY,
     "q_scd2_user_state": SQL_SCD2,
     "stream_scd2_history": SQL_SCD2,
     "stream_gapfill_locf": SQL_STREAM_GAPFILL,
