@@ -100,6 +100,8 @@ HEADLINE = [
     "wasm_udf_guest_tokens",
     "mm_header_decode",
     "stream_lsh_pairs",
+    "text_bigram_ppl",
+    "w_gapfill_locf_weekly",
 ]
 
 

@@ -318,12 +318,21 @@ def stream_replay_metrics(
         sum(o.get("commitTimeMs", 0) for o in (p.get("stateOperators") or []))
         for p in batches
     ]
+    trig = sorted(
+        (p.get("durationMs") or {}).get("triggerExecution", 0) for p in batches
+    )
+
+    def pct(q: float) -> int:
+        return trig[min(int(q * len(trig)), len(trig) - 1)] if trig else 0
+
     return {
         "rows": rows,
         "out_rows": out_rows,
         "wall_s": round(wall, 2),
         "rows_per_s": round(rows / max(wall, 0.01)),
         "n_batches": len(batches),
+        "trigger_p50_ms": pct(0.5),
+        "trigger_p99_ms": pct(0.99),
         "state_rows": sum(o.get("numRowsTotal", 0) for o in last_state),
         "state_mb": round(
             sum(o.get("memoryUsedBytes", 0) for o in last_state) / 2**20, 1
@@ -404,6 +413,44 @@ def lsh_main(n_docs: int = 100_000) -> None:
     print(json.dumps({"mode": "lsh_hot_band", "n_docs": n_docs, "runs": report}, indent=2))
 
 
+def latency_main(n: int = 10) -> None:
+    """Per-trigger latency distribution for the four stateful ops:
+    the Nx corpus replayed ONE file per trigger (48 triggers over the
+    12 slices x 4 files layout — a sustained-backlog micro-batch
+    cadence), RocksDB state; reports p50/p99 triggerExecution per op.
+    Complements --streaming's throughput table with the latency view a
+    live deployment cares about."""
+    spark = get_spark(app_name="stream_latency", cpus=32, shuffle_partitions=32)
+    from selium_spark.sources.tables import ensure_nanos_as_long
+    from selium_spark.suite import _norm_stream_ts
+
+    ensure_nanos_as_long(spark)
+    src_dir = f"/root/repo/tmp/stream_x{n}"
+    dest = f"{src_dir}/events.parquet"
+    if not os.path.exists(dest):
+        print(f"building {n}x streaming corpus at {src_dir} ...", file=sys.stderr)
+        build_stream_scaled(spark, n, src_dir)
+    schema = spark.read.parquet(dest).schema
+    report = {}
+    for op_name, (mode, factory) in _stream_ops().items():
+        m = stream_replay_metrics(
+            spark,
+            dest,
+            schema,
+            lambda s, f=factory: f(_norm_stream_ts(s, schema)),
+            mode,
+            "rocksdb",
+            max_files=1,
+        )
+        report[op_name] = m
+        print(f"  {op_name} x{n} 1-file-triggers: {m}", file=sys.stderr)
+    print(
+        json.dumps(
+            {"mode": "streaming_latency", "scale": n, "queries": report}, indent=2
+        )
+    )
+
+
 def streaming_main(scales: list[int]) -> None:
     spark = get_spark(app_name="stream_stress", cpus=32, shuffle_partitions=32)
     from selium_spark.sources.tables import ensure_nanos_as_long
@@ -450,6 +497,9 @@ def main() -> None:
         return
     if "--lsh" in sys.argv:
         lsh_main(int(args[0]) if args else 100_000)
+        return
+    if "--streaming-latency" in sys.argv:
+        latency_main(int(args[0]) if args else 10)
         return
     skew_mode = "--skew" in sys.argv
     n = int(args[0]) if args else 10

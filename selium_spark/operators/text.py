@@ -565,6 +565,78 @@ def bigram_lm_counts(
     )
 
 
+def bigram_interp_logppl(
+    df: DataFrame,
+    lam: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 9,
+) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram LM perplexity, self-trained —
+    the quality signal one LM order above :func:`unigram_logppl` (the
+    CCNet filter uses a 5-gram KenLM; interpolation-with-unigram is the
+    classic backoff device, Jelinek & Mercer 1980): per-doc mean over
+    bigram positions of ``-log(lam * P(w2|w1) + (1-lam) * P(w2))``,
+    with ``P(w2|w1) = c(w1,w2)/ctx(w1)`` and ``P(w2) = tgt(w2)/N`` all
+    derived from the corpus's OWN bigram table (ctx/tgt are marginal
+    re-aggregations of the pair counts; N = total bigram occurrences) —
+    self-consistent, so no unseen-event smoothing is needed on the
+    training corpus itself.
+
+    Plan shape: one explode to bigram occurrences; the probability
+    table is the distinct-bigram table (sub-corpus-sized, uniformly
+    keyed) joined back on (w1, w2); marginals re-aggregate the PAIR
+    table, not the corpus (the bigram_lm_counts shape). The per-doc
+    sum folds in position order over a sorted collect_list so the
+    float total is bit-identical across engines (same device as
+    unigram_logppl)."""
+    toks = tokens(text_col)
+    pairs_col = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda a, b: F.when(
+                b.isNotNull(), F.struct(a.alias("w1"), b.alias("w2"))
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    occ = df.select(
+        F.col(id_col), F.posexplode(pairs_col).alias("pos", "p")
+    ).select(id_col, "pos", "p.w1", "p.w2")
+    pairs = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    tgt = pairs.groupBy("w2").agg(F.sum("c12").alias("t2"))
+    total = pairs.agg(F.sum("c12").alias("n_big"))
+    prob = (
+        pairs.join(ctx, "w1")
+        .join(tgt, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log(
+                    F.lit(lam) * (F.col("c12") / F.col("c1"))
+                    + F.lit(1.0 - lam) * (F.col("t2") / F.col("n_big"))
+                )
+            ).alias("nll"),
+        )
+    )
+    joined = occ.join(prob, ["w1", "w2"])
+    fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "nll"))), lambda s: s["nll"]
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(fold / F.count(F.lit(1)), round_to).alias("bigram_logppl"),
+    )
+
+
 # -- DSIR importance resampling ------------------------------------------
 #
 # Data Selection via Importance Resampling (Xie et al., NeurIPS 2023,

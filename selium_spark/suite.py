@@ -5214,6 +5214,41 @@ LIMIT 200
 """
 
 
+def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM perplexity per document (round 6;
+    text.bigram_interp_logppl): Jelinek-Mercer mix of the corpus's own
+    bigram conditional and unigram-target marginal, position-ordered
+    float fold for cross-engine bit equality."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bigram_interp_logppl(docs, lam=0.7)
+
+
+SQL_BIGRAM_PPL = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+occ AS (
+  SELECT doc_id, i AS pos, toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, greatest(len(toks), 1))) AS u(i)
+  WHERE toks[i + 1] IS NOT NULL
+),
+pairs AS (SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(c12) AS c1 FROM pairs GROUP BY 1),
+tgt AS (SELECT w2, SUM(c12) AS t2 FROM pairs GROUP BY 1),
+tot AS (SELECT SUM(c12) AS n_big FROM pairs),
+prob AS (
+  SELECT p.w1, p.w2,
+    -ln(0.7 * (p.c12 / c.c1) + 0.3 * (g.t2 / o.n_big)) AS nll
+  FROM pairs p JOIN ctx c ON p.w1 = c.w1 JOIN tgt g ON p.w2 = g.w2
+  CROSS JOIN tot o
+)
+SELECT o.doc_id, COUNT(*) AS n_bigrams,
+  round(list_aggregate(
+    list_transform(list_sort(list({{'pos': o.pos, 'nll': pr.nll}})), s -> s.nll),
+    'sum') / COUNT(*), 9) AS bigram_logppl
+FROM occ o JOIN prob pr ON o.w1 = pr.w1 AND o.w2 = pr.w2
+GROUP BY o.doc_id
+"""
+
+
 def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al., NeurIPS 2023,
     arXiv:2302.03169; text.dsir_resample): score every document by the
@@ -5378,6 +5413,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_weighted_sample": mix_weighted_sample,
     "mix_split_assign": mix_split_assign,
     "text_bigram_lm": text_bigram_lm,
+    "text_bigram_ppl": text_bigram_ppl,
     "text_dsir_select": text_dsir_select,
     "mm_decode_features": mm_decode_features,
     "udaf_user_entropy": udaf_user_entropy,
@@ -5554,6 +5590,7 @@ WHERE value % 2 = 0"""
     "mix_weighted_sample": SQL_MIX_WEIGHTED,
     "mix_split_assign": SQL_SPLIT_ASSIGN,
     "text_bigram_lm": SQL_BIGRAM_LM,
+    "text_bigram_ppl": SQL_BIGRAM_PPL,
     "text_dsir_select": SQL_TEXT_DSIR,
     "q_distinct_users_daily": SQL_DISTINCT_USERS,
     "pipeline_data_prep": SQL_DATA_PREP,
