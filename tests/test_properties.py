@@ -228,3 +228,56 @@ def test_rolling_features_match_bruteforce_frames(spark_h, obs, days):
         frame = [c for s2, c in obs if 0 <= (ts - (dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s2))).total_seconds() <= lo]
         assert got[ts][0] == len(frame)
         assert got[ts][1] == sum(frame) / 100.0
+
+
+@given(
+    w=st.integers(min_value=1, max_value=65535),
+    h=st.integers(min_value=1, max_value=65535),
+    rgb=st.tuples(*[st.integers(0, 255)] * 3),
+    orientation=st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_image_header_roundtrip_property(w, h, rgb, orientation):
+    """synth -> parse round-trips arbitrary dims exactly for both
+    container formats. The JPEG fixture is header-only, so its dims
+    range over the full 2-byte SOF0 space; the PNG encoder
+    materializes w*h pixels, so its dims are capped at 512 (the
+    4-byte IHDR field itself is still exercised across the full range
+    via a hand-built header below)."""
+    import struct
+    import zlib
+
+    from selium_spark.operators.multimodal import (
+        PNG_SIG,
+        jpeg_header,
+        png_header,
+        synth_jpeg,
+        synth_png,
+    )
+
+    pw, ph = min(w, 512), min(h, 512)
+    assert png_header(synth_png(pw, ph, rgb)) == {
+        "kind": "png", "width": pw, "height": ph, "channels": 3, "orientation": 1,
+    }
+    # full-range IHDR without materializing pixels
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    assert png_header(PNG_SIG + chunk)["width"] == w
+    assert jpeg_header(synth_jpeg(w, h, orientation)) == {
+        "kind": "jpeg", "width": w, "height": h, "channels": 3,
+        "orientation": orientation,
+    }
+
+
+@given(junk=st.binary(max_size=64))
+@settings(max_examples=120, deadline=None)
+def test_image_header_never_crashes_on_junk(junk):
+    """parse_media_header is total over arbitrary byte strings: either
+    a well-formed header dict or None, never an exception (a 100 TB
+    crawl feeds it adversarial bytes)."""
+    from selium_spark.operators.multimodal import parse_media_header
+
+    out = parse_media_header(junk)
+    assert out is None or {"kind", "width", "height"} <= set(out)

@@ -204,3 +204,46 @@ def test_pq_encode_stateless_matches_grouped(spark):
         map(tuple, similarity.pq_encode_stateless(emb, cb.collect(), m_subs=8).collect())
     )
     assert grouped == stateless
+
+
+def test_stream_replay_metrics_machinery(spark, tmp_path):
+    """The --streaming stress harness's metric collection works on a
+    tiny corpus: rows counted, batches > 1 under maxFilesPerTrigger,
+    state rows/memory and trigger percentiles populated — so
+    scale_stress.py --streaming cannot rot silently between rounds."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from scripts.scale_stress import stream_replay_metrics
+    from selium_spark.operators import stateful
+    from selium_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 20
+    )
+    src = str(tmp_path / "ev")
+    cut = "2024-01-04"
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    n_rows = spark.read.parquet(src).count()
+
+    m = stream_replay_metrics(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_scd2(s, "user_id", "event_type", "ts", "event_id"),
+        "update",
+        state_store="rocksdb",
+        shuffle_partitions=2,
+        max_files=1,
+    )
+    n_keys = spark.read.parquet(src).select("user_id").distinct().count()
+    assert m["rows"] == n_rows
+    assert m["n_batches"] == 2
+    assert m["state_rows"] == n_keys  # O(keys), not O(events)
+    assert m["rows_per_s"] > 0 and m["wall_s"] > 0
+    assert m["trigger_p50_ms"] > 0 and m["trigger_p99_ms"] >= m["trigger_p50_ms"]
+    assert m["state_mb"] > 0  # rocksdb memory reported
