@@ -102,6 +102,7 @@ HEADLINE = [
     "stream_lsh_pairs",
     "text_bigram_ppl",
     "w_gapfill_locf_weekly",
+    "pack_nextfit_manifest",
 ]
 
 

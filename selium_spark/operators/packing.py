@@ -135,3 +135,69 @@ def shard_assign(
     )
     w = Window.partitionBy("shard_id").orderBy(F.col("_h").asc(), F.col(id_col).asc())
     return assigned.withColumn("seq", F.row_number().over(w) - 1).drop("_h")
+
+
+def pack_nextfit(
+    df: DataFrame,
+    capacity: int,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NO-SPLIT next-fit-decreasing sequence packing — the
+    padding-efficiency shape of "packing without cross-document
+    contamination" (Krell et al. 2021, arXiv:2107.02027): documents are
+    never spliced across sequences (unlike :func:`pack_sequences`'
+    concat-and-chunk); each doc joins the open sequence unless it would
+    overflow ``capacity``, which opens a new one. Scanning in
+    token-count-DESC order (doc_id tiebreak) is the decreasing variant
+    that bounds wasted padding. A doc longer than ``capacity`` occupies
+    a sequence alone.
+
+    Scale: the (seq_id, fill) scan is inherently sequential, so docs
+    are salted into ``n_shards`` md5 buckets (shard_assign's device)
+    and each shard packs independently via applyInPandas — one hash
+    shuffle on the shard key, thousands of parallel shard scans at
+    100 TB, no global order. The per-shard scan is a Python loop over
+    the shard's DOC COUNT (a reset-cumsum is not vectorizable), which
+    is manifest-sized, not token-sized — the token work (counting)
+    stayed JVM-side upstream.
+
+    Output: one row per doc — (id_col, n_tokens, shard_id, seq_id).
+    """
+    import pandas as pd
+
+    from .text import token_count
+
+    h = F.md5(F.col(id_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, 4), 16, 10).cast("long")
+    base = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        (bucket % n_shards).cast("int").alias("shard_id"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        toks = pdf["n_tokens"].to_list()
+        seq_ids = []
+        seq = 0
+        fill = None
+        for t in toks:
+            if fill is None:
+                fill = t
+            elif fill + t <= capacity:
+                fill += t
+            else:
+                seq += 1
+                fill = t
+            seq_ids.append(seq)
+        pdf["seq_id"] = seq_ids
+        return pdf[[id_col, "n_tokens", "shard_id", "seq_id"]]
+
+    return base.groupBy("shard_id").applyInPandas(
+        pack,
+        schema=f"{id_col} long, n_tokens int, shard_id int, seq_id long",
+    )

@@ -5121,6 +5121,47 @@ FROM capped WHERE rn <= 40 GROUP BY domain
 """
 
 
+def pack_nextfit_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split next-fit-decreasing sequence packing (round 6;
+    packing.pack_nextfit, Krell et al. 2021's no-contamination shape):
+    per-doc (shard, seq) assignment at a 256-token capacity across 8
+    md5 shards. The oracle replays the identical scan as a DuckDB
+    recursive CTE over the same ordering."""
+    docs = _t(spark, sf_dir, "documents")
+    return packing.pack_nextfit(docs, capacity=256, n_shards=8)
+
+
+SQL_PACK_NEXTFIT = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+d AS (
+  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+    CAST((
+      (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)
+    ) % 8 AS INT) AS shard_id
+  FROM t
+),
+ordered AS (
+  SELECT doc_id, n_tokens, shard_id,
+    row_number() OVER (PARTITION BY shard_id ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM d
+),
+packed AS (
+  SELECT shard_id, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard_id, o.doc_id, o.n_tokens, o.rn,
+    CASE WHEN p.fill + o.n_tokens <= 256 THEN p.seq_id ELSE p.seq_id + 1 END,
+    CASE WHEN p.fill + o.n_tokens <= 256 THEN p.fill + o.n_tokens ELSE o.n_tokens END
+  FROM packed p JOIN ordered o ON o.shard_id = p.shard_id AND o.rn = p.rn + 1
+)
+SELECT doc_id, n_tokens, shard_id, seq_id FROM packed
+"""
+
+
 def pack_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shuffle-and-shard: md5-bucket docs into 8 shards
     with an in-shard hash-order sequence (packing.shard_assign), then
@@ -5408,6 +5449,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_training_bins": pack_training_bins,
     "pack_chunks": pack_chunks,
     "pack_shard_manifest": pack_shard_manifest,
+    "pack_nextfit_manifest": pack_nextfit_manifest,
     "url_domain_caps": url_domain_caps,
     "mix_sample_sources": mix_sample_sources,
     "mix_weighted_sample": mix_weighted_sample,
@@ -5583,6 +5625,7 @@ WHERE value % 2 = 0"""
     "pack_training_bins": SQL_PACK_BINS,
     "pack_chunks": SQL_PACK_CHUNKS,
     "pack_shard_manifest": SQL_SHARD_MANIFEST,
+    "pack_nextfit_manifest": SQL_PACK_NEXTFIT,
     "dedup_incremental": SQL_DEDUP_INCREMENTAL,
     "dedup_pagerank_canonical": SQL_PAGERANK,
     "url_domain_caps": SQL_URL_DOMAIN_CAPS,

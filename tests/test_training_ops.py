@@ -408,3 +408,29 @@ def test_dsir_xxhash64_production_path(spark):
     w = {r["doc_id"]: r["dsir_weight"] for r in
          text.dsir_importance(raw, target, hash_fn="xxhash64").collect()}
     assert min(w[i] for i in range(0, 40, 2)) > max(w[i] for i in range(1, 40, 2))
+
+
+def test_pack_nextfit_invariants(spark):
+    """No-split next-fit packing: every doc appears exactly once, no
+    multi-doc sequence exceeds capacity, over-long docs sit alone, and
+    seq ids are dense 0..max per shard."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators.packing import pack_nextfit
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (5 + (i * 37) % 300)) for i in range(200)],
+        "doc_id long, text string",
+    )
+    out = pack_nextfit(docs, capacity=100, n_shards=4).collect()
+    assert len(out) == 200 and len({r.doc_id for r in out}) == 200
+    by_seq: dict = {}
+    for r in out:
+        by_seq.setdefault((r.shard_id, r.seq_id), []).append(r.n_tokens)
+    for toks in by_seq.values():
+        assert sum(toks) <= 100 or len(toks) == 1  # overflow only when alone
+    shard_seqs: dict = {}
+    for (sh, sq) in by_seq:
+        shard_seqs.setdefault(sh, set()).add(sq)
+    for seqs in shard_seqs.values():
+        assert seqs == set(range(len(seqs)))  # dense per shard
