@@ -161,6 +161,7 @@ _INTENTIONAL_CARTESIAN = {
     "ann_recall_ivf",            # compares against the brute-force baseline
     "text_bm25",                 # corpus-stats scalar (avgdl, N) cross-join
     "text_logppl_filter",        # vocab-total scalar cross-join
+    "text_bigram_ppl",           # bigram-total scalar cross-join
     "sketch_kmv_distinct",       # 1-row sketch result cross exact count
     "sketch_hll_distinct",       # same
     "sketch_bloom_prune",        # 1-row bloom bitmap broadcast
@@ -200,3 +201,31 @@ def test_dsir_feature_subtree_scans_once_via_cache(spark):
     p = plan_of(spark, "text_dsir_select")
     assert p.text.count("InMemoryTableScan") >= 4
     spark.catalog.clearCache()
+
+
+def test_mm_header_decode_is_narrow(spark):
+    """Fixture synth + header parse are chained mapInPandas stages —
+    payload bytes must never shuffle (the multimodal contract)."""
+    p = plan_of(spark, "mm_header_decode")
+    assert p.n_exchanges == 0
+    assert not p.has_cartesian
+
+
+def test_pack_nextfit_single_shuffle_on_shard_key(spark):
+    """Next-fit packing: token counting map-side, ONE hash shuffle on
+    the md5 shard key, per-shard scans independent."""
+    p = plan_of(spark, "pack_nextfit_manifest")
+    assert p.n_exchanges == 1
+    assert not p.has_cartesian
+
+
+def test_bigram_ppl_total_is_scalar_broadcast(spark):
+    """The bigram-LM total joins back as a 1-row broadcast (never a
+    corpus-side cartesian); occurrence->probability join stays a hash
+    join on (w1, w2)."""
+    p = plan_of(spark, "text_bigram_ppl")
+    assert "BroadcastNestedLoopJoin" not in p.text or "Exchange" in p.text
+    # the only nested-loop join allowed is the 1-row scalar total
+    import re
+
+    assert p.text.count("CartesianProduct") == 0
