@@ -72,6 +72,11 @@ QUERY_SET = [
     "pack_chunks",
     "pack_shard_manifest",
     "url_domain_caps",
+    # round 6: next-fit packing (per-shard scans), bigram-LM ppl
+    # (pair-table join), header decode (narrow mapInPandas chain)
+    "pack_nextfit_manifest",
+    "text_bigram_ppl",
+    "mm_header_decode",
 ]
 
 
@@ -130,6 +135,11 @@ SKEW_QUERY_SET = [
     # the 'en' target balloons to the 30%-hot boilerplate (a far larger
     # target side than uniform's 1% slice), so the ratio is conservative
     "text_dsir_select",
+    # bigram ppl: a 30%-hot boilerplate makes its bigrams dominate the
+    # (w1,w2) occurrence->probability join — the skew-prone shape; the
+    # prob side simultaneously COLLAPSES (few distinct bigrams), so
+    # AQE's broadcast/skew handling should hold the ratio
+    "text_bigram_ppl",
 ]
 
 
