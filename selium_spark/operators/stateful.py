@@ -297,6 +297,55 @@ def latest_enrich_stream(
     )
 
 
+def _lsh_pair_frames(seen, new, max_state_ids, overflow, emit_chunk):
+    """Shared pair-construction core of :func:`streaming_lsh_pairs`:
+    given one band bucket's prior id list and the batch's NEW
+    (sorted, de-duplicated) ids, return ``(updated_id_array,
+    frame_iter)`` where ``frame_iter`` yields (a, b) int64 array pairs
+    in slices of at most ``emit_chunk`` pairs. Pairs are CONSTRUCTED
+    incrementally — each new doc contributes exactly its
+    (preceding-docs) pairs, never a cap^2 ``triu_indices`` scratch."""
+    m = len(seen)
+    room = max(max_state_ids - m, 0)
+    kept, over = new[:room], new[room:]
+    arr = np.concatenate((np.asarray(seen, dtype="int64"), kept))
+
+    def frames():
+        # in-cap pairs: kept doc t (at index m+t) pairs with every
+        # doc before it; slices sized to <= emit_chunk pairs
+        k = len(kept)
+        counts = m + np.arange(k, dtype="int64")  # pairs per new doc
+        cum = np.cumsum(counts)
+        start = 0
+        while start < k:
+            base = cum[start - 1] if start else 0
+            end = int(np.searchsorted(cum, base + emit_chunk)) + 1
+            end = min(max(end, start + 1), k)
+            sl = counts[start:end]
+            tot = int(sl.sum())
+            if tot:
+                jj = np.repeat(np.arange(start, end, dtype="int64") + m, sl)
+                ii = np.arange(tot, dtype="int64") - np.repeat(
+                    np.cumsum(sl) - sl, sl
+                )
+                yield arr[ii], arr[jj]
+            start = end
+        # over-cap emissions
+        if over.size and len(arr):
+            if overflow == "star":
+                yield np.full(over.size, arr[0], dtype="int64"), over
+            else:
+                per = max(emit_chunk // len(arr), 1)
+                for s0 in range(0, over.size, per):
+                    ov = over[s0 : s0 + per]
+                    yield (
+                        np.repeat(ov, len(arr)),
+                        np.tile(arr, len(ov)),
+                    )
+
+    return arr, frames
+
+
 def streaming_lsh_pairs(
     banded: DataFrame,
     id_col: str = "doc_id",
@@ -304,6 +353,7 @@ def streaming_lsh_pairs(
     max_state_ids: int = 4096,
     overflow: str = "pairs",
     emit_chunk: int = 1_000_000,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection on a document stream: candidate
     pairs are emitted the moment a document lands in a band bucket that
@@ -344,81 +394,106 @@ def streaming_lsh_pairs(
     Scale: state is keyed by uniform md5 band keys (no skew); per-key
     state is a short id list. This is the streaming twin of the batch
     band self-join.
+
+    ``state_buckets`` (round 6): with the default None, every band key
+    is its own state group — the exact per-band contract, but a corpus
+    whose bands are mostly singletons pays the applyInPandasWithState
+    per-GROUP Python machinery once per band key per batch (~0.13 ms x
+    tens of thousands of groups at sf0.1). Setting it (e.g. 256) hashes
+    band keys into that many state groups, each holding its bands' id
+    lists side by side (array-of-arrays state); the per-band pair
+    semantics are IDENTICAL (pinned by tests), the Python machinery is
+    paid per BUCKET, and the per-band fold runs inside a pandas groupby
+    over the bucket's rows. The trade: a bucket's whole state
+    serializes on every update, so choose buckets >> hot-band count but
+    << distinct-band count (256 suits test SFs through ~1M bands).
     """
     if overflow not in ("pairs", "star"):
         raise ValueError(f"overflow must be 'pairs' or 'star', got {overflow!r}")
 
-    def fn(
+    if state_buckets is None:
+        def fn(
+            key, pdfs: Iterator[pd.DataFrame], state: GroupState
+        ) -> Iterator[pd.DataFrame]:
+            seen: list[int] = list(state.get[0]) if state.exists else []
+            parts = [p for p in pdfs if len(p)]
+            if not parts:
+                state.update(([int(x) for x in seen],))
+                return
+            batch = np.unique(
+                np.concatenate([p[id_col].to_numpy(dtype="int64") for p in parts])
+            )  # sorted + de-duped within the batch
+            if seen:
+                new = batch[~np.isin(batch, np.asarray(seen, dtype="int64"))]
+            else:
+                new = batch
+            if new.size == 0:
+                state.update(([int(x) for x in seen],))
+                return
+            arr, frames = _lsh_pair_frames(
+                seen, new, max_state_ids, overflow, emit_chunk
+            )
+            state.update(([int(x) for x in arr],))
+            for a, b in frames():
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                yield pd.DataFrame({"id_a": lo, "id_b": hi})
+
+        return banded.groupBy(band_key).applyInPandasWithState(
+            fn,
+            outputStructType="id_a long, id_b long",
+            stateStructType="ids array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    def bucket_fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        # Vectorized pair emission (the r5 no-per-row-Python sweep):
-        # each NEW doc pairs with every doc that preceded it in
-        # processing order, so the batch's pairs are the upper-triangle
-        # combinations of [seen ++ kept_new] whose second element is
-        # new, plus the over-cap emissions — repeat/cumsum construction
-        # sized to the EMITTED pairs, no Python loop over docs.
-        seen: list[int] = list(state.get[0]) if state.exists else []
+        if state.exists:
+            ks = list(state.get[0])
+            idss = [list(x) for x in state.get[1]]
+        else:
+            ks, idss = [], []
         parts = [p for p in pdfs if len(p)]
         if not parts:
-            state.update(([int(x) for x in seen],))
+            state.update((ks, idss))
             return
-        batch = np.unique(
-            np.concatenate([p[id_col].to_numpy(dtype="int64") for p in parts])
-        )  # sorted + de-duped within the batch
-        if seen:
-            new = batch[~np.isin(batch, np.asarray(seen, dtype="int64"))]
-        else:
-            new = batch
-        if new.size == 0:
-            state.update(([int(x) for x in seen],))
-            return
-        m = len(seen)
-        room = max(max_state_ids - m, 0)
-        kept, over = new[:room], new[room:]
-        arr = np.concatenate((np.asarray(seen, dtype="int64"), kept))
-        state.update(([int(x) for x in arr],))
-
-        def frames():
-            # in-cap pairs: kept doc t (at index m+t) pairs with every
-            # doc before it; slices sized to <= emit_chunk pairs
-            k = len(kept)
-            counts = m + np.arange(k, dtype="int64")  # pairs per new doc
-            cum = np.cumsum(counts)
-            start = 0
-            while start < k:
-                base = cum[start - 1] if start else 0
-                end = int(np.searchsorted(cum, base + emit_chunk)) + 1
-                end = min(max(end, start + 1), k)
-                sl = counts[start:end]
-                tot = int(sl.sum())
-                if tot:
-                    jj = np.repeat(np.arange(start, end, dtype="int64") + m, sl)
-                    ii = np.arange(tot, dtype="int64") - np.repeat(
-                        np.cumsum(sl) - sl, sl
-                    )
-                    yield arr[ii], arr[jj]
-                start = end
-            # over-cap emissions
-            if over.size and len(arr):
-                if overflow == "star":
-                    yield np.full(over.size, arr[0], dtype="int64"), over
-                else:
-                    per = max(emit_chunk // len(arr), 1)
-                    for s0 in range(0, over.size, per):
-                        ov = over[s0 : s0 + per]
-                        yield (
-                            np.repeat(ov, len(arr)),
-                            np.tile(arr, len(ov)),
-                        )
-
-        for a, b in frames():
+        index = {k: i for i, k in enumerate(ks)}
+        out_frames = []
+        pdf = pd.concat(parts)
+        for bk, g in pdf.groupby(band_key, sort=False):
+            batch = np.unique(g[id_col].to_numpy(dtype="int64"))
+            i = index.get(bk)
+            seen = idss[i] if i is not None else []
+            if seen:
+                new = batch[~np.isin(batch, np.asarray(seen, dtype="int64"))]
+            else:
+                new = batch
+            if new.size == 0:
+                continue
+            arr, frames = _lsh_pair_frames(
+                seen, new, max_state_ids, overflow, emit_chunk
+            )
+            ids_list = [int(x) for x in arr]
+            if i is None:
+                index[bk] = len(ks)
+                ks.append(bk)
+                idss.append(ids_list)
+            else:
+                idss[i] = ids_list
+            out_frames.extend(frames())
+        state.update((ks, idss))
+        for a, b in out_frames:
             lo, hi = np.minimum(a, b), np.maximum(a, b)
             yield pd.DataFrame({"id_a": lo, "id_b": hi})
 
-    return banded.groupBy(band_key).applyInPandasWithState(
-        fn,
+    bucketed = banded.withColumn(
+        "_state_bucket", F.pmod(F.xxhash64(F.col(band_key)), F.lit(state_buckets))
+    )
+    return bucketed.groupBy("_state_bucket").applyInPandasWithState(
+        bucket_fn,
         outputStructType="id_a long, id_b long",
-        stateStructType="ids array<long>",
+        stateStructType="band_keys array<string>, ids array<array<long>>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

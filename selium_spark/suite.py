@@ -1647,7 +1647,11 @@ def stream_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Over a full replay the emitted set equals the batch band self-join
     — the oracle is the batch LSH SQL without the hot-band cap (no
     sf-test bucket approaches the 4096 state cap). Cross-band
-    duplicate pairs collapse via distinct, exactly like the batch op."""
+    duplicate pairs collapse via distinct, exactly like the batch op.
+    State groups are BUCKETED (256 buckets of band keys): mostly-
+    singleton bands would otherwise pay the per-group Python machinery
+    once per band key per batch — measured 6.0 -> 3.4 s at sf0.1 with
+    the identical pair set."""
     from .operators.dedup import banded_keys
     from .operators.stateful import streaming_lsh_pairs as _op
     from .streaming.replay import replay_to_memory
@@ -1655,7 +1659,9 @@ def stream_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
 
     def transform(stream: DataFrame) -> DataFrame:
-        return _op(banded_keys(stream, k=8, bands=4, shingle_n=3))
+        return _op(
+            banded_keys(stream, k=8, bands=4, shingle_n=3), state_buckets=256
+        )
 
     snap = replay_to_memory(
         spark,

@@ -1172,6 +1172,10 @@ def test_streaming_lsh_pairs_chunked_and_star_overflow(spark, tmp_path):
     # chunked emission (7 pairs/frame) == unchunked contract
     assert run(max_state_ids=cap, emit_chunk=7) == want_pairs
     assert run(max_state_ids=cap) == want_pairs
+    # bucketed state (many bands per state group) == per-band contract,
+    # including bands colliding into the same bucket
+    assert run(max_state_ids=cap, state_buckets=4) == want_pairs
+    assert run(max_state_ids=cap, state_buckets=4, emit_chunk=7) == want_pairs
     # star overflow: over-cap docs pair with the first state id only
     got_star = run(max_state_ids=cap, overflow="star", emit_chunk=7)
     want_star = {(a, b) for b in capped for a in capped if a < b} | {
