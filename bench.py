@@ -103,6 +103,7 @@ HEADLINE = [
     "text_bigram_ppl",
     "w_gapfill_locf_weekly",
     "pack_nextfit_manifest",
+    "ts_series_corr_topk",
 ]
 
 

@@ -424,3 +424,69 @@ def rolling_time_features(
         s.cast("double").alias(f"sum_{days}d"),
         F.round((s / cnt).cast("double"), round_to).alias(f"avg_{days}d"),
     )
+
+
+def series_corr_topk(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    query_key,
+    k: int = 10,
+    min_overlap: int = 5,
+    round_to: int = 9,
+) -> DataFrame:
+    """Time-series similarity search: the ``k`` keys whose daily value
+    series correlates most with ``query_key``'s (Pearson over aligned
+    calendar days — the whole-series case of distributed time-series
+    similarity search, e.g. EDBT'19's streaming variant; reference
+    analogue: the log-analyser's per-category window series compared
+    across categories).
+
+    Determinism device (the rolling_time_features recipe): per-day
+    values and all five correlation sums run on exact DECIMALs, so
+    accumulation order cannot perturb them; the closed-form
+    ``(n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) (n*Syy - Sy^2))`` is then
+    one fixed-order double expression, rounded. Constant series
+    (zero variance) are dropped, as are pairs below ``min_overlap``
+    shared days.
+
+    Plan shape: one groupBy to daily series, the query key's series
+    BROADCAST (one key, calendar-bounded), per-key sums map-side
+    combinable, selection TakeOrderedAndProject — no all-pairs
+    anything; at 100 TB the only corpus-scaled shuffle is the daily
+    rollup.
+    """
+    period = F.to_date(F.date_trunc("day", F.col(ts_col)))
+    dv = F.col(value_col).cast("decimal(18,2)")
+    series = df.groupBy(
+        F.col(key_col).alias("key"), period.alias("period")
+    ).agg(F.sum(dv).cast("decimal(18,2)").alias("v"))
+    q = series.where(F.col("key") == query_key).select(
+        "period", F.col("v").alias("qv")
+    )
+    j = series.where(F.col("key") != query_key).join(F.broadcast(q), "period")
+    agg = j.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.sum("v").alias("sx"),
+        F.sum("qv").alias("sy"),
+        F.sum(F.col("v") * F.col("qv")).alias("sxy"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        F.sum(F.col("qv") * F.col("qv")).alias("syy"),
+    )
+    n = F.col("n_overlap").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    corr = F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), round_to)
+    return (
+        agg.where(F.col("n_overlap") >= min_overlap)
+        .withColumn("_vx", vx)
+        .withColumn("_vy", vy)
+        .where((F.col("_vx") > 0) & (F.col("_vy") > 0))
+        .select("key", "n_overlap", corr.alias("corr"))
+        .orderBy(F.col("corr").desc(), F.col("key").asc())
+        .limit(k)
+    )

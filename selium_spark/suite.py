@@ -4576,6 +4576,42 @@ LEFT JOIN picked p ON g.user_id = p.user_id AND g.period = p._period
 """
 
 
+def ts_series_corr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (round 6; windows.series_corr_topk):
+    the 10 users whose daily value series correlates most with user 0's
+    — exact-decimal sums feed one fixed-order closed-form Pearson, so
+    the DuckDB oracle matches bit-for-bit."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.series_corr_topk(ev, "ts", "user_id", "value", query_key=0, k=10)
+
+
+SQL_SERIES_CORR = """
+WITH s AS (
+  SELECT user_id AS key, CAST(date_trunc('day', ts) AS DATE) AS period,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+  FROM events GROUP BY 1, 2
+),
+q AS (SELECT period, v AS qv FROM s WHERE key = 0),
+j AS (SELECT s.key, s.v, q.qv FROM s JOIN q USING (period) WHERE s.key <> 0),
+a AS (
+  SELECT key, COUNT(*) AS n_overlap,
+    CAST(SUM(v) AS DOUBLE) AS sx, CAST(SUM(qv) AS DOUBLE) AS sy,
+    CAST(SUM(v * qv) AS DOUBLE) AS sxy,
+    CAST(SUM(v * v) AS DOUBLE) AS sxx, CAST(SUM(qv * qv) AS DOUBLE) AS syy
+  FROM j GROUP BY 1
+)
+SELECT key, n_overlap,
+  round((n_overlap * sxy - sx * sy)
+        / sqrt((n_overlap * sxx - sx * sx) * (n_overlap * syy - sy * sy)), 9)
+    AS corr
+FROM a
+WHERE n_overlap >= 5
+  AND (n_overlap * sxx - sx * sx) > 0 AND (n_overlap * syy - sy * sy) > 0
+ORDER BY corr DESC, key ASC
+LIMIT 10
+"""
+
+
 def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 history of each user's event_type "state"
     (relational.scd2_history): one row per state run with
@@ -5549,6 +5585,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_gapfill_locf": stream_gapfill_locf,
     "stream_gapfill_watermark_fill": stream_gapfill_watermark_fill,
     "q_rolling_7d_features": q_rolling_7d_features,
+    "ts_series_corr_topk": ts_series_corr_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -5712,4 +5749,5 @@ WHERE value % 2 = 0"""
     "stream_gapfill_locf": SQL_STREAM_GAPFILL,
     "stream_gapfill_watermark_fill": SQL_STREAM_GAPFILL_WM,
     "q_rolling_7d_features": SQL_ROLLING,
+    "ts_series_corr_topk": SQL_SERIES_CORR,
 }
