@@ -104,6 +104,7 @@ HEADLINE = [
     "w_gapfill_locf_weekly",
     "pack_nextfit_manifest",
     "ts_series_corr_topk",
+    "cep_match_sequence",
 ]
 
 

@@ -490,3 +490,67 @@ def series_corr_topk(
         .orderBy(F.col("corr").desc(), F.col("key").asc())
         .limit(k)
     )
+
+
+def match_sequence(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    first: str,
+    then: str,
+    within_seconds: int,
+    without: str | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Complex-event-processing sequence match: per key, every
+    ``first``-type event whose EARLIEST following ``then``-type event
+    lands within ``within_seconds`` — optionally with NO ``without``-
+    type event strictly between them (the sequence + time-window +
+    negation triple of CEP pattern languages, skip-till-next-match
+    semantics; the stream-native rendering of the reference's routing
+    + threshold composites, examples/waf + log-analyser).
+
+    Plan shape: no self-join — "earliest following B" and "earliest
+    following C" are conditional MIN windows over (ts, tiebreak) with
+    a 1-FOLLOWING..UNBOUNDED frame, i.e. one per-key sort computing a
+    running minimum from the end; match validation is then a row-local
+    filter. One shuffle on the key; a key's events sort in one
+    (spillable) task, the standard ordered-window constraint.
+
+    Output: one row per matched ``first`` event —
+    (key, t_first, t_then, gap_s).
+    """
+    order = (
+        [F.col(ts_col), F.col(tiebreak_col)] if tiebreak_col else [F.col(ts_col)]
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_b = F.min(F.when(F.col(type_col) == then, F.col(ts_col))).over(w)
+    out = df.withColumn("_next_b", next_b)
+    if without is not None:
+        next_c = F.min(F.when(F.col(type_col) == without, F.col(ts_col))).over(w)
+        out = out.withColumn("_next_c", next_c)
+    # NTZ timestamps don't cast to long directly; hop through LTZ
+    t1 = F.col(ts_col).cast("timestamp").cast("long")
+    t2 = F.col("_next_b").cast("timestamp").cast("long")
+    out = out.where(
+        (F.col(type_col) == first)
+        & F.col("_next_b").isNotNull()
+        & (t2 - t1 <= within_seconds)
+    )
+    if without is not None:
+        # negation: the earliest following C must not precede the
+        # matched B (C at exactly t_then is NOT between)
+        out = out.where(
+            F.col("_next_c").isNull() | (F.col("_next_c") >= F.col("_next_b"))
+        )
+    return out.select(
+        F.col(key_col),
+        F.col(ts_col).alias("t_first"),
+        F.col("_next_b").alias("t_then"),
+        (t2 - t1).alias("gap_s"),
+    )

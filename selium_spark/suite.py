@@ -4576,6 +4576,57 @@ LEFT JOIN picked p ON g.user_id = p.user_id AND g.period = p._period
 """
 
 
+def cep_match_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP sequence + time window + negation (round 6;
+    windows.match_sequence): signup events whose earliest following
+    purchase lands within 3 days with no error strictly between —
+    skip-till-next-match semantics, windowed conditional-min plan (no
+    self-join)."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.match_sequence(
+        ev,
+        "user_id",
+        "event_type",
+        "ts",
+        first="signup",
+        then="purchase",
+        within_seconds=3 * 86400,
+        without="error",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.date_format("t_first", "yyyy-MM-dd HH:mm:ss").alias("t_first"),
+        F.date_format("t_then", "yyyy-MM-dd HH:mm:ss").alias("t_then"),
+        "gap_s",
+    )
+
+
+SQL_CEP_SEQ = """
+WITH w AS (
+  SELECT user_id, event_type, ts,
+    min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+    ) AS next_b,
+    min(CASE WHEN event_type = 'error' THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+    ) AS next_c
+  FROM events
+)
+SELECT user_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S') AS t_first,
+  strftime(next_b, '%Y-%m-%d %H:%M:%S') AS t_then,
+  CAST(floor(epoch(next_b)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) AS gap_s
+FROM w
+WHERE event_type = 'signup'
+  AND next_b IS NOT NULL
+  AND CAST(floor(epoch(next_b)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) <= 3 * 86400
+  AND (next_c IS NULL OR next_c >= next_b)
+"""
+
+
 def ts_series_corr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series similarity search (round 6; windows.series_corr_topk):
     the 10 users whose daily value series correlates most with user 0's
@@ -5586,6 +5637,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_gapfill_watermark_fill": stream_gapfill_watermark_fill,
     "q_rolling_7d_features": q_rolling_7d_features,
     "ts_series_corr_topk": ts_series_corr_topk,
+    "cep_match_sequence": cep_match_sequence,
 }
 
 ORACLES: dict[str, str] = {
@@ -5750,4 +5802,5 @@ WHERE value % 2 = 0"""
     "stream_gapfill_watermark_fill": SQL_STREAM_GAPFILL_WM,
     "q_rolling_7d_features": SQL_ROLLING,
     "ts_series_corr_topk": SQL_SERIES_CORR,
+    "cep_match_sequence": SQL_CEP_SEQ,
 }
