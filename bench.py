@@ -105,6 +105,9 @@ HEADLINE = [
     "pack_nextfit_manifest",
     "ts_series_corr_topk",
     "cep_match_sequence",
+    "w_gapfill_interp_daily",
+    "ts_ewma_level",
+    "ts_cusum_alarms",
 ]
 
 

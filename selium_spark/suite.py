@@ -5484,6 +5484,143 @@ LIMIT 100
 # registry
 # ---------------------------------------------------------------------------
 
+def w_gapfill_interp_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily grid per (user, event_type) with LINEAR interpolation
+    between the surrounding observations (windows.gapfill_interp) — the
+    hypertable time_bucket_gapfill+interpolate sibling of the LOCF
+    family. Grid-bounded, so every gap has both neighbours; the fill
+    arithmetic is a fixed-order IEEE chain on integral period indices,
+    bit-identical to the DuckDB oracle without rounding."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.gapfill_interp(
+        ev, "ts", ["user_id", "event_type"], "value", tiebreak_col="event_id"
+    )
+    return out.withColumn("period", F.date_format("period", "yyyy-MM-dd"))
+
+
+SQL_GAPFILL_INTERP = """
+WITH obs AS (
+  SELECT user_id, event_type, CAST(date_trunc('day', ts) AS DATE) AS _period, value,
+    row_number() OVER (
+      PARTITION BY user_id, event_type, date_trunc('day', ts)
+      ORDER BY ts DESC, event_id DESC
+    ) AS _rn
+  FROM events
+), picked AS (
+  SELECT user_id, event_type, _period, value FROM obs WHERE _rn = 1
+), span AS (
+  SELECT user_id, event_type, min(_period) AS _p0, max(_period) AS _p1
+  FROM picked GROUP BY 1, 2
+), grid AS (
+  SELECT user_id, event_type,
+    CAST(unnest(generate_series(CAST(_p0 AS TIMESTAMP), CAST(_p1 AS TIMESTAMP),
+                                INTERVAL 1 DAY)) AS DATE) AS period
+  FROM span
+), j AS (
+  SELECT g.user_id, g.event_type, g.period, p.value AS obs,
+    CAST(epoch(CAST(g.period AS TIMESTAMP)) AS BIGINT) AS idx,
+    CASE WHEN p.value IS NOT NULL
+         THEN CAST(epoch(CAST(g.period AS TIMESTAMP)) AS BIGINT) END AS oidx
+  FROM grid g
+  LEFT JOIN picked p
+    ON g.user_id = p.user_id AND g.event_type = p.event_type AND g.period = p._period
+), f AS (
+  SELECT user_id, event_type, period, obs, idx,
+    last_value(obs IGNORE NULLS) OVER wb AS pv,
+    last_value(oidx IGNORE NULLS) OVER wb AS pi,
+    first_value(obs IGNORE NULLS) OVER wf AS nv,
+    first_value(oidx IGNORE NULLS) OVER wf AS ni
+  FROM j
+  WINDOW
+    wb AS (PARTITION BY user_id, event_type ORDER BY period
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id, event_type ORDER BY period
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_type, strftime(period, '%Y-%m-%d') AS period,
+  CASE WHEN obs IS NOT NULL THEN obs
+       ELSE pv + (nv - pv) * (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))
+  END AS value,
+  obs IS NULL AS is_filled
+FROM f
+"""
+
+
+def ts_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA final smoothing level per user over the daily mean-value
+    series (windows.ewma_level, alpha=0.25) — the classic smoothed-
+    metric monitoring primitive; JVM aggregate fold vs DuckDB
+    list_reduce, same-order IEEE chain (alpha/1-alpha are exact binary
+    fractions)."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.ewma_level(ev, "ts", "user_id", "value", alpha=0.25)
+    return out.select(
+        "user_id",
+        "n_periods",
+        F.date_format("first_period", "yyyy-MM-dd").alias("first_period"),
+        F.date_format("last_period", "yyyy-MM-dd").alias("last_period"),
+        "level",
+    )
+
+
+SQL_EWMA_LEVEL = """
+WITH per AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS p,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT user_id, list(x ORDER BY p) AS xs, COUNT(*) AS n_periods,
+    MIN(p) AS p0, MAX(p) AS p1
+  FROM per GROUP BY 1
+)
+SELECT user_id, n_periods,
+  strftime(p0, '%Y-%m-%d') AS first_period,
+  strftime(p1, '%Y-%m-%d') AS last_period,
+  round(list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc), 9) AS level
+FROM agg
+"""
+
+
+def ts_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection over per-user daily spend
+    (windows.cusum_changepoints; Page 1954): statistic via the closed
+    form S_i - min(0, min prefix S) — two window aggregates, no fold,
+    all-DECIMAL intermediates so the alarm comparison is exact."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.cusum_changepoints(
+        ev, "ts", "user_id", "value",
+        target=120.0, slack=5.0, threshold=200.0,
+    ).withColumn("period", F.date_format("period", "yyyy-MM-dd"))
+
+
+SQL_CUSUM = """
+WITH per AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS p,
+    SUM(CAST(value AS DECIMAL(18,2))) AS x
+  FROM events GROUP BY 1, 2
+), pre AS (
+  SELECT user_id, p, x,
+    SUM(x - CAST(120.0 AS DECIMAL(18,2)) - CAST(5.0 AS DECIMAL(18,2))) OVER (
+      PARTITION BY user_id ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS S
+  FROM per
+), st AS (
+  SELECT user_id, p, x,
+    S - LEAST(CAST(0 AS DECIMAL(18,2)), MIN(S) OVER (
+      PARTITION BY user_id ORDER BY p
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )) AS stat
+  FROM pre
+)
+SELECT user_id, strftime(p, '%Y-%m-%d') AS period,
+  CAST(x AS DOUBLE) AS period_sum,
+  CAST(stat AS DOUBLE) AS stat,
+  stat > CAST(200.0 AS DECIMAL(18,2)) AS alarm
+FROM st
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5638,6 +5775,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rolling_7d_features": q_rolling_7d_features,
     "ts_series_corr_topk": ts_series_corr_topk,
     "cep_match_sequence": cep_match_sequence,
+    "w_gapfill_interp_daily": w_gapfill_interp_daily,
+    "ts_ewma_level": ts_ewma_level,
+    "ts_cusum_alarms": ts_cusum_alarms,
 }
 
 ORACLES: dict[str, str] = {
@@ -5803,4 +5943,7 @@ WHERE value % 2 = 0"""
     "q_rolling_7d_features": SQL_ROLLING,
     "ts_series_corr_topk": SQL_SERIES_CORR,
     "cep_match_sequence": SQL_CEP_SEQ,
+    "w_gapfill_interp_daily": SQL_GAPFILL_INTERP,
+    "ts_ewma_level": SQL_EWMA_LEVEL,
+    "ts_cusum_alarms": SQL_CUSUM,
 }

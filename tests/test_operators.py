@@ -616,3 +616,103 @@ def test_decode_headers_real_bytes_and_junk(spark):
     )
     [row] = decode_headers(junk).collect()
     assert row.kind == "unknown" and row.width is None and row.n_bytes == 12
+
+
+def test_gapfill_interp_linear_fill_and_multi_period_gaps(spark):
+    import datetime as dt
+
+    from selium_spark.operators import windows
+
+    rows = [  # key "a": days 1,2,5 observed -> days 3,4 interpolate 20->50
+        ("a", dt.datetime(2024, 1, 1, 12, 0), 1, 10.0),
+        ("a", dt.datetime(2024, 1, 2, 8, 0), 2, 15.0),
+        ("a", dt.datetime(2024, 1, 2, 9, 0), 3, 20.0),  # later -> wins day 2
+        ("a", dt.datetime(2024, 1, 5, 1, 0), 4, 50.0),
+        ("b", dt.datetime(2024, 1, 2, 0, 0), 5, 7.0),  # single-day key
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, eid LONG, value DOUBLE")
+    out = {
+        (r["k"], str(r["period"])): (r["value"], r["is_filled"])
+        for r in windows.gapfill_interp(df, "ts", ["k"], "value", "eid").collect()
+    }
+    assert out == {
+        ("a", "2024-01-01"): (10.0, False),
+        ("a", "2024-01-02"): (20.0, False),
+        ("a", "2024-01-03"): (30.0, True),  # 20 + (50-20)*1/3
+        ("a", "2024-01-04"): (40.0, True),  # 20 + (50-20)*2/3
+        ("a", "2024-01-05"): (50.0, False),
+        ("b", "2024-01-02"): (7.0, False),
+    }
+
+
+def test_ewma_level_matches_sequential_recursion(spark):
+    import datetime as dt
+
+    from selium_spark.operators import windows
+
+    # two obs on day 1 average to 12; then days 2 and 4 (gaps are NOT
+    # filled — EWMA folds the observed-period series only)
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 1, 0), 10.0),
+        ("a", dt.datetime(2024, 1, 1, 2, 0), 14.0),
+        ("a", dt.datetime(2024, 1, 2, 1, 0), 20.0),
+        ("a", dt.datetime(2024, 1, 4, 1, 0), 36.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, value DOUBLE")
+    [r] = windows.ewma_level(df, "ts", "k", "value", alpha=0.25).collect()
+    y = 12.0
+    for x in (20.0, 36.0):
+        y = 0.25 * x + 0.75 * y
+    assert r["n_periods"] == 3
+    assert str(r["first_period"]) == "2024-01-01"
+    assert str(r["last_period"]) == "2024-01-04"
+    assert r["level"] == round(y, 9)
+
+
+def test_cusum_closed_form_matches_recursion_all_positive_run(spark):
+    import datetime as dt
+    from decimal import Decimal
+
+    from selium_spark.operators import windows
+
+    # an all-positive deviation run: the prefix min of S never dips
+    # below 0, so the closed form MUST include the empty-prefix S_0=0
+    # term (regression pin for the min(0, ...) fix)
+    rows = [
+        ("a", dt.datetime(2024, 1, d, 1, 0), v)
+        for d, v in [(1, 15.0), (2, 18.0), (3, 11.0), (4, 25.0)]
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, value DOUBLE")
+    out = {
+        str(r["period"]): (r["stat"], r["alarm"])
+        for r in windows.cusum_changepoints(
+            df, "ts", "k", "value", target=10.0, slack=0.0, threshold=12.0
+        ).collect()
+    }
+    s, want = Decimal(0), {}
+    for d, v in [(1, 15.0), (2, 18.0), (3, 11.0), (4, 25.0)]:
+        s = max(Decimal(0), s + Decimal(str(v)) - Decimal("10.0"))
+        want[f"2024-01-0{d}"] = (float(s), s > 12)
+    assert out == want
+
+
+def test_cusum_resets_below_zero(spark):
+    import datetime as dt
+
+    from selium_spark.operators import windows
+
+    # deviations +5, -20, +3: the dip clamps at 0, so day 3 restarts
+    # from 0 (stat 3), not from -15+3
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 1, 0), 15.0),
+        ("a", dt.datetime(2024, 1, 2, 1, 0), -10.0),
+        ("a", dt.datetime(2024, 1, 3, 1, 0), 13.0),
+    ]
+    df = spark.createDataFrame(rows, "k STRING, ts TIMESTAMP, value DOUBLE")
+    out = {
+        str(r["period"]): r["stat"]
+        for r in windows.cusum_changepoints(
+            df, "ts", "k", "value", target=10.0, slack=0.0, threshold=100.0
+        ).collect()
+    }
+    assert out == {"2024-01-01": 5.0, "2024-01-02": 0.0, "2024-01-03": 3.0}
