@@ -108,6 +108,7 @@ HEADLINE = [
     "w_gapfill_interp_daily",
     "ts_ewma_level",
     "ts_cusum_alarms",
+    "stream_cusum_alarms",
 ]
 
 

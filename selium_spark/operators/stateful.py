@@ -888,3 +888,139 @@ def streaming_gapfill_locf(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def streaming_cusum(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+    grain: str = "day",
+    scale_in: int = 2,
+    late_counter=None,
+) -> DataFrame:
+    """Streaming twin of :func:`windows.cusum_changepoints`: the
+    one-sided CUSUM statistic emerges incrementally as events arrive.
+
+    State per key is FIVE int64 scalars — the open period ordinal, its
+    pending sum (fixed-point "cents", ``10^scale_in`` per unit) and row
+    count, and the prefix sum ``S`` / inclusive prefix-min of ``S``
+    through the last CLOSED period — so state is O(#keys) and every
+    quantity is exact integer arithmetic, matching the batch op's
+    all-DECIMAL pipeline bit-for-bit after the single double cast on
+    output.
+
+    Each micro-batch folds its rows per key: batch rows are bucketed
+    into periods, the open period's pending merges in, and the period
+    chain folds with ``np.cumsum`` + ``np.minimum.accumulate`` (the
+    same S_i - min(0, min prefix S) closed form as the batch op — no
+    per-row Python). Every period touched in the batch emits a row
+    with its statistic computed as-if-closed-now; the LAST period stays
+    open in state, and a later batch that adds rows to it re-emits a
+    better snapshot. Readers collapse re-emissions with
+    ``max_by(..., src_n)`` per (key, period) — ``src_n`` is the
+    monotone count of rows folded into that period, so the final
+    emission is exactly the batch value. Closed periods are final and
+    never re-emitted.
+
+    Late rows (period < the key's open period) cannot be folded —
+    they are dropped AND counted into ``late_counter`` (Drop-mode loss
+    accounting, reference subsystem/messaging/src/lib.rs:107-109).
+    Equal to the batch op when batches arrive in event-time order (the
+    replay harness's file order), the same caveat as the other
+    streaming twins.
+    """
+    grains_us = {
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+        "week": 7 * 86_400_000_000,
+    }
+    if grain not in grains_us:
+        raise ValueError(
+            f"streaming_cusum grain must be one of {sorted(grains_us)}, got {grain!r}"
+        )
+    period_us = grains_us[grain]
+    offset_us = 4 * 86_400_000_000 if grain == "week" else 0
+    unit = 10 ** scale_in
+    k_cents = round(target * unit) + round(slack * unit)
+    thr_cents = round(threshold * unit)
+    # int64 sentinel: no real prefix-min can exceed this
+    BIG = np.iinfo("int64").max
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_p, pend, pend_n, s_pref, min_s = state.get
+        else:
+            cur_p, pend, pend_n, s_pref, min_s = None, 0, 0, 0, BIG
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update((cur_p, pend, pend_n, s_pref, min_s))
+            return
+        pdf = pd.concat(parts)
+        ts_us = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
+        periods = (ts_us - offset_us) // period_us
+        cents = np.round(pdf[value_col].to_numpy(dtype="float64") * unit).astype(
+            "int64"
+        )
+        if cur_p is not None:
+            late = periods < cur_p
+            n_late = int(late.sum())
+            if n_late:
+                if late_counter is not None:
+                    late_counter.add(n_late)
+                keep = ~late
+                periods, cents = periods[keep], cents[keep]
+        if not len(periods):
+            state.update((cur_p, pend, pend_n, s_pref, min_s))
+            return
+        # per-period sums/counts, periods ascending (np.unique sorts)
+        uniq, inv, counts = np.unique(periods, return_inverse=True, return_counts=True)
+        sums = np.zeros(len(uniq), dtype="int64")
+        np.add.at(sums, inv, cents)
+        ns = counts.astype("int64")
+        if cur_p is not None:
+            if uniq[0] == cur_p:
+                sums[0] += pend
+                ns[0] += pend_n
+            else:
+                # the open period closes silently: its stat was already
+                # emitted (provisional == final); fold it into S/minS
+                s_pref += pend - k_cents
+                min_s = min(min_s, s_pref)
+        # closed-form fold over the batch's period chain
+        cums = s_pref + np.cumsum(sums - k_cents)
+        mins = np.minimum(min_s, np.minimum.accumulate(cums))
+        stats = cums - np.minimum(0, mins)
+        # all periods but the last close; the last stays open in state
+        if len(uniq) > 1:
+            s_pref = int(cums[-2])
+            min_s = int(mins[-2])
+        state.update((int(uniq[-1]), int(sums[-1]), int(ns[-1]), s_pref, min_s))
+        yield pd.DataFrame(
+            {
+                "key": np.full(len(uniq), key[0], dtype="int64"),
+                "period": pd.to_datetime(uniq * period_us + offset_us, unit="us"),
+                "period_sum": sums / float(unit),
+                "stat": stats / float(unit),
+                "alarm": stats > thr_cents,
+                "src_n": ns,
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "key long, period timestamp, period_sum double, stat double, "
+            "alarm boolean, src_n long"
+        ),
+        stateStructType=(
+            "cur_p long, pend long, pend_n long, s_pref long, min_s long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -5621,6 +5621,47 @@ FROM st
 """
 
 
+def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM twin (stateful.streaming_cusum): the change
+    statistic emerges incrementally from the replayed events stream —
+    five exact int64 scalars of state per user — and the collapsed
+    snapshot must equal the batch closed form (same SQL_CUSUM oracle as
+    ts_cusum_alarms). Open-period re-emissions collapse by max_by on
+    the rows-folded marker."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema)
+        from .operators.stateful import streaming_cusum as op
+
+        return op(
+            ev, "user_id", "ts", "value",
+            target=120.0, slack=5.0, threshold=200.0,
+        )
+
+    snap = replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform,
+        output_mode="update", shuffle_partitions=8,
+    )
+    return (
+        snap.groupBy("key", "period")
+        .agg(
+            F.max_by(F.struct("period_sum", "stat", "alarm"), F.col("src_n")).alias("w")
+        )
+        .select(
+            F.col("key").alias("user_id"),
+            F.date_format("period", "yyyy-MM-dd").alias("period"),
+            F.col("w.period_sum").alias("period_sum"),
+            F.col("w.stat").alias("stat"),
+            F.col("w.alarm").alias("alarm"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5778,6 +5819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_gapfill_interp_daily": w_gapfill_interp_daily,
     "ts_ewma_level": ts_ewma_level,
     "ts_cusum_alarms": ts_cusum_alarms,
+    "stream_cusum_alarms": stream_cusum_alarms,
 }
 
 ORACLES: dict[str, str] = {
@@ -5946,4 +5988,5 @@ WHERE value % 2 = 0"""
     "w_gapfill_interp_daily": SQL_GAPFILL_INTERP,
     "ts_ewma_level": SQL_EWMA_LEVEL,
     "ts_cusum_alarms": SQL_CUSUM,
+    "stream_cusum_alarms": SQL_CUSUM,
 }

@@ -1188,3 +1188,119 @@ def test_streaming_lsh_pairs_chunked_and_star_overflow(spark, tmp_path):
         stateful.streaming_lsh_pairs(
             spark.readStream.schema(schema).parquet(src), overflow="meteor"
         )
+
+
+def test_streaming_cusum_matches_batch_closed_form(spark, tmp_path):
+    """Three event-time-ordered micro-batches drive the per-key CUSUM
+    state to the same statistic as the batch closed form — including a
+    period whose rows SPAN a batch boundary (the open-period
+    re-emission must supersede the partial one) and periods that close
+    silently across batches."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import stateful, windows
+    from selium_spark.sources.tables import load_table
+    from selium_spark.streaming.replay import replay_to_memory
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 30
+    )
+    src = str(tmp_path / "ev")
+    # cuts INSIDE day 4 and inside day 11: both split a period across batches
+    for lo, hi in [(None, "2024-01-04 12:00:00"),
+                   ("2024-01-04 12:00:00", "2024-01-11 06:00:00"),
+                   ("2024-01-11 06:00:00", None)]:
+        part = ev
+        if lo:
+            part = part.where(F.col("ts") >= lo)
+        if hi:
+            part = part.where(F.col("ts") < hi)
+        part.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    snap = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_cusum(
+            s, "user_id", "ts", "value", target=40.0, slack=2.0, threshold=60.0
+        ),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=4,
+    )
+    got = {
+        (r.user_id, r.period): (r.period_sum, r.stat, r.alarm)
+        for r in snap.groupBy("key", "period")
+        .agg(F.max_by(F.struct("period_sum", "stat", "alarm"), F.col("src_n")).alias("w"))
+        .select(
+            F.col("key").alias("user_id"),
+            F.date_format("period", "yyyy-MM-dd").alias("period"),
+            "w.period_sum", "w.stat", "w.alarm",
+        )
+        .collect()
+    }
+    want = {
+        (r.user_id, str(r.period)): (r.period_sum, r.stat, r.alarm)
+        for r in windows.cusum_changepoints(
+            ev, "ts", "user_id", "value", target=40.0, slack=2.0, threshold=60.0
+        ).collect()
+    }
+    assert got == want and len(got) > 50
+    assert any(a for (_, _, a) in want.values())
+    assert not all(a for (_, _, a) in want.values())
+
+
+def test_streaming_cusum_late_rows_counted_and_dropped(spark, tmp_path):
+    """A batch-2 row whose period predates the key's open period cannot
+    be folded: it is dropped AND counted (Drop-mode loss accounting),
+    and the already-closed periods keep their statistics."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from selium_spark.engine import Engine
+    from selium_spark.operators import stateful
+    from selium_spark.streaming.replay import replay_to_memory
+
+    rows1 = [(1, dt.datetime(2024, 1, 1, 5), 50.0), (1, dt.datetime(2024, 1, 2, 5), 70.0)]
+    rows2 = [(1, dt.datetime(2024, 1, 1, 9), 99.0),  # LATE: day 1 already closed
+             (1, dt.datetime(2024, 1, 3, 5), 41.0)]
+    sch = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows1, sch).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, sch).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    eng = Engine(spark)
+    ctr = eng.late_counter("cusum_test")
+    snap = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_cusum(
+            s, "user_id", "ts", "value",
+            target=40.0, slack=0.0, threshold=25.0, late_counter=ctr,
+        ),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=2,
+    )
+    got = {
+        r.period: (r.period_sum, r.stat, r.alarm)
+        for r in snap.groupBy("key", "period")
+        .agg(F.max_by(F.struct("period_sum", "stat", "alarm"), F.col("src_n")).alias("w"))
+        .select(
+            F.date_format("period", "yyyy-MM-dd").alias("period"),
+            "w.period_sum", "w.stat", "w.alarm",
+        )
+        .collect()
+    }
+    # day1 d=+10 -> s=10; day2 d=+30 -> s=40 (alarm); day3 d=+1 -> s=41
+    # (alarm); the late 99.0 is NOT in day1's sum
+    assert got == {
+        "2024-01-01": (50.0, 10.0, False),
+        "2024-01-02": (70.0, 40.0, True),
+        "2024-01-03": (41.0, 41.0, True),
+    }
+    assert ctr.value == 1
