@@ -109,6 +109,7 @@ HEADLINE = [
     "ts_ewma_level",
     "ts_cusum_alarms",
     "stream_cusum_alarms",
+    "stream_ewma_level",
 ]
 
 

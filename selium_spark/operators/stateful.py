@@ -1024,3 +1024,138 @@ def streaming_cusum(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_ewma_level(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    grain: str = "day",
+    scale_in: int = 2,
+    late_counter=None,
+) -> DataFrame:
+    """Streaming twin of :func:`windows.ewma_level`: the smoothing
+    level advances incrementally as events arrive.
+
+    State per key is six scalars — the open period ordinal, its pending
+    fixed-point sum and row count, the level AFTER the last closed
+    period (double), the closed-period count, and the first period
+    ordinal. The level chain is double arithmetic, so cross-engine
+    equality holds because the streaming fold performs the IDENTICAL
+    IEEE op sequence as the batch ``aggregate`` fold: each closed
+    period contributes ``x = (cents / 10^scale) / n`` (exact decimal
+    sum, one double cast, one division — the dec_avg shape) and then
+    ``level = alpha*x + (1-alpha)*level``; folding periods one batch at
+    a time composes the same chain in the same order.
+
+    Every batch emits the key's snapshot computed as-if-closed-now
+    (the open period's provisional mean folded on top); readers
+    collapse with ``max_by(..., src_n)`` where ``src_n`` is the total
+    rows folded — monotone per key, so the last emission equals the
+    batch value. Late rows (period < open period) are dropped and
+    counted into ``late_counter``. The per-key per-batch period loop
+    is bounded by the calendar span of the batch, not its row count.
+    """
+    grains_us = {
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+        "week": 7 * 86_400_000_000,
+    }
+    if grain not in grains_us:
+        raise ValueError(
+            f"streaming_ewma_level grain must be one of {sorted(grains_us)}, got {grain!r}"
+        )
+    period_us = grains_us[grain]
+    offset_us = 4 * 86_400_000_000 if grain == "week" else 0
+    unit = float(10 ** scale_in)
+    oma = 1.0 - alpha
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cur_p, pend, pend_n, level, n_closed, first_p, n_rows = state.get
+        else:
+            cur_p, pend, pend_n, level, n_closed, first_p, n_rows = (
+                None, 0, 0, 0.0, 0, None, 0,
+            )
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update((cur_p, pend, pend_n, level, n_closed, first_p, n_rows))
+            return
+        pdf = pd.concat(parts)
+        ts_us = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
+        periods = (ts_us - offset_us) // period_us
+        cents = np.round(pdf[value_col].to_numpy(dtype="float64") * unit).astype(
+            "int64"
+        )
+        if cur_p is not None:
+            late = periods < cur_p
+            n_late = int(late.sum())
+            if n_late:
+                if late_counter is not None:
+                    late_counter.add(n_late)
+                keep = ~late
+                periods, cents = periods[keep], cents[keep]
+        if not len(periods):
+            state.update((cur_p, pend, pend_n, level, n_closed, first_p, n_rows))
+            return
+        uniq, inv, counts = np.unique(periods, return_inverse=True, return_counts=True)
+        sums = np.zeros(len(uniq), dtype="int64")
+        np.add.at(sums, inv, cents)
+        ns = counts.astype("int64")
+        n_rows += int(ns.sum())
+        if first_p is None:
+            first_p = int(uniq[0])
+        if cur_p is not None:
+            if uniq[0] == cur_p:
+                sums[0] += pend
+                ns[0] += pend_n
+            else:
+                # open period closes silently: fold its mean into the chain
+                x = (pend / unit) / pend_n
+                level = alpha * x + oma * level if n_closed else x
+                n_closed += 1
+        # fold all CLOSED batch periods (every one except the last);
+        # the loop is over distinct periods -- calendar-bounded
+        for i in range(len(uniq) - 1):
+            x = (int(sums[i]) / unit) / int(ns[i])
+            level = alpha * x + oma * level if n_closed else x
+            n_closed += 1
+        cur_p, pend, pend_n = int(uniq[-1]), int(sums[-1]), int(ns[-1])
+        state.update((cur_p, pend, pend_n, level, n_closed, first_p, n_rows))
+        # provisional: the open period folded as-if-closed-now
+        x = (pend / unit) / pend_n
+        snap = alpha * x + oma * level if n_closed else x
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_periods": [n_closed + 1],
+                "first_period": pd.to_datetime(
+                    [first_p * period_us + offset_us], unit="us"
+                ),
+                "last_period": pd.to_datetime(
+                    [cur_p * period_us + offset_us], unit="us"
+                ),
+                # raw double: Python round is half-even, the batch op
+                # rounds HALF_UP Spark-side -- readers apply F.round
+                "level": [snap],
+                "src_n": [n_rows],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "key long, n_periods long, first_period timestamp, "
+            "last_period timestamp, level double, src_n long"
+        ),
+        stateStructType=(
+            "cur_p long, pend long, pend_n long, level double, "
+            "n_closed long, first_p long, n_rows long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

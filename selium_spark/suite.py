@@ -5662,6 +5662,47 @@ def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA twin (stateful.streaming_ewma_level): the
+    smoothing level advances batch-by-batch through the identical IEEE
+    op chain as the batch aggregate fold — state is the level after the
+    last closed period plus the open period's exact fixed-point
+    partials. Collapsed snapshot == batch op (same SQL_EWMA_LEVEL
+    oracle); the HALF_UP round happens Spark-side on the raw double."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema)
+        from .operators.stateful import streaming_ewma_level as op
+
+        return op(ev, "user_id", "ts", "value", alpha=0.25)
+
+    snap = replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform,
+        output_mode="update", shuffle_partitions=8,
+    )
+    return (
+        snap.groupBy("key")
+        .agg(
+            F.max_by(
+                F.struct("n_periods", "first_period", "last_period", "level"),
+                F.col("src_n"),
+            ).alias("w")
+        )
+        .select(
+            F.col("key").alias("user_id"),
+            F.col("w.n_periods").alias("n_periods"),
+            F.date_format("w.first_period", "yyyy-MM-dd").alias("first_period"),
+            F.date_format("w.last_period", "yyyy-MM-dd").alias("last_period"),
+            F.round("w.level", 9).alias("level"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5820,6 +5861,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_ewma_level": ts_ewma_level,
     "ts_cusum_alarms": ts_cusum_alarms,
     "stream_cusum_alarms": stream_cusum_alarms,
+    "stream_ewma_level": stream_ewma_level,
 }
 
 ORACLES: dict[str, str] = {
@@ -5989,4 +6031,5 @@ WHERE value % 2 = 0"""
     "ts_ewma_level": SQL_EWMA_LEVEL,
     "ts_cusum_alarms": SQL_CUSUM,
     "stream_cusum_alarms": SQL_CUSUM,
+    "stream_ewma_level": SQL_EWMA_LEVEL,
 }

@@ -1304,3 +1304,63 @@ def test_streaming_cusum_late_rows_counted_and_dropped(spark, tmp_path):
         "2024-01-03": (41.0, 41.0, True),
     }
     assert ctr.value == 1
+
+
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
+    """Three micro-batches (cuts INSIDE periods) drive the per-key EWMA
+    level through the identical IEEE chain as the batch aggregate fold:
+    collapsed snapshot == windows.ewma_level bit-for-bit after the
+    shared Spark-side HALF_UP round."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import stateful, windows
+    from selium_spark.sources.tables import load_table
+    from selium_spark.streaming.replay import replay_to_memory
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 30
+    )
+    src = str(tmp_path / "ev")
+    for lo, hi in [(None, "2024-01-04 12:00:00"),
+                   ("2024-01-04 12:00:00", "2024-01-11 06:00:00"),
+                   ("2024-01-11 06:00:00", None)]:
+        part = ev
+        if lo:
+            part = part.where(F.col("ts") >= lo)
+        if hi:
+            part = part.where(F.col("ts") < hi)
+        part.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    snap = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_ewma_level(s, "user_id", "ts", "value", alpha=0.25),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=4,
+    )
+    got = {
+        r.user_id: (r.n_periods, r.first_period, r.last_period, r.level)
+        for r in snap.groupBy("key")
+        .agg(
+            F.max_by(
+                F.struct("n_periods", "first_period", "last_period", "level"),
+                F.col("src_n"),
+            ).alias("w")
+        )
+        .select(
+            F.col("key").alias("user_id"),
+            F.col("w.n_periods").alias("n_periods"),
+            F.date_format("w.first_period", "yyyy-MM-dd").alias("first_period"),
+            F.date_format("w.last_period", "yyyy-MM-dd").alias("last_period"),
+            F.round("w.level", 9).alias("level"),
+        )
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n_periods, str(r.first_period), str(r.last_period), r.level)
+        for r in windows.ewma_level(ev, "ts", "user_id", "value", alpha=0.25).collect()
+    }
+    assert got == want and len(got) >= 10
