@@ -110,6 +110,7 @@ HEADLINE = [
     "ts_cusum_alarms",
     "stream_cusum_alarms",
     "stream_ewma_level",
+    "graph_copurchase_triangles",
 ]
 
 

@@ -716,3 +716,35 @@ def test_cusum_resets_below_zero(spark):
         ).collect()
     }
     assert out == {"2024-01-01": 5.0, "2024-01-02": 0.0, "2024-01-03": 3.0}
+
+
+def test_triangle_count_orientation_vs_id_order(spark):
+    """Regression: a triangle whose closing arc is (deg,id)-oriented
+    AGAINST the id order (deg(3) < deg(2), so the arc is 3->2 while the
+    wedge pair is (2,3)) must still close. K4-with-pendant pins the
+    exact census."""
+    from selium_spark.operators.graph import triangle_count
+
+    rows = [(1, 2), (1, 3), (2, 3), (2, 4), (2, 5)]
+    df = spark.createDataFrame(rows, "a LONG, b LONG")
+    [r] = triangle_count(df).collect()
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 5, 1)
+
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)], "a LONG, b LONG"
+    )
+    [r] = triangle_count(k4).collect()
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (5, 7, 4)
+
+
+def test_copurchase_edges_support_prune(spark):
+    from selium_spark.operators.graph import copurchase_edges
+
+    rows = [  # orders: (1: A,B,C) (2: A,B) (3: A,C) -> AB x2, AC x2, BC x1
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 10), (3, 30),
+    ]
+    df = spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG")
+    got = {(r.a, r.b) for r in copurchase_edges(df, min_support=2).collect()}
+    assert got == {(10, 20), (10, 30)}
