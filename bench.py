@@ -111,6 +111,8 @@ HEADLINE = [
     "stream_cusum_alarms",
     "stream_ewma_level",
     "graph_copurchase_triangles",
+    "drift_psi_value",
+    "seq_transition_matrix",
 ]
 
 

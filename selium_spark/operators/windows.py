@@ -795,3 +795,41 @@ def cusum_changepoints(
         stat.cast("double").alias("stat"),
         (stat > F.lit(threshold).cast(dec_t)).alias("alarm"),
     )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    round_to: int = 9,
+) -> DataFrame:
+    """First-order Markov transition matrix of event types: for each
+    observed (prev_type, next_type) pair, its count and conditional
+    probability P(next | prev) — the sequence-analytics primitive
+    behind next-event prediction and anomalous-flow detection.
+
+    One window sort per key gives each event its successor type; the
+    pair count is a map-side-combinable groupBy on a vocabulary-sized
+    key space. The probability divides two exact counts — one IEEE
+    division, engine-exact.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    pairs = df.select(
+        F.col(type_col).alias("prev_type"),
+        F.lead(F.col(type_col)).over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_prev).cast("double"),
+            round_to,
+        ).alias("p"),
+    )

@@ -5742,6 +5742,71 @@ SELECT (SELECT n FROM nodes) AS n_nodes,
 """
 
 
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the events value distribution,
+    first half of January vs second (sketches.psi_drift): 10 fixed
+    bins over [0, 50) with edge clamping and 0.5 smoothing — the
+    corpus-refresh drift gate. Total sums the rounded per-bin terms as
+    DECIMAL (order-free)."""
+    ev = _t(spark, sf_dir, "events")
+    return sketches.psi_drift(
+        ev, "value", F.col("ts") < "2024-01-16", lo=0.0, hi=50.0, n_bins=10
+    )
+
+
+SQL_PSI = """
+WITH b AS (
+  SELECT LEAST(9, GREATEST(0, CAST(floor((value - 0.0) / 5.0) AS INT))) AS bin,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS is_ref
+  FROM events
+), cells0 AS (
+  SELECT bin, CAST(SUM(is_ref) AS BIGINT) AS ref_n,
+         CAST(SUM(1 - is_ref) AS BIGINT) AS cur_n
+  FROM b GROUP BY 1
+), axis AS (SELECT unnest(generate_series(0, 9)) AS bin),
+cells AS (
+  SELECT a.bin, COALESCE(c.ref_n, 0) AS ref_n, COALESCE(c.cur_n, 0) AS cur_n
+  FROM axis a LEFT JOIN cells0 c ON a.bin = c.bin
+), tot AS (
+  SELECT CAST(SUM(ref_n) AS BIGINT) AS tr, CAST(SUM(cur_n) AS BIGINT) AS tc
+  FROM cells
+), t AS (
+  SELECT bin, ref_n, cur_n,
+    round(((cur_n + 0.5) / (tc + 0.5 * 10) - (ref_n + 0.5) / (tr + 0.5 * 10))
+          * ln(((cur_n + 0.5) / (tc + 0.5 * 10))
+               / ((ref_n + 0.5) / (tr + 0.5 * 10))), 9) AS psi_term
+  FROM cells CROSS JOIN tot
+)
+SELECT bin, ref_n, cur_n, psi_term,
+  (SELECT CAST(SUM(CAST(psi_term AS DECIMAL(18,9))) AS DOUBLE) FROM t) AS psi_total
+FROM t
+"""
+
+
+def seq_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event-type
+    sequences (windows.transition_counts): counts and P(next | prev)
+    from one window sort per user + a vocabulary-sized groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.transition_counts(ev, "user_id", "event_type", "ts", "event_id")
+
+
+SQL_TRANSITIONS = """
+WITH p AS (
+  SELECT event_type AS prev_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+), c AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+  round(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 9)
+    AS p
+FROM c
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5902,6 +5967,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cusum_alarms": stream_cusum_alarms,
     "stream_ewma_level": stream_ewma_level,
     "graph_copurchase_triangles": graph_copurchase_triangles,
+    "drift_psi_value": drift_psi_value,
+    "seq_transition_matrix": seq_transition_matrix,
 }
 
 ORACLES: dict[str, str] = {
@@ -6073,4 +6140,6 @@ WHERE value % 2 = 0"""
     "stream_cusum_alarms": SQL_CUSUM,
     "stream_ewma_level": SQL_EWMA_LEVEL,
     "graph_copurchase_triangles": SQL_TRIANGLES,
+    "drift_psi_value": SQL_PSI,
+    "seq_transition_matrix": SQL_TRANSITIONS,
 }

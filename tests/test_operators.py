@@ -748,3 +748,60 @@ def test_copurchase_edges_support_prune(spark):
     df = spark.createDataFrame(rows, "l_orderkey LONG, l_partkey LONG")
     got = {(r.a, r.b) for r in copurchase_edges(df, min_support=2).collect()}
     assert got == {(10, 20), (10, 30)}
+
+
+def test_psi_drift_bins_clamp_and_total(spark):
+    import math
+
+    from selium_spark.operators import sketches
+    from pyspark.sql import functions as F
+
+    # ref: values 1,6,100(clamps to bin 9); cur: 1,1,-5(clamps to 0)
+    rows = [(1.0, 1), (6.0, 1), (100.0, 1), (1.0, 0), (1.0, 0), (-5.0, 0)]
+    df = spark.createDataFrame(rows, "value DOUBLE, grp INT")
+    out = {
+        r.bin: (r.ref_n, r.cur_n, r.psi_term, r.psi_total)
+        for r in sketches.psi_drift(
+            df, "value", F.col("grp") == 1, lo=0.0, hi=50.0, n_bins=10
+        ).collect()
+    }
+    assert len(out) == 10  # dense axis: empty bins present
+    assert out[0][:2] == (1, 3)  # 1.0 ref; 1.0,1.0,-5(clamped) cur
+    assert out[1][:2] == (1, 0)  # 6.0 ref
+    assert out[9][:2] == (1, 0)  # 100 clamped into the top bin
+    assert out[2][:2] == (0, 0)
+
+    def term(ref_n, cur_n):
+        p = (ref_n + 0.5) / (3 + 0.5 * 10)
+        q = (cur_n + 0.5) / (3 + 0.5 * 10)
+        return round((q - p) * math.log(q / p), 9)
+
+    for b, (rn, cn, t, _) in out.items():
+        assert abs(t - term(rn, cn)) < 2e-9, (b, t, term(rn, cn))
+    want_total = sum(term(rn, cn) for (rn, cn, _, _) in out.values())
+    assert abs(out[0][3] - want_total) < 2e-9
+
+
+def test_transition_counts_probabilities(spark):
+    import datetime as dt
+
+    from selium_spark.operators import windows
+
+    rows = [  # user 1: a->b->a->c ; user 2: a->b
+        (1, "a", dt.datetime(2024, 1, 1), 1),
+        (1, "b", dt.datetime(2024, 1, 2), 2),
+        (1, "a", dt.datetime(2024, 1, 3), 3),
+        (1, "c", dt.datetime(2024, 1, 4), 4),
+        (2, "a", dt.datetime(2024, 1, 1), 5),
+        (2, "b", dt.datetime(2024, 1, 2), 6),
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, t STRING, ts TIMESTAMP, eid LONG")
+    got = {
+        (r.prev_type, r.next_type): (r.n, r.p)
+        for r in windows.transition_counts(df, "user_id", "t", "ts", "eid").collect()
+    }
+    assert got == {
+        ("a", "b"): (2, round(2 / 3, 9)),
+        ("a", "c"): (1, round(1 / 3, 9)),
+        ("b", "a"): (1, 1.0),
+    }
