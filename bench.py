@@ -113,6 +113,7 @@ HEADLINE = [
     "graph_copurchase_triangles",
     "drift_psi_value",
     "seq_transition_matrix",
+    "mad_daily_outliers",
 ]
 
 

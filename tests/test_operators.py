@@ -805,3 +805,30 @@ def test_transition_counts_probabilities(spark):
         ("a", "c"): (1, round(1 / 3, 9)),
         ("b", "a"): (1, 1.0),
     }
+
+
+def test_robust_zscore_exact_medians_odd_and_even(spark):
+    from selium_spark.operators import windows
+
+    # group "a": 5 values (odd median), one extreme outlier
+    # group "b": 4 values (even median -> midpoint at half-cent), no outliers
+    rows = [
+        ("a", 10.0), ("a", 11.0), ("a", 12.0), ("a", 13.0), ("a", 500.0),
+        ("b", 1.11), ("b", 1.12), ("b", 2.0), ("b", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = windows.robust_zscore_outliers(df, "g", "v", z_thresh=3.5).collect()
+    # a: median 12, deviations {2,1,0,1,488} -> MAD 1;
+    # z(500) = 488 / 1.4826 = 329.15...; others <= 1.35
+    assert [(r.g, r.v) for r in out] == [("a", 500.0)]
+    [r] = out
+    assert abs(r.robust_z - round(488.0 / (1.4826 * 1.0), 9)) < 1e-9
+
+
+def test_robust_zscore_zero_mad_group_dropped(spark):
+    from selium_spark.operators import windows
+
+    # constant group: MAD = 0 -> no rows flagged (division guarded)
+    rows = [("c", 5.0)] * 6 + [("c", 9.0)]  # median 5, MAD 0 (majority constant)
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    assert windows.robust_zscore_outliers(df, "g", "v").collect() == []
