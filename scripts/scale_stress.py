@@ -77,6 +77,19 @@ QUERY_SET = [
     "pack_nextfit_manifest",
     "text_bigram_ppl",
     "mm_header_decode",
+    # round 6 late: interp gapfill / EWMA / CUSUM scale in keys x periods
+    # (the 40-day per-copy shift stretches the calendar, so the grids and
+    # period chains genuinely lengthen); PSI is rows x N into constant
+    # bins; MAD is two group sorts; transitions one window sort; the
+    # triangle census stresses the wedge join as co-purchase support
+    # multiplies with the copies
+    "w_gapfill_interp_daily",
+    "ts_ewma_level",
+    "ts_cusum_alarms",
+    "drift_psi_value",
+    "mad_daily_outliers",
+    "seq_transition_matrix",
+    "graph_copurchase_triangles",
 ]
 
 
@@ -263,6 +276,21 @@ def _stream_ops():
             lambda ev: stateful.dedup_within_watermark(
                 ev, ["event_id"], "ts", "60 days"
             ).select("event_id", "event_type"),
+        ),
+        # round 6 late: the exact-int64 CUSUM twin and the IEEE-chain
+        # EWMA twin -- both O(scalars) state per key
+        "streaming_cusum": (
+            "update",
+            lambda ev: stateful.streaming_cusum(
+                ev, "user_id", "ts", "value",
+                target=120.0, slack=5.0, threshold=200.0,
+            ),
+        ),
+        "streaming_ewma": (
+            "update",
+            lambda ev: stateful.streaming_ewma_level(
+                ev, "user_id", "ts", "value", alpha=0.25
+            ),
         ),
     }
 

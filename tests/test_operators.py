@@ -832,3 +832,24 @@ def test_robust_zscore_zero_mad_group_dropped(spark):
     rows = [("c", 5.0)] * 6 + [("c", 9.0)]  # median 5, MAD 0 (majority constant)
     df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
     assert windows.robust_zscore_outliers(df, "g", "v").collect() == []
+
+
+def test_triangle_orientation_bounds_hub_wedges(spark):
+    """The orientation claim, pinned: a 400-leaf star + sparse leaf
+    ring would generate C(400,2) = 79,800 wedges at the hub without
+    orientation; oriented, every arc points INTO the max-degree hub
+    and the wedge table stays O(edges)."""
+    from selium_spark.operators.graph import triangle_count
+
+    hub = 0
+    leaves = list(range(1, 401))
+    edges = [(hub, v) for v in leaves]
+    # ring among consecutive leaves; every (i, i+1) ring edge closes a
+    # triangle with the hub
+    edges += [(leaves[i], leaves[i + 1]) for i in range(len(leaves) - 1)]
+    df = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "a LONG, b LONG"
+    )
+    [r] = triangle_count(df).collect()
+    assert r.n_triangles == len(leaves) - 1
+    assert r.n_wedges < 3 * r.n_edges  # vs 79,800 unoriented hub wedges
