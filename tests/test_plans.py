@@ -172,6 +172,11 @@ _INTENTIONAL_CARTESIAN = {
     "q20_excess_inventory",          # scalar threshold subquery
     "text_dsir_select",              # two 1-row n_total scalars crossed
                                      # into the 1024-bucket tables
+    "drift_psi_value",               # 1-row per-population totals crossed
+                                     # into the n_bins cell table
+    "graph_copurchase_triangles",    # three 1-row census scalars
+                                     # (n_edges/n_nodes/n_wedges) crossed
+                                     # into the 1-row triangle count
 }
 
 
