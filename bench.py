@@ -114,6 +114,10 @@ HEADLINE = [
     "drift_psi_value",
     "seq_transition_matrix",
     "mad_daily_outliers",
+    "rank_global_curriculum",
+    "text_pmi_collocations",
+    "layout_zorder_cluster",
+    "stream_session_windows",
 ]
 
 

@@ -825,3 +825,67 @@ def dsir_resample(
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 100,
+    round_to: int = 9,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information —
+    ``pmi(w1,w2) = log( P(w1,w2) / (P(w1)·P(w2)) )`` with all three
+    probabilities estimated from the corpus's own bigram table
+    (Church & Hanks 1990, the standard collocation-extraction
+    statistic): ``P(w1,w2) = c12/N``, and the marginals are the pair
+    table's row/column sums over bigram occurrences, so "pmi" here is
+    the bigram-event PMI. ``min_count`` drops rare pairs whose PMI is
+    inflated by sparsity (the classic failure mode); the filter
+    applies AFTER the marginals so dropped pairs still count toward
+    their words' totals.
+
+    Plan shape: one explode to bigram occurrences, one corpus-scaled
+    groupBy to the distinct-pair table; marginals re-aggregate the
+    PAIR table (vocab-bounded, never the corpus — the
+    bigram_lm_counts shape); N is a broadcast 1-row scalar; selection
+    is orderBy().limit(k) = TakeOrderedAndProject (per-partition
+    top-k heaps, no global sort). The PMI double chain has a fixed
+    evaluation order so DuckDB agrees at the 1e-9 rounding.
+    """
+    toks = tokens(text_col)
+    pairs_col = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda a, b: F.when(
+                b.isNotNull(), F.struct(a.alias("w1"), b.alias("w2"))
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    pairs = (
+        df.select(F.explode(pairs_col).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ctx = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    tgt = pairs.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    total = pairs.agg(F.sum("c12").alias("n_big"))
+    pmi = F.round(
+        F.log(
+            (F.col("c12") / F.col("n_big"))
+            / ((F.col("c1") / F.col("n_big")) * (F.col("c2") / F.col("n_big")))
+        ),
+        round_to,
+    )
+    return (
+        pairs.where(F.col("c12") >= min_count)
+        .join(ctx, "w1")
+        .join(tgt, "w2")
+        .crossJoin(F.broadcast(total))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )

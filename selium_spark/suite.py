@@ -5870,6 +5870,153 @@ WHERE mad4 <> 0
 """
 
 
+def rank_global_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL document ranking + curriculum deciles
+    (windows.global_rank): every doc ranked corpus-wide by length
+    (longest first, doc_id tie-break) WITHOUT the single-partition
+    window a naive ``row_number() OVER (ORDER BY ...)`` plans — ordered
+    range buckets from sampled boundaries, per-bucket local rank,
+    broadcast cumulative offsets (the TeraSort ranking shape). The
+    decile column is the exact SQL NTILE(10) rule, so the oracle's
+    builtin NTILE must agree row-for-row."""
+    docs = _t(spark, sf_dir, "documents")
+    ranked = windows.global_rank(
+        docs.select("doc_id", "n_chars"),
+        [(-F.col("n_chars")).cast("long"), F.col("doc_id")],
+        rank_col="rank",
+        ntile_col="decile",
+        n_buckets=10,
+    )
+    return ranked.select("doc_id", "n_chars", "rank", "decile")
+
+
+SQL_GLOBAL_RANK = """
+SELECT doc_id, n_chars,
+  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank,
+  CAST(ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS decile
+FROM documents
+"""
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 collocations by pointwise mutual information
+    (text.pmi_collocations; Church & Hanks 1990): bigram-event PMI
+    from the corpus's own pair table, min_count=5 applied AFTER the
+    marginals, TakeOrderedAndProject selection."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.pmi_collocations(docs, min_count=5, k=100)
+
+
+SQL_PMI = f"""
+WITH t AS (SELECT {SQL_TOKS} AS toks FROM documents),
+occ AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM t, unnest(range(1, greatest(len(toks), 1))) AS u(i)
+  WHERE toks[i + 1] IS NOT NULL
+),
+pairs AS (SELECT w1, w2, COUNT(*) AS c12 FROM occ GROUP BY 1, 2),
+ctx AS (SELECT w1, SUM(c12) AS c1 FROM pairs GROUP BY 1),
+tgt AS (SELECT w2, SUM(c12) AS c2 FROM pairs GROUP BY 1),
+tot AS (SELECT SUM(c12) AS n_big FROM pairs)
+SELECT p.w1, p.w2, p.c12,
+  round(ln((p.c12 / o.n_big) / ((c.c1 / o.n_big) * (g.c2 / o.n_big))), 9) AS pmi
+FROM pairs p JOIN ctx c ON p.w1 = c.w1 JOIN tgt g ON p.w2 = g.w2
+CROSS JOIN tot o
+WHERE p.c12 >= 5
+ORDER BY pmi DESC, p.w1, p.w2
+LIMIT 100
+"""
+
+
+def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over orders (layout.zorder_key):
+    interleave the customer-key and price dimensions into one sortable
+    key, bucket by its high bits, and emit per-bucket extents of BOTH
+    dimensions — the evidence that a zkey range sort keeps each file's
+    min/max tight in every interleaved dimension (the Delta/Iceberg
+    OPTIMIZE ZORDER device, re-expressed as pure JVM bit expressions).
+    Exact-integer cell arithmetic; bounds from a 1-row bounded collect
+    (at 100 TB: table stats)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("x"),
+        F.floor("o_totalprice").cast("long").alias("y"),
+    )
+    lo_x, hi_x, lo_y, hi_y = o.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).collect()[0]
+    from .sources import layout
+
+    z = layout.zorder_key("x", "y", lo_x, hi_x, lo_y, hi_y, bits=8)
+    return (
+        o.withColumn("zbucket", F.shiftright(z, 10))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+from .sources.layout import zorder_sql as _zorder_sql
+
+SQL_ZORDER = f"""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+         CAST(floor(o_totalprice) AS BIGINT) AS y
+  FROM orders
+), b AS (
+  SELECT (SELECT MIN(x) FROM o) AS lo_x, (SELECT MAX(x) FROM o) AS hi_x,
+         (SELECT MIN(y) FROM o) AS lo_y, (SELECT MAX(y) FROM o) AS hi_y
+), z AS (
+  SELECT o.*, {_zorder_sql("x", "y", "b.lo_x", "b.hi_x", "b.lo_y", "b.hi_y", bits=8)} AS zval
+  FROM o CROSS JOIN b
+)
+SELECT (zval >> 10) AS zbucket, COUNT(*) AS n,
+  MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+FROM z GROUP BY 1
+"""
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1c streaming twin: per-user session windows (30-minute
+    inactivity gap) over the replayed events stream via Spark's NATIVE
+    streaming session_window state merge — sessions that span
+    micro-batches are merged by the state store, which is exactly what
+    the batch oracle's lag/cumsum sessionization identity computes.
+    Complete mode: every session emits once fully replayed."""
+    from .streaming.replay import replay_to_memory
+    from pyspark.sql import types as T
+
+    from .sources.tables import ensure_nanos_as_long
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = stream
+        if isinstance(schema["ts"].dataType, T.LongType):
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = windows.session(ev, "ts", "30 minutes", keys=["user_id"]).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return agg.select(
+            "user_id", F.col("window.start").alias("session_start"), "n"
+        )
+
+    return replay_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        transform,
+        output_mode="complete",
+        shuffle_partitions=8,
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6033,6 +6180,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "drift_psi_value": drift_psi_value,
     "seq_transition_matrix": seq_transition_matrix,
     "mad_daily_outliers": mad_daily_outliers,
+    "rank_global_curriculum": rank_global_curriculum,
+    "text_pmi_collocations": text_pmi_collocations,
+    "layout_zorder_cluster": layout_zorder_cluster,
+    "stream_session_windows": stream_session_windows,
 }
 
 ORACLES: dict[str, str] = {
@@ -6207,4 +6358,8 @@ WHERE value % 2 = 0"""
     "drift_psi_value": SQL_PSI,
     "seq_transition_matrix": SQL_TRANSITIONS,
     "mad_daily_outliers": SQL_MAD,
+    "rank_global_curriculum": SQL_GLOBAL_RANK,
+    "text_pmi_collocations": SQL_PMI,
+    "layout_zorder_cluster": SQL_ZORDER,
+    "stream_session_windows": SQL_W1C,
 }

@@ -853,3 +853,94 @@ def test_triangle_orientation_bounds_hub_wedges(spark):
     [r] = triangle_count(df).collect()
     assert r.n_triangles == len(leaves) - 1
     assert r.n_wedges < 3 * r.n_edges  # vs 79,800 unoriented hub wedges
+
+
+def test_global_rank_matches_single_window_and_ntile_rule(spark):
+    """global_rank's bucketed two-phase rank must equal the naive
+    single-partition row_number/ntile for every row, including the
+    n % B remainder rule (17 rows / 5 buckets -> sizes 4,4,3,3,3)."""
+    from pyspark.sql import Window as W
+
+    from selium_spark.operators import windows
+
+    rows = [(i, (i * 37) % 23) for i in range(17)]
+    df = spark.createDataFrame(rows, "id LONG, v LONG")
+    out = windows.global_rank(
+        df, [F.col("v"), F.col("id")], rank_col="rank",
+        ntile_col="b", n_buckets=5, n_range_buckets=4,
+    )
+    got = {r.id: (r.rank, r.b) for r in out.collect()}
+    w = W.orderBy("v", "id")
+    exp = {
+        r.id: (r.rank, r.b)
+        for r in df.select(
+            "id",
+            F.row_number().over(w).cast("long").alias("rank"),
+            F.ntile(5).over(w).alias("b"),
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_global_rank_small_n_fewer_rows_than_buckets(spark):
+    """n < B: every row its own bucket (NTILE degenerate case) and the
+    size-0 division branch must not evaluate."""
+    from selium_spark.operators import windows
+
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "id LONG, v LONG")
+    out = windows.global_rank(
+        df, [F.col("v"), F.col("id")], ntile_col="b", n_buckets=10
+    ).collect()
+    assert {(r.id, r.rank, r.b) for r in out} == {(1, 1, 1), (2, 2, 2), (3, 3, 3)}
+
+
+def test_pmi_collocations_exact_counts(spark):
+    """PMI from a corpus tiny enough to check by hand: bigrams are
+    (a,b) x4, (b,a) x3, (b,c) x1 -> N=8; marginals c1(a)=4, c1(b)=4,
+    c2(b)=4, c2(a)=3, and (b,c) counts toward c1(b) even though the
+    min_count filter drops the pair itself."""
+    import math
+
+    from selium_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "b a b c")], "doc_id LONG, text STRING"
+    )
+    out = {(r.w1, r.w2): (r.c12, r.pmi) for r in
+           T.pmi_collocations(docs, min_count=2, k=10).collect()}
+    n = 8
+    assert out[("a", "b")][0] == 4
+    exp_ab = round(math.log((4 / n) / ((4 / n) * (4 / n))), 9)
+    assert abs(out[("a", "b")][1] - exp_ab) < 1e-9
+    assert ("b", "c") not in out  # c12=1 < min_count
+    assert out[("b", "a")][0] == 3
+    exp_ba = round(math.log((3 / n) / ((4 / n) * (3 / n))), 9)
+    assert abs(out[("b", "a")][1] - exp_ba) < 1e-9
+
+
+def test_zorder_key_interleaves_and_buckets_cluster(spark):
+    """The Morton key must interleave exactly (known 2-bit example) and
+    match the SQL twin bit-for-bit on random data."""
+    import duckdb
+
+    from selium_spark.sources.layout import zorder_key, zorder_sql
+
+    # x=0b10, y=0b01 at bits=2 over [0,3]: cells are the values
+    # themselves; z = x bits at even positions, y at odd = 0b0110 = 6
+    df = spark.createDataFrame([(2, 1)], "x LONG, y LONG")
+    [r] = df.select(zorder_key("x", "y", 0, 3, 0, 3, bits=2).alias("z")).collect()
+    assert r.z == 6
+
+    rows = [(i, (i * 131) % 97, (i * 31) % 89) for i in range(200)]
+    big = spark.createDataFrame(rows, "id LONG, x LONG, y LONG")
+    got = {
+        r.id: r.z
+        for r in big.select(
+            "id", zorder_key("x", "y", 0, 96, 0, 88, bits=8).alias("z")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", big.toPandas())
+    sql_z = zorder_sql("x", "y", 0, 96, 0, 88, bits=8)
+    exp = dict(con.sql(f"SELECT id, {sql_z} AS z FROM t").fetchall())
+    assert got == exp

@@ -177,6 +177,8 @@ _INTENTIONAL_CARTESIAN = {
     "graph_copurchase_triangles",    # three 1-row census scalars
                                      # (n_edges/n_nodes/n_wedges) crossed
                                      # into the 1-row triangle count
+    "text_pmi_collocations",         # 1-row bigram-total scalar crossed
+                                     # into the pair table
 }
 
 
@@ -234,3 +236,19 @@ def test_bigram_ppl_total_is_scalar_broadcast(spark):
     import re
 
     assert p.text.count("CartesianProduct") == 0
+
+
+def test_global_rank_window_is_bucket_partitioned(spark):
+    """rank_global_curriculum must NOT plan the naive unpartitioned
+    ranking window (all rows to one task): the corpus row_number
+    windowspec is partitioned by the range bucket, and the per-bucket
+    counts branch scans a doc_id-pruned projection (the full columns
+    move only through the window exchange)."""
+    import re
+
+    p = plan_of(spark, "rank_global_curriculum")
+    assert re.search(r"row_number\(\) windowspecdefinition\(_bkt", p.text), (
+        "ranking window lost its bucket partitioning"
+    )
+    pruned = [rs for rs in p.read_schemas if "n_chars" in rs and "doc_id" not in rs]
+    assert pruned, f"counts branch scan not column-pruned: {p.read_schemas}"
