@@ -90,6 +90,12 @@ QUERY_SET = [
     "mad_daily_outliers",
     "seq_transition_matrix",
     "graph_copurchase_triangles",
+    # round 6 late 2: global rank stresses the range-bucketed two-phase
+    # sort (buckets stay balanced as rows multiply); PMI the corpus
+    # pair-table join; z-order the map-side bit interleave + one agg
+    "rank_global_curriculum",
+    "text_pmi_collocations",
+    "layout_zorder_cluster",
 ]
 
 
@@ -153,6 +159,10 @@ SKEW_QUERY_SET = [
     # prob side simultaneously COLLAPSES (few distinct bigrams), so
     # AQE's broadcast/skew handling should hold the ratio
     "text_bigram_ppl",
+    # PMI: same pair-table shape as bigram ppl, but the hot boilerplate
+    # also concentrates the marginals (c1/c2) on a handful of tokens —
+    # the ctx/tgt joins see one giant key each
+    "text_pmi_collocations",
 ]
 
 
@@ -236,9 +246,9 @@ def build_stream_scaled(spark, n_copies: int, out_dir: str) -> None:
 
 
 def _stream_ops():
-    """The four stateful streaming operators under stress, as
+    """The stateful streaming operators under stress, as
     (output_mode, transform) factories over a normalized event stream."""
-    from selium_spark.operators import stateful
+    from selium_spark.operators import stateful, windows
 
     steps = ["signup", "click", "purchase"]
     return {
@@ -290,6 +300,22 @@ def _stream_ops():
             "update",
             lambda ev: stateful.streaming_ewma_level(
                 ev, "user_id", "ts", "value", alpha=0.25
+            ),
+        ),
+        # round 6 late 2: Spark's NATIVE session_window state merge —
+        # the only JVM-side (non-applyInPandasWithState) state path in
+        # the set, so it pins the state store's own merge/commit cost
+        "streaming_session": (
+            "append",
+            lambda ev: windows.session(
+                ev.withWatermark("ts", "0 seconds"),
+                "ts",
+                "30 minutes",
+                keys=["user_id"],
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id", F.col("window.start").alias("session_start"), "n"
             ),
         ),
     }

@@ -5981,42 +5981,6 @@ FROM z GROUP BY 1
 """
 
 
-def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1c streaming twin: per-user session windows (30-minute
-    inactivity gap) over the replayed events stream via Spark's NATIVE
-    streaming session_window state merge — sessions that span
-    micro-batches are merged by the state store, which is exactly what
-    the batch oracle's lag/cumsum sessionization identity computes.
-    Complete mode: every session emits once fully replayed."""
-    from .streaming.replay import replay_to_memory
-    from pyspark.sql import types as T
-
-    from .sources.tables import ensure_nanos_as_long
-
-    ensure_nanos_as_long(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
-    def transform(stream: DataFrame) -> DataFrame:
-        ev = stream
-        if isinstance(schema["ts"].dataType, T.LongType):
-            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        agg = windows.session(ev, "ts", "30 minutes", keys=["user_id"]).agg(
-            F.count(F.lit(1)).alias("n")
-        )
-        return agg.select(
-            "user_id", F.col("window.start").alias("session_start"), "n"
-        )
-
-    return replay_to_memory(
-        spark,
-        f"{sf_dir}/events.parquet",
-        schema,
-        transform,
-        output_mode="complete",
-        shuffle_partitions=8,
-    )
-
-
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6183,7 +6147,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_global_curriculum": rank_global_curriculum,
     "text_pmi_collocations": text_pmi_collocations,
     "layout_zorder_cluster": layout_zorder_cluster,
-    "stream_session_windows": stream_session_windows,
 }
 
 ORACLES: dict[str, str] = {
@@ -6361,5 +6324,4 @@ WHERE value % 2 = 0"""
     "rank_global_curriculum": SQL_GLOBAL_RANK,
     "text_pmi_collocations": SQL_PMI,
     "layout_zorder_cluster": SQL_ZORDER,
-    "stream_session_windows": SQL_W1C,
 }

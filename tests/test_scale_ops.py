@@ -247,3 +247,47 @@ def test_stream_replay_metrics_machinery(spark, tmp_path):
     assert m["rows_per_s"] > 0 and m["wall_s"] > 0
     assert m["trigger_p50_ms"] > 0 and m["trigger_p99_ms"] >= m["trigger_p50_ms"]
     assert m["state_mb"] > 0  # rocksdb memory reported
+
+
+def test_stream_ops_streaming_session_runs(spark, tmp_path):
+    """The native-session_window entry in the --streaming stress set
+    replays end-to-end (append mode, rocksdb): sessions merge in JVM
+    state and the replay's state_rows stay bounded by open sessions,
+    not events."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from scripts.scale_stress import _stream_ops, stream_replay_metrics
+    from selium_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 20
+    )
+    src = str(tmp_path / "ev")
+    cut = "2024-01-04"
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    n_rows = spark.read.parquet(src).count()
+
+    from selium_spark.suite import _norm_stream_ts
+
+    mode, factory = _stream_ops()["streaming_session"]
+    assert mode == "append"
+    m = stream_replay_metrics(
+        spark,
+        src,
+        schema,
+        lambda s: factory(_norm_stream_ts(s, schema)),
+        mode,
+        state_store="rocksdb",
+        shuffle_partitions=2,
+        max_files=1,
+    )
+    assert m["rows"] == n_rows and m["n_batches"] == 2
+    # append emits only sessions finalized below the watermark; with
+    # the 0s watermark the last batch's sessions stay open in state
+    assert m["out_rows"] > 0
+    assert m["state_rows"] > 0 and m["state_mb"] > 0
