@@ -118,6 +118,8 @@ HEADLINE = [
     "text_pmi_collocations",
     "layout_zorder_cluster",
     "stream_session_windows",
+    "text_remove_dup_spans",
+    "text_budget_head",
 ]
 
 

@@ -827,6 +827,146 @@ def dsir_resample(
     )
 
 
+def token_budget_select(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 9,
+) -> DataFrame:
+    """Greedy token-budget corpus head: documents sorted best-first by
+    quality score (doc id tie-break), kept while the EXACT cumulative
+    token count stays within ``budget_tokens`` — the standard "spend a
+    fixed training-token budget on the best data" selection (the
+    budget-constrained counterpart of dsir_resample's distributional
+    selection; reference parity: selium's bounded consume W5 caps
+    ROWS, subsystem/client/src/streams/consumer.rs — this caps the
+    token integral instead).
+
+    The cumulative count is a distributed prefix sum
+    (:func:`windows.global_running_sum` — range-bucketed two-phase,
+    no single-partition window), exact because token counts are
+    integers. The score is rounded to ``round_to`` BEFORE ordering so
+    the cross-engine sort order is ulp-robust.
+
+    Returns (id, n_tokens, q, cum_tokens) for the selected head.
+    """
+    from . import windows
+
+    scored = quality_score(df, text_col).select(
+        F.col(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("quality_score"), round_to).alias("q"),
+    )
+    ranked = windows.global_running_sum(
+        scored,
+        [(-F.col("q")), F.col(id_col)],
+        F.col("n_tokens"),
+        out_col="cum_tokens",
+    )
+    return ranked.where(F.col("cum_tokens") <= budget_tokens).select(
+        id_col, "n_tokens", "q", "cum_tokens"
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Duplicated-span REMOVAL — the rewrite half of "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al. 2022) at
+    word-shingle granularity (:func:`dup_span_stats` is the reporting
+    half): every token position covered by a word n-gram occurring in
+    >= ``min_docs`` distinct documents is cut, and the surviving
+    tokens re-join in position order. Docs shorter than n contribute
+    their one short gram (ngrams_all semantics), so boilerplate
+    shorter than the shingle width is still removable.
+
+    Plan — the corpus text is tokenized and scanned exactly ONCE (the
+    DSIR double-traversal lesson applied at design time): a single
+    posexplode emits one row per token position carrying BOTH the
+    token and the n-gram starting there (null past the last start),
+    and that positional table is persisted and pinned with a count()
+    (the dedup.lsh_candidate_pairs blacklist-mode pattern) before its
+    three consumers fan out — the hot-shingle distinct-doc count
+    (map-side-combinable, keyed on shingle), the join-back + interval
+    explode + distinct that yields covered token positions (bounded by
+    n x covered starts), and the marked per-doc fold. Without the pin
+    each shuffle consumer re-runs the tokenize+ngram subtree. The fold
+    re-assembles uncovered (pos, token) structs with array_sort —
+    bounded by document size, never corpus size. Nothing touches the
+    driver. At 100 TB the persist becomes a checkpoint to fast storage
+    — the positional table is the op's working set either way.
+
+    Returns (id, n_tokens, n_kept, out_col); a fully-covered doc keeps
+    an empty string rather than vanishing (a zero-token doc has no
+    positions and is absent on both engines).
+    """
+    toks = tokens(text_col)
+    grams = ngrams_all(text_col, n)
+    padded = F.concat(
+        grams,
+        F.array_repeat(
+            F.lit(None).cast("string"), F.size(toks) - F.size(grams)
+        ),
+    )
+    zipped = F.zip_with(
+        toks, padded, lambda a, b: F.struct(a.alias("w"), b.alias("sh"))
+    )
+    base = (
+        df.select(
+            F.col(id_col),
+            F.size(toks).alias("_len"),
+            F.posexplode(zipped).alias("pos", "_z"),
+        )
+        .select(id_col, "_len", "pos", "_z.w", "_z.sh")
+        .persist()
+    )
+    base.count()  # pin: tokenize+ngram executes once, consumers read the cache
+    hot = (
+        base.where(F.col("sh").isNotNull())
+        .groupBy("sh")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("sh")
+    )
+    covered = (
+        base.where(F.col("sh").isNotNull())
+        .join(hot, "sh")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("pos"),
+                    F.least(F.col("pos") + F.lit(n - 1), F.col("_len") - 1),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("_cut", F.lit(True))
+    )
+    marked = base.select(id_col, "pos", "w").join(
+        covered, [id_col, "pos"], "left"
+    )
+    kept_struct = F.when(F.col("_cut").isNull(), F.struct("pos", "w"))
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_cut").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["w"]
+            ),
+        ).alias(out_col),
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",

@@ -909,6 +909,28 @@ def robust_zscore_outliers(
     )
 
 
+def _sampled_range_bucket(
+    df: DataFrame,
+    primary: Column,
+    n_range_buckets: int,
+    bucket_col: Column | None = None,
+) -> Column:
+    """ORDERED range-bucket expression from sampled quantile boundaries
+    on ``primary`` (ascending numeric): rows with larger primary values
+    land in equal-or-larger buckets, and EQUAL primary values always
+    share a bucket — so per-bucket order + bucket order composes to the
+    global order regardless of what the (non-deterministic) sample saw.
+    A caller-supplied monotone ``bucket_col`` bypasses the sampling."""
+    if bucket_col is not None:
+        return bucket_col
+    probs = [i / n_range_buckets for i in range(1, n_range_buckets)]
+    bounds = df.select(primary.alias("_k")).stat.approxQuantile("_k", probs, 0.01)
+    out = F.lit(0)
+    for i, b in enumerate(sorted(set(bounds))):
+        out = F.when(primary > F.lit(b), i + 1).otherwise(out)
+    return out
+
+
 def global_rank(
     df: DataFrame,
     order_cols: list[Column],
@@ -948,16 +970,9 @@ def global_rank(
     the exact SQL-standard rule (first ``n % B`` buckets one larger),
     so curriculum deciles / quantile splits ride the same shuffle.
     """
-    primary = order_cols[0]
-    if bucket_col is None:
-        probs = [i / n_range_buckets for i in range(1, n_range_buckets)]
-        bounds = df.select(primary.alias("_k")).stat.approxQuantile(
-            "_k", probs, 0.01
-        )
-        bucket_col = F.lit(0)
-        for i, b in enumerate(sorted(set(bounds))):
-            bucket_col = F.when(primary > F.lit(b), i + 1).otherwise(bucket_col)
-    base = df.withColumn("_bkt", bucket_col)
+    base = df.withColumn(
+        "_bkt", _sampled_range_bucket(df, order_cols[0], n_range_buckets, bucket_col)
+    )
 
     counts = base.groupBy("_bkt").agg(F.count(F.lit(1)).alias("_n"))
     w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
@@ -995,4 +1010,47 @@ def global_rank(
             )
             .drop("_sz", "_rem", "_cut")
         )
-    return ranked.drop("_pid", "_offset", "_total")
+    return ranked.drop("_bkt", "_offset", "_total")
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    val_col: Column,
+    out_col: str = "running_sum",
+    bucket_col: Column | None = None,
+    n_range_buckets: int = 32,
+) -> DataFrame:
+    """Exact GLOBAL running sum of ``val_col`` in the total order given
+    by ``order_cols`` — the prefix-sum sibling of :func:`global_rank`,
+    again WITHOUT the single-partition window an unpartitioned
+    ``SUM() OVER (ORDER BY ...)`` plans: sampled range buckets on
+    ``order_cols[0]`` (ascending numeric; same contract as
+    global_rank), per-bucket partial sums from a column-pruned
+    map-side-combinable aggregate (~n_range_buckets rows), cumsum into
+    broadcast offsets, then a per-bucket running-window sum adds the
+    local prefix: ``running = bucket_offset + local_prefix``.
+
+    ``val_col`` must be an EXACT-arithmetic type (integral or DECIMAL):
+    the identity "bucket partials + local prefix == row-order prefix"
+    is associativity, which floating-point addition does not grant.
+    The driver does no work beyond the ~n_range_buckets-row cumsum.
+    """
+    base = df.withColumn(
+        "_bkt", _sampled_range_bucket(df, order_cols[0], n_range_buckets, bucket_col)
+    ).withColumn("_v", val_col)
+    sums = base.groupBy("_bkt").agg(F.sum("_v").alias("_s"))
+    w_off = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sums.select(
+        "_bkt", F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_voff")
+    )
+    w_local = (
+        Window.partitionBy("_bkt")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        base.join(F.broadcast(offsets), "_bkt")
+        .withColumn(out_col, F.col("_voff") + F.sum("_v").over(w_local))
+        .drop("_bkt", "_v", "_voff")
+    )

@@ -5981,6 +5981,87 @@ FROM z GROUP BY 1
 """
 
 
+def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span REMOVAL (the rewrite half of Lee et al. 2022;
+    text_span_dedup is the reporting half): every token position
+    covered by a word 5-gram shared by >= 2 distinct docs is cut and
+    the survivors re-join in position order. Two corpus scans total —
+    the positional shingle table (hot set + covered positions) and the
+    positional token table (marked fold)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.remove_dup_spans(docs, n=5, min_docs=2)
+
+
+SQL_REMOVE_DUP_SPANS = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i AS p, len(w) AS l, array_to_string(w[i:i+4], ' ') AS shingle
+  FROM t, unnest(generate_series(1, greatest(len(w) - 4, 1))) u(i)
+  WHERE len(w) >= 1
+),
+hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.p + j AS pos
+  FROM sh s JOIN hot USING (shingle), unnest(generate_series(0, 4)) v(j)
+  WHERE s.p + j <= s.l
+),
+tok AS (
+  SELECT doc_id, i AS pos, w[i] AS tk
+  FROM t, unnest(generate_series(1, len(w))) u(i)
+),
+m AS (
+  SELECT tok.doc_id, tok.pos, tok.tk, cov.pos IS NOT NULL AS cut
+  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+)
+SELECT doc_id, count(*) AS n_tokens,
+  CAST(sum(CASE WHEN NOT cut THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  coalesce(string_agg(CASE WHEN NOT cut THEN tk END, ' ' ORDER BY pos), '')
+    AS clean_text
+FROM m GROUP BY 1
+"""
+
+
+def text_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus head: best docs by quality score kept while
+    the EXACT cumulative token count stays within 50k tokens. The
+    cumsum is windows.global_running_sum — range-bucketed two-phase
+    prefix sum, no single-partition window — against the oracle's
+    built-in SUM() OVER (ORDER BY ...)."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.token_budget_select(docs, budget_tokens=50_000)
+
+
+SQL_BUDGET_HEAD = f"""
+WITH t AS (
+  SELECT doc_id, text, {SQL_TOKS} AS toks,
+         greatest(length(text), 1)::DOUBLE AS safe_chars
+  FROM documents
+), f AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    length(regexp_replace(text, '[^!-/:-@\\[-`{{-~]', '', 'g')) / safe_chars AS punct_ratio,
+    length(regexp_replace(text, '[^0-9]', '', 'g')) / safe_chars AS digit_ratio,
+    {_sql_stopword_ratio("en")} AS stopword_ratio
+  FROM t
+), s AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+    round(least(n_tokens / 64.0, 1.0) * 0.4
+      + least(stopword_ratio * 4.0, 1.0) * 0.3
+      + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+      + (1.0 - least(digit_ratio * 5.0, 1.0)) * 0.1, 9) AS q
+  FROM f
+), c AS (
+  SELECT doc_id, n_tokens, q,
+    CAST(SUM(n_tokens) OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS cum_tokens
+  FROM s
+)
+SELECT doc_id, n_tokens, q, cum_tokens FROM c WHERE cum_tokens <= 50000
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6147,6 +6228,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rank_global_curriculum": rank_global_curriculum,
     "text_pmi_collocations": text_pmi_collocations,
     "layout_zorder_cluster": layout_zorder_cluster,
+    "text_remove_dup_spans": text_remove_dup_spans,
+    "text_budget_head": text_budget_head,
 }
 
 ORACLES: dict[str, str] = {
@@ -6324,4 +6407,6 @@ WHERE value % 2 = 0"""
     "rank_global_curriculum": SQL_GLOBAL_RANK,
     "text_pmi_collocations": SQL_PMI,
     "layout_zorder_cluster": SQL_ZORDER,
+    "text_remove_dup_spans": SQL_REMOVE_DUP_SPANS,
+    "text_budget_head": SQL_BUDGET_HEAD,
 }

@@ -252,3 +252,29 @@ def test_global_rank_window_is_bucket_partitioned(spark):
     )
     pruned = [rs for rs in p.read_schemas if "n_chars" in rs and "doc_id" not in rs]
     assert pruned, f"counts branch scan not column-pruned: {p.read_schemas}"
+
+
+def test_budget_head_running_sum_stays_bucket_partitioned(spark):
+    """text_budget_head's corpus-wide cumulative sum must NOT plan the
+    naive unpartitioned running window: the sum windowspec is
+    partitioned by the range bucket, so the only single-partition
+    window runs over the ~n_range_buckets-row offsets table."""
+    import re
+
+    p = plan_of(spark, "text_budget_head")
+    assert re.search(
+        r"sum\(_v#\d+L?\) windowspecdefinition\(_bkt#\d+,", p.text
+    ), "running-sum window lost its bucket partitioning"
+
+
+def test_remove_dup_spans_single_scan_and_no_cartesian(spark):
+    """remove_dup_spans tokenizes the corpus exactly ONCE: the pinned
+    positional table serves all three consumers from cache
+    (InMemoryTableScan), so exactly one parquet scan of
+    (doc_id, text) appears — the DSIR double-traversal lesson — and no
+    cartesian product is planned."""
+    p = plan_of(spark, "text_remove_dup_spans")
+    scans = [rs for rs in p.read_schemas if "text" in rs]
+    assert len(scans) == 1, f"expected 1 corpus scan, saw {len(scans)}: {p.read_schemas}"
+    assert "InMemoryTableScan" in p.text
+    assert not p.has_cartesian

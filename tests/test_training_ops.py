@@ -434,3 +434,96 @@ def test_pack_nextfit_invariants(spark):
         shard_seqs.setdefault(sh, set()).add(sq)
     for seqs in shard_seqs.values():
         assert seqs == set(range(len(seqs)))  # dense per shard
+
+
+def test_global_running_sum_matches_single_partition(spark):
+    """The range-bucketed two-phase prefix sum equals the naive
+    unpartitioned window cumsum on every row (exact long arithmetic),
+    including with a forced skewed bucketing."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 11, 1 + (i * 13) % 7) for i in range(300)],
+        "id long, k long, v long",
+    )
+    got = {
+        r.id: r.cs
+        for r in windows.global_running_sum(
+            df, [F.col("k"), F.col("id")], F.col("v"), out_col="cs"
+        ).collect()
+    }
+    want = {
+        r.id: r.cs
+        for r in df.withColumn(
+            "cs",
+            F.sum("v").over(
+                Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    assert got == want
+    # forced single-bucket degenerate bucketing must still be exact
+    got1 = {
+        r.id: r.cs
+        for r in windows.global_running_sum(
+            df, [F.col("k"), F.col("id")], F.col("v"), out_col="cs",
+            bucket_col=F.lit(0),
+        ).collect()
+    }
+    assert got1 == want
+
+
+def test_remove_dup_spans_cuts_shared_spans_only(spark):
+    """Tokens covered by a corpus-shared 5-gram are cut; unique text
+    survives verbatim; a doc that is ONLY boilerplate comes back as an
+    empty string (not dropped); short docs (< n tokens) participate
+    via their single short gram."""
+    boiler = "click here to subscribe now"
+    docs = spark.createDataFrame(
+        [
+            (0, f"alpha beta gamma {boiler} delta epsilon"),
+            (1, f"{boiler} zeta eta theta iota kappa"),
+            (2, boiler),
+            (3, "totally unique words nothing shared here at all"),
+            (4, "tiny short doc"),
+            (5, "tiny short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.remove_dup_spans(docs, n=5, min_docs=2).collect()}
+    assert out[0].clean_text == "alpha beta gamma delta epsilon"
+    assert out[1].clean_text == "zeta eta theta iota kappa"
+    assert out[2].clean_text == "" and out[2].n_kept == 0 and out[2].n_tokens == 5
+    assert out[3].clean_text == "totally unique words nothing shared here at all"
+    # the 3-token doc's single short gram is shared by docs 4 and 5
+    assert out[4].clean_text == "" and out[5].clean_text == ""
+    assert all(out[i].n_tokens - out[i].n_kept >= 0 for i in out)
+
+
+def test_token_budget_select_boundary(spark):
+    """Selection is the exact quality-ordered head: cumulative tokens
+    never exceed the budget, and the FIRST excluded doc would have
+    pushed it over."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 2000
+    sel = text.token_budget_select(docs, budget_tokens=budget).collect()
+    assert sel and max(r.cum_tokens for r in sel) <= budget
+    # re-derive the full ordering and check the cut is exactly the head
+    scored = text.quality_score(docs, "text").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("quality_score", 9).alias("q"),
+    ).collect()
+    order = sorted(scored, key=lambda r: (-r.q, r.doc_id))
+    cum, head = 0, []
+    for r in order:
+        cum += r.n_tokens
+        if cum > budget:
+            break
+        head.append(r.doc_id)
+    assert sorted(r.doc_id for r in sel) == sorted(head)
