@@ -96,6 +96,10 @@ QUERY_SET = [
     "rank_global_curriculum",
     "text_pmi_collocations",
     "layout_zorder_cluster",
+    # span removal: positional table persist + shingle-keyed joins;
+    # budget head: the two-phase global prefix sum
+    "text_remove_dup_spans",
+    "text_budget_head",
 ]
 
 
@@ -163,6 +167,9 @@ SKEW_QUERY_SET = [
     # also concentrates the marginals (c1/c2) on a handful of tokens —
     # the ctx/tgt joins see one giant key each
     "text_pmi_collocations",
+    # span removal: the 30%-hot boilerplate IS one hot shingle set —
+    # its covered-position join-back concentrates on few shingle keys
+    "text_remove_dup_spans",
 ]
 
 
