@@ -120,6 +120,8 @@ HEADLINE = [
     "stream_session_windows",
     "text_remove_dup_spans",
     "text_budget_head",
+    "attr_last_touch",
+    "stream_interval_join",
 ]
 
 

@@ -1054,3 +1054,64 @@ def global_running_sum(
         .withColumn(out_col, F.col("_voff") + F.sum("_v").over(w_local))
         .drop("_bkt", "_v", "_voff")
     )
+
+
+def attribute_last_touch(
+    df: DataFrame,
+    key: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    touch_type: str,
+    conv_type: str,
+    max_gap_s: int | None = None,
+) -> DataFrame:
+    """Last-touch attribution: every CONVERSION event is attributed to
+    the most recent TOUCH event by the same key at or before it — the
+    standard marketing-attribution join, done with ONE window pass
+    instead of a self-join (reference parity: the same enrich-by-most-
+    recent shape as W3's latest-value join, SURVEY §2.3, applied to
+    event pairs inside one stream).
+
+    The running ``max`` of a (ts, id) struct over rows up to the
+    current one IS the latest prior touch (struct comparison is
+    lexicographic, ts first); the window orders by (ts, id) so
+    same-timestamp rows resolve deterministically on both engines.
+    One hash shuffle on the key, no self-join, no skew beyond the
+    key's own hotness. ``max_gap_s`` bounds the lookback: a touch
+    older than the horizon leaves the conversion unattributed
+    (NULL touch, NULL gap) rather than silently stretching.
+
+    Returns (key, conversion_id, touch_id, gap_s).
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.when(
+        F.col(type_col) == touch_type,
+        F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id")),
+    )
+    out = df.withColumn("_lt", F.max(touch).over(w)).where(
+        F.col(type_col) == conv_type
+    )
+    # NTZ-safe epoch seconds (session tz is UTC, instant-preserving);
+    # matches the oracle's date_diff('second', ...) boundary counting
+    gap = F.col(ts_col).cast("timestamp").cast("long") - F.col(
+        "_lt.ts"
+    ).cast("timestamp").cast("long")
+    if max_gap_s is not None:
+        keep = gap <= F.lit(max_gap_s)
+        return out.select(
+            key,
+            F.col(id_col).alias("conversion_id"),
+            F.when(keep, F.col("_lt.id")).alias("touch_id"),
+            F.when(keep, gap).alias("gap_s"),
+        )
+    return out.select(
+        key,
+        F.col(id_col).alias("conversion_id"),
+        F.col("_lt.id").alias("touch_id"),
+        gap.alias("gap_s"),
+    )

@@ -6062,6 +6062,108 @@ SELECT doc_id, n_tokens, q, cum_tokens FROM c WHERE cum_tokens <= 50000
 """
 
 
+def attr_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase attributed to the same
+    user's most recent click at or before it (1-hour lookback; older
+    or missing touches leave the conversion unattributed) — one window
+    pass over a (ts, id) struct max, no self-join."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.attribute_last_touch(
+        ev,
+        key="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        id_col="event_id",
+        touch_type="click",
+        conv_type="purchase",
+        max_gap_s=3600,
+    )
+    # -1 sentinel for unattributed: the grading compare canonicalizes
+    # nullable BIGINT differently per engine (pandas NaN vs None)
+    return out.na.fill({"touch_id": -1, "gap_s": -1})
+
+
+SQL_ATTR_LAST_TOUCH = """
+WITH m AS (
+  SELECT user_id, event_id, event_type, ts,
+    max(CASE WHEN event_type = 'click' THEN {'ts': ts, 'id': event_id} END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+  FROM events
+), c AS (
+  SELECT user_id, event_id AS conversion_id,
+    lt.id AS t_id,
+    CAST(date_diff('second', lt.ts, ts) AS BIGINT) AS g
+  FROM m WHERE event_type = 'purchase'
+)
+SELECT user_id, conversion_id,
+  coalesce(CASE WHEN g <= 3600 THEN t_id END, -1) AS touch_id,
+  coalesce(CASE WHEN g <= 3600 THEN g END, -1) AS gap_s
+FROM c
+"""
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL self-join — Spark's native two-sided
+    join state: clicks matched to the same user's purchases within the
+    following hour, both sides derived from the replayed events stream
+    with an event-time watermark (the time-range condition lets Spark
+    evict click state past click.ts + 1h — bounded state at 100 TB).
+    Inner append-mode matches emit as they arrive; the oracle is the
+    identical batch interval join."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema).withWatermark("ts", "0 seconds")
+        c = ev.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        p = ev.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        j = c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        return j.select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias(
+                "gap_s"
+            ),
+        )
+
+    return replay_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        transform,
+        output_mode="append",
+        shuffle_partitions=8,
+    )
+
+
+SQL_STREAM_INTERVAL_JOIN = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+  CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+FROM events c JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6230,6 +6332,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "layout_zorder_cluster": layout_zorder_cluster,
     "text_remove_dup_spans": text_remove_dup_spans,
     "text_budget_head": text_budget_head,
+    "attr_last_touch": attr_last_touch,
+    "stream_interval_join": stream_interval_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -6409,4 +6513,6 @@ WHERE value % 2 = 0"""
     "layout_zorder_cluster": SQL_ZORDER,
     "text_remove_dup_spans": SQL_REMOVE_DUP_SPANS,
     "text_budget_head": SQL_BUDGET_HEAD,
+    "attr_last_touch": SQL_ATTR_LAST_TOUCH,
+    "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
 }

@@ -944,3 +944,43 @@ def test_zorder_key_interleaves_and_buckets_cluster(spark):
     sql_z = zorder_sql("x", "y", 0, 96, 0, 88, bits=8)
     exp = dict(con.sql(f"SELECT id, {sql_z} AS z FROM t").fetchall())
     assert got == exp
+
+
+def test_attribute_last_touch_picks_latest_touch(spark):
+    """Conversions attribute to the most recent prior touch by the
+    same key; too-old touches (beyond max_gap_s) and missing touches
+    leave the conversion unattributed; same-ts ties resolve by id."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import windows
+
+    rows = [
+        # user 1: click@100, click@200, purchase@250 -> touch 20, gap 50
+        (1, 10, "click", 100),
+        (1, 20, "click", 200),
+        (1, 30, "purchase", 250),
+        # user 2: click@100, purchase@5000 with max_gap 1000 -> unattributed
+        (2, 40, "click", 100),
+        (2, 50, "purchase", 5000),
+        # user 3: purchase with no click at all
+        (3, 60, "purchase", 10),
+        # user 4: two clicks at the SAME ts -> larger id wins (order by ts, id)
+        (4, 70, "click", 100),
+        (4, 71, "click", 100),
+        (4, 80, "purchase", 150),
+    ]
+    df = spark.createDataFrame(
+        [(u, e, t, ts) for u, e, t, ts in rows],
+        "user_id long, event_id long, event_type string, ts long",
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    out = {
+        r.conversion_id: r
+        for r in windows.attribute_last_touch(
+            df, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=1000,
+        ).collect()
+    }
+    assert out[30].touch_id == 20 and out[30].gap_s == 50
+    assert out[50].touch_id is None and out[50].gap_s is None
+    assert out[60].touch_id is None
+    assert out[80].touch_id == 71 and out[80].gap_s == 50
