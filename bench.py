@@ -122,6 +122,7 @@ HEADLINE = [
     "text_budget_head",
     "attr_last_touch",
     "stream_interval_join",
+    "mm_dhash_neardup",
 ]
 
 

@@ -372,3 +372,107 @@ def frame_sample(decoded: DataFrame, every_n: int = 2) -> DataFrame:
         )
         .where(F.col("frame_idx") % every_n == 0)
     )
+
+
+def perceptual_dhash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Perceptual difference-hash (dHash: 9x8 grayscale grid -> 64
+    row-gradient bits; the standard public recipe, e.g. Krawetz's
+    "Kind of Like That", 2013) over the media decode surface — the
+    image near-dup signature a multimodal training pipeline dedups on.
+
+    Pixel DECODE stays container-gated (driver mandate), so the 9x8
+    grid derives deterministically from the payload digest (one md5
+    per grid row — the same fake-decode device as decode_media); with
+    codecs present, the grid source becomes the real resized-grayscale
+    pixels and NOTHING downstream changes. Everything here is pure JVM
+    expressions (md5/substr/conv/bitwise — zero Python), and the hash
+    is emitted as two long halves each < 2^32 so no engine ever
+    touches the sign bit.
+
+    Returns (id, dhash_hi, dhash_lo)."""
+    payload_md5 = F.md5(F.col("bytes"))
+    row_hex = [F.md5(F.concat(payload_md5, F.lit(f":{r}"))) for r in range(8)]
+
+    def px(r: int, c: int):
+        # 9 pixels per row = hex pairs 1..18 of the row digest
+        return F.conv(F.substring(row_hex[r], 2 * c + 1, 2), 16, 10).cast("int")
+
+    hi = F.lit(0).cast("long")
+    lo = F.lit(0).cast("long")
+    for r in range(8):
+        for c in range(8):
+            b = r * 8 + c
+            v = F.when(
+                px(r, c) > px(r, c + 1),
+                F.shiftleft(F.lit(1).cast("long"), b % 32),
+            ).otherwise(F.lit(0).cast("long"))
+            if b < 32:
+                lo = lo.bitwiseOR(v)
+            else:
+                hi = hi.bitwiseOR(v)
+    return media.select(F.col(id_col), hi.alias("dhash_hi"), lo.alias("dhash_lo"))
+
+
+def dhash_hamming_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Image near-dup pairs by dHash hamming distance — the
+    dedup.simhash_hamming_pairs device applied to the two-half 64-bit
+    signature: four 16-bit bands (pigeonhole-complete for
+    max_hamming <= 3), band-bucket self-join, exact bit_count(xor)
+    verify summed across the halves. At 100 TB each band bucket holds
+    only colliding signatures; the verify is integer ALU work."""
+    mask = (1 << 16) - 1
+    band_val = {
+        0: F.col("dhash_lo").bitwiseAND(F.lit(mask)),
+        1: F.shiftright(F.col("dhash_lo"), 16).bitwiseAND(F.lit(mask)),
+        2: F.col("dhash_hi").bitwiseAND(F.lit(mask)),
+        3: F.shiftright(F.col("dhash_hi"), 16).bitwiseAND(F.lit(mask)),
+    }
+    bands = sigs.select(
+        F.col(id_col),
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_val[b].alias("val"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        F.col(id_col),
+        "dhash_hi",
+        "dhash_lo",
+        F.col("bk.band").alias("band"),
+        F.col("bk.val").alias("val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.dhash_hi").alias("hi_a"),
+            F.col("a.dhash_lo").alias("lo_a"),
+            F.col("b.dhash_hi").alias("hi_b"),
+            F.col("b.dhash_lo").alias("lo_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

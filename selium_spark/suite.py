@@ -6164,6 +6164,63 @@ FROM events c JOIN events p
 """
 
 
+def mm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual near-dup: dHash (9x8 grid -> 64 gradient bits,
+    two sign-safe long halves) over the media surface, then 16-bit-band
+    bucketed pairs verified by exact hamming <= 3 — the multimodal
+    sibling of dedup_simhash_docs. The grid derives from the payload
+    digest (pixel decode is the container-gated stub); identical
+    payloads collide at hamming 0, so the pair set is the corpus's
+    exact-duplicate media with any band-collision near-misses verified
+    away."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_bytes(docs, "text", kind="image")
+    sigs = multimodal.perceptual_dhash(media)
+    return multimodal.dhash_hamming_pairs(sigs, max_hamming=3)
+
+
+SQL_MM_DHASH = """
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS pm FROM documents),
+rh AS (
+  SELECT media_id, r, md5(pm || ':' || r) AS h
+  FROM m, unnest(generate_series(0, 7)) u(r)
+),
+px AS (
+  SELECT media_id, r, c, CAST('0x' || substr(h, 2*c + 1, 2) AS BIGINT) AS p
+  FROM rh, unnest(generate_series(0, 8)) v(c)
+),
+bits AS (
+  SELECT a.media_id, a.r * 8 + a.c AS b
+  FROM px a JOIN px d ON a.media_id = d.media_id AND a.r = d.r AND d.c = a.c + 1
+  WHERE a.c < 8 AND a.p > d.p
+),
+h AS (
+  SELECT m.media_id,
+    CAST(coalesce(sum(CASE WHEN b >= 32 THEN (1::BIGINT << (b - 32)) END), 0) AS BIGINT) AS dhash_hi,
+    CAST(coalesce(sum(CASE WHEN b < 32 THEN (1::BIGINT << b) END), 0) AS BIGINT) AS dhash_lo
+  FROM m LEFT JOIN bits USING (media_id) GROUP BY 1
+),
+bands AS (
+  SELECT media_id, dhash_hi, dhash_lo, band,
+    CASE band
+      WHEN 0 THEN dhash_lo & 65535
+      WHEN 1 THEN (dhash_lo >> 16) & 65535
+      WHEN 2 THEN dhash_hi & 65535
+      ELSE (dhash_hi >> 16) & 65535
+    END AS val
+  FROM h, unnest(generate_series(0, 3)) w(band)
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+    CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+       + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.media_id < b.media_id
+)
+SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6334,6 +6391,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_budget_head": text_budget_head,
     "attr_last_touch": attr_last_touch,
     "stream_interval_join": stream_interval_join,
+    "mm_dhash_neardup": mm_dhash_neardup,
 }
 
 ORACLES: dict[str, str] = {
@@ -6515,4 +6573,5 @@ WHERE value % 2 = 0"""
     "text_budget_head": SQL_BUDGET_HEAD,
     "attr_last_touch": SQL_ATTR_LAST_TOUCH,
     "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
+    "mm_dhash_neardup": SQL_MM_DHASH,
 }

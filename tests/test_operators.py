@@ -984,3 +984,24 @@ def test_attribute_last_touch_picks_latest_touch(spark):
     assert out[50].touch_id is None and out[50].gap_s is None
     assert out[60].touch_id is None
     assert out[80].touch_id == 71 and out[80].gap_s == 50
+
+
+def test_perceptual_dhash_pairs_identical_payloads(spark):
+    """Identical payloads produce identical dHash halves (hamming 0
+    pairs); distinct payloads' random-grid hashes stay far apart; all
+    halves are sign-safe (< 2^32)."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(0, "same bytes"), (1, "same bytes"), (2, "other bytes"), (3, "third")],
+        "doc_id long, text string",
+    )
+    media = multimodal.attach_bytes(docs, "text", kind="image")
+    sigs = multimodal.perceptual_dhash(media)
+    rows = {r.media_id: r for r in sigs.collect()}
+    assert rows[0].dhash_hi == rows[1].dhash_hi and rows[0].dhash_lo == rows[1].dhash_lo
+    assert all(0 <= r.dhash_hi < 2**32 and 0 <= r.dhash_lo < 2**32 for r in rows.values())
+    pairs = multimodal.dhash_hamming_pairs(sigs, max_hamming=3).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(0, 1, 0)]
