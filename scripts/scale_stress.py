@@ -100,6 +100,10 @@ QUERY_SET = [
     # budget head: the two-phase global prefix sum
     "text_remove_dup_spans",
     "text_budget_head",
+    # attribution: one window pass over events; dhash: 128 JVM hash
+    # expressions/row + band self-join
+    "attr_last_touch",
+    "mm_dhash_neardup",
 ]
 
 
@@ -309,9 +313,35 @@ def _stream_ops():
                 ev, "user_id", "ts", "value", alpha=0.25
             ),
         ),
-        # round 6 late 2: Spark's NATIVE session_window state merge —
-        # the only JVM-side (non-applyInPandasWithState) state path in
-        # the set, so it pins the state store's own merge/commit cost
+        # round 6 late 2: the two-sided stream-stream join state —
+        # clicks buffered until the 1h interval closes under the
+        # watermark; state is O(unexpired clicks), the join-state bound
+        # a 100 TB deployment lives on
+        "streaming_interval_join": (
+            "append",
+            lambda ev: (lambda e: (
+                e.where(F.col("event_type") == "click")
+                .select(
+                    F.col("user_id").alias("c_user"),
+                    F.col("event_id").alias("click_id"),
+                    F.col("ts").alias("c_ts"),
+                )
+                .join(
+                    e.where(F.col("event_type") == "purchase").select(
+                        F.col("user_id").alias("p_user"),
+                        F.col("event_id").alias("purchase_id"),
+                        F.col("ts").alias("p_ts"),
+                    ),
+                    (F.col("c_user") == F.col("p_user"))
+                    & (F.col("p_ts") >= F.col("c_ts"))
+                    & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+                )
+                .select("c_user", "click_id", "purchase_id")
+            ))(ev.withWatermark("ts", "0 seconds")),
+        ),
+        # Spark's NATIVE session_window state merge — a JVM-side
+        # (non-applyInPandasWithState) state path that pins the state
+        # store's own merge/commit cost
         "streaming_session": (
             "append",
             lambda ev: windows.session(

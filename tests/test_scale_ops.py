@@ -291,3 +291,45 @@ def test_stream_ops_streaming_session_runs(spark, tmp_path):
     # the 0s watermark the last batch's sessions stay open in state
     assert m["out_rows"] > 0
     assert m["state_rows"] > 0 and m["state_mb"] > 0
+
+
+def test_stream_ops_interval_join_runs(spark, tmp_path):
+    """The two-sided stream-stream join entry in the --streaming
+    stress set replays end-to-end: pairs emit and click state is
+    evicted under the watermark (state stays O(unexpired clicks),
+    not O(events))."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from scripts.scale_stress import _stream_ops, stream_replay_metrics
+    from selium_spark.sources.tables import load_table
+    from selium_spark.suite import _norm_stream_ts
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 40
+    )
+    src = str(tmp_path / "ev")
+    cut = "2024-01-04"
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    mode, factory = _stream_ops()["streaming_interval_join"]
+    assert mode == "append"
+    m = stream_replay_metrics(
+        spark,
+        src,
+        schema,
+        lambda s: factory(_norm_stream_ts(s, schema)),
+        mode,
+        state_store="rocksdb",
+        shuffle_partitions=2,
+        max_files=1,
+    )
+    # both sides of the self-join consume the stream
+    assert m["rows"] == 2 * spark.read.parquet(src).count()
+    assert m["n_batches"] == 2
+    n_events = spark.read.parquet(src).count()
+    assert 0 < m["state_rows"] < n_events  # evicted, not accumulated
