@@ -123,6 +123,7 @@ HEADLINE = [
     "attr_last_touch",
     "stream_interval_join",
     "mm_dhash_neardup",
+    "dq_expectations",
 ]
 
 

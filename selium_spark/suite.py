@@ -6221,6 +6221,49 @@ SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
 """
 
 
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (the Deequ device, operators/expectations.py):
+    six invariants over lineitem — null, range, category, pattern,
+    composite-key uniqueness — ALL evaluated in one single-pass
+    aggregate (one scan regardless of rule count; map-side
+    combinable). The l_tax bound is set BELOW the data's max so the
+    verdict table exercises the failing path too."""
+    from .operators import expectations as X
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = [
+        X.expect_not_null("l_orderkey"),
+        X.expect_between("l_quantity", 1.0, 50.0),
+        X.expect_between("l_discount", 0.0, 0.1),
+        X.expect_between("l_tax", 0.0, 0.05, max_frac=0.2),
+        X.expect_values_in("l_returnflag", ["A", "N", "R"]),
+        X.expect_unique("l_orderkey", "l_linenumber"),
+    ]
+    return X.validate_expectations(li, rules)
+
+
+SQL_DQ_EXPECTATIONS = """
+WITH t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+    CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+    CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+    CAST(sum(CASE WHEN l_tax IS NULL OR l_tax < 0.0 OR l_tax > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+    CAST(sum(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+    CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS d5
+  FROM lineitem
+), v AS (
+  SELECT n, 'not_null:l_orderkey' AS rule, round(v0 / greatest(n, 1), 9) AS metric, 0.0 AS threshold FROM t
+  UNION ALL SELECT n, 'between:l_quantity', round(v1 / greatest(n, 1), 9), 0.0 FROM t
+  UNION ALL SELECT n, 'between:l_discount', round(v2 / greatest(n, 1), 9), 0.0 FROM t
+  UNION ALL SELECT n, 'between:l_tax', round(v3 / greatest(n, 1), 9), 0.2 FROM t
+  UNION ALL SELECT n, 'values_in:l_returnflag', round(v4 / greatest(n, 1), 9), 0.0 FROM t
+  UNION ALL SELECT n, 'unique:l_orderkey,l_linenumber', round((n - d5) / greatest(n, 1), 9), 0.0 FROM t
+)
+SELECT n AS n_rows, rule, metric, threshold, metric <= threshold AS ok FROM v
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6392,6 +6435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attr_last_touch": attr_last_touch,
     "stream_interval_join": stream_interval_join,
     "mm_dhash_neardup": mm_dhash_neardup,
+    "dq_expectations": dq_expectations,
 }
 
 ORACLES: dict[str, str] = {
@@ -6574,4 +6618,5 @@ WHERE value % 2 = 0"""
     "attr_last_touch": SQL_ATTR_LAST_TOUCH,
     "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
     "mm_dhash_neardup": SQL_MM_DHASH,
+    "dq_expectations": SQL_DQ_EXPECTATIONS,
 }

@@ -1005,3 +1005,33 @@ def test_perceptual_dhash_pairs_identical_payloads(spark):
     assert all(0 <= r.dhash_hi < 2**32 and 0 <= r.dhash_lo < 2**32 for r in rows.values())
     pairs = multimodal.dhash_hamming_pairs(sigs, max_hamming=3).collect()
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(0, 1, 0)]
+
+
+def test_validate_expectations_rules(spark):
+    """Row rules meter violating fractions, uniqueness rules meter
+    duplicate fractions, thresholds gate ok, and an empty input passes
+    vacuously with n_rows=0."""
+    from selium_spark.operators import expectations as X
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 99.0, "A"), (2, 5.0, None), (3, 20.0, "Z")],
+        "k long, v double, f string",
+    )
+    rules = [
+        X.expect_not_null("f", max_frac=0.25),
+        X.expect_between("v", 0.0, 50.0),
+        X.expect_values_in("f", ["A", "B"]),
+        X.expect_unique("k"),
+    ]
+    out = {r.rule: r for r in X.validate_expectations(df, rules).collect()}
+    assert all(r.n_rows == 4 for r in out.values())
+    assert out["not_null:f"].metric == 0.25 and out["not_null:f"].ok
+    assert out["between:v"].metric == 0.25 and not out["between:v"].ok
+    # Z and NULL both violate values_in
+    assert out["values_in:f"].metric == 0.5 and not out["values_in:f"].ok
+    # 4 rows, 3 distinct k -> dup fraction 0.25
+    assert out["unique:k"].metric == 0.25 and not out["unique:k"].ok
+
+    empty = spark.createDataFrame([], "k long, v double, f string")
+    eout = X.validate_expectations(empty, rules).collect()
+    assert all(r.ok and r.n_rows == 0 and r.metric == 0.0 for r in eout)

@@ -278,3 +278,12 @@ def test_remove_dup_spans_single_scan_and_no_cartesian(spark):
     assert len(scans) == 1, f"expected 1 corpus scan, saw {len(scans)}: {p.read_schemas}"
     assert "InMemoryTableScan" in p.text
     assert not p.has_cartesian
+
+
+def test_dq_expectations_single_scan(spark):
+    """All six expectation rules fold into ONE pass: exactly one
+    parquet scan of lineitem, no cartesian, no join."""
+    p = plan_of(spark, "dq_expectations")
+    assert len(p.read_schemas) == 1, p.read_schemas
+    assert not p.has_cartesian
+    assert p.n_sortmerge_joins == 0 and p.n_broadcast_joins == 0
