@@ -124,6 +124,7 @@ HEADLINE = [
     "stream_interval_join",
     "mm_dhash_neardup",
     "dq_expectations",
+    "stream_dq_expectations",
 ]
 
 

@@ -6264,6 +6264,61 @@ SELECT n AS n_rows, rule, metric, threshold, metric <= threshold AS ok FROM v
 """
 
 
+def stream_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality gate: the SAME expectation rules
+    evaluated over the replayed events stream as a complete-mode
+    global aggregate — each trigger updates the running verdict table,
+    so a live deployment reads the corpus-so-far quality after every
+    micro-batch. Row-predicate rules only: streaming disallows exact
+    count_distinct, so the uniqueness rule stays batch-side (or
+    approximates via HLL — see sketches.hll_distinct). Oracle: the
+    identical batch metrics over the whole corpus."""
+    from .operators import expectations as X
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    rules = [
+        X.expect_not_null("user_id"),
+        X.expect_between("value", 0.0, 200.0, max_frac=0.5),
+        X.expect_values_in(
+            "event_type", ["click", "signup", "purchase", "view", "error"]
+        ),
+        X.expect_matches("event_type", "^[a-z]+$"),
+    ]
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return X.validate_expectations(_norm_stream_ts(stream, schema), rules)
+
+    return replay_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        transform,
+        output_mode="complete",
+        shuffle_partitions=8,
+    )
+
+
+SQL_STREAM_DQ = """
+WITH t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+    CAST(sum(CASE WHEN value IS NULL OR value < 0.0 OR value > 200.0 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+    CAST(sum(CASE WHEN event_type IS NULL OR event_type NOT IN ('click','signup','purchase','view','error') THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+    CAST(sum(CASE WHEN event_type IS NULL OR NOT regexp_matches(event_type, '^[a-z]+$') THEN 1 ELSE 0 END) AS BIGINT) AS v3
+  FROM events
+), v AS (
+  SELECT n, 'not_null:user_id' AS rule, round(v0 / greatest(n, 1), 9) AS metric, 0.0 AS threshold FROM t
+  UNION ALL SELECT n, 'between:value', round(v1 / greatest(n, 1), 9), 0.5 FROM t
+  UNION ALL SELECT n, 'values_in:event_type', round(v2 / greatest(n, 1), 9), 0.0 FROM t
+  UNION ALL SELECT n, 'matches:event_type', round(v3 / greatest(n, 1), 9), 0.0 FROM t
+)
+SELECT n AS n_rows, rule, metric, threshold, metric <= threshold AS ok FROM v
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6436,6 +6491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_interval_join": stream_interval_join,
     "mm_dhash_neardup": mm_dhash_neardup,
     "dq_expectations": dq_expectations,
+    "stream_dq_expectations": stream_dq_expectations,
 }
 
 ORACLES: dict[str, str] = {
@@ -6619,4 +6675,5 @@ WHERE value % 2 = 0"""
     "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
     "mm_dhash_neardup": SQL_MM_DHASH,
     "dq_expectations": SQL_DQ_EXPECTATIONS,
+    "stream_dq_expectations": SQL_STREAM_DQ,
 }
