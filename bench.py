@@ -125,6 +125,8 @@ HEADLINE = [
     "mm_dhash_neardup",
     "dq_expectations",
     "stream_dq_expectations",
+    "attr_first_touch",
+    "stream_static_enrich",
 ]
 
 

@@ -1065,16 +1065,19 @@ def attribute_last_touch(
     touch_type: str,
     conv_type: str,
     max_gap_s: int | None = None,
+    mode: str = "last",
 ) -> DataFrame:
-    """Last-touch attribution: every CONVERSION event is attributed to
-    the most recent TOUCH event by the same key at or before it — the
-    standard marketing-attribution join, done with ONE window pass
-    instead of a self-join (reference parity: the same enrich-by-most-
-    recent shape as W3's latest-value join, SURVEY §2.3, applied to
-    event pairs inside one stream).
+    """Touch attribution: every CONVERSION event is attributed to a
+    TOUCH event by the same key at or before it — the standard
+    marketing-attribution join, done with ONE window pass instead of a
+    self-join (reference parity: the same enrich-by-most-recent shape
+    as W3's latest-value join, SURVEY §2.3, applied to event pairs
+    inside one stream). ``mode="last"`` picks the most recent prior
+    touch (last-touch attribution); ``mode="first"`` the earliest
+    (first-touch), the only change being the aggregate direction.
 
-    The running ``max`` of a (ts, id) struct over rows up to the
-    current one IS the latest prior touch (struct comparison is
+    The running ``max``/``min`` of a (ts, id) struct over rows up to
+    the current one IS the chosen prior touch (struct comparison is
     lexicographic, ts first); the window orders by (ts, id) so
     same-timestamp rows resolve deterministically on both engines.
     One hash shuffle on the key, no self-join, no skew beyond the
@@ -1084,6 +1087,8 @@ def attribute_last_touch(
 
     Returns (key, conversion_id, touch_id, gap_s).
     """
+    if mode not in ("last", "first"):
+        raise ValueError(f"mode must be 'last' or 'first', got {mode!r}")
     w = (
         Window.partitionBy(key)
         .orderBy(ts_col, id_col)
@@ -1093,7 +1098,8 @@ def attribute_last_touch(
         F.col(type_col) == touch_type,
         F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id")),
     )
-    out = df.withColumn("_lt", F.max(touch).over(w)).where(
+    pick = F.max(touch) if mode == "last" else F.min(touch)
+    out = df.withColumn("_lt", pick.over(w)).where(
         F.col(type_col) == conv_type
     )
     # NTZ-safe epoch seconds (session tz is UTC, instant-preserving);

@@ -6319,6 +6319,93 @@ SELECT n AS n_rows, rule, metric, threshold, metric <= threshold AS ok FROM v
 """
 
 
+def attr_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution (mode='first' of the same one-window-pass
+    operator): each purchase attributed to the same user's EARLIEST
+    click, 7-day lookback — the acquisition-credit counterpart of
+    attr_last_touch, differing only in aggregate direction."""
+    ev = _t(spark, sf_dir, "events")
+    out = windows.attribute_last_touch(
+        ev,
+        key="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        id_col="event_id",
+        touch_type="click",
+        conv_type="purchase",
+        max_gap_s=604_800,
+        mode="first",
+    )
+    return out.na.fill({"touch_id": -1, "gap_s": -1})
+
+
+SQL_ATTR_FIRST_TOUCH = """
+WITH m AS (
+  SELECT user_id, event_id, event_type, ts,
+    min(CASE WHEN event_type = 'click' THEN {'ts': ts, 'id': event_id} END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ft
+  FROM events
+), c AS (
+  SELECT user_id, event_id AS conversion_id,
+    ft.id AS t_id,
+    CAST(date_diff('second', ft.ts, ts) AS BIGINT) AS g
+  FROM m WHERE event_type = 'purchase'
+)
+SELECT user_id, conversion_id,
+  coalesce(CASE WHEN g <= 604800 THEN t_id END, -1) AS touch_id,
+  coalesce(CASE WHEN g <= 604800 THEN g END, -1) AS gap_s
+FROM c
+"""
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the third Structured Streaming join species
+    (alongside the stateful enrich and the two-sided interval join):
+    the replayed events stream inner-joins the static customer
+    dimension (broadcast; the dim never enters streaming state) and
+    aggregates revenue per market segment in complete mode. At 100 TB
+    the dim is a broadcast or a bucketed static table; stream state
+    is only the |segments|-row aggregate."""
+    from .sources.tables import ensure_nanos_as_long, load_table
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema)
+        joined = ev.join(
+            F.broadcast(cust), ev.user_id == cust.c_custkey
+        )
+        return joined.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(20,6)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+
+    return replay_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        transform,
+        output_mode="complete",
+        shuffle_partitions=8,
+    )
+
+
+SQL_STREAM_STATIC_ENRICH = """
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+  round(CAST(sum(CAST(e.value AS DECIMAL(20,6))) AS DOUBLE), 6) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6492,6 +6579,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_dhash_neardup": mm_dhash_neardup,
     "dq_expectations": dq_expectations,
     "stream_dq_expectations": stream_dq_expectations,
+    "attr_first_touch": attr_first_touch,
+    "stream_static_enrich": stream_static_enrich,
 }
 
 ORACLES: dict[str, str] = {
@@ -6676,4 +6765,6 @@ WHERE value % 2 = 0"""
     "mm_dhash_neardup": SQL_MM_DHASH,
     "dq_expectations": SQL_DQ_EXPECTATIONS,
     "stream_dq_expectations": SQL_STREAM_DQ,
+    "attr_first_touch": SQL_ATTR_FIRST_TOUCH,
+    "stream_static_enrich": SQL_STREAM_STATIC_ENRICH,
 }

@@ -1035,3 +1035,31 @@ def test_validate_expectations_rules(spark):
     empty = spark.createDataFrame([], "k long, v double, f string")
     eout = X.validate_expectations(empty, rules).collect()
     assert all(r.ok and r.n_rows == 0 and r.metric == 0.0 for r in eout)
+
+
+def test_attribute_first_touch_mode(spark):
+    """mode='first' picks the EARLIEST prior touch; invalid mode
+    raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import windows
+
+    rows = [
+        (1, 10, "click", 100),
+        (1, 20, "click", 200),
+        (1, 30, "purchase", 250),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    out = windows.attribute_last_touch(
+        df, "user_id", "event_type", "ts", "event_id",
+        touch_type="click", conv_type="purchase", mode="first",
+    ).collect()
+    assert out[0].touch_id == 10 and out[0].gap_s == 150
+    with pytest.raises(ValueError):
+        windows.attribute_last_touch(
+            df, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", mode="linear",
+        )
