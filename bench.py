@@ -127,6 +127,7 @@ HEADLINE = [
     "stream_dq_expectations",
     "attr_first_touch",
     "stream_static_enrich",
+    "stream_left_interval_join",
 ]
 
 

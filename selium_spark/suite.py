@@ -6406,6 +6406,75 @@ GROUP BY 1
 """
 
 
+def stream_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the subtlest streaming
+    join semantics: matched (click, purchase-within-1h) pairs emit
+    eagerly, while an UNMATCHED click emits its NULL row only when the
+    watermark passes click.ts + 1h and evicts its state (Spark's
+    no-data closing batch flushes the tail). Clicks inside the final
+    hour of the replay therefore stay open — pending, not missing —
+    and the oracle mirrors exactly that: a batch LEFT join keeping
+    unmatched rows only where click.ts + 1h < max(event ts). NULL
+    purchase becomes a -1 sentinel (nullable-BIGINT canonicalization,
+    same device as attr_last_touch)."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema).withWatermark("ts", "0 seconds")
+        c = ev.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        p = ev.where(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        j = c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter",
+        )
+        return j.select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            F.coalesce(F.col("purchase_id"), F.lit(-1)).alias("purchase_id"),
+        )
+
+    return replay_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        transform,
+        output_mode="append",
+        shuffle_partitions=8,
+    )
+
+
+SQL_STREAM_LEFT_INTERVAL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.user_id, c.event_id AS click_id, c.ts AS c_ts,
+         p.event_id AS purchase_id
+  FROM c LEFT JOIN p
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+   AND p.ts <= c.ts + INTERVAL 1 HOUR
+)
+SELECT user_id, click_id, coalesce(purchase_id, -1) AS purchase_id
+FROM j CROSS JOIN mx
+WHERE purchase_id IS NOT NULL OR c_ts + INTERVAL 1 HOUR < mx.m
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6581,6 +6650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dq_expectations": stream_dq_expectations,
     "attr_first_touch": attr_first_touch,
     "stream_static_enrich": stream_static_enrich,
+    "stream_left_interval_join": stream_left_interval_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -6767,4 +6837,5 @@ WHERE value % 2 = 0"""
     "stream_dq_expectations": SQL_STREAM_DQ,
     "attr_first_touch": SQL_ATTR_FIRST_TOUCH,
     "stream_static_enrich": SQL_STREAM_STATIC_ENRICH,
+    "stream_left_interval_join": SQL_STREAM_LEFT_INTERVAL,
 }
