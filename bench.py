@@ -128,6 +128,8 @@ HEADLINE = [
     "attr_first_touch",
     "stream_static_enrich",
     "stream_left_interval_join",
+    "lang_confusion",
+    "attr_multi_touch",
 ]
 
 

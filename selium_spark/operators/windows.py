@@ -1121,3 +1121,69 @@ def attribute_last_touch(
         F.col("_lt.id").alias("touch_id"),
         gap.alias("gap_s"),
     )
+
+
+def attribute_multi_touch(
+    df: DataFrame,
+    key: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    touch_type: str,
+    conv_type: str,
+    max_gap_s: int,
+    round_to: int = 9,
+) -> DataFrame:
+    """Linear multi-touch attribution: every TOUCH within the lookback
+    horizon of a CONVERSION shares its credit equally (weight 1/n) —
+    the multi-touch sibling of :func:`attribute_last_touch`, still one
+    window pass and no self-join: a running ordered collect of
+    (epoch, id) touch structs per key, horizon-filtered at each
+    conversion, then exploded with the uniform weight. The running
+    list is bounded by a key's own touch history (the same per-key
+    bound the funnel folds accept); a true 100 TB deployment with
+    unbounded histories would trim the frame with a range window on
+    epoch seconds instead.
+
+    A conversion with no in-horizon touch emits one row with
+    touch_id=-1 / weight 0.0 (unattributed, not dropped).
+
+    Returns (key, conversion_id, touch_id, weight, n_touches).
+    """
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = F.when(
+        F.col(type_col) == touch_type,
+        F.struct(epoch.alias("e"), F.col(id_col).alias("id")),
+    )
+    conv = (
+        df.withColumn("_all", F.collect_list(touch).over(w))
+        .withColumn("_ce", epoch)
+        .where(F.col(type_col) == conv_type)
+    )
+    in_h = F.filter(
+        F.col("_all"), lambda t: t["e"] >= F.col("_ce") - F.lit(max_gap_s)
+    )
+    n = F.size(in_h)
+    out = conv.select(
+        key,
+        F.col(id_col).alias("conversion_id"),
+        n.cast("long").alias("n_touches"),
+        F.explode_outer(F.when(n > 0, in_h)).alias("_t"),
+    )
+    return out.select(
+        key,
+        "conversion_id",
+        F.coalesce(F.col("_t.id"), F.lit(-1)).alias("touch_id"),
+        F.when(
+            F.col("_t.id").isNotNull(),
+            F.round(F.lit(1.0) / F.col("n_touches"), round_to),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("weight"),
+        "n_touches",
+    )

@@ -6475,6 +6475,103 @@ WHERE purchase_id IS NOT NULL OR c_ts + INTERVAL 1 HOUR < mx.m
 """
 
 
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: predicted vs labeled language,
+    with per-cell recall against the label's total — the evaluation
+    table a classifier heuristic needs (lang_id is computed elsewhere;
+    here it is MEASURED). One corpus pass into a |langs|^2-bounded
+    aggregate; the per-label totals ride the same grouped table
+    (window over the tiny cell table, not the corpus)."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    cells = (
+        docs.select(
+            F.col("lang"), text.lang_id("text").alias("pred_lang")
+        )
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 9).alias("recall"),
+    )
+
+
+SQL_LANG_CONFUSION = f"""
+WITH t AS (SELECT doc_id, lang, {SQL_TOKS} AS toks FROM documents),
+r AS (SELECT doc_id, lang,
+  {_sql_stopword_ratio("en")} AS r_en,
+  {_sql_stopword_ratio("de")} AS r_de,
+  {_sql_stopword_ratio("fr")} AS r_fr,
+  {_sql_stopword_ratio("es")} AS r_es
+FROM t),
+p AS (
+  SELECT lang,
+    CASE WHEN greatest(r_en, r_de, r_fr, r_es) <= 0.05 THEN 'unknown'
+         WHEN r_es >= greatest(r_fr, r_de, r_en) THEN 'es'
+         WHEN r_fr >= greatest(r_de, r_en) THEN 'fr'
+         WHEN r_de >= r_en THEN 'de'
+         ELSE 'en' END AS pred_lang
+  FROM r
+),
+c AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2)
+SELECT lang, pred_lang, n,
+  round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 9) AS recall
+FROM c
+"""
+
+
+def attr_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click within the hour
+    before a purchase shares the credit equally (weight 1/n) — still
+    one window pass, no self-join; unattributed conversions emit
+    touch_id=-1 / weight 0."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.attribute_multi_touch(
+        ev,
+        key="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        id_col="event_id",
+        touch_type="click",
+        conv_type="purchase",
+        max_gap_s=3600,
+    )
+
+
+SQL_ATTR_MULTI_TOUCH = """
+WITH c AS (
+  SELECT user_id, event_id AS conversion_id, ts AS cts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ce
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, event_id AS touch_id, ts AS tts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS te
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT c.user_id, c.conversion_id, t.touch_id
+  FROM c JOIN t ON t.user_id = c.user_id
+   AND (t.tts, t.touch_id) <= (c.cts, c.conversion_id)
+   AND t.te >= c.ce - 3600
+), n AS (
+  SELECT conversion_id, CAST(count(*) AS BIGINT) AS n_touches
+  FROM j GROUP BY 1
+)
+SELECT c.user_id, c.conversion_id,
+  coalesce(j.touch_id, -1) AS touch_id,
+  CASE WHEN j.touch_id IS NULL THEN 0.0
+       ELSE round(1.0 / n.n_touches, 9) END AS weight,
+  coalesce(n.n_touches, 0) AS n_touches
+FROM c
+LEFT JOIN j ON j.conversion_id = c.conversion_id
+LEFT JOIN n ON n.conversion_id = c.conversion_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6651,6 +6748,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attr_first_touch": attr_first_touch,
     "stream_static_enrich": stream_static_enrich,
     "stream_left_interval_join": stream_left_interval_join,
+    "lang_confusion": lang_confusion,
+    "attr_multi_touch": attr_multi_touch,
 }
 
 ORACLES: dict[str, str] = {
@@ -6838,4 +6937,6 @@ WHERE value % 2 = 0"""
     "attr_first_touch": SQL_ATTR_FIRST_TOUCH,
     "stream_static_enrich": SQL_STREAM_STATIC_ENRICH,
     "stream_left_interval_join": SQL_STREAM_LEFT_INTERVAL,
+    "lang_confusion": SQL_LANG_CONFUSION,
+    "attr_multi_touch": SQL_ATTR_MULTI_TOUCH,
 }

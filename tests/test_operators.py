@@ -1063,3 +1063,41 @@ def test_attribute_first_touch_mode(spark):
             df, "user_id", "event_type", "ts", "event_id",
             touch_type="click", conv_type="purchase", mode="linear",
         )
+
+
+def test_attribute_multi_touch_uniform_split(spark):
+    """Every in-horizon touch shares credit 1/n; out-of-horizon touches
+    are excluded; zero-touch conversions emit one -1/0.0 row."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import windows
+
+    rows = [
+        (1, 10, "click", 100),
+        (1, 11, "click", 200),
+        (1, 12, "click", 5000),   # outside the 1000s horizon of conv@250? no - before
+        (1, 30, "purchase", 250),
+        (2, 40, "purchase", 50),  # no touch at all
+        (3, 50, "click", 10),
+        (3, 51, "purchase", 2000),  # click outside horizon
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    out = windows.attribute_multi_touch(
+        df, "user_id", "event_type", "ts", "event_id",
+        touch_type="click", conv_type="purchase", max_gap_s=1000,
+    ).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r.conversion_id, []).append(r)
+    # conv 30: clicks 10 and 11 in horizon (click 12 is AFTER the conv,
+    # so the running frame excludes it) -> two rows at weight 0.5
+    assert sorted((r.touch_id, r.weight) for r in by_conv[30]) == [
+        (10, 0.5), (11, 0.5)
+    ]
+    assert all(r.n_touches == 2 for r in by_conv[30])
+    # conv 40: nothing -> one unattributed row
+    assert [(r.touch_id, r.weight, r.n_touches) for r in by_conv[40]] == [(-1, 0.0, 0)]
+    # conv 51: click too old -> unattributed
+    assert [(r.touch_id, r.weight, r.n_touches) for r in by_conv[51]] == [(-1, 0.0, 0)]
