@@ -130,6 +130,8 @@ HEADLINE = [
     "stream_left_interval_join",
     "lang_confusion",
     "attr_multi_touch",
+    "ts_weekly_ohlc",
+    "emb_minmax_normalized",
 ]
 
 

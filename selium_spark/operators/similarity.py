@@ -595,3 +595,52 @@ def pq_adc_topk(
         ).alias("adc_dist")
     )
     return adc.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def minmax_normalize(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-dimension min-max feature scaling of an embedding column to
+    [0, 1] — the standard rescale a training pipeline applies before
+    quantization/banding. Min/max are EXACT on floats (no
+    summation-order dependence, unlike mean/std), so the normalized
+    values are bit-reproducible across engines given the rounding.
+
+    Plan: one posexplode -> per-dimension min/max (a |dims|-row
+    aggregate with map-side combine) -> the two |dims|-length arrays
+    cross back as a broadcast 1-row scalar (the audited device) and a
+    transform rescales in place. Constant dimensions (max == min) map
+    to 0.0 rather than dividing by zero.
+    """
+    dims = emb.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+    stats = dims.groupBy("i").agg(
+        F.min(F.col("x").cast("double")).alias("mn"),
+        F.max(F.col("x").cast("double")).alias("mx"),
+    )
+    arrays = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("i", "mn", "mx"))
+        ).alias("_s")
+    ).select(
+        F.transform("_s", lambda s: s["mn"]).alias("_mins"),
+        F.transform("_s", lambda s: s["mx"]).alias("_maxs"),
+    )
+    scaled = F.zip_with(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_mins"),
+            lambda x, m: x.cast("double") - m,
+        ),
+        F.zip_with(
+            F.col("_maxs"), F.col("_mins"), lambda a, b: a - b
+        ),
+        lambda num, den: F.when(den > 0, F.round(num / den, round_to)).otherwise(
+            F.lit(0.0)
+        ),
+    )
+    return emb.crossJoin(F.broadcast(arrays)).select(
+        F.col(id_col), scaled.alias("normalized")
+    )

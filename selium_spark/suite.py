@@ -6572,6 +6572,66 @@ LEFT JOIN n ON n.conversion_id = c.conversion_id
 """
 
 
+def ts_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC downsampling per event type (the TSDB candlestick
+    rollup): open/close are the first/last value in (ts, id) order via
+    min/max over a (ts, id, value) struct — tie-safe, no window, one
+    grouped aggregate with map-side combine."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.date_format(
+        F.date_trunc("week", F.col("ts").cast("timestamp")), "yyyy-MM-dd"
+    )
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    return ev.groupBy(F.col("event_type"), wk.alias("week")).agg(
+        first.getField("value").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        last.getField("value").alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_WEEKLY_OHLC = """
+SELECT event_type, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+  (min({'ts': ts, 'id': event_id, 'v': value})).v AS open,
+  max(value) AS high, min(value) AS low,
+  (max({'ts': ts, 'id': event_id, 'v': value})).v AS close,
+  CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def emb_minmax_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max scaling of the embeddings table to [0,1]
+    (feature prep before quantization/banding): exact min/max per
+    dimension (no summation-order dependence), broadcast back as two
+    |dims|-length arrays, rescaled in place."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.minmax_normalize(emb)
+
+
+SQL_EMB_MINMAX = """
+WITH d AS (
+  SELECT u.i, CAST(e.embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) u(i)
+), s AS (
+  SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY 1
+), a AS (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM s
+)
+SELECT e.vec_id,
+  list_transform(
+    generate_series(1, len(e.embedding)),
+    i -> CASE WHEN a.maxs[i] - a.mins[i] > 0
+              THEN round((CAST(e.embedding[i] AS DOUBLE) - a.mins[i])
+                         / (a.maxs[i] - a.mins[i]), 6)
+              ELSE 0.0 END
+  ) AS normalized
+FROM embeddings e CROSS JOIN a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6750,6 +6810,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_left_interval_join": stream_left_interval_join,
     "lang_confusion": lang_confusion,
     "attr_multi_touch": attr_multi_touch,
+    "ts_weekly_ohlc": ts_weekly_ohlc,
+    "emb_minmax_normalized": emb_minmax_normalized,
 }
 
 ORACLES: dict[str, str] = {
@@ -6939,4 +7001,6 @@ WHERE value % 2 = 0"""
     "stream_left_interval_join": SQL_STREAM_LEFT_INTERVAL,
     "lang_confusion": SQL_LANG_CONFUSION,
     "attr_multi_touch": SQL_ATTR_MULTI_TOUCH,
+    "ts_weekly_ohlc": SQL_WEEKLY_OHLC,
+    "emb_minmax_normalized": SQL_EMB_MINMAX,
 }
