@@ -179,6 +179,8 @@ _INTENTIONAL_CARTESIAN = {
                                      # into the 1-row triangle count
     "text_pmi_collocations",         # 1-row bigram-total scalar crossed
                                      # into the pair table
+    "emb_minmax_normalized",         # 1-row per-dim min/max stat arrays
+                                     # crossed into the embeddings scan
 }
 
 
