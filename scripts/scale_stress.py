@@ -104,6 +104,12 @@ QUERY_SET = [
     # expressions/row + band self-join
     "attr_last_touch",
     "mm_dhash_neardup",
+    # round 6 final: multi-touch adds the horizon explode; OHLC one
+    # grouped agg; confusion a |langs|^2 aggregate; dq one-pass rules
+    "attr_multi_touch",
+    "ts_weekly_ohlc",
+    "lang_confusion",
+    "dq_expectations",
 ]
 
 
