@@ -132,6 +132,8 @@ HEADLINE = [
     "attr_multi_touch",
     "ts_weekly_ohlc",
     "emb_minmax_normalized",
+    "stream_weekly_ohlc",
+    "emb_int8_quantized",
 ]
 
 

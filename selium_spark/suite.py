@@ -6632,6 +6632,117 @@ FROM embeddings e CROSS JOIN a
 """
 
 
+def stream_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the weekly OHLC rollup: the same tie-safe
+    struct min/max aggregates over a tumbling 7-day event-time window
+    in complete mode — candlesticks update as the replay progresses
+    and converge to the batch rollup. Windows anchor to the epoch
+    (1970-01-01, a Thursday), so the oracle buckets by the same
+    7-day epoch arithmetic rather than ISO date_trunc('week')."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema)
+        first = F.min(F.struct("ts", "event_id", "value"))
+        last = F.max(F.struct("ts", "event_id", "value"))
+        return (
+            ev.groupBy(
+                F.window("ts", "7 days").alias("w"), F.col("event_type")
+            )
+            .agg(
+                first.getField("value").alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                last.getField("value").alias("close"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("week"),
+                "event_type",
+                "open",
+                "high",
+                "low",
+                "close",
+                "n",
+            )
+        )
+
+    return replay_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        transform,
+        output_mode="complete",
+        shuffle_partitions=8,
+    )
+
+
+SQL_STREAM_WEEKLY_OHLC = """
+WITH b AS (
+  SELECT *,
+    to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 604800) * 604800) AS wstart
+  FROM events
+)
+SELECT strftime(wstart, '%Y-%m-%d') AS week, event_type,
+  (min({'ts': ts, 'id': event_id, 'v': value})).v AS open,
+  max(value) AS high, min(value) AS low,
+  (max({'ts': ts, 'id': event_id, 'v': value})).v AS close,
+  CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY 1, 2
+"""
+
+
+def emb_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 quantization of the min-max-normalized embeddings (the
+    feature-prep step between scaling and PQ/banding): each [0,1]
+    dimension maps to round(x * 255) - 128 in [-128, 127], plus a
+    per-vector reconstruction-error proxy (sum of quantized codes —
+    exact integers, so the oracle is arithmetic-free)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = similarity.minmax_normalize(emb)
+    codes = F.transform(
+        F.col("normalized"),
+        lambda x: (F.round(x * 255, 0).cast("int") - F.lit(128)).cast("int"),
+    )
+    return norm.select(
+        "vec_id",
+        codes.alias("codes"),
+        F.aggregate(
+            codes, F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("code_sum"),
+    )
+
+
+SQL_EMB_INT8 = """
+WITH d AS (
+  SELECT u.i, CAST(e.embedding[u.i] AS DOUBLE) AS x
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) u(i)
+), s AS (
+  SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY 1
+), a AS (
+  SELECT list(mn ORDER BY i) AS mins, list(mx ORDER BY i) AS maxs FROM s
+), q AS (
+  SELECT e.vec_id,
+    list_transform(
+      generate_series(1, len(e.embedding)),
+      i -> CAST(round(
+             CASE WHEN a.maxs[i] - a.mins[i] > 0
+                  THEN round((CAST(e.embedding[i] AS DOUBLE) - a.mins[i])
+                             / (a.maxs[i] - a.mins[i]), 6)
+                  ELSE 0.0 END * 255, 0) AS INT) - 128
+    ) AS codes
+  FROM embeddings e CROSS JOIN a
+)
+SELECT vec_id, codes,
+  CAST(list_sum(codes) AS BIGINT) AS code_sum
+FROM q
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6812,6 +6923,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attr_multi_touch": attr_multi_touch,
     "ts_weekly_ohlc": ts_weekly_ohlc,
     "emb_minmax_normalized": emb_minmax_normalized,
+    "stream_weekly_ohlc": stream_weekly_ohlc,
+    "emb_int8_quantized": emb_int8_quantized,
 }
 
 ORACLES: dict[str, str] = {
@@ -7003,4 +7116,6 @@ WHERE value % 2 = 0"""
     "attr_multi_touch": SQL_ATTR_MULTI_TOUCH,
     "ts_weekly_ohlc": SQL_WEEKLY_OHLC,
     "emb_minmax_normalized": SQL_EMB_MINMAX,
+    "stream_weekly_ohlc": SQL_STREAM_WEEKLY_OHLC,
+    "emb_int8_quantized": SQL_EMB_INT8,
 }

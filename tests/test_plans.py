@@ -181,6 +181,8 @@ _INTENTIONAL_CARTESIAN = {
                                      # into the pair table
     "emb_minmax_normalized",         # 1-row per-dim min/max stat arrays
                                      # crossed into the embeddings scan
+    "emb_int8_quantized",            # same minmax stats cross (builds on
+                                     # minmax_normalize)
 }
 
 
