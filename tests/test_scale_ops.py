@@ -333,3 +333,21 @@ def test_stream_ops_interval_join_runs(spark, tmp_path):
     assert m["n_batches"] == 2
     n_events = spark.read.parquet(src).count()
     assert 0 < m["state_rows"] < n_events  # evicted, not accumulated
+
+
+def test_minmax_normalize_bounds_and_constant_dims(spark):
+    """Every normalized value lands in [0,1]; the per-dim min maps to
+    0 and max to 1; a constant dimension maps to 0.0 (not NaN/inf)."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0, 7.0]), (1, [3.0, 5.0, 3.0]), (2, [2.0, 5.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: list(r.normalized) for r in similarity.minmax_normalize(df).collect()}
+    assert out[0] == [0.0, 0.0, 1.0]   # dim0 min; dim1 constant; dim2 max
+    assert out[1] == [1.0, 0.0, 0.0]
+    assert out[2] == [0.5, 0.0, 0.5]
+    assert all(0.0 <= v <= 1.0 for vals in out.values() for v in vals)
