@@ -134,6 +134,7 @@ HEADLINE = [
     "emb_minmax_normalized",
     "stream_weekly_ohlc",
     "emb_int8_quantized",
+    "seq_top_paths",
 ]
 
 

@@ -6743,6 +6743,44 @@ FROM q
 """
 
 
+def seq_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-event paths (clickstream path analysis): per-user
+    event sequences in (ts, id) order, consecutive triples via two
+    window leads, grouped into path counts, TakeOrderedAndProject
+    selection with a full tie-break — the 3-step extension of the
+    Markov transition table, same single window sort per key."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    return (
+        tri.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(20)
+    )
+
+
+SQL_TOP_PATHS = """
+WITH s AS (
+  SELECT event_type AS e1,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+FROM s WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, e1, e2, e3
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -6925,6 +6963,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_minmax_normalized": emb_minmax_normalized,
     "stream_weekly_ohlc": stream_weekly_ohlc,
     "emb_int8_quantized": emb_int8_quantized,
+    "seq_top_paths": seq_top_paths,
 }
 
 ORACLES: dict[str, str] = {
@@ -7118,4 +7157,5 @@ WHERE value % 2 = 0"""
     "emb_minmax_normalized": SQL_EMB_MINMAX,
     "stream_weekly_ohlc": SQL_STREAM_WEEKLY_OHLC,
     "emb_int8_quantized": SQL_EMB_INT8,
+    "seq_top_paths": SQL_TOP_PATHS,
 }
