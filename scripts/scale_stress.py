@@ -180,6 +180,15 @@ SKEW_QUERY_SET = [
     # span removal: the 30%-hot boilerplate IS one hot shingle set —
     # its covered-position join-back concentrates on few shingle keys
     "text_remove_dup_spans",
+    # hamming-band pair family (round-6 verdict task #1): the 30%-hot
+    # boilerplate collapses to ONE signature, putting ~150k docs in a
+    # single band bucket — star overflow must hold it to m-1 edges
+    # instead of C(150k,2) pairs. simhash's 4-bit bands make even the
+    # UNIFORM corpus all-star (31k docs/bucket at 500k docs); dhash's
+    # 16-bit bands keep uniform buckets tiny, so the pair shows both
+    # regimes
+    "dedup_simhash_hamming_star",
+    "mm_dhash_neardup",
 ]
 
 

@@ -721,6 +721,118 @@ def semantic_dedup(
     )
 
 
+def band_bucket_pairs(
+    bands: DataFrame,
+    id_col: str,
+    sig_cols: list[str],
+    max_band_size: int | None = None,
+    overflow: str = "star",
+) -> DataFrame:
+    """Shared bucket-combinatorics core for the hamming-band pair
+    family (:func:`simhash_hamming_pairs`,
+    :func:`multimodal.dhash_hamming_pairs`) — the
+    :func:`lsh_candidate_pairs` group-mode device generalized to carry
+    signature payloads for downstream hamming verification.
+
+    Input: one row per (``id_col``, ``*sig_cols``, band, val) band
+    assignment. Plan: groupBy (band, val) collects each bucket's
+    (id, sigs) members ONCE (the signature pipeline is never computed
+    twice, unlike a self-join whose two sides canonicalize as
+    different exchanges), then per bucket:
+
+    - size <= ``max_band_size`` (or no cap): emit all C(m,2) unordered
+      pairs via array combinatorics.
+    - size > cap, ``overflow="star"``: emit only the m-1 star edges to
+      the bucket's min-id member. An over-cap bucket on a real corpus
+      is a near-identical swarm (byte-identical boilerplate / blank
+      images sharing one signature); its quadratic pair set is
+      redundant for duplicate GROUPING — the star is connectivity-
+      equivalent (same connected components) at O(m) output, the
+      ``lsh_band_star_edges`` argument. The two branches are selected
+      by slicing the SOURCE array (empty for the branch that does not
+      apply), never by a CaseWhen over the materialized pair arrays —
+      measured on a 30k-member bucket, ``when(over, star)
+      .otherwise(all_pairs)`` still paid the C(30k,2) construction, so
+      the quadratic expression must only ever see the capped source.
+    - size > cap, ``overflow="drop"``: drop the bucket (the
+      ``lsh_candidate_pairs`` group-mode cap; use when downstream
+      needs only verified TRUE pairs and boilerplate swarms are
+      handled by exact dedup).
+
+    Returns distinct (ia, ib, <sig>_a..., <sig>_b...) candidate rows;
+    callers apply the exact hamming verify. Like group-mode LSH, an
+    over-cap bucket is still *collected* on one task (linear memory in
+    bucket size) — at 100 TB that is one array of ids+fixed-width
+    signatures per bucket, fine into the tens of millions of members.
+    """
+    if overflow not in ("star", "drop"):
+        raise ValueError(f"overflow must be 'star' or 'drop', got {overflow!r}")
+    member = F.struct(
+        F.col(id_col).alias("i"), *[F.col(c).alias(c) for c in sig_cols]
+    )
+    buckets = bands.groupBy("band", "val").agg(F.collect_list(member).alias("_m"))
+    arr = F.col("_m")
+
+    def pair_struct(x, y):
+        return F.struct(
+            x["i"].alias("ia"),
+            y["i"].alias("ib"),
+            *[x[c].alias(f"{c}_a") for c in sig_cols],
+            *[y[c].alias(f"{c}_b") for c in sig_cols],
+        )
+
+    def all_pairs(src):
+        return F.filter(
+            F.flatten(
+                F.transform(src, lambda x: F.transform(src, lambda y: pair_struct(x, y)))
+            ),
+            lambda s: s["ia"] < s["ib"],
+        )
+
+    if max_band_size is None:
+        emitted = all_pairs(arr)
+    elif overflow == "drop":
+        buckets = buckets.where(F.size(arr) <= max_band_size)
+        emitted = all_pairs(arr)
+    else:
+        # struct arrays sort by leading field, so sorted[0] is the
+        # min-id member; ids are unique within a bucket (one band
+        # row per id per band), so every star edge has ia < ib.
+        # Head and both branch sources are MATERIALIZED as columns
+        # first: expressions referenced inside a higher-order-function
+        # lambda re-evaluate per element, so an inlined array_sort
+        # turns the m-1 star emission into O(m^2 log m) work
+        # (measured: 204 s for ONE 30k-member bucket; 1 s once
+        # projected).
+        over = F.size(arr) > max_band_size
+        srt = F.array_sort(arr)
+        buckets = buckets.select(
+            "band",
+            "val",
+            F.element_at(srt, 1).alias("_head"),
+            F.slice(
+                srt, 1, F.when(over, F.lit(0)).otherwise(F.size(arr))
+            ).alias("_psrc"),
+            F.slice(
+                srt, 2, F.when(over, F.size(arr) - 1).otherwise(F.lit(0))
+            ).alias("_ssrc"),
+        )
+        emitted = F.concat(
+            all_pairs(F.col("_psrc")),
+            F.transform(
+                F.col("_ssrc"), lambda m: pair_struct(F.col("_head"), m)
+            ),
+        )
+    cols = ["ia", "ib"]
+    for c in sig_cols:
+        cols += [f"{c}_a", f"{c}_b"]
+    return (
+        buckets.select(F.explode(emitted).alias("p"))
+        .select(*[F.col(f"p.{c}").alias(c) for c in cols])
+        .distinct()
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     max_hamming: int = 3,
@@ -728,16 +840,27 @@ def simhash_hamming_pairs(
     n_bits: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_band_size: int | None = None,
+    overflow: str = "star",
 ) -> DataFrame:
     """Near-dup candidate pairs by SimHash hamming distance: the
     signature is cut into ``n_bands`` bit-bands; pairs sharing any band
     value are candidates (pigeonhole: distance <= n_bands-1 implies
     some band is identical, so recall is complete for
     max_hamming <= n_bands-1); candidates are verified exactly with
-    bit_count(xor). The self-join is keyed on (band, value) — at
-    100 TB each band bucket holds only colliding signatures, never the
-    corpus cross product, and the verify is integer ALU work on the
-    64-bit signatures (raw text is never re-read)."""
+    bit_count(xor). Candidates come from :func:`band_bucket_pairs`
+    (one grouped scan, signatures computed once, never a corpus cross
+    product); the verify is integer ALU work on the signatures (raw
+    text is never re-read).
+
+    ``max_band_size``/``overflow`` are the hot-bucket escape hatch: a
+    boilerplate-heavy corpus puts a double-digit share of docs on ONE
+    signature, and that band bucket otherwise emits C(m,2) pairs in a
+    single task. ``overflow="star"`` keeps m-1 connectivity-equivalent
+    edges instead (an over-cap bucket of identical signatures — the
+    realistic mega-bucket — yields the same verified components; for
+    a mixed over-cap bucket non-star pairs are forgone, the same
+    recall trade-off ``streaming_lsh_pairs`` documents)."""
     sh = simhash(df, text_col, id_col, n_bits)
     band_bits = n_bits // n_bands
     mask = (1 << band_bits) - 1
@@ -760,26 +883,13 @@ def simhash_hamming_pairs(
     ).select(
         F.col(id_col), "simhash", F.col("bk.band").alias("band"), F.col("bk.val").alias("val")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        .distinct()
-    )
+    cand = band_bucket_pairs(bands, id_col, ["simhash"], max_band_size, overflow)
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+        )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "hamming")
     )
 
 

@@ -417,13 +417,27 @@ def dhash_hamming_pairs(
     sigs: DataFrame,
     max_hamming: int = 3,
     id_col: str = "media_id",
+    max_band_size: int | None = None,
+    overflow: str = "star",
 ) -> DataFrame:
     """Image near-dup pairs by dHash hamming distance — the
     dedup.simhash_hamming_pairs device applied to the two-half 64-bit
     signature: four 16-bit bands (pigeonhole-complete for
-    max_hamming <= 3), band-bucket self-join, exact bit_count(xor)
-    verify summed across the halves. At 100 TB each band bucket holds
-    only colliding signatures; the verify is integer ALU work."""
+    max_hamming <= 3), band-bucket candidate generation via
+    ``dedup.band_bucket_pairs`` (one grouped scan, no self-join),
+    exact bit_count(xor) verify summed across the halves. At 100 TB
+    each band bucket holds only colliding signatures; the verify is
+    integer ALU work.
+
+    A web-scale image corpus is full of byte-identical / near-blank
+    images sharing ONE dHash — a single 16-bit band bucket going
+    C(m,2) in one task. ``max_band_size`` with ``overflow="star"``
+    (m-1 connectivity-equivalent edges to the bucket-min id, all
+    hamming-0 for the identical-signature swarm that realistically
+    overflows) is the escape hatch; ``overflow="drop"`` discards the
+    bucket instead."""
+    from .dedup import band_bucket_pairs
+
     mask = (1 << 16) - 1
     band_val = {
         0: F.col("dhash_lo").bitwiseAND(F.lit(mask)),
@@ -450,29 +464,14 @@ def dhash_hamming_pairs(
         F.col("bk.band").alias("band"),
         F.col("bk.val").alias("val"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.dhash_hi").alias("hi_a"),
-            F.col("a.dhash_lo").alias("lo_a"),
-            F.col("b.dhash_hi").alias("hi_b"),
-            F.col("b.dhash_lo").alias("lo_b"),
-        )
-        .distinct()
+    cand = band_bucket_pairs(
+        bands, id_col, ["dhash_hi", "dhash_lo"], max_band_size, overflow
     )
-    hamming = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
-        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
-    )
+    hamming = F.bit_count(
+        F.col("dhash_hi_a").bitwiseXOR(F.col("dhash_hi_b"))
+    ) + F.bit_count(F.col("dhash_lo_a").bitwiseXOR(F.col("dhash_lo_b")))
     return (
         cand.withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"), "hamming")
     )

@@ -1313,6 +1313,63 @@ FROM cand WHERE bit_count(xor(sa::BIGINT, sb::BIGINT)) <= 3
 """
 SQL_SIMHASH_HAMMING = SQL_SIMHASH_HAMMING.replace("{SIMHASH_BODY}", SQL_SIMHASH)
 
+#: hot-bucket cap for the graded star-mode hamming query — chosen BELOW
+#: the sf0.01 mean band-bucket size (500 docs / 16 four-bit values ~ 31)
+#: so BOTH branches (C(m,2) pairs for small buckets, star edges for
+#: over-cap ones) are non-vacuous in the graded comparison.
+HAMMING_STAR_CAP = 16
+
+
+def dedup_simhash_hamming_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the hot-bucket escape hatch engaged:
+    band buckets over ``HAMMING_STAR_CAP`` members emit only m-1
+    connectivity-equivalent star edges to the bucket-min id (the
+    boilerplate-swarm mitigation — an over-cap bucket of identical
+    signatures yields the same verified components at linear output),
+    small buckets emit full C(m,2) pairs; all candidates verified by
+    exact bit_count(xor) <= 3. The cap is deliberately below the
+    graded corpus's mean bucket size so both branches are exercised."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_hamming_pairs(
+        docs, max_hamming=3, max_band_size=HAMMING_STAR_CAP, overflow="star"
+    )
+
+
+SQL_SIMHASH_HAMMING_STAR = f"""
+WITH sh AS ({{SIMHASH_BODY}}),
+bands AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 4)) & 15 AS val
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band, val) AS bsz,
+         min(doc_id) OVER (PARTITION BY band, val) AS bmin
+  FROM bands
+),
+small AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
+  FROM sized a JOIN sized b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+  WHERE a.bsz <= {HAMMING_STAR_CAP}
+),
+headsig AS (
+  SELECT DISTINCT s.band, s.val, s.bmin, h.simhash AS msig
+  FROM (SELECT DISTINCT band, val, bmin FROM sized WHERE bsz > {HAMMING_STAR_CAP}) s
+  JOIN bands h ON h.band = s.band AND h.val = s.val AND h.doc_id = s.bmin
+),
+star AS (
+  SELECT hs.bmin AS id_a, a.doc_id AS id_b, hs.msig AS sa, a.simhash AS sb
+  FROM headsig hs
+  JOIN bands a ON a.band = hs.band AND a.val = hs.val AND a.doc_id <> hs.bmin
+),
+cand AS (SELECT * FROM small UNION SELECT * FROM star)
+SELECT id_a, id_b, CAST(bit_count(xor(sa::BIGINT, sb::BIGINT)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa::BIGINT, sb::BIGINT)) <= 3
+"""
+SQL_SIMHASH_HAMMING_STAR = SQL_SIMHASH_HAMMING_STAR.replace(
+    "{SIMHASH_BODY}", SQL_SIMHASH
+)
+
 
 def text_logppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity quality filter: per-doc mean negative
@@ -6172,11 +6229,18 @@ def mm_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest (pixel decode is the container-gated stub); identical
     payloads collide at hamming 0, so the pair set is the corpus's
     exact-duplicate media with any band-collision near-misses verified
-    away."""
+    away. The hot-bucket cap (star overflow at 64 members) guards the
+    realistic 100 TB worst case — a byte-identical/near-blank image
+    swarm sharing one 16-bit band value — with connectivity-equivalent
+    m-1 star edges instead of C(m,2) pairs; graded-SF buckets are far
+    below the cap, and the oracle carries the star branch so parity
+    holds at any scale (the skew stress drives the overflow path)."""
     docs = _t(spark, sf_dir, "documents")
     media = multimodal.attach_bytes(docs, "text", kind="image")
     sigs = multimodal.perceptual_dhash(media)
-    return multimodal.dhash_hamming_pairs(sigs, max_hamming=3)
+    return multimodal.dhash_hamming_pairs(
+        sigs, max_hamming=3, max_band_size=64, overflow="star"
+    )
 
 
 SQL_MM_DHASH = """
@@ -6210,12 +6274,33 @@ bands AS (
     END AS val
   FROM h, unnest(generate_series(0, 3)) w(band)
 ),
-cand AS (
-  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
-    CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
-       + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INT) AS hamming
-  FROM bands a JOIN bands b
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band, val) AS bsz,
+         min(media_id) OVER (PARTITION BY band, val) AS bmin
+  FROM bands
+),
+small AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         a.dhash_hi AS ha, a.dhash_lo AS la, b.dhash_hi AS hb, b.dhash_lo AS lb
+  FROM sized a JOIN sized b
     ON a.band = b.band AND a.val = b.val AND a.media_id < b.media_id
+  WHERE a.bsz <= 64
+),
+headsig AS (
+  SELECT DISTINCT s.band, s.val, s.bmin, m.dhash_hi AS mhi, m.dhash_lo AS mlo
+  FROM (SELECT DISTINCT band, val, bmin FROM sized WHERE bsz > 64) s
+  JOIN bands m ON m.band = s.band AND m.val = s.val AND m.media_id = s.bmin
+),
+star AS (
+  SELECT hs.bmin AS id_a, a.media_id AS id_b,
+         hs.mhi AS ha, hs.mlo AS la, a.dhash_hi AS hb, a.dhash_lo AS lb
+  FROM headsig hs
+  JOIN bands a ON a.band = hs.band AND a.val = hs.val AND a.media_id <> hs.bmin
+),
+cand AS (
+  SELECT id_a, id_b,
+    CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT) AS hamming
+  FROM (SELECT * FROM small UNION SELECT * FROM star)
 )
 SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
 """
@@ -6898,6 +6983,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_top_tokens": vocab_top_tokens,
     "q_distinct_users_daily": q_distinct_users_daily,
     "dedup_simhash_hamming": dedup_simhash_hamming,
+    "dedup_simhash_hamming_star": dedup_simhash_hamming_star,
     "text_logppl_filter": text_logppl_filter,
     "text_span_dedup": text_span_dedup,
     "text_quality_calibrated": text_quality_calibrated,
@@ -7064,6 +7150,7 @@ WHERE value % 2 = 0"""
     "dedup_jaccard_verified": SQL_JACCARD,
     "dedup_simhash_docs": SQL_SIMHASH,
     "dedup_simhash_hamming": SQL_SIMHASH_HAMMING,
+    "dedup_simhash_hamming_star": SQL_SIMHASH_HAMMING_STAR,
     "text_logppl_filter": SQL_LOGPPL,
     "dedup_semantic": SQL_SEMANTIC_DEDUP,
     "text_span_dedup": SQL_SPAN_DEDUP,
