@@ -29,14 +29,16 @@ from pyspark.sql import functions as F
 
 @dataclass(frozen=True)
 class Expectation:
-    """One rule: either a row-violation predicate (``viol``) with a
-    max violating fraction, or a uniqueness check over ``unique_cols``
-    with a max duplicate fraction."""
+    """One rule: a row-violation predicate (``viol``) with a max
+    violating fraction, an exact uniqueness check over ``unique_cols``
+    with a max duplicate fraction, or an HLL-approximate uniqueness
+    check (``approx=True``) usable under Structured Streaming."""
 
     name: str
     threshold: float
     viol: Column | None = None
     unique_cols: tuple[str, ...] | None = None
+    approx: bool = False
 
 
 def expect_not_null(col: str, max_frac: float = 0.0) -> Expectation:
@@ -68,6 +70,32 @@ def expect_unique(*cols: str, max_dup_frac: float = 0.0) -> Expectation:
     )
 
 
+def expect_unique_approx(*cols: str, max_dup_frac: float = 0.0) -> Expectation:
+    """Approximate uniqueness via the deterministic 64-register HLL
+    (sketches.hll_register_updates): the duplicate-fraction metric is
+    ``max(0, (n - est_distinct) / n)`` with est_distinct the standard
+    HLL estimate. Unlike :func:`expect_unique`, this compiles into 64
+    conditional ``max`` aggregates — legal inside a streaming
+    complete/update-mode aggregate, where Spark forbids exact
+    ``count_distinct`` (round-6 verdict task #2 / builder TODO #7).
+
+    Error bound: the HLL relative standard error is 1.04/sqrt(m) ~=
+    13% of the DISTINCT count at m=64 registers, so the duplicate
+    fraction carries an absolute error up to ~0.13 * distinct/n; set
+    ``max_dup_frac`` with that slack (e.g. a truly-unique key stream
+    can report up to ~0.13 when the estimator lands low — gate at 0.2,
+    not 0.0). The estimator is md5-deterministic, so the same corpus
+    always yields the same metric (and the DuckDB oracle reproduces it
+    bit-for-bit); the bound is about closeness to TRUTH, not run-to-
+    run noise. Composite keys hash the '|'-joined string forms."""
+    return Expectation(
+        "unique_approx:" + ",".join(cols),
+        max_dup_frac,
+        unique_cols=tuple(cols),
+        approx=True,
+    )
+
+
 def validate_expectations(
     df: DataFrame, rules: list[Expectation], round_to: int = 9
 ) -> DataFrame:
@@ -80,6 +108,31 @@ def validate_expectations(
     the vacuous-truth convention); gate volume separately with a
     min-rows check on the returned ``n_rows`` column.
     """
+    from .sketches import HLL_ALPHA, HLL_M, _HEX_BITS, _HEX_CHARS
+
+    # HLL bucket/rank helper columns are PROJECTED before the agg so
+    # each of a rule's 64 conditional max aggregates reads a plain
+    # column instead of re-deriving md5/conv per aggregate expression
+    helper_cols = []
+    for i, r in enumerate(rules):
+        if r.approx:
+            h = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in r.unique_cols]))
+            helper_cols.append(
+                (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M).alias(
+                    f"_ux{i}b"
+                )
+            )
+            helper_cols.append(
+                (
+                    F.lit(_HEX_BITS + 1)
+                    - F.length(
+                        F.bin(F.conv(F.substring(h, 3, _HEX_CHARS), 16, 10).cast("long"))
+                    )
+                ).alias(f"_ux{i}r")
+            )
+    if helper_cols:
+        df = df.select(df["*"], *helper_cols)
+
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, r in enumerate(rules):
         if r.viol is not None:
@@ -90,6 +143,15 @@ def validate_expectations(
                 .cast("long")
                 .alias(f"_v{i}")
             )
+        elif r.approx:
+            # one conditional max per register — map-side combinable
+            # and streaming-legal, unlike count_distinct
+            for b in range(HLL_M):
+                aggs.append(
+                    F.max(
+                        F.when(F.col(f"_ux{i}b") == b, F.col(f"_ux{i}r"))
+                    ).alias(f"_v{i}_b{b}")
+                )
         else:
             aggs.append(
                 F.count_distinct(F.struct(*[F.col(c) for c in r.unique_cols]))
@@ -102,6 +164,26 @@ def validate_expectations(
     for i, r in enumerate(rules):
         if r.viol is not None:
             metric = F.round(F.col(f"_v{i}") / F.greatest(n, F.lit(1)), round_to)
+        elif r.approx:
+            # exact-integer register sum, then the one double division
+            # (operand-for-operand the sketches.hll_distinct estimate,
+            # so the DuckDB oracle reproduces the metric bit-for-bit)
+            s_int = None
+            for b in range(HLL_M):
+                term = F.expr(
+                    f"shiftleft(1L, {_HEX_BITS} - coalesce(_v{i}_b{b}, 0))"
+                )
+                s_int = term if s_int is None else s_int + term
+            est = (
+                F.lit(HLL_ALPHA)
+                * F.lit(float(HLL_M * HLL_M))
+                * F.lit(float(1 << _HEX_BITS))
+                / s_int.cast("double")
+            )
+            metric = F.round(
+                F.greatest((n - est) / F.greatest(n, F.lit(1)), F.lit(0.0)),
+                round_to,
+            )
         else:
             metric = F.round(
                 (n - F.col(f"_v{i}")) / F.greatest(n, F.lit(1)), round_to

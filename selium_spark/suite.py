@@ -6354,10 +6354,15 @@ def stream_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated over the replayed events stream as a complete-mode
     global aggregate — each trigger updates the running verdict table,
     so a live deployment reads the corpus-so-far quality after every
-    micro-batch. Row-predicate rules only: streaming disallows exact
-    count_distinct, so the uniqueness rule stays batch-side (or
-    approximates via HLL — see sketches.hll_distinct). Oracle: the
-    identical batch metrics over the whole corpus."""
+    micro-batch. Streaming forbids exact count_distinct, so uniqueness
+    rules ride the deterministic 64-register HLL instead
+    (expectations.expect_unique_approx — 64 conditional max
+    aggregates, streaming-legal, rel. std. error 1.04/sqrt(64) ~ 13%
+    of the distinct count): event_id is a unique key gated with the
+    documented estimator slack (0.2), user_id is the dup-heavy
+    counter-case pinned near its true ~0.985 duplicate fraction.
+    Oracle: the identical batch metrics (and HLL register math) over
+    the whole corpus."""
     from .operators import expectations as X
     from .sources.tables import ensure_nanos_as_long
     from .streaming.replay import replay_to_memory
@@ -6371,6 +6376,8 @@ def stream_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", ["click", "signup", "purchase", "view", "error"]
         ),
         X.expect_matches("event_type", "^[a-z]+$"),
+        X.expect_unique_approx("event_id", max_dup_frac=0.2),
+        X.expect_unique_approx("user_id", max_dup_frac=0.99),
     ]
 
     def transform(stream: DataFrame) -> DataFrame:
@@ -6386,7 +6393,22 @@ def stream_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_STREAM_DQ = """
+_SQL_HLL_DUP_FRAC = """
+  SELECT round(greatest((t.n - 0.709::DOUBLE * 4096.0::DOUBLE * 4503599627370496.0::DOUBLE
+                         / CAST(s.s AS DOUBLE)) / greatest(t.n, 1), 0.0), 9)
+  FROM t, (
+    SELECT sum(1::BIGINT << (52 - mj)) + (64 - count(*)) * (1::BIGINT << 52) AS s
+    FROM (
+      SELECT CAST('0x' || substr(md5(concat_ws('|', CAST({col} AS VARCHAR))), 1, 2) AS BIGINT) % 64 AS b,
+             max(53 - length(bin(
+               CAST('0x' || substr(md5(concat_ws('|', CAST({col} AS VARCHAR))), 3, 13) AS BIGINT)
+             ))) AS mj
+      FROM events GROUP BY 1
+    )
+  ) s
+"""
+
+SQL_STREAM_DQ = f"""
 WITH t AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
     CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
@@ -6399,6 +6421,10 @@ WITH t AS (
   UNION ALL SELECT n, 'between:value', round(v1 / greatest(n, 1), 9), 0.5 FROM t
   UNION ALL SELECT n, 'values_in:event_type', round(v2 / greatest(n, 1), 9), 0.0 FROM t
   UNION ALL SELECT n, 'matches:event_type', round(v3 / greatest(n, 1), 9), 0.0 FROM t
+  UNION ALL SELECT n, 'unique_approx:event_id',
+    ({_SQL_HLL_DUP_FRAC.format(col="event_id")}), 0.2 FROM t
+  UNION ALL SELECT n, 'unique_approx:user_id',
+    ({_SQL_HLL_DUP_FRAC.format(col="user_id")}), 0.99 FROM t
 )
 SELECT n AS n_rows, rule, metric, threshold, metric <= threshold AS ok FROM v
 """
