@@ -1133,41 +1133,78 @@ def attribute_multi_touch(
     conv_type: str,
     max_gap_s: int,
     round_to: int = 9,
+    frame: str = "range",
 ) -> DataFrame:
     """Linear multi-touch attribution: every TOUCH within the lookback
     horizon of a CONVERSION shares its credit equally (weight 1/n) —
     the multi-touch sibling of :func:`attribute_last_touch`, still one
-    window pass and no self-join: a running ordered collect of
-    (epoch, id) touch structs per key, horizon-filtered at each
-    conversion, then exploded with the uniform weight. The running
-    list is bounded by a key's own touch history (the same per-key
-    bound the funnel folds accept); a true 100 TB deployment with
-    unbounded histories would trim the frame with a range window on
-    epoch seconds instead.
+    window pass and no self-join.
+
+    ``frame="range"`` (default, the production shape): the collected
+    touch list comes from a RANGE frame on epoch seconds bounded by
+    ``max_gap_s``, so per-row window state is O(in-horizon touches) BY
+    CONSTRUCTION — a hot key with years of touch history carries only
+    the horizon's worth per row. Strictly-prior tie semantics (a touch
+    at the conversion's own epoch counts only with a lower id, i.e.
+    earlier in (ts, id) order) are restored with a post-filter, making
+    the output IDENTICAL to the rows-frame fold on every input.
+
+    ``frame="rows"`` is that reference fold — a running ordered
+    collect of every prior touch, horizon-filtered at each conversion
+    — kept as the equivalence twin the tests compare against; its
+    per-row state grows with a key's FULL touch count, which is why
+    it is no longer the default.
 
     A conversion with no in-horizon touch emits one row with
     touch_id=-1 / weight 0.0 (unattributed, not dropped).
 
     Returns (key, conversion_id, touch_id, weight, n_touches).
     """
+    if frame not in ("range", "rows"):
+        raise ValueError(f"frame must be 'range' or 'rows', got {frame!r}")
     epoch = F.col(ts_col).cast("timestamp").cast("long")
-    w = (
-        Window.partitionBy(key)
-        .orderBy(ts_col, id_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    touch = F.when(
-        F.col(type_col) == touch_type,
-        F.struct(epoch.alias("e"), F.col(id_col).alias("id")),
-    )
-    conv = (
-        df.withColumn("_all", F.collect_list(touch).over(w))
-        .withColumn("_ce", epoch)
-        .where(F.col(type_col) == conv_type)
-    )
-    in_h = F.filter(
-        F.col("_all"), lambda t: t["e"] >= F.col("_ce") - F.lit(max_gap_s)
-    )
+    if frame == "range":
+        wr = (
+            Window.partitionBy(key)
+            .orderBy("_ce")
+            .rangeBetween(-max_gap_s, Window.currentRow)
+        )
+        touch = F.when(
+            F.col(type_col) == touch_type,
+            F.struct(F.col("_ce").alias("e"), F.col(id_col).alias("id")),
+        )
+        conv = (
+            df.withColumn("_ce", epoch)
+            .withColumn("_all", F.collect_list(touch).over(wr))
+            .where(F.col(type_col) == conv_type)
+        )
+        # the RANGE frame is value-bounded, so it also admits touches
+        # AT the conversion's epoch that sort after it by id; the
+        # strictly-prior-in-(ts,id)-order filter keeps tie semantics
+        # identical to the rows fold
+        in_h = F.filter(
+            F.col("_all"),
+            lambda t: (t["e"] < F.col("_ce"))
+            | ((t["e"] == F.col("_ce")) & (t["id"] < F.col(id_col))),
+        )
+    else:
+        w = (
+            Window.partitionBy(key)
+            .orderBy(ts_col, id_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        touch = F.when(
+            F.col(type_col) == touch_type,
+            F.struct(epoch.alias("e"), F.col(id_col).alias("id")),
+        )
+        conv = (
+            df.withColumn("_all", F.collect_list(touch).over(w))
+            .withColumn("_ce", epoch)
+            .where(F.col(type_col) == conv_type)
+        )
+        in_h = F.filter(
+            F.col("_all"), lambda t: t["e"] >= F.col("_ce") - F.lit(max_gap_s)
+        )
     n = F.size(in_h)
     out = conv.select(
         key,

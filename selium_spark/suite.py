@@ -6807,6 +6807,78 @@ FROM b GROUP BY 1, 2
 """
 
 
+def stream_weekly_ohlc_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-shape streaming OHLC: watermark + APPEND mode, so a
+    weekly candlestick is emitted exactly ONCE, when the watermark
+    passes its window end and the state is evicted — output and state
+    stay O(open windows), unlike the complete-mode twin
+    (:func:`stream_weekly_ohlc`, the replay-oracle device, which
+    re-emits every week each trigger and whose state grows with the
+    number of distinct weeks forever). The replay's final no-data
+    batch flushes every window whose end <= max event ts; the final
+    partial week stays open — pending, not missing — and the oracle
+    mirrors that boundary (the stream_left_interval_join eviction
+    device applied to windowed aggregation)."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema).withWatermark("ts", "0 seconds")
+        first = F.min(F.struct("ts", "event_id", "value"))
+        last = F.max(F.struct("ts", "event_id", "value"))
+        return (
+            ev.groupBy(
+                F.window("ts", "7 days").alias("w"), F.col("event_type")
+            )
+            .agg(
+                first.getField("value").alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                last.getField("value").alias("close"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("week"),
+                "event_type",
+                "open",
+                "high",
+                "low",
+                "close",
+                "n",
+            )
+        )
+
+    return replay_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        transform,
+        output_mode="append",
+        shuffle_partitions=8,
+    )
+
+
+SQL_STREAM_WEEKLY_OHLC_CLOSED = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+b AS (
+  SELECT *,
+    to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 604800) * 604800) AS wstart
+  FROM events
+)
+SELECT strftime(wstart, '%Y-%m-%d') AS week, event_type,
+  (min({'ts': ts, 'id': event_id, 'v': value})).v AS open,
+  max(value) AS high, min(value) AS low,
+  (max({'ts': ts, 'id': event_id, 'v': value})).v AS close,
+  CAST(count(*) AS BIGINT) AS n
+FROM b CROSS JOIN mx
+WHERE wstart + INTERVAL 7 DAY <= mx.m
+GROUP BY 1, 2
+"""
+
+
 def emb_int8_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INT8 quantization of the min-max-normalized embeddings (the
     feature-prep step between scaling and PQ/banding): each [0,1]
@@ -7074,6 +7146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ts_weekly_ohlc": ts_weekly_ohlc,
     "emb_minmax_normalized": emb_minmax_normalized,
     "stream_weekly_ohlc": stream_weekly_ohlc,
+    "stream_weekly_ohlc_closed": stream_weekly_ohlc_closed,
     "emb_int8_quantized": emb_int8_quantized,
     "seq_top_paths": seq_top_paths,
 }
@@ -7269,6 +7342,7 @@ WHERE value % 2 = 0"""
     "ts_weekly_ohlc": SQL_WEEKLY_OHLC,
     "emb_minmax_normalized": SQL_EMB_MINMAX,
     "stream_weekly_ohlc": SQL_STREAM_WEEKLY_OHLC,
+    "stream_weekly_ohlc_closed": SQL_STREAM_WEEKLY_OHLC_CLOSED,
     "emb_int8_quantized": SQL_EMB_INT8,
     "seq_top_paths": SQL_TOP_PATHS,
 }

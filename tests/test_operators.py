@@ -1225,3 +1225,62 @@ def test_attribute_multi_touch_uniform_split(spark):
     assert [(r.touch_id, r.weight, r.n_touches) for r in by_conv[40]] == [(-1, 0.0, 0)]
     # conv 51: click too old -> unattributed
     assert [(r.touch_id, r.weight, r.n_touches) for r in by_conv[51]] == [(-1, 0.0, 0)]
+
+
+def test_attribute_multi_touch_range_equals_rows_fold(spark):
+    """The horizon-bounded RANGE frame (production default; per-row
+    state O(in-horizon touches) by construction — round-6 verdict task
+    #3) reproduces the unbounded rows-fold reference EXACTLY, on a
+    tie-rich corpus where touches share the conversion's own epoch in
+    both (ts, id) orientations, and on the events oracle corpus."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import windows
+    from selium_spark.sources.tables import load_table
+
+    rows = [
+        # key 1: touches straddling the conversion's exact epoch —
+        # id 10 sorts BEFORE conv 15 at ts=100 (counts), id 20 sorts
+        # AFTER it (must not count), id 5 old but in horizon
+        (1, 5, "click", 40),
+        (1, 10, "click", 100),
+        (1, 15, "purchase", 100),
+        (1, 20, "click", 100),
+        # key 1 second conversion later: horizon trims id 5
+        (1, 30, "purchase", 1041),
+        # key 2: touch exactly at the horizon boundary (inclusive)
+        (2, 40, "click", 0),
+        (2, 41, "purchase", 1000),
+        # key 3: conversion with no touches at all
+        (3, 50, "purchase", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+
+    def run(src, frame, **kw):
+        out = windows.attribute_multi_touch(
+            src, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=1000,
+            frame=frame, **kw,
+        )
+        return sorted(map(tuple, out.collect()))
+
+    got_range, got_rows = run(df, "range"), run(df, "rows")
+    assert got_range == got_rows
+    # the tie semantics are actually exercised: conv 15 credits
+    # touches 5 and 10, never the same-epoch-higher-id touch 20
+    conv15 = [t for t in got_range if t[1] == 15]
+    assert sorted(t[2] for t in conv15) == [5, 10]
+    # boundary touch (exactly max_gap_s old) is attributed
+    assert [t[2] for t in got_range if t[1] == 41] == [40]
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert run(ev, "range") == run(ev, "rows")
+    import pytest
+
+    with pytest.raises(ValueError):
+        windows.attribute_multi_touch(
+            df, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=10,
+            frame="bogus",
+        )
