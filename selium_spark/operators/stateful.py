@@ -890,6 +890,190 @@ def streaming_gapfill_locf(
     )
 
 
+def _gapfill_interp_fold(pdf: pd.DataFrame, st: tuple, ts_col: str,
+                         tiebreak_col: str, value_col: str, period_us: int,
+                         offset_us: int = 0):
+    """Vectorized core of :func:`streaming_gapfill_interp`'s fold.
+
+    Anchors are the key's consecutive observed-period winners:
+    [last CLOSED winner (state), open-period winner (state, merged
+    with this batch), new periods touched this batch]. A hole between
+    two anchors interpolates between their values; a gap re-emits iff
+    its RIGHT anchor's winner is new or improved this batch (the left
+    anchor is final under event-time-ordered arrival), tagged with the
+    right winner's (ts, tb) so the reader's max_by collapse keeps the
+    latest interpolation. Unlike LOCF there are no trailing fills: a
+    hole only ever closes on the observation to its right, exactly the
+    batch op's span-bounded grid — so no event-time timeout is needed.
+
+    Returns ``(out_arrays | None, new_state, n_late_dropped)``;
+    out_arrays is ``(period_ord, value, is_filled, src_ts_us, src_tb)``.
+    """
+    prev_p, prev_val, cur_p, cur_ts_us, cur_tb, cur_val = st
+    pdf = pdf.sort_values([ts_col, tiebreak_col])
+    ts_us = (pdf[ts_col].astype("int64") // 1000).to_numpy()
+    tb = pdf[tiebreak_col].to_numpy(dtype="int64")
+    val = pdf[value_col].to_numpy(dtype="float64")
+    p = (ts_us - offset_us) // period_us
+    n_late = 0
+    if cur_p is not None:
+        keep = p >= cur_p  # late rows: periods never reopen
+        n_late = int(len(p) - keep.sum())
+        ts_us, tb, val, p = ts_us[keep], tb[keep], val[keep], p[keep]
+    if len(p) == 0:
+        return None, st, n_late
+    last = np.empty(len(p), dtype=bool)
+    last[:-1] = p[1:] != p[:-1]
+    last[-1] = True
+    w_p, w_ts, w_tb, w_val = p[last], ts_us[last], tb[last], val[last]
+    emit = np.ones(len(w_p), dtype=bool)
+    if cur_p is not None:
+        if w_p[0] == cur_p:
+            if (int(w_ts[0]), int(w_tb[0])) <= (cur_ts_us, cur_tb):
+                # stored winner stands: neither the observed row nor
+                # its left-side holes need re-emission
+                emit[0] = False
+                w_ts[0], w_tb[0], w_val[0] = cur_ts_us, cur_tb, cur_val
+        else:
+            w_p = np.concatenate(([cur_p], w_p))
+            w_ts = np.concatenate(([cur_ts_us], w_ts))
+            w_tb = np.concatenate(([cur_tb], w_tb))
+            w_val = np.concatenate(([cur_val], w_val))
+            emit = np.concatenate(([False], emit))
+    if prev_p is not None:
+        # the last CLOSED winner anchors the open period's left holes
+        # (value only; hole src comes from the right anchor)
+        w_p = np.concatenate(([prev_p], w_p))
+        w_ts = np.concatenate(([0], w_ts))
+        w_tb = np.concatenate(([0], w_tb))
+        w_val = np.concatenate(([prev_val], w_val))
+        emit = np.concatenate(([False], emit))
+    gaps = (w_p[1:] - w_p[:-1] - 1).astype("int64")
+    eg = np.where(emit[1:], gaps, 0)  # gap emits iff right anchor did
+    gi = np.repeat(np.arange(len(gaps)), eg)
+    off = np.arange(int(eg.sum())) - np.repeat(np.cumsum(eg) - eg, eg)
+    h_p = w_p[:-1][gi] + 1 + off
+    # identical IEEE chain to windows.gapfill_interp / the oracle:
+    # integral epoch-second indices to double, one division, one
+    # multiply, one add — bit-exact across all three engines
+    period_s = period_us // 1_000_000
+    frac = ((h_p - w_p[:-1][gi]) * period_s).astype("float64") / (
+        (w_p[1:][gi] - w_p[:-1][gi]) * period_s
+    ).astype("float64")
+    lv = w_val[:-1][gi]
+    h_val = lv + (w_val[1:][gi] - lv) * frac
+    out_p = np.concatenate((w_p[emit], h_p))
+    out_val = np.concatenate((w_val[emit], h_val))
+    out_fill = np.concatenate(
+        (np.zeros(int(emit.sum()), dtype=bool), np.ones(len(h_p), dtype=bool))
+    )
+    out_ts = np.concatenate((w_ts[emit], w_ts[1:][gi]))
+    out_tb = np.concatenate((w_tb[emit], w_tb[1:][gi]))
+    if len(w_p) >= 2:
+        new_state = (
+            int(w_p[-2]), float(w_val[-2]),
+            int(w_p[-1]), int(w_ts[-1]), int(w_tb[-1]), float(w_val[-1]),
+        )
+    else:
+        new_state = (
+            prev_p, prev_val,
+            int(w_p[-1]), int(w_ts[-1]), int(w_tb[-1]), float(w_val[-1]),
+        )
+    return (out_p, out_val, out_fill, out_ts, out_tb), new_state, n_late
+
+
+def streaming_gapfill_interp(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    grain: str = "day",
+    late_counter=None,
+) -> DataFrame:
+    """Streaming twin of :func:`windows.gapfill_interp` (round-6
+    verdict task #6): dense per-key period grid with LINEAR
+    interpolation, emitted incrementally. The interesting state
+    problem vs the LOCF twin is that a hole's fill needs the NEXT
+    observation: holes are emitted when the observation to their right
+    arrives (closing the gap), and a re-won open period re-emits its
+    left-side holes with the updated right value — readers collapse
+    with ``max_by((value, is_filled), (src_ts_us, src_tb))`` exactly
+    like :func:`streaming_gapfill_locf`. State per key is SIX scalars
+    (last closed winner's period+value, open winner's period/ts/tb/
+    value), O(#keys) regardless of series length; equal to the batch
+    fold when batches arrive in event-time order (the replay
+    harness's file order — periods never reopen, the family caveat).
+    No event-time timeout is needed: the grid is span-bounded, so a
+    quiet key simply has no open gap to fill (unlike LOCF-to-
+    watermark, where the carry extends past the last observation).
+
+    Loss accounting matches the family: late rows (period already
+    closed) are dropped into ``late_counter``, never silently.
+    """
+    grains_us = {
+        "hour": 3_600_000_000,
+        "day": 86_400_000_000,
+        "week": 7 * 86_400_000_000,
+    }
+    if grain not in grains_us:
+        raise ValueError(
+            f"streaming_gapfill_interp grain must be one of "
+            f"{sorted(grains_us)}, got {grain!r}"
+        )
+    period_us = grains_us[grain]
+    offset_us = 4 * 86_400_000_000 if grain == "week" else 0
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = state.get if state.exists else (None, None, None, None, None, None)
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update(st)
+            return
+        out, new_st, n_late = _gapfill_interp_fold(
+            pd.concat(parts), st, ts_col, tiebreak_col, value_col,
+            period_us, offset_us,
+        )
+        if n_late and late_counter is not None:
+            late_counter.add(n_late)
+        state.update(new_st)
+        if out is not None and len(out[0]):
+            out_p, out_val, out_fill, out_ts, out_tb = out
+            yield pd.DataFrame(
+                {
+                    "key": np.full(len(out_p), key[0], dtype="int64"),
+                    "period": pd.to_datetime(
+                        out_p * period_us + offset_us, unit="us"
+                    ),
+                    "value": out_val,
+                    "is_filled": out_fill,
+                    "src_ts_us": out_ts,
+                    "src_tb": out_tb,
+                }
+            )
+
+    return events.select(
+        F.col(key_col).alias("key"),
+        F.col(ts_col),
+        F.col(value_col),
+        F.col(tiebreak_col),
+    ).groupBy("key").applyInPandasWithState(
+        fn,
+        outputStructType=(
+            "key long, period timestamp, value double, is_filled boolean, "
+            "src_ts_us long, src_tb long"
+        ),
+        stateStructType=(
+            "prev_p long, prev_val double, cur_p long, cur_ts_us long, "
+            "cur_tb long, cur_val double"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_cusum(
     events: DataFrame,
     key_col: str,

@@ -4546,6 +4546,95 @@ LEFT JOIN picked p ON g.user_id = p.user_id AND g.period = p._period
 """
 
 
+def stream_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LINEAR-interpolation gapfill twin
+    (stateful.streaming_gapfill_interp, round-6 verdict task #6): the
+    fill needs the NEXT observation, so each hole is emitted when the
+    observation to its right arrives, and a re-won open period
+    re-emits its left holes with the updated right value — collapsed
+    here by the family's max_by on the winning (src_ts_us, src_tb).
+    The snapshot must equal the batch gapfill_interp fold (DuckDB
+    oracle; same four-op IEEE interpolation chain, no rounding)."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema).where(F.col("user_id") < 50)
+        from .operators.stateful import streaming_gapfill_interp as op
+
+        return op(ev, "user_id", "ts", "value", "event_id", grain="day")
+
+    snap = replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform,
+        output_mode="update", shuffle_partitions=8,
+    )
+    return (
+        snap.groupBy("key", "period")
+        .agg(
+            F.max_by(
+                F.struct("value", "is_filled"),
+                F.struct("src_ts_us", "src_tb"),
+            ).alias("w")
+        )
+        .select(
+            F.col("key").alias("user_id"),
+            F.date_format("period", "yyyy-MM-dd").alias("period"),
+            F.col("w.value").alias("value"),
+            F.col("w.is_filled").alias("is_filled"),
+        )
+    )
+
+
+SQL_STREAM_GAPFILL_INTERP = """
+WITH obs AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS _period, value,
+    row_number() OVER (
+      PARTITION BY user_id, date_trunc('day', ts)
+      ORDER BY ts DESC, event_id DESC
+    ) AS _rn
+  FROM events WHERE user_id < 50
+), picked AS (
+  SELECT user_id, _period, value FROM obs WHERE _rn = 1
+), span AS (
+  SELECT user_id, min(_period) AS _p0, max(_period) AS _p1
+  FROM picked GROUP BY 1
+), grid AS (
+  SELECT user_id,
+    CAST(unnest(generate_series(CAST(_p0 AS TIMESTAMP), CAST(_p1 AS TIMESTAMP),
+                                INTERVAL 1 DAY)) AS DATE) AS period
+  FROM span
+), j AS (
+  SELECT g.user_id, g.period, p.value AS obs,
+    CAST(epoch(CAST(g.period AS TIMESTAMP)) AS BIGINT) AS idx,
+    CASE WHEN p.value IS NOT NULL
+         THEN CAST(epoch(CAST(g.period AS TIMESTAMP)) AS BIGINT) END AS oidx
+  FROM grid g
+  LEFT JOIN picked p ON g.user_id = p.user_id AND g.period = p._period
+), f AS (
+  SELECT user_id, period, obs, idx,
+    last_value(obs IGNORE NULLS) OVER wb AS pv,
+    last_value(oidx IGNORE NULLS) OVER wb AS pi,
+    first_value(obs IGNORE NULLS) OVER wf AS nv,
+    first_value(oidx IGNORE NULLS) OVER wf AS ni
+  FROM j
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY period
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY period
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(period, '%Y-%m-%d') AS period,
+  CASE WHEN obs IS NOT NULL THEN obs
+       ELSE pv + (nv - pv) * (CAST(idx - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))
+  END AS value,
+  obs IS NULL AS is_filled
+FROM f
+"""
+
+
 def stream_gapfill_watermark_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timer-based gapfill (round-5 verdict #3, graded): with
     ``emit_to_watermark=True`` a key that goes quiet keeps gap-filling
@@ -7115,6 +7204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scd2_user_state": q_scd2_user_state,
     "stream_scd2_history": stream_scd2_history,
     "stream_gapfill_locf": stream_gapfill_locf,
+    "stream_gapfill_interp": stream_gapfill_interp,
     "stream_gapfill_watermark_fill": stream_gapfill_watermark_fill,
     "q_rolling_7d_features": q_rolling_7d_features,
     "ts_series_corr_topk": ts_series_corr_topk,
@@ -7311,6 +7401,7 @@ WHERE value % 2 = 0"""
     "q_scd2_user_state": SQL_SCD2,
     "stream_scd2_history": SQL_SCD2,
     "stream_gapfill_locf": SQL_STREAM_GAPFILL,
+    "stream_gapfill_interp": SQL_STREAM_GAPFILL_INTERP,
     "stream_gapfill_watermark_fill": SQL_STREAM_GAPFILL_WM,
     "q_rolling_7d_features": SQL_ROLLING,
     "ts_series_corr_topk": SQL_SERIES_CORR,

@@ -712,6 +712,138 @@ def _write_keyed_events(spark, path, rows):
     )
 
 
+def test_streaming_gapfill_interp_reemits_holes_on_winner_change(spark, tmp_path):
+    """The LINEAR-interp twin's defining behavior (round-6 verdict
+    task #6): a hole's fill depends on the observation to its RIGHT,
+    so when a later batch improves the open period's winner, the
+    left-side holes are RE-EMITTED with the updated interpolation and
+    the max_by collapse converges to the batch fold. A late row for a
+    closed period is dropped, never reopening."""
+    from selium_spark.operators import stateful, windows
+
+    src = str(tmp_path / "ev")
+    # batch 1: day 1 (v=10) and day 4 (v=40) -> holes day 2/3 interp
+    # against 40
+    _write_keyed_events(
+        spark, src,
+        [(7, "2024-01-01 05:00:00", 1, 10.0), (7, "2024-01-04 03:00:00", 2, 40.0)],
+    )
+    # batch 2: a BETTER day-4 obs (v=100) forces hole re-emission;
+    # day 6 closes day 4 and fills day 5; plus one late day-2 row
+    # (period already closed) that must be dropped
+    _write_keyed_events(
+        spark, src,
+        [
+            (7, "2024-01-04 20:00:00", 3, 100.0),
+            (7, "2024-01-06 01:00:00", 4, 0.0),
+            (7, "2024-01-02 09:00:00", 5, 999.0),
+        ],
+    )
+    schema = spark.read.parquet(src).schema
+
+    snap = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_gapfill_interp(
+            s, "user_id", "ts", "value", "event_id", grain="day"
+        ),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=4,
+    ).persist()
+    # re-emission happened: (7, day 2) appears TWICE in the raw
+    # snapshot (old interpolation vs 40, new vs 100)
+    day2 = snap.where(F.date_format("period", "yyyy-MM-dd") == "2024-01-02")
+    assert day2.count() == 2
+    collapsed = {
+        str(r.period)[:10]: (round(r.value, 9), r.is_filled)
+        for r in snap.groupBy("period")
+        .agg(
+            F.max_by(
+                F.struct("value", "is_filled"), F.struct("src_ts_us", "src_tb")
+            ).alias("w")
+        )
+        .select("period", "w.value", "w.is_filled")
+        .collect()
+    }
+    # batch fold over the NON-late rows is the ground truth
+    batch_rows = [
+        (7, "2024-01-01 05:00:00", 1, 10.0, "obs"),
+        (7, "2024-01-04 20:00:00", 3, 100.0, "obs"),
+        (7, "2024-01-06 01:00:00", 4, 0.0, "obs"),
+    ]
+    bdf = spark.createDataFrame(
+        batch_rows, "user_id LONG, ts STRING, event_id LONG, value DOUBLE, event_type STRING"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    want = {
+        str(r.period): (round(r.value, 9), r.is_filled)
+        for r in windows.gapfill_interp(
+            bdf, "ts", ["user_id"], "value", "event_id"
+        ).collect()
+    }
+    assert collapsed == want
+    # and the re-interpolated holes reflect the IMPROVED winner
+    assert collapsed["2024-01-02"] == (40.0, True)   # 10 + 90 * 1/3
+    assert collapsed["2024-01-03"] == (70.0, True)
+    assert collapsed["2024-01-04"] == (100.0, False)
+    assert collapsed["2024-01-05"] == (50.0, True)   # 100 -> 0 midpoint
+    snap.unpersist()
+
+
+def test_streaming_gapfill_interp_matches_batch_on_corpus(spark, tmp_path):
+    """Two event-time-ordered micro-batches of the real events corpus
+    drive the interp twin to exactly the batch gapfill_interp grid —
+    holes spanning the batch boundary included."""
+    from selium_spark.operators import stateful, windows
+    from selium_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 30
+    )
+    src = str(tmp_path / "ev")
+    cut = "2024-01-04"
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    snap = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_gapfill_interp(
+            s, "user_id", "ts", "value", "event_id", grain="day"
+        ),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=4,
+    )
+    got = {
+        (r.user_id, r.period): (r.value, r.is_filled)
+        for r in snap.groupBy("key", "period")
+        .agg(
+            F.max_by(
+                F.struct("value", "is_filled"), F.struct("src_ts_us", "src_tb")
+            ).alias("w")
+        )
+        .select(
+            F.col("key").alias("user_id"),
+            F.date_format("period", "yyyy-MM-dd").alias("period"),
+            F.col("w.value").alias("value"),
+            F.col("w.is_filled").alias("is_filled"),
+        )
+        .collect()
+    }
+    want = {
+        (r.user_id, str(r.period)): (r.value, r.is_filled)
+        for r in windows.gapfill_interp(
+            ev, "ts", ["user_id"], "value", "event_id"
+        ).collect()
+    }
+    assert got == want and len(got) > 100
+    assert any(filled for (_, filled) in want.values())
+
+
 def test_streaming_gapfill_quiet_key_emits_holes_via_timeout(spark, tmp_path):
     """Round-5 verdict #3: with emit_to_watermark=True a key that goes
     QUIET still gap-fills — the event-time timeout emits filled rows
