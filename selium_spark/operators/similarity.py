@@ -614,6 +614,12 @@ def minmax_normalize(
     cross back as a broadcast 1-row scalar (the audited device) and a
     transform rescales in place. Constant dimensions (max == min) map
     to 0.0 rather than dividing by zero.
+
+    Input contract: vectors must share ONE dimensionality (the
+    embedding-table invariant every op in this module assumes). A row
+    shorter than the corpus-wide max dimension raises an explicit
+    per-row error — zip_with would otherwise null-pad it into silent
+    NULL output (round-6 ADVICE #3).
     """
     dims = emb.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
     stats = dims.groupBy("i").agg(
@@ -641,6 +647,18 @@ def minmax_normalize(
             F.lit(0.0)
         ),
     )
+    guarded = F.when(
+        F.size(F.col(vec_col)) == F.size(F.col("_mins")), scaled
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("minmax_normalize: ragged input — row dimension "),
+                F.size(F.col(vec_col)).cast("string"),
+                F.lit(" != corpus dimension "),
+                F.size(F.col("_mins")).cast("string"),
+            )
+        )
+    )
     return emb.crossJoin(F.broadcast(arrays)).select(
-        F.col(id_col), scaled.alias("normalized")
+        F.col(id_col), guarded.alias("normalized")
     )

@@ -876,6 +876,7 @@ def remove_dup_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "clean_text",
+    storage: str = "persist",
 ) -> DataFrame:
     """Duplicated-span REMOVAL — the rewrite half of "Deduplicating
     Training Data Makes Language Models Better" (Lee et al. 2022) at
@@ -899,13 +900,29 @@ def remove_dup_spans(
     each shuffle consumer re-runs the tokenize+ngram subtree. The fold
     re-assembles uncovered (pos, token) structs with array_sort —
     bounded by document size, never corpus size. Nothing touches the
-    driver. At 100 TB the persist becomes a checkpoint to fast storage
-    — the positional table is the op's working set either way.
+    driver.
+
+    ``storage`` picks how the positional table is pinned:
+    ``"persist"`` (default) caches it in executor storage — note the
+    cache lives until ``spark.catalog.clearCache()`` (repeated
+    invocations in one session, e.g. bench loops, accumulate pinned
+    storage). ``"checkpoint"`` routes through the iterative-loop
+    device (``dedup._truncate_lineage``): a reliable ``checkpoint()``
+    to the configured checkpoint dir when one is set (the 100 TB path
+    — the positional table is larger than the corpus and should live
+    on fast cluster storage, not executor memory), else an eager
+    ``localCheckpoint()`` whose blocks the ContextCleaner frees once
+    the frame is unreferenced — no session-lifetime pinning either
+    way.
 
     Returns (id, n_tokens, n_kept, out_col); a fully-covered doc keeps
     an empty string rather than vanishing (a zero-token doc has no
     positions and is absent on both engines).
     """
+    if storage not in ("persist", "checkpoint"):
+        raise ValueError(
+            f"storage must be 'persist' or 'checkpoint', got {storage!r}"
+        )
     toks = tokens(text_col)
     grams = ngrams_all(text_col, n)
     padded = F.concat(
@@ -917,16 +934,19 @@ def remove_dup_spans(
     zipped = F.zip_with(
         toks, padded, lambda a, b: F.struct(a.alias("w"), b.alias("sh"))
     )
-    base = (
-        df.select(
-            F.col(id_col),
-            F.size(toks).alias("_len"),
-            F.posexplode(zipped).alias("pos", "_z"),
-        )
-        .select(id_col, "_len", "pos", "_z.w", "_z.sh")
-        .persist()
-    )
-    base.count()  # pin: tokenize+ngram executes once, consumers read the cache
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("_len"),
+        F.posexplode(zipped).alias("pos", "_z"),
+    ).select(id_col, "_len", "pos", "_z.w", "_z.sh")
+    if storage == "checkpoint":
+        from .dedup import _truncate_lineage
+
+        base = _truncate_lineage(base)
+    else:
+        base = base.persist()
+        # pin: tokenize+ngram executes once, consumers read the cache
+        base.count()
     hot = (
         base.where(F.col("sh").isNotNull())
         .groupBy("sh")

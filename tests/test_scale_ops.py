@@ -351,3 +351,21 @@ def test_minmax_normalize_bounds_and_constant_dims(spark):
     assert out[1] == [1.0, 0.0, 0.0]
     assert out[2] == [0.5, 0.0, 0.5]
     assert all(0.0 <= v <= 1.0 for vals in out.values() for v in vals)
+
+
+def test_minmax_normalize_rejects_ragged_input(spark):
+    """A row shorter than the corpus dimensionality raises an explicit
+    error instead of silently null-padding through zip_with (round-6
+    ADVICE #3: the uniform-dims input contract is enforced, not
+    assumed)."""
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from selium_spark.operators import similarity
+
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 5.0, 7.0]), (1, [3.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="ragged input"):
+        similarity.minmax_normalize(ragged).collect()
