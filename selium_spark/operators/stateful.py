@@ -735,12 +735,26 @@ def streaming_gapfill_locf(
     grain: str = "day",
     late_counter=None,
     emit_to_watermark: bool = False,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`windows.gapfill_locf`: emit the dense
     per-key period grid incrementally as observations arrive, holes
     filled by last-observation-carried-forward. Accepts the SAME grain
     set as the batch op (hour | day | week); weekly periods align to
     Monday exactly like the batch op's ``date_trunc('week')``.
+
+    ``state_buckets`` (round-6 verdict task #5 — the
+    ``streaming_lsh_pairs`` bucketing trick measured on a per-KEY
+    fold): with the default None every key is its own state group and
+    pays the applyInPandasWithState per-group Python machinery each
+    trigger; setting it hashes keys into that many groups, each
+    holding its keys' 4-scalar states as parallel arrays, the fold
+    running per key inside a pandas groupby. Semantics are IDENTICAL
+    (pinned by tests); the trade is a bucket's whole state
+    re-serializing on every update. Incompatible with
+    ``emit_to_watermark`` (timers are per-group, and a bucket-level
+    timer cannot fire per key) — raises if both are set. See
+    BASELINE.md for the measured A/B.
 
     State per key is FOUR scalars — the current period ordinal, the
     winning observation's (ts, tiebreak) within it, and its value — so
@@ -783,6 +797,11 @@ def streaming_gapfill_locf(
         raise ValueError(
             f"streaming_gapfill_locf grain must be one of "
             f"{sorted(grains_us)}, got {grain!r}"
+        )
+    if state_buckets is not None and emit_to_watermark:
+        raise ValueError(
+            "state_buckets is incompatible with emit_to_watermark "
+            "(timers fire per state group, not per key)"
         )
     period_us = grains_us[grain]
     # weeks align to Monday like the batch op's date_trunc('week'):
@@ -867,26 +886,100 @@ def streaming_gapfill_locf(
                 }
             )
 
-    return events.select(
+    selected = events.select(
         F.col(key_col).alias("key"),
         F.col(ts_col),
         F.col(value_col),
         F.col(tiebreak_col),
-    ).groupBy("key").applyInPandasWithState(
-        fn,
+    )
+    if state_buckets is None:
+        return selected.groupBy("key").applyInPandasWithState(
+            fn,
+            outputStructType=(
+                "key long, period timestamp, value double, is_filled boolean, "
+                "src_ts_us long, src_tb long"
+            ),
+            stateStructType=(
+                "cur_p long, cur_ts_us long, cur_tb long, cur_val double"
+            ),
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if emit_to_watermark
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+
+    def bucket_fn(
+        bkey, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ks, a_p, a_ts, a_tb, a_val = (list(x) for x in state.get)
+        else:
+            ks, a_p, a_ts, a_tb, a_val = [], [], [], [], []
+        index = {k: i for i, k in enumerate(ks)}
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update((ks, a_p, a_ts, a_tb, a_val))
+            return
+        frames = []
+        n_late_total = 0
+        for k, g in pd.concat(parts).groupby("key", sort=False):
+            i = index.get(k)
+            st = (
+                (a_p[i], a_ts[i], a_tb[i], a_val[i])
+                if i is not None
+                else (None, None, None, None)
+            )
+            out, new_st, n_late = _gapfill_fold(
+                g, st, ts_col, tiebreak_col, value_col, period_us, offset_us
+            )
+            n_late_total += n_late
+            if i is None:
+                index[k] = len(ks)
+                ks.append(int(k))
+                a_p.append(new_st[0])
+                a_ts.append(new_st[1])
+                a_tb.append(new_st[2])
+                a_val.append(new_st[3])
+            else:
+                a_p[i], a_ts[i], a_tb[i], a_val[i] = new_st
+            if out is not None and len(out[0]):
+                out_p, out_val, out_fill, out_ts, out_tb = out
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "key": np.full(len(out_p), k, dtype="int64"),
+                            "period": pd.to_datetime(
+                                out_p * period_us + offset_us, unit="us"
+                            ),
+                            "value": out_val,
+                            "is_filled": out_fill,
+                            "src_ts_us": out_ts,
+                            "src_tb": out_tb,
+                        }
+                    )
+                )
+        if n_late_total and late_counter is not None:
+            late_counter.add(n_late_total)
+        state.update((ks, a_p, a_ts, a_tb, a_val))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return selected.withColumn(
+        "_state_bucket", F.pmod(F.xxhash64(F.col("key")), F.lit(state_buckets))
+    ).groupBy("_state_bucket").applyInPandasWithState(
+        bucket_fn,
         outputStructType=(
             "key long, period timestamp, value double, is_filled boolean, "
             "src_ts_us long, src_tb long"
         ),
         stateStructType=(
-            "cur_p long, cur_ts_us long, cur_tb long, cur_val double"
+            "keys array<long>, cur_p array<long>, cur_ts_us array<long>, "
+            "cur_tb array<long>, cur_val array<double>"
         ),
         outputMode="update",
-        timeoutConf=(
-            GroupStateTimeout.EventTimeTimeout
-            if emit_to_watermark
-            else GroupStateTimeout.NoTimeout
-        ),
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -640,11 +640,18 @@ def test_request_reply_rtt_measured(spark, tmp_path):
         q.stop()
 
 
-def test_streaming_gapfill_matches_batch_locf(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("state_buckets", [None, 4])
+def test_streaming_gapfill_matches_batch_locf(spark, tmp_path, state_buckets):
     """Two event-time-ordered micro-batches drive the per-key gapfill
     state to the same dense grid as the batch fold — including holes
     that SPAN the batch boundary (gap jumped only when the batch-2 obs
-    arrives) and a period whose winning obs arrives in a later batch."""
+    arrives) and a period whose winning obs arrives in a later batch.
+    Parametrized over state_buckets: the hashed-bucket state layout
+    (many keys folded per state group) must be output-identical to the
+    per-key default."""
     from pyspark.sql import functions as F
 
     from selium_spark.operators import stateful, windows
@@ -665,7 +672,8 @@ def test_streaming_gapfill_matches_batch_locf(spark, tmp_path):
         src,
         schema,
         lambda s: stateful.streaming_gapfill_locf(
-            s, "user_id", "ts", "value", "event_id", grain="day"
+            s, "user_id", "ts", "value", "event_id", grain="day",
+            state_buckets=state_buckets,
         ),
         output_mode="update",
         max_files_per_trigger=1,
