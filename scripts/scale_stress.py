@@ -191,6 +191,53 @@ SKEW_QUERY_SET = [
     "mm_dhash_neardup",
 ]
 
+# Queries whose shuffle/window keys are EVENT keys (user_id) — the set
+# the --skew-events mode times on a uniform vs whale-user corpus
+# (round-6 verdict task #7). All four sort a per-user window partition;
+# a whale user carrying 30% of events makes that ONE partition's sort a
+# single-task hotspot, the shape this mode measures.
+EVENT_SKEW_QUERY_SET = [
+    # per-(user,type,day) groupBy (map-side combinable even on the
+    # whale) feeding an event_type-partitioned rank window whose input
+    # is the AGGREGATED day rows — skew should be absorbed by the agg
+    "mad_daily_outliers",
+    # windowed conditional-min CEP scan: one (user) sort partition
+    "cep_match_sequence",
+    # lead() pair extraction: one (user) sort partition per user
+    "seq_transition_matrix",
+    # two leads + triple groupBy: the 3-gram sibling
+    "seq_top_paths",
+]
+
+
+def build_event_corpus(spark, n_rows: int, out_dir: str, hot_frac: float) -> None:
+    """Synthetic events table (schema-identical to the testdata one)
+    where user-key skew is the ONLY variable: hot_frac == 0 spreads
+    rows ~50/user over n_rows/50 users; hot_frac > 0 reroutes that
+    fraction of rows to ONE whale user (user_id 0). Timestamps spread
+    deterministically over 90 days and the type vocabulary includes
+    the CEP trio (signup/purchase/error) so every query in
+    EVENT_SKEW_QUERY_SET does real work on both corpora."""
+    os.makedirs(out_dir, exist_ok=True)
+    hot = (F.abs(F.xxhash64(F.col("id"), F.lit("hot"))) % 100) < int(hot_frac * 100)
+    h = F.abs(F.xxhash64(F.col("id"), F.lit("mix")))
+    types = ["signup", "click", "view", "purchase", "error"]
+    type_col = F.element_at(
+        F.array(*[F.lit(t) for t in types]), (h % 5 + 1).cast("int")
+    )
+    ev = spark.range(n_rows).select(
+        F.col("id").alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_interval(secs=(h % (90 * 86400)).cast("double"))
+        ).alias("ts"),
+        F.when(hot, F.lit(0)).otherwise(F.col("id") % (n_rows // 50)).alias("user_id"),
+        type_col.alias("event_type"),
+        ((h % 100000) / 100.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    ev.repartition(32).write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
 
 def build_doc_corpus(spark, n_rows: int, out_dir: str, hot_frac: float) -> None:
     """Synthetic documents table (schema-identical to the testdata one)
@@ -567,6 +614,55 @@ def latency_main(n: int = 10) -> None:
     )
 
 
+def fold_buckets_main(n: int = 10) -> None:
+    """Round-6 verdict task #5: does the streaming_lsh_pairs
+    state-bucket trick (hash many keys into one applyInPandasWithState
+    group, fold per key inside the pandas groupby) pay off for the
+    PER-KEY folds too?  A/B on the representative gapfill fold over the
+    Nx corpus (~15k distinct users/trigger at N=10), one file per
+    trigger (the sustained-backlog cadence where per-group overhead
+    shows), RocksDB state."""
+    spark = get_spark(app_name="fold_buckets", cpus=32, shuffle_partitions=32)
+    from selium_spark.operators import stateful
+    from selium_spark.sources.tables import ensure_nanos_as_long
+    from selium_spark.suite import _norm_stream_ts
+
+    ensure_nanos_as_long(spark)
+    src_dir = f"/root/repo/tmp/stream_x{n}"
+    dest = f"{src_dir}/events.parquet"
+    if not os.path.exists(dest):
+        print(f"building {n}x streaming corpus at {src_dir} ...", file=sys.stderr)
+        build_stream_scaled(spark, n, src_dir)
+    schema = spark.read.parquet(dest).schema
+    report = {}
+    for sb in (None, 64, 256, 1024):
+        m = stream_replay_metrics(
+            spark,
+            dest,
+            schema,
+            lambda s, sb=sb: stateful.streaming_gapfill_locf(
+                _norm_stream_ts(s, schema),
+                "user_id",
+                "ts",
+                "value",
+                "event_id",
+                grain="day",
+                state_buckets=sb,
+            ),
+            "update",
+            "rocksdb",
+            max_files=1,
+        )
+        key = "per_key" if sb is None else f"buckets_{sb}"
+        report[key] = m
+        print(f"  gapfill {key}: {m}", file=sys.stderr)
+    base = report["per_key"]["wall_s"]
+    for key, m in report.items():
+        m["ratio_vs_per_key"] = round(m["wall_s"] / max(base, 0.01), 2)
+    print(json.dumps({"mode": "fold_buckets", "scale": n, "queries": report},
+                     indent=2))
+
+
 def streaming_main(scales: list[int]) -> None:
     spark = get_spark(app_name="stream_stress", cpus=32, shuffle_partitions=32)
     from selium_spark.sources.tables import ensure_nanos_as_long
@@ -614,8 +710,35 @@ def main() -> None:
     if "--lsh" in sys.argv:
         lsh_main(int(args[0]) if args else 100_000)
         return
+    if "--fold-buckets" in sys.argv:
+        fold_buckets_main(int(args[0]) if args else 10)
+        return
     if "--streaming-latency" in sys.argv:
         latency_main(int(args[0]) if args else 10)
+        return
+    if "--skew-events" in sys.argv:
+        n = int(args[0]) if args else 10
+        n_rows = n * 50_000
+        spark = get_spark(app_name="event_skew", cpus=32, shuffle_partitions=64)
+        uni_dir = f"/root/repo/tmp/events_uniform_{n_rows}"
+        skew_dir = f"/root/repo/tmp/events_whale_{n_rows}"
+        for d, frac in ((uni_dir, 0.0), (skew_dir, 0.3)):
+            if not os.path.exists(f"{d}/events.parquet"):
+                print(f"building {n_rows}-event corpus (hot_frac={frac}) at {d} ...",
+                      file=sys.stderr)
+                build_event_corpus(spark, n_rows, d, frac)
+        uniform = time_queries(spark, uni_dir, EVENT_SKEW_QUERY_SET)
+        skewed = time_queries(spark, skew_dir, EVENT_SKEW_QUERY_SET)
+        report = {
+            name: {
+                "uniform_s": uniform[name],
+                "skewed_s": skewed[name],
+                "ratio": round(skewed[name] / max(uniform[name], 0.01), 2),
+            }
+            for name in EVENT_SKEW_QUERY_SET
+        }
+        print(json.dumps({"n_rows": n_rows, "mode": "skew_events",
+                          "hot_frac": 0.3, "queries": report}, indent=2))
         return
     skew_mode = "--skew" in sys.argv
     n = int(args[0]) if args else 10
