@@ -910,76 +910,40 @@ def streaming_gapfill_locf(
             ),
         )
 
-    def bucket_fn(
-        bkey, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            ks, a_p, a_ts, a_tb, a_val = (list(x) for x in state.get)
-        else:
-            ks, a_p, a_ts, a_tb, a_val = [], [], [], [], []
-        index = {k: i for i, k in enumerate(ks)}
-        parts = [p for p in pdfs if len(p)]
-        if not parts:
-            state.update((ks, a_p, a_ts, a_tb, a_val))
-            return
-        frames = []
-        n_late_total = 0
-        for k, g in pd.concat(parts).groupby("key", sort=False):
-            i = index.get(k)
-            st = (
-                (a_p[i], a_ts[i], a_tb[i], a_val[i])
-                if i is not None
-                else (None, None, None, None)
-            )
-            out, new_st, n_late = _gapfill_fold(
-                g, st, ts_col, tiebreak_col, value_col, period_us, offset_us
-            )
-            n_late_total += n_late
-            if i is None:
-                index[k] = len(ks)
-                ks.append(int(k))
-                a_p.append(new_st[0])
-                a_ts.append(new_st[1])
-                a_tb.append(new_st[2])
-                a_val.append(new_st[3])
-            else:
-                a_p[i], a_ts[i], a_tb[i], a_val[i] = new_st
-            if out is not None and len(out[0]):
-                out_p, out_val, out_fill, out_ts, out_tb = out
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "key": np.full(len(out_p), k, dtype="int64"),
-                            "period": pd.to_datetime(
-                                out_p * period_us + offset_us, unit="us"
-                            ),
-                            "value": out_val,
-                            "is_filled": out_fill,
-                            "src_ts_us": out_ts,
-                            "src_tb": out_tb,
-                        }
-                    )
-                )
-        if n_late_total and late_counter is not None:
-            late_counter.add(n_late_total)
-        state.update((ks, a_p, a_ts, a_tb, a_val))
-        if frames:
-            yield pd.concat(frames, ignore_index=True)
+    def _fold(g: pd.DataFrame, st: tuple):
+        out, new_st, n_late = _gapfill_fold(
+            g, st, ts_col, tiebreak_col, value_col, period_us, offset_us
+        )
+        if out is not None and not len(out[0]):
+            out = None
+        return out, new_st, n_late
 
-    return selected.withColumn(
-        "_state_bucket", F.pmod(F.xxhash64(F.col("key")), F.lit(state_buckets))
-    ).groupBy("_state_bucket").applyInPandasWithState(
-        bucket_fn,
-        outputStructType=(
+    def _emit(k: int, out) -> pd.DataFrame:
+        out_p, out_val, out_fill, out_ts, out_tb = out
+        return pd.DataFrame(
+            {
+                "key": np.full(len(out_p), k, dtype="int64"),
+                "period": pd.to_datetime(out_p * period_us + offset_us, unit="us"),
+                "value": out_val,
+                "is_filled": out_fill,
+                "src_ts_us": out_ts,
+                "src_tb": out_tb,
+            }
+        )
+
+    return _bucketed_fold(
+        selected,
+        "key",
+        state_buckets,
+        _fold,
+        _emit,
+        fresh_state=(None, None, None, None),
+        state_cols="cur_p long, cur_ts_us long, cur_tb long, cur_val double",
+        out_schema=(
             "key long, period timestamp, value double, is_filled boolean, "
             "src_ts_us long, src_tb long"
         ),
-        stateStructType=(
-            "keys array<long>, cur_p array<long>, cur_ts_us array<long>, "
-            "cur_tb array<long>, cur_val array<double>"
-        ),
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        late_counter=late_counter,
     )
 
 
@@ -1167,6 +1131,93 @@ def streaming_gapfill_interp(
     )
 
 
+def _bucketed_fold(
+    events: DataFrame,
+    key_col: str,
+    state_buckets: int,
+    fold,
+    emit,
+    fresh_state: tuple,
+    state_cols: str,
+    out_schema: str,
+    late_counter=None,
+) -> DataFrame:
+    """Shared hashed-bucket state layout for the per-key streaming
+    folds (gapfill/cusum/ewma): keys hash into ``state_buckets``
+    applyInPandasWithState groups, each holding its keys' scalar
+    states as parallel arrays; ``fold(pdf, state_tuple) -> (emission |
+    None, new_state_tuple, n_late)`` runs per key inside a pandas
+    groupby and ``emit(key, emission)`` renders the output frame.
+
+    Measured ADOPTED on the gapfill fold (BASELINE.md r7 A/B: 2.04x
+    wall, 5x p99, state commit 12.5 -> 2.5 s/trigger at 15k keys /
+    1024 buckets): the per-key layout pays the state store's commit
+    machinery per KEY per trigger, this layout per BUCKET. The trade
+    is a bucket's whole parallel-array state re-serializing on every
+    update — bounded by bucket count at any key cardinality.
+    Incompatible with per-key event-time timers (timers fire per
+    GROUP), so callers with timeout paths must gate it.
+    """
+    fields = [f.strip() for f in state_cols.split(",")]
+    arr_struct = "keys array<long>, " + ", ".join(
+        f"{name} array<{typ}>"
+        for name, typ in (f.rsplit(" ", 1) for f in fields)
+    )
+    n_fields = len(fields)
+
+    def bucket_fn(
+        bkey, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            cols = [list(x) for x in state.get]
+        else:
+            cols = [[] for _ in range(n_fields + 1)]
+        ks, scalars = cols[0], cols[1:]
+        index = {k: i for i, k in enumerate(ks)}
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update(tuple(cols))
+            return
+        frames = []
+        n_late_total = 0
+        for k, g in pd.concat(parts).groupby("_key", sort=False):
+            i = index.get(k)
+            st = tuple(c[i] for c in scalars) if i is not None else fresh_state
+            out, new_st, n_late = fold(g, st)
+            n_late_total += n_late
+            if i is None:
+                index[k] = len(ks)
+                ks.append(int(k))
+                for c, v in zip(scalars, new_st):
+                    c.append(v)
+            else:
+                for c, v in zip(scalars, new_st):
+                    c[i] = v
+            if out is not None:
+                frames.append(emit(int(k), out))
+        if n_late_total and late_counter is not None:
+            late_counter.add(n_late_total)
+        state.update(tuple(cols))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return (
+        events.withColumn("_key", F.col(key_col).cast("long"))
+        .withColumn(
+            "_state_bucket",
+            F.pmod(F.xxhash64(F.col(key_col)), F.lit(state_buckets)),
+        )
+        .groupBy("_state_bucket")
+        .applyInPandasWithState(
+            bucket_fn,
+            outputStructType=out_schema,
+            stateStructType=arr_struct,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_cusum(
     events: DataFrame,
     key_col: str,
@@ -1178,9 +1229,17 @@ def streaming_cusum(
     grain: str = "day",
     scale_in: int = 2,
     late_counter=None,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`windows.cusum_changepoints`: the
     one-sided CUSUM statistic emerges incrementally as events arrive.
+
+    ``state_buckets``: hash keys into that many state groups, each
+    holding its keys' 5-scalar states as parallel arrays (the
+    measured-ADOPTED layout from the gapfill A/B in BASELINE.md r7 —
+    2x wall, 5x p99, RocksDB commit cost bounded by bucket count
+    instead of key count). Semantics identical; pinned by the
+    parametrized batch-parity test.
 
     State per key is FIVE int64 scalars — the open period ordinal, its
     pending sum (fixed-point "cents", ``10^scale_in`` per unit) and row
@@ -1227,34 +1286,24 @@ def streaming_cusum(
     # int64 sentinel: no real prefix-min can exceed this
     BIG = np.iinfo("int64").max
 
-    def fn(
-        key, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            cur_p, pend, pend_n, s_pref, min_s = state.get
-        else:
-            cur_p, pend, pend_n, s_pref, min_s = None, 0, 0, 0, BIG
-        parts = [p for p in pdfs if len(p)]
-        if not parts:
-            state.update((cur_p, pend, pend_n, s_pref, min_s))
-            return
-        pdf = pd.concat(parts)
+    def fold(pdf: pd.DataFrame, st: tuple):
+        """One key's batch fold: (emission arrays | None, new state,
+        n_late). The emission is (uniq periods, sums, stats, ns)."""
+        cur_p, pend, pend_n, s_pref, min_s = st
         ts_us = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
         periods = (ts_us - offset_us) // period_us
         cents = np.round(pdf[value_col].to_numpy(dtype="float64") * unit).astype(
             "int64"
         )
+        n_late = 0
         if cur_p is not None:
             late = periods < cur_p
             n_late = int(late.sum())
             if n_late:
-                if late_counter is not None:
-                    late_counter.add(n_late)
                 keep = ~late
                 periods, cents = periods[keep], cents[keep]
         if not len(periods):
-            state.update((cur_p, pend, pend_n, s_pref, min_s))
-            return
+            return None, (cur_p, pend, pend_n, s_pref, min_s), n_late
         # per-period sums/counts, periods ascending (np.unique sorts)
         uniq, inv, counts = np.unique(periods, return_inverse=True, return_counts=True)
         sums = np.zeros(len(uniq), dtype="int64")
@@ -1277,10 +1326,14 @@ def streaming_cusum(
         if len(uniq) > 1:
             s_pref = int(cums[-2])
             min_s = int(mins[-2])
-        state.update((int(uniq[-1]), int(sums[-1]), int(ns[-1]), s_pref, min_s))
-        yield pd.DataFrame(
+        new_st = (int(uniq[-1]), int(sums[-1]), int(ns[-1]), s_pref, min_s)
+        return (uniq, sums, stats, ns), new_st, n_late
+
+    def emit(k: int, out) -> pd.DataFrame:
+        uniq, sums, stats, ns = out
+        return pd.DataFrame(
             {
-                "key": np.full(len(uniq), key[0], dtype="int64"),
+                "key": np.full(len(uniq), k, dtype="int64"),
                 "period": pd.to_datetime(uniq * period_us + offset_us, unit="us"),
                 "period_sum": sums / float(unit),
                 "stat": stats / float(unit),
@@ -1289,17 +1342,47 @@ def streaming_cusum(
             }
         )
 
-    return events.groupBy(key_col).applyInPandasWithState(
-        fn,
-        outputStructType=(
-            "key long, period timestamp, period_sum double, stat double, "
-            "alarm boolean, src_n long"
-        ),
-        stateStructType=(
-            "cur_p long, pend long, pend_n long, s_pref long, min_s long"
-        ),
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    out_schema = (
+        "key long, period timestamp, period_sum double, stat double, "
+        "alarm boolean, src_n long"
+    )
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = state.get if state.exists else (None, 0, 0, 0, BIG)
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update(st)
+            return
+        out, new_st, n_late = fold(pd.concat(parts), st)
+        if n_late and late_counter is not None:
+            late_counter.add(n_late)
+        state.update(new_st)
+        if out is not None:
+            yield emit(key[0], out)
+
+    if state_buckets is None:
+        return events.groupBy(key_col).applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=(
+                "cur_p long, pend long, pend_n long, s_pref long, min_s long"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _bucketed_fold(
+        events,
+        key_col,
+        state_buckets,
+        fold,
+        emit,
+        fresh_state=(None, 0, 0, 0, BIG),
+        state_cols="cur_p long, pend long, pend_n long, s_pref long, min_s long",
+        out_schema=out_schema,
+        late_counter=late_counter,
     )
 
 
@@ -1312,9 +1395,14 @@ def streaming_ewma_level(
     grain: str = "day",
     scale_in: int = 2,
     late_counter=None,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`windows.ewma_level`: the smoothing
     level advances incrementally as events arrive.
+
+    ``state_buckets``: hashed-bucket state layout via
+    :func:`_bucketed_fold` (ADOPTED from the gapfill A/B, BASELINE.md
+    r7); output-identical, pinned by the parametrized parity test.
 
     State per key is six scalars — the open period ordinal, its pending
     fixed-point sum and row count, the level AFTER the last closed
@@ -1349,36 +1437,24 @@ def streaming_ewma_level(
     unit = float(10 ** scale_in)
     oma = 1.0 - alpha
 
-    def fn(
-        key, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            cur_p, pend, pend_n, level, n_closed, first_p, n_rows = state.get
-        else:
-            cur_p, pend, pend_n, level, n_closed, first_p, n_rows = (
-                None, 0, 0, 0.0, 0, None, 0,
-            )
-        parts = [p for p in pdfs if len(p)]
-        if not parts:
-            state.update((cur_p, pend, pend_n, level, n_closed, first_p, n_rows))
-            return
-        pdf = pd.concat(parts)
+    def fold(pdf: pd.DataFrame, st: tuple):
+        """One key's batch fold: (snapshot tuple | None, new state,
+        n_late). Snapshot is (n_periods, first_p, cur_p, snap, n_rows)."""
+        cur_p, pend, pend_n, level, n_closed, first_p, n_rows = st
         ts_us = pdf[ts_col].to_numpy(dtype="datetime64[us]").astype("int64")
         periods = (ts_us - offset_us) // period_us
         cents = np.round(pdf[value_col].to_numpy(dtype="float64") * unit).astype(
             "int64"
         )
+        n_late = 0
         if cur_p is not None:
             late = periods < cur_p
             n_late = int(late.sum())
             if n_late:
-                if late_counter is not None:
-                    late_counter.add(n_late)
                 keep = ~late
                 periods, cents = periods[keep], cents[keep]
         if not len(periods):
-            state.update((cur_p, pend, pend_n, level, n_closed, first_p, n_rows))
-            return
+            return None, st, n_late
         uniq, inv, counts = np.unique(periods, return_inverse=True, return_counts=True)
         sums = np.zeros(len(uniq), dtype="int64")
         np.add.at(sums, inv, cents)
@@ -1402,14 +1478,18 @@ def streaming_ewma_level(
             level = alpha * x + oma * level if n_closed else x
             n_closed += 1
         cur_p, pend, pend_n = int(uniq[-1]), int(sums[-1]), int(ns[-1])
-        state.update((cur_p, pend, pend_n, level, n_closed, first_p, n_rows))
         # provisional: the open period folded as-if-closed-now
         x = (pend / unit) / pend_n
         snap = alpha * x + oma * level if n_closed else x
-        yield pd.DataFrame(
+        new_st = (cur_p, pend, pend_n, level, n_closed, first_p, n_rows)
+        return (n_closed + 1, first_p, cur_p, snap, n_rows), new_st, n_late
+
+    def emit(k: int, out) -> pd.DataFrame:
+        n_periods, first_p, cur_p, snap, n_rows = out
+        return pd.DataFrame(
             {
-                "key": [key[0]],
-                "n_periods": [n_closed + 1],
+                "key": [k],
+                "n_periods": [n_periods],
                 "first_period": pd.to_datetime(
                     [first_p * period_us + offset_us], unit="us"
                 ),
@@ -1423,16 +1503,48 @@ def streaming_ewma_level(
             }
         )
 
-    return events.groupBy(key_col).applyInPandasWithState(
-        fn,
-        outputStructType=(
-            "key long, n_periods long, first_period timestamp, "
-            "last_period timestamp, level double, src_n long"
-        ),
-        stateStructType=(
-            "cur_p long, pend long, pend_n long, level double, "
-            "n_closed long, first_p long, n_rows long"
-        ),
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    out_schema = (
+        "key long, n_periods long, first_period timestamp, "
+        "last_period timestamp, level double, src_n long"
+    )
+    state_cols = (
+        "cur_p long, pend long, pend_n long, level double, "
+        "n_closed long, first_p long, n_rows long"
+    )
+    fresh = (None, 0, 0, 0.0, 0, None, 0)
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = state.get if state.exists else fresh
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update(st)
+            return
+        out, new_st, n_late = fold(pd.concat(parts), st)
+        if n_late and late_counter is not None:
+            late_counter.add(n_late)
+        state.update(new_st)
+        if out is not None:
+            yield emit(key[0], out)
+
+    if state_buckets is None:
+        return events.groupBy(key_col).applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_cols,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _bucketed_fold(
+        events,
+        key_col,
+        state_buckets,
+        fold,
+        emit,
+        fresh_state=fresh,
+        state_cols=state_cols,
+        out_schema=out_schema,
+        late_counter=late_counter,
     )

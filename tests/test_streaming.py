@@ -1330,12 +1330,14 @@ def test_streaming_lsh_pairs_chunked_and_star_overflow(spark, tmp_path):
         )
 
 
-def test_streaming_cusum_matches_batch_closed_form(spark, tmp_path):
+@pytest.mark.parametrize("state_buckets", [None, 4])
+def test_streaming_cusum_matches_batch_closed_form(spark, tmp_path, state_buckets):
     """Three event-time-ordered micro-batches drive the per-key CUSUM
     state to the same statistic as the batch closed form — including a
     period whose rows SPAN a batch boundary (the open-period
     re-emission must supersede the partial one) and periods that close
-    silently across batches."""
+    silently across batches. Parametrized over state_buckets: the
+    hashed-bucket state layout must be output-identical."""
     from pyspark.sql import functions as F
 
     from selium_spark.operators import stateful, windows
@@ -1363,7 +1365,8 @@ def test_streaming_cusum_matches_batch_closed_form(spark, tmp_path):
         src,
         schema,
         lambda s: stateful.streaming_cusum(
-            s, "user_id", "ts", "value", target=40.0, slack=2.0, threshold=60.0
+            s, "user_id", "ts", "value", target=40.0, slack=2.0, threshold=60.0,
+            state_buckets=state_buckets,
         ),
         output_mode="update",
         max_files_per_trigger=1,
@@ -1446,11 +1449,13 @@ def test_streaming_cusum_late_rows_counted_and_dropped(spark, tmp_path):
     assert ctr.value == 1
 
 
-def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
+@pytest.mark.parametrize("state_buckets", [None, 4])
+def test_streaming_ewma_matches_batch_fold(spark, tmp_path, state_buckets):
     """Three micro-batches (cuts INSIDE periods) drive the per-key EWMA
     level through the identical IEEE chain as the batch aggregate fold:
     collapsed snapshot == windows.ewma_level bit-for-bit after the
-    shared Spark-side HALF_UP round."""
+    shared Spark-side HALF_UP round. Parametrized over state_buckets:
+    the hashed-bucket layout must be output-identical."""
     from pyspark.sql import functions as F
 
     from selium_spark.operators import stateful, windows
@@ -1476,7 +1481,9 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path):
         spark,
         src,
         schema,
-        lambda s: stateful.streaming_ewma_level(s, "user_id", "ts", "value", alpha=0.25),
+        lambda s: stateful.streaming_ewma_level(
+            s, "user_id", "ts", "value", alpha=0.25, state_buckets=state_buckets
+        ),
         output_mode="update",
         max_files_per_trigger=1,
         shuffle_partitions=4,
