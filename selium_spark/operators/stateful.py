@@ -616,6 +616,7 @@ def streaming_scd2(
     ts_col: str,
     tiebreak_col: str,
     late_counter=None,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`relational.scd2_history`: fold a keyed
     change stream into SCD type-2 intervals incrementally — the CDC
@@ -645,45 +646,32 @@ def streaming_scd2(
     subsystem/messaging/src/lib.rs:107-109). Before round 5 such rows
     silently corrupted the fold order; now the drop is explicit and
     metered.
+
+    ``state_buckets``: hashed-bucket state layout via
+    :func:`_bucketed_fold` (ADOPTED from the gapfill A/B, BASELINE.md
+    r7); output-identical, pinned by the parametrized parity test.
     """
 
-    def fn(
-        key, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            cur_state, cur_from_us = state.get
-        else:
-            cur_state, cur_from_us = None, None
-        parts = [p for p in pdfs if len(p)]
-        if not parts:
-            state.update((cur_state, cur_from_us))
-            yield pd.DataFrame(
-                {
-                    "key": pd.Series([], dtype="int64"),
-                    "state": pd.Series([], dtype="object"),
-                    "valid_from": pd.to_datetime([], unit="us"),
-                    "valid_to": pd.to_datetime([], unit="us"),
-                }
-            )
-            return
+    def fold(pdf: pd.DataFrame, st: tuple):
+        """One key's batch fold: ((states, froms, tos) | None, new
+        state, n_late)."""
+        cur_state, cur_from_us = st
         # Vectorized edge detection: a micro-batch carries thousands of
         # rows per key group, so the fold must not drop to per-row
         # Python. Sort once, shift to compare each row's state with its
         # predecessor (the stored open run stands in for row -1), and
         # only the few EDGE rows reach Python lists.
-        pdf = pd.concat(parts).sort_values([ts_col, tiebreak_col])
+        pdf = pdf.sort_values([ts_col, tiebreak_col])
+        n_late = 0
         if cur_state is not None:
             # late rows: before the open interval's start -> drop+count
             ts_all = pdf[ts_col].astype("int64") // 1000
             late = ts_all < cur_from_us
             n_late = int(late.sum())
             if n_late:
-                if late_counter is not None:
-                    late_counter.add(n_late)
                 pdf = pdf[~late]
                 if not len(pdf):
-                    state.update((cur_state, cur_from_us))
-                    return
+                    return None, st, n_late
         sts = pdf[state_col].reset_index(drop=True)
         ts_us = (pdf[ts_col].astype("int64") // 1000).reset_index(drop=True)
         prev = sts.shift()
@@ -697,11 +685,14 @@ def streaming_scd2(
         out_state = run_states[:-1] + [run_states[-1]]
         out_from = run_froms[:-1] + [run_froms[-1]]
         out_to: list = run_froms[1:] + [None]
-        cur_state, cur_from_us = run_states[-1], int(run_froms[-1])
-        state.update((cur_state, cur_from_us))
-        yield pd.DataFrame(
+        new_st = (run_states[-1], int(run_froms[-1]))
+        return (out_state, out_from, out_to), new_st, n_late
+
+    def emit(k: int, out) -> pd.DataFrame:
+        out_state, out_from, out_to = out
+        return pd.DataFrame(
             {
-                "key": [key[0]] * len(out_state),
+                "key": [k] * len(out_state),
                 "state": out_state,
                 "valid_from": pd.to_datetime(out_from, unit="us"),
                 "valid_to": pd.to_datetime(
@@ -710,19 +701,50 @@ def streaming_scd2(
             }
         )
 
-    return events.select(
+    out_schema = (
+        "key long, state string, valid_from timestamp, valid_to timestamp"
+    )
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        st = state.get if state.exists else (None, None)
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update(st)
+            return
+        out, new_st, n_late = fold(pd.concat(parts), st)
+        if n_late and late_counter is not None:
+            late_counter.add(n_late)
+        state.update(new_st)
+        if out is not None:
+            yield emit(key[0], out)
+
+    selected = events.select(
         F.col(key_col).alias("key"),
         F.col(state_col),
         F.col(ts_col),
         F.col(tiebreak_col),
-    ).groupBy("key").applyInPandasWithState(
-        fn,
-        outputStructType=(
-            "key long, state string, valid_from timestamp, valid_to timestamp"
-        ),
-        stateStructType="cur_state string, cur_from_us long",
-        outputMode="update",
-        timeoutConf="NoTimeout",
+    )
+    if state_buckets is None:
+        return selected.groupBy("key").applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType="cur_state string, cur_from_us long",
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+
+    return _bucketed_fold(
+        selected,
+        "key",
+        state_buckets,
+        fold,
+        emit,
+        fresh_state=(None, None),
+        state_cols="cur_state string, cur_from_us long",
+        out_schema=out_schema,
+        late_counter=late_counter,
     )
 
 

@@ -4877,7 +4877,10 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream folds into type-2 state intervals incrementally — per-key
     state is just the open run — and the replayed snapshot, collapsed
     of stale open-interval emissions, must equal the batch
-    q_scd2_user_state fold (same DuckDB oracle)."""
+    q_scd2_user_state fold (same DuckDB oracle). Runs the r7-adopted
+    hashed-bucket state layout (state_buckets=256, output-identical —
+    BASELINE.md A/B); the per-key layout stays graded via the gapfill
+    family and the parametrized parity tests."""
     from .sources.tables import ensure_nanos_as_long
     from .streaming.replay import replay_to_memory
 
@@ -4888,7 +4891,10 @@ def stream_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _norm_stream_ts(stream, schema)
         from .operators.stateful import streaming_scd2
 
-        return streaming_scd2(ev, "user_id", "event_type", "ts", "event_id")
+        return streaming_scd2(
+            ev, "user_id", "event_type", "ts", "event_id",
+            state_buckets=256,
+        )
 
     snap = replay_to_memory(
         spark, f"{sf_dir}/events.parquet", schema, transform,
@@ -5773,7 +5779,8 @@ def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     five exact int64 scalars of state per user — and the collapsed
     snapshot must equal the batch closed form (same SQL_CUSUM oracle as
     ts_cusum_alarms). Open-period re-emissions collapse by max_by on
-    the rows-folded marker."""
+    the rows-folded marker. Runs the r7-adopted hashed-bucket state
+    layout (state_buckets=256, output-identical — BASELINE.md A/B)."""
     from .sources.tables import ensure_nanos_as_long
     from .streaming.replay import replay_to_memory
 
@@ -5787,6 +5794,7 @@ def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         return op(
             ev, "user_id", "ts", "value",
             target=120.0, slack=5.0, threshold=200.0,
+            state_buckets=256,
         )
 
     snap = replay_to_memory(
@@ -5814,7 +5822,9 @@ def stream_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     op chain as the batch aggregate fold — state is the level after the
     last closed period plus the open period's exact fixed-point
     partials. Collapsed snapshot == batch op (same SQL_EWMA_LEVEL
-    oracle); the HALF_UP round happens Spark-side on the raw double."""
+    oracle); the HALF_UP round happens Spark-side on the raw double.
+    Runs the r7-adopted hashed-bucket state layout (state_buckets=256,
+    output-identical — BASELINE.md A/B)."""
     from .sources.tables import ensure_nanos_as_long
     from .streaming.replay import replay_to_memory
 
@@ -5825,7 +5835,7 @@ def stream_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _norm_stream_ts(stream, schema)
         from .operators.stateful import streaming_ewma_level as op
 
-        return op(ev, "user_id", "ts", "value", alpha=0.25)
+        return op(ev, "user_id", "ts", "value", alpha=0.25, state_buckets=256)
 
     snap = replay_to_memory(
         spark, f"{sf_dir}/events.parquet", schema, transform,

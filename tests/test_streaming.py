@@ -501,11 +501,16 @@ def test_streaming_funnel_matches_batch_fold(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
-def test_streaming_scd2_matches_batch_history(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("state_buckets", [None, 4])
+def test_streaming_scd2_matches_batch_history(spark, tmp_path, state_buckets):
     """Two event-time-ordered micro-batches drive the per-key SCD2
     state to the same interval set as the batch window fold — including
     runs that OPEN in batch 1 and CLOSE in batch 2 (the cross-batch
-    state handoff)."""
+    state handoff). Parametrized over state_buckets: the hashed-bucket
+    state layout must be output-identical."""
     from pyspark.sql import functions as F
 
     from selium_spark.operators import relational, stateful
@@ -526,7 +531,8 @@ def test_streaming_scd2_matches_batch_history(spark, tmp_path):
         src,
         schema,
         lambda s: stateful.streaming_scd2(
-            s, "user_id", "event_type", "ts", "event_id"
+            s, "user_id", "event_type", "ts", "event_id",
+            state_buckets=state_buckets,
         ),
         output_mode="update",
         max_files_per_trigger=1,
