@@ -1069,6 +1069,7 @@ def streaming_gapfill_interp(
     tiebreak_col: str,
     grain: str = "day",
     late_counter=None,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`windows.gapfill_interp` (round-6
     verdict task #6): dense per-key period grid with LINEAR
@@ -1089,6 +1090,10 @@ def streaming_gapfill_interp(
 
     Loss accounting matches the family: late rows (period already
     closed) are dropped into ``late_counter``, never silently.
+
+    ``state_buckets``: hashed-bucket state layout via
+    :func:`_bucketed_fold` (ADOPTED from the LOCF A/B, BASELINE.md
+    r7); output-identical, pinned by the parametrized parity test.
     """
     grains_us = {
         "hour": 3_600_000_000,
@@ -1103,53 +1108,77 @@ def streaming_gapfill_interp(
     period_us = grains_us[grain]
     offset_us = 4 * 86_400_000_000 if grain == "week" else 0
 
+    def fold(g: pd.DataFrame, st: tuple):
+        out, new_st, n_late = _gapfill_interp_fold(
+            g, st, ts_col, tiebreak_col, value_col, period_us, offset_us
+        )
+        if out is not None and not len(out[0]):
+            out = None
+        return out, new_st, n_late
+
+    def emit(k: int, out) -> pd.DataFrame:
+        out_p, out_val, out_fill, out_ts, out_tb = out
+        return pd.DataFrame(
+            {
+                "key": np.full(len(out_p), k, dtype="int64"),
+                "period": pd.to_datetime(out_p * period_us + offset_us, unit="us"),
+                "value": out_val,
+                "is_filled": out_fill,
+                "src_ts_us": out_ts,
+                "src_tb": out_tb,
+            }
+        )
+
+    out_schema = (
+        "key long, period timestamp, value double, is_filled boolean, "
+        "src_ts_us long, src_tb long"
+    )
+    state_cols = (
+        "prev_p long, prev_val double, cur_p long, cur_ts_us long, "
+        "cur_tb long, cur_val double"
+    )
+    fresh = (None, None, None, None, None, None)
+
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        st = state.get if state.exists else (None, None, None, None, None, None)
+        st = state.get if state.exists else fresh
         parts = [p for p in pdfs if len(p)]
         if not parts:
             state.update(st)
             return
-        out, new_st, n_late = _gapfill_interp_fold(
-            pd.concat(parts), st, ts_col, tiebreak_col, value_col,
-            period_us, offset_us,
-        )
+        out, new_st, n_late = fold(pd.concat(parts), st)
         if n_late and late_counter is not None:
             late_counter.add(n_late)
         state.update(new_st)
-        if out is not None and len(out[0]):
-            out_p, out_val, out_fill, out_ts, out_tb = out
-            yield pd.DataFrame(
-                {
-                    "key": np.full(len(out_p), key[0], dtype="int64"),
-                    "period": pd.to_datetime(
-                        out_p * period_us + offset_us, unit="us"
-                    ),
-                    "value": out_val,
-                    "is_filled": out_fill,
-                    "src_ts_us": out_ts,
-                    "src_tb": out_tb,
-                }
-            )
+        if out is not None:
+            yield emit(key[0], out)
 
-    return events.select(
+    selected = events.select(
         F.col(key_col).alias("key"),
         F.col(ts_col),
         F.col(value_col),
         F.col(tiebreak_col),
-    ).groupBy("key").applyInPandasWithState(
-        fn,
-        outputStructType=(
-            "key long, period timestamp, value double, is_filled boolean, "
-            "src_ts_us long, src_tb long"
-        ),
-        stateStructType=(
-            "prev_p long, prev_val double, cur_p long, cur_ts_us long, "
-            "cur_tb long, cur_val double"
-        ),
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    if state_buckets is None:
+        return selected.groupBy("key").applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_cols,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    return _bucketed_fold(
+        selected,
+        "key",
+        state_buckets,
+        fold,
+        emit,
+        fresh_state=fresh,
+        state_cols=state_cols,
+        out_schema=out_schema,
+        late_counter=late_counter,
     )
 
 

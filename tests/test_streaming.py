@@ -805,10 +805,14 @@ def test_streaming_gapfill_interp_reemits_holes_on_winner_change(spark, tmp_path
     snap.unpersist()
 
 
-def test_streaming_gapfill_interp_matches_batch_on_corpus(spark, tmp_path):
+@pytest.mark.parametrize("state_buckets", [None, 4])
+def test_streaming_gapfill_interp_matches_batch_on_corpus(
+    spark, tmp_path, state_buckets
+):
     """Two event-time-ordered micro-batches of the real events corpus
     drive the interp twin to exactly the batch gapfill_interp grid —
-    holes spanning the batch boundary included."""
+    holes spanning the batch boundary included. Parametrized over
+    state_buckets: the hashed-bucket layout must be output-identical."""
     from selium_spark.operators import stateful, windows
     from selium_spark.sources.tables import load_table
 
@@ -826,7 +830,8 @@ def test_streaming_gapfill_interp_matches_batch_on_corpus(spark, tmp_path):
         src,
         schema,
         lambda s: stateful.streaming_gapfill_interp(
-            s, "user_id", "ts", "value", "event_id", grain="day"
+            s, "user_id", "ts", "value", "event_id", grain="day",
+            state_buckets=state_buckets,
         ),
         output_mode="update",
         max_files_per_trigger=1,
