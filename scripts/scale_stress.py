@@ -327,8 +327,10 @@ def _stream_ops():
     return {
         "streaming_scd2": (
             "update",
+            # graded config (r7): bucketed state layout
             lambda ev: stateful.streaming_scd2(
-                ev, "user_id", "event_type", "ts", "event_id"
+                ev, "user_id", "event_type", "ts", "event_id",
+                state_buckets=256,
             ),
         ),
         "streaming_gapfill_wm": (
@@ -364,15 +366,18 @@ def _stream_ops():
         # EWMA twin -- both O(scalars) state per key
         "streaming_cusum": (
             "update",
+            # graded config (r7): bucketed state layout
             lambda ev: stateful.streaming_cusum(
                 ev, "user_id", "ts", "value",
                 target=120.0, slack=5.0, threshold=200.0,
+                state_buckets=256,
             ),
         ),
         "streaming_ewma": (
             "update",
+            # graded config (r7): bucketed state layout
             lambda ev: stateful.streaming_ewma_level(
-                ev, "user_id", "ts", "value", alpha=0.25
+                ev, "user_id", "ts", "value", alpha=0.25, state_buckets=256
             ),
         ),
         # round 6 late 2: the two-sided stream-stream join state —
