@@ -515,6 +515,7 @@ def streaming_funnel(
     steps: list[str],
     late_counter=None,
     abandon_after: str | None = None,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Incremental ordered-funnel state per user (the streaming twin of
     windows.funnel): state = (step_reached, last_step_ts); each
@@ -543,6 +544,23 @@ def streaming_funnel(
     user: a later real advance supersedes the abandonment row
     (point-in-time observation, the standard funnel-SLA semantics).
     Without the option, every emission has ``abandoned=false``.
+
+    ``state_buckets`` (r7): hashed-bucket state layout — and, unlike
+    the other folds, it COMPOSES with the SLA timer by emulating
+    per-key timers at the bucket level: a bucket group receives data
+    almost every trigger (so ``hasTimedOut`` alone would starve), so
+    the expiry sweep runs on the DATA path against the current
+    watermark — each incomplete key past its deadline emits its
+    abandonment snapshot exactly once (an ``ab_emitted`` flag per key,
+    reset on any advance, mirrors the per-key arm/re-arm cycle) — and
+    the group timer is armed at the bucket's EARLIEST pending deadline
+    to cover quiet tails (a no-data trigger after the stream drains).
+    Collapsed reader output (``max(struct(step_reached, abandoned))``
+    per user) is identical to the per-key layout — pinned by the
+    parametrized parity test; the uncollapsed emission may differ by
+    one trigger in WHEN an abandonment row appears (data-path sweep vs
+    per-key timer firing), which the point-in-time semantics never
+    observe.
     """
     sla_ms: int | None = None
     if abandon_after is not None:
@@ -594,18 +612,124 @@ def streaming_funnel(
             {"user": [key[0]], "step_reached": [step], "abandoned": [False]}
         )
 
-    return events.select(
+    selected = events.select(
         F.col(user_col).alias("user"), F.col(type_col), F.col(ts_col)
-    ).groupBy("user").applyInPandasWithState(
-        fn,
-        outputStructType="user long, step_reached int, abandoned boolean",
-        stateStructType="step int, t_prev_us long",
-        outputMode="update",
-        timeoutConf=(
-            GroupStateTimeout.EventTimeTimeout
-            if abandon_after is not None
-            else GroupStateTimeout.NoTimeout
-        ),
+    )
+    if state_buckets is None:
+        return selected.groupBy("user").applyInPandasWithState(
+            fn,
+            outputStructType="user long, step_reached int, abandoned boolean",
+            stateStructType="step int, t_prev_us long",
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if abandon_after is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+
+    def bucket_fn(
+        bkey, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ks, a_step, a_tp, a_ab = (list(x) for x in state.get)
+        else:
+            ks, a_step, a_tp, a_ab = [], [], [], []
+        index = {k: i for i, k in enumerate(ks)}
+        wm_ms = state.getCurrentWatermarkMs() if sla_ms is not None else 0
+        out_user: list = []
+        out_step: list = []
+        out_ab: list = []
+        n_late = 0
+        parts = [p for p in pdfs if len(p)]
+        if parts:
+            for k, g in pd.concat(parts).groupby("user", sort=False):
+                i = index.get(k)
+                if i is None:
+                    index[k] = i = len(ks)
+                    ks.append(int(k))
+                    a_step.append(0)
+                    a_tp.append(None)
+                    a_ab.append(False)
+                step, t_prev = a_step[i], a_tp[i]
+                if late_counter is not None and t_prev is not None:
+                    n_late += int(
+                        ((g[ts_col].astype("int64") // 1000) < t_prev).sum()
+                    )
+                if step < len(steps):
+                    new_step, new_tp = _funnel_fold(
+                        g, step, t_prev, type_col, ts_col, steps
+                    )
+                    if (new_step, new_tp) != (step, t_prev):
+                        # fresh advance: the SLA clock restarts, a new
+                        # abandonment may be emitted later
+                        a_ab[i] = False
+                    a_step[i], a_tp[i] = new_step, new_tp
+                out_user.append(int(k))
+                out_step.append(a_step[i])
+                out_ab.append(False)
+        if sla_ms is not None:
+            # expiry sweep on the data path (bucket groups see data
+            # almost every trigger, so hasTimedOut alone would starve)
+            for i in range(len(ks)):
+                if (
+                    not a_ab[i]
+                    and a_step[i] < len(steps)
+                    and a_tp[i] is not None
+                    and a_tp[i] // 1000 + sla_ms <= wm_ms
+                ):
+                    a_ab[i] = True
+                    out_user.append(ks[i])
+                    out_step.append(a_step[i])
+                    out_ab.append(True)
+            pending = [
+                a_tp[i] // 1000 + sla_ms
+                for i in range(len(ks))
+                if not a_ab[i]
+                and a_step[i] < len(steps)
+                and a_tp[i] is not None
+            ]
+            if pending:
+                state.setTimeoutTimestamp(max(min(pending), wm_ms + 1))
+            else:
+                # nothing pending and no clear(): push past any replay
+                # horizon, anchored on event time (batch-1 wm is 0)
+                anchor = max(
+                    [t // 1000 for t in a_tp if t is not None] + [wm_ms]
+                )
+                state.setTimeoutTimestamp(anchor + 10 * 365 * 86_400_000)
+        if n_late and late_counter is not None:
+            late_counter.add(n_late)
+        state.update((ks, a_step, a_tp, a_ab))
+        if out_user:
+            yield pd.DataFrame(
+                {
+                    "user": out_user,
+                    "step_reached": pd.array(out_step, dtype="int32"),
+                    "abandoned": out_ab,
+                }
+            )
+
+    return (
+        selected.withColumn(
+            "_state_bucket",
+            F.pmod(F.xxhash64(F.col("user")), F.lit(state_buckets)),
+        )
+        .groupBy("_state_bucket")
+        .applyInPandasWithState(
+            bucket_fn,
+            outputStructType="user long, step_reached int, abandoned boolean",
+            stateStructType=(
+                "keys array<long>, step array<int>, t_prev_us array<long>, "
+                "ab array<boolean>"
+            ),
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if abandon_after is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
     )
 
 

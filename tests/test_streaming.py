@@ -459,9 +459,15 @@ def test_wasm_guest_over_stream_matches_batch(spark, tmp_path):
     }
 
 
-def test_streaming_funnel_matches_batch_fold(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("state_buckets", [None, 4])
+def test_streaming_funnel_matches_batch_fold(spark, tmp_path, state_buckets):
     """Replayed event files (event-time ordered) drive the per-user
-    funnel state to the same step counts as the batch operator."""
+    funnel state to the same step counts as the batch operator.
+    Parametrized over state_buckets: the hashed-bucket layout must be
+    output-identical."""
     from pyspark.sql import functions as F
 
     from selium_spark.operators import stateful, windows
@@ -484,7 +490,10 @@ def test_streaming_funnel_matches_batch_fold(spark, tmp_path):
         spark,
         src,
         schema,
-        lambda s: stateful.streaming_funnel(s, "user_id", "event_type", "ts", steps),
+        lambda s: stateful.streaming_funnel(
+            s, "user_id", "event_type", "ts", steps,
+            state_buckets=state_buckets,
+        ),
         output_mode="update",
         max_files_per_trigger=1,
         shuffle_partitions=4,
@@ -1105,12 +1114,15 @@ def test_latest_enrich_state_ttl_evicts_quiet_keys(spark, tmp_path):
     assert got == {10: "100", 11: None}
 
 
-def test_streaming_funnel_abandonment_timeout(spark, tmp_path):
+@pytest.mark.parametrize("state_buckets", [None, 4])
+def test_streaming_funnel_abandonment_timeout(spark, tmp_path, state_buckets):
     """abandon_after: an incomplete funnel quiet past the SLA emits a
     timer-based abandoned=true snapshot with NO further event for the
     user; a user who completes within the SLA never abandons; a later
     real advance supersedes the abandonment under the max(struct)
-    collapse."""
+    collapse. Parametrized over state_buckets: the bucket-level timer
+    emulation (data-path expiry sweep + earliest-pending-deadline
+    group timer) must produce the identical collapsed snapshot."""
     src = str(tmp_path / "ev")
     # user 1: signup day 1, then silence      -> abandoned at day 1+SLA
     # user 2: signup day 1, click day 2, purchase day 3 -> completed
@@ -1142,6 +1154,7 @@ def test_streaming_funnel_abandonment_timeout(spark, tmp_path):
             "user_id", "event_type", "ts",
             ["signup", "click", "purchase"],
             abandon_after="5 days",
+            state_buckets=state_buckets,
         ),
         output_mode="update",
         max_files_per_trigger=1,
