@@ -4929,7 +4929,9 @@ def stream_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _norm_stream_ts(stream, schema)
         from .operators.stateful import streaming_funnel
 
-        return streaming_funnel(ev, "user_id", "event_type", "ts", steps)
+        return streaming_funnel(
+            ev, "user_id", "event_type", "ts", steps, state_buckets=256
+        )
 
     snap = replay_to_memory(
         spark, f"{sf_dir}/events.parquet", schema, transform,
@@ -5005,6 +5007,7 @@ def stream_funnel_abandoned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts",
             steps,
             abandon_after="5 days",
+            state_buckets=256,
         )
 
     snap = replay_to_memory(
