@@ -897,10 +897,17 @@ def streaming_gapfill_locf(
     holding its keys' 4-scalar states as parallel arrays, the fold
     running per key inside a pandas groupby. Semantics are IDENTICAL
     (pinned by tests); the trade is a bucket's whole state
-    re-serializing on every update. Incompatible with
-    ``emit_to_watermark`` (timers are per-group, and a bucket-level
-    timer cannot fire per key) — raises if both are set. See
-    BASELINE.md for the measured A/B.
+    re-serializing on every update. See BASELINE.md for the measured
+    A/B. With ``emit_to_watermark`` the bucketed layout emulates the
+    per-key timers the same way :func:`streaming_funnel` does (r7):
+    the quiet-key fill sweep runs on the DATA path against the current
+    watermark — every key whose grid trails the watermark emits its
+    complete-period fills on any bucket invocation — and the group
+    timer is armed at the bucket's EARLIEST next period boundary to
+    cover quiet tails. The fill rows are deterministic given the
+    watermark, so the collapsed output is identical to the per-key
+    layout (a fill may land one trigger earlier); pinned by the
+    parametrized quiet-key test.
 
     State per key is FOUR scalars — the current period ordinal, the
     winning observation's (ts, tiebreak) within it, and its value — so
@@ -943,11 +950,6 @@ def streaming_gapfill_locf(
         raise ValueError(
             f"streaming_gapfill_locf grain must be one of "
             f"{sorted(grains_us)}, got {grain!r}"
-        )
-    if state_buckets is not None and emit_to_watermark:
-        raise ValueError(
-            "state_buckets is incompatible with emit_to_watermark "
-            "(timers fire per state group, not per key)"
         )
     period_us = grains_us[grain]
     # weeks align to Monday like the batch op's date_trunc('week'):
@@ -1077,19 +1079,109 @@ def streaming_gapfill_locf(
             }
         )
 
-    return _bucketed_fold(
-        selected,
-        "key",
-        state_buckets,
-        _fold,
-        _emit,
-        fresh_state=(None, None, None, None),
-        state_cols="cur_p long, cur_ts_us long, cur_tb long, cur_val double",
-        out_schema=(
-            "key long, period timestamp, value double, is_filled boolean, "
-            "src_ts_us long, src_tb long"
-        ),
-        late_counter=late_counter,
+    out_schema = (
+        "key long, period timestamp, value double, is_filled boolean, "
+        "src_ts_us long, src_tb long"
+    )
+    if not emit_to_watermark:
+        return _bucketed_fold(
+            selected,
+            "key",
+            state_buckets,
+            _fold,
+            _emit,
+            fresh_state=(None, None, None, None),
+            state_cols="cur_p long, cur_ts_us long, cur_tb long, cur_val double",
+            out_schema=out_schema,
+            late_counter=late_counter,
+        )
+
+    def bucket_fn(
+        bkey, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ks, a_p, a_ts, a_tb, a_val = (list(x) for x in state.get)
+        else:
+            ks, a_p, a_ts, a_tb, a_val = [], [], [], [], []
+        index = {k: i for i, k in enumerate(ks)}
+        wm_ms = state.getCurrentWatermarkMs()
+        frames = []
+        n_late_total = 0
+        parts = [p for p in pdfs if len(p)]
+        if parts:
+            for k, g in pd.concat(parts).groupby("key", sort=False):
+                i = index.get(k)
+                st = (
+                    (a_p[i], a_ts[i], a_tb[i], a_val[i])
+                    if i is not None
+                    else (None, None, None, None)
+                )
+                out, new_st, n_late = _fold(g, st)
+                n_late_total += n_late
+                if i is None:
+                    index[k] = len(ks)
+                    ks.append(int(k))
+                    a_p.append(new_st[0])
+                    a_ts.append(new_st[1])
+                    a_tb.append(new_st[2])
+                    a_val.append(new_st[3])
+                else:
+                    a_p[i], a_ts[i], a_tb[i], a_val[i] = new_st
+                if out is not None:
+                    frames.append(_emit(int(k), out))
+        # quiet-key fill sweep: every key whose grid trails the
+        # watermark emits its complete-period fills NOW (the per-key
+        # layout does this when its own timer fires — same rows, the
+        # fill is deterministic given the watermark)
+        wm_p = (wm_ms * 1000 - offset_us) // period_us
+        for i in range(len(ks)):
+            if a_p[i] is None or a_p[i] + 1 >= wm_p:
+                continue
+            holes = np.arange(a_p[i] + 1, wm_p)
+            a_p[i] = int(holes[-1])
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "key": np.full(len(holes), ks[i], dtype="int64"),
+                        "period": pd.to_datetime(
+                            holes * period_us + offset_us, unit="us"
+                        ),
+                        "value": np.full(len(holes), a_val[i], dtype="float64"),
+                        "is_filled": np.ones(len(holes), dtype=bool),
+                        "src_ts_us": np.full(len(holes), a_ts[i], dtype="int64"),
+                        "src_tb": np.full(len(holes), a_tb[i], dtype="int64"),
+                    }
+                )
+            )
+        if n_late_total and late_counter is not None:
+            late_counter.add(n_late_total)
+        state.update((ks, a_p, a_ts, a_tb, a_val))
+        # wake when the watermark passes the EARLIEST next period end
+        # across the bucket's keys (covers quiet tails; the API needs
+        # a timestamp strictly beyond the current watermark)
+        live = [p for p in a_p if p is not None]
+        if live:
+            next_end_ms = (min(live) + 2) * (period_us // 1000) + offset_us // 1000
+            state.setTimeoutTimestamp(max(next_end_ms, wm_ms + 1))
+        if frames:
+            yield pd.concat(frames, ignore_index=True)
+
+    return (
+        selected.withColumn(
+            "_state_bucket",
+            F.pmod(F.xxhash64(F.col("key")), F.lit(state_buckets)),
+        )
+        .groupBy("_state_bucket")
+        .applyInPandasWithState(
+            bucket_fn,
+            outputStructType=out_schema,
+            stateStructType=(
+                "keys array<long>, cur_p array<long>, cur_ts_us array<long>, "
+                "cur_tb array<long>, cur_val array<double>"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

@@ -4663,6 +4663,7 @@ def stream_gapfill_watermark_fill(spark: SparkSession, sf_dir: str) -> DataFrame
             "event_id",
             grain="day",
             emit_to_watermark=True,
+            state_buckets=256,
         )
 
     snap = replay_to_memory(

@@ -872,11 +872,16 @@ def test_streaming_gapfill_interp_matches_batch_on_corpus(
     assert any(filled for (_, filled) in want.values())
 
 
-def test_streaming_gapfill_quiet_key_emits_holes_via_timeout(spark, tmp_path):
+@pytest.mark.parametrize("state_buckets", [None, 4])
+def test_streaming_gapfill_quiet_key_emits_holes_via_timeout(
+    spark, tmp_path, state_buckets
+):
     """Round-5 verdict #3: with emit_to_watermark=True a key that goes
     QUIET still gap-fills — the event-time timeout emits filled rows
     for every complete period up to the watermark, with NO subsequent
-    observation for that key."""
+    observation for that key. Parametrized over state_buckets (r7):
+    the bucket-level emulation (data-path fill sweep + earliest-next-
+    period group timer) must fill the identical grid."""
     src = str(tmp_path / "ev")
     # batch 1: key 1 speaks once (day 1); key 2 anchors day 1
     _write_keyed_events(
@@ -902,6 +907,7 @@ def test_streaming_gapfill_quiet_key_emits_holes_via_timeout(spark, tmp_path):
             "event_id",
             grain="day",
             emit_to_watermark=True,
+            state_buckets=state_buckets,
         ),
         output_mode="update",
         max_files_per_trigger=1,
