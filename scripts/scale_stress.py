@@ -335,6 +335,7 @@ def _stream_ops():
         ),
         "streaming_gapfill_wm": (
             "update",
+            # graded config (r7): bucketed layout + timer emulation
             lambda ev: stateful.streaming_gapfill_locf(
                 ev.withWatermark("ts", "0 seconds"),
                 "user_id",
@@ -343,10 +344,12 @@ def _stream_ops():
                 "event_id",
                 grain="day",
                 emit_to_watermark=True,
+                state_buckets=256,
             ),
         ),
         "streaming_funnel_sla": (
             "update",
+            # graded config (r7): bucketed layout + timer emulation
             lambda ev: stateful.streaming_funnel(
                 ev.withWatermark("ts", "0 seconds"),
                 "user_id",
@@ -354,6 +357,7 @@ def _stream_ops():
                 "ts",
                 steps,
                 abandon_after="7 days",
+                state_buckets=256,
             ),
         ),
         "dedup_within_watermark": (
