@@ -1143,11 +1143,19 @@ def attribute_multi_touch(
     max_gap_s: int,
     round_to: int = 9,
     frame: str = "range",
+    weighting: str = "linear",
 ) -> DataFrame:
-    """Linear multi-touch attribution: every TOUCH within the lookback
-    horizon of a CONVERSION shares its credit equally (weight 1/n) —
-    the multi-touch sibling of :func:`attribute_last_touch`, still one
-    window pass and no self-join.
+    """Multi-touch attribution: every TOUCH within the lookback
+    horizon of a CONVERSION shares its credit — the multi-touch
+    sibling of :func:`attribute_last_touch`, still one window pass and
+    no self-join.
+
+    ``weighting="linear"`` (default) splits credit equally (1/n).
+    ``weighting="position"`` is the U-shaped industry scheme: first
+    and last in-horizon touch get 0.4 each, the middles split the
+    remaining 0.2 evenly (n=1 -> 1.0, n=2 -> 0.5/0.5); positions come
+    from the (ts, id)-sorted in-horizon list, so ties are
+    deterministic. Weights still sum to 1 per attributed conversion.
 
     ``frame="range"`` (default, the production shape): the collected
     touch list comes from a RANGE frame on epoch seconds bounded by
@@ -1171,6 +1179,10 @@ def attribute_multi_touch(
     """
     if frame not in ("range", "rows"):
         raise ValueError(f"frame must be 'range' or 'rows', got {frame!r}")
+    if weighting not in ("linear", "position"):
+        raise ValueError(
+            f"weighting must be 'linear' or 'position', got {weighting!r}"
+        )
     epoch = F.col(ts_col).cast("timestamp").cast("long")
     if frame == "range":
         wr = (
@@ -1215,6 +1227,33 @@ def attribute_multi_touch(
             F.col("_all"), lambda t: t["e"] >= F.col("_ce") - F.lit(max_gap_s)
         )
     n = F.size(in_h)
+    if weighting == "position":
+        # struct(e, id) sorts by (e, id) == (ts, id): positions are
+        # deterministic under same-epoch ties
+        out = conv.select(
+            key,
+            F.col(id_col).alias("conversion_id"),
+            n.cast("long").alias("n_touches"),
+            F.posexplode_outer(F.when(n > 0, F.array_sort(in_h))).alias(
+                "_p", "_t"
+            ),
+        )
+        nt = F.col("n_touches")
+        u_shape = (
+            F.when(nt == 1, F.lit(1.0))
+            .when(nt == 2, F.lit(0.5))
+            .when((F.col("_p") == 0) | (F.col("_p") == nt - 1), F.lit(0.4))
+            .otherwise(F.round(F.lit(0.2) / (nt - 2), round_to))
+        )
+        return out.select(
+            key,
+            "conversion_id",
+            F.coalesce(F.col("_t.id"), F.lit(-1)).alias("touch_id"),
+            F.when(F.col("_t.id").isNotNull(), u_shape)
+            .otherwise(F.lit(0.0))
+            .alias("weight"),
+            "n_touches",
+        )
     out = conv.select(
         key,
         F.col(id_col).alias("conversion_id"),

@@ -6786,6 +6786,61 @@ LEFT JOIN n ON n.conversion_id = c.conversion_id
 """
 
 
+def attr_position_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: first and
+    last in-horizon click take 0.4 each, middles split 0.2 evenly
+    (n=1 -> 1.0, n=2 -> 0.5/0.5) — the industry position scheme on the
+    same one-window-pass operator; positions come from the (ts, id)-
+    sorted in-horizon list, so same-epoch ties are deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.attribute_multi_touch(
+        ev,
+        key="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        id_col="event_id",
+        touch_type="click",
+        conv_type="purchase",
+        max_gap_s=3600,
+        weighting="position",
+    )
+
+
+SQL_ATTR_POSITION_TOUCH = """
+WITH c AS (
+  SELECT user_id, event_id AS conversion_id, ts AS cts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ce
+  FROM events WHERE event_type = 'purchase'
+), t AS (
+  SELECT user_id, event_id AS touch_id, ts AS tts,
+         CAST(floor(epoch(ts)) AS BIGINT) AS te
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT c.user_id, c.conversion_id, t.touch_id,
+         row_number() OVER (
+           PARTITION BY c.conversion_id ORDER BY t.tts, t.touch_id
+         ) AS p
+  FROM c JOIN t ON t.user_id = c.user_id
+   AND (t.tts, t.touch_id) <= (c.cts, c.conversion_id)
+   AND t.te >= c.ce - 3600
+), n AS (
+  SELECT conversion_id, CAST(count(*) AS BIGINT) AS n_touches
+  FROM j GROUP BY 1
+)
+SELECT c.user_id, c.conversion_id,
+  coalesce(j.touch_id, -1) AS touch_id,
+  CASE WHEN j.touch_id IS NULL THEN 0.0
+       WHEN n.n_touches = 1 THEN 1.0
+       WHEN n.n_touches = 2 THEN 0.5
+       WHEN j.p = 1 OR j.p = n.n_touches THEN 0.4
+       ELSE round(0.2 / (n.n_touches - 2), 9) END AS weight,
+  coalesce(n.n_touches, 0) AS n_touches
+FROM c
+LEFT JOIN j ON j.conversion_id = c.conversion_id
+LEFT JOIN n ON n.conversion_id = c.conversion_id
+"""
+
+
 def ts_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly OHLC downsampling per event type (the TSDB candlestick
     rollup): open/close are the first/last value in (ts, id) order via
@@ -7247,6 +7302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_left_interval_join": stream_left_interval_join,
     "lang_confusion": lang_confusion,
     "attr_multi_touch": attr_multi_touch,
+    "attr_position_touch": attr_position_touch,
     "ts_weekly_ohlc": ts_weekly_ohlc,
     "emb_minmax_normalized": emb_minmax_normalized,
     "stream_weekly_ohlc": stream_weekly_ohlc,
@@ -7444,6 +7500,7 @@ WHERE value % 2 = 0"""
     "stream_left_interval_join": SQL_STREAM_LEFT_INTERVAL,
     "lang_confusion": SQL_LANG_CONFUSION,
     "attr_multi_touch": SQL_ATTR_MULTI_TOUCH,
+    "attr_position_touch": SQL_ATTR_POSITION_TOUCH,
     "ts_weekly_ohlc": SQL_WEEKLY_OHLC,
     "emb_minmax_normalized": SQL_EMB_MINMAX,
     "stream_weekly_ohlc": SQL_STREAM_WEEKLY_OHLC,

@@ -1227,6 +1227,61 @@ def test_attribute_multi_touch_uniform_split(spark):
     assert [(r.touch_id, r.weight, r.n_touches) for r in by_conv[51]] == [(-1, 0.0, 0)]
 
 
+def test_attribute_multi_touch_position_weights(spark):
+    """U-shaped position weighting: first/last in-horizon touch take
+    0.4, middles split 0.2 evenly; n=2 -> 0.5/0.5, n=1 -> 1.0,
+    unattributed -> -1/0.0; weights sum to 1 per attributed conversion
+    and positions follow (ts, id) order including same-epoch ties."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import windows
+
+    rows = [
+        # user 1: four clicks in horizon, two at the SAME epoch (ids
+        # break the tie) -> 0.4, 0.1, 0.1, 0.4 in (ts, id) order
+        (1, 10, "click", 100),
+        (1, 11, "click", 150),
+        (1, 12, "click", 150),
+        (1, 13, "click", 200),
+        (1, 30, "purchase", 250),
+        # user 2: two clicks -> 0.5 each
+        (2, 20, "click", 40),
+        (2, 21, "click", 45),
+        (2, 40, "purchase", 50),
+        # user 3: one click -> 1.0
+        (3, 50, "click", 10),
+        (3, 51, "purchase", 20),
+        # user 4: none -> unattributed
+        (4, 60, "purchase", 99),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts long"
+    ).withColumn("ts", F.timestamp_seconds("ts"))
+    out = windows.attribute_multi_touch(
+        df, "user_id", "event_type", "ts", "event_id",
+        touch_type="click", conv_type="purchase", max_gap_s=1000,
+        weighting="position",
+    ).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r.conversion_id, []).append((r.touch_id, r.weight))
+    assert sorted(by_conv[30]) == [(10, 0.4), (11, 0.1), (12, 0.1), (13, 0.4)]
+    assert sorted(by_conv[40]) == [(20, 0.5), (21, 0.5)]
+    assert by_conv[51] == [(50, 1.0)]
+    assert by_conv[60] == [(-1, 0.0)]
+    for cid, ws in by_conv.items():
+        if ws[0][0] != -1:
+            assert abs(sum(w for _, w in ws) - 1.0) < 1e-9
+    import pytest
+
+    with pytest.raises(ValueError, match="weighting"):
+        windows.attribute_multi_touch(
+            df, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=1000,
+            weighting="u",
+        )
+
+
 def test_attribute_multi_touch_range_equals_rows_fold(spark):
     """The horizon-bounded RANGE frame (production default; per-row
     state O(in-horizon touches) by construction — round-6 verdict task
