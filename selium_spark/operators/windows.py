@@ -870,7 +870,14 @@ def robust_zscore_outliers(
     on the group key — one shuffle reused across stages; the
     med2/mad4 tables are one row per group and join back
     co-partitioned. A group's rows sort within one (spillable) task,
-    the standard constraint for exact rank statistics.
+    the standard constraint for exact rank statistics — note this
+    bounds PARALLELISM by group cardinality: with a handful of groups
+    (the mad_daily query's |event_type| = 5) the sort runs on 5 tasks
+    regardless of cluster size. Fine while per-group volume fits a
+    spillable task sort (the aggregated day-grain rows here); if a
+    low-cardinality group outgrows that, the in-repo escape hatch is
+    the :func:`global_rank` two-phase device (sampled range buckets +
+    broadcast offsets) applied per group for the rank steps.
     """
     dec_t = f"decimal(18,{scale_in})"
     g = F.col(group_col)
