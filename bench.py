@@ -135,6 +135,12 @@ HEADLINE = [
     "stream_weekly_ohlc",
     "emb_int8_quantized",
     "seq_top_paths",
+    # round 7: hot-bucket star branch, interp streaming twin,
+    # append-mode OHLC, U-shaped attribution
+    "dedup_simhash_hamming_star",
+    "stream_gapfill_interp",
+    "stream_weekly_ohlc_closed",
+    "attr_position_touch",
 ]
 
 
