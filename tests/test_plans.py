@@ -284,6 +284,18 @@ def test_remove_dup_spans_single_scan_and_no_cartesian(spark):
     assert not p.has_cartesian
 
 
+def test_hamming_star_single_scan_no_join(spark):
+    """band_bucket_pairs is a grouped-scan core, not a self-join: the
+    star-mode hamming query reads the corpus exactly ONCE (signatures
+    computed once — a self-join's two sides canonicalize as separate
+    subtrees and re-run the signature pipeline) and plans ZERO joins;
+    candidates come from per-bucket array combinatorics."""
+    p = plan_of(spark, "dedup_simhash_hamming_star")
+    assert len(p.read_schemas) == 1, p.read_schemas
+    assert not p.has_cartesian
+    assert p.n_sortmerge_joins == 0 and p.n_broadcast_joins == 0
+
+
 def test_dq_expectations_single_scan(spark):
     """All six expectation rules fold into ONE pass: exactly one
     parquet scan of lineitem, no cartesian, no join."""
