@@ -211,6 +211,7 @@ def banded_keys(
     bands: int = 4,
     shingle_n: int = 3,
     hash_fn: str = "md5",
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding stage: (id, band_id, band_key) rows — pure JVM
     expressions, so it runs identically on batch and streaming inputs
@@ -218,10 +219,18 @@ def banded_keys(
 
     With ``hash_fn="xxhash64"`` the band key is an xxhash64 over the
     band's minhash longs (8-byte key vs md5's 32-hex string — smaller
-    shuffle rows on top of the cheaper signature)."""
+    shuffle rows on top of the cheaper signature). ``sig_df`` reuses a
+    precomputed (pinned) :func:`minhash_signature` table instead of
+    recomputing the signature pipeline — the single-computation lesson
+    for callers that band the SAME signature more than one way (e.g.
+    the banding-recall evaluation)."""
     assert k % bands == 0, "k must divide into bands"
     r = k // bands
-    sig = minhash_signature(df, text_col, id_col, k, shingle_n, hash_fn=hash_fn)
+    sig = (
+        sig_df
+        if sig_df is not None
+        else minhash_signature(df, text_col, id_col, k, shingle_n, hash_fn=hash_fn)
+    )
     if hash_fn == "xxhash64":
         band_cols = [
             F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]).alias(f"band{b}")
@@ -258,6 +267,7 @@ def lsh_candidate_pairs(
     max_band_size: int | None = None,
     cap_mode: str = "group",
     hash_fn: str = "md5",
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split the k-signature into ``bands`` bands of
     r = k/bands rows; docs sharing any band key are candidates.
@@ -299,7 +309,9 @@ def lsh_candidate_pairs(
     persist+count barrier plus the count-aggregation job — use it when
     the corpus is known to carry mega-buckets.
     """
-    exploded = banded_keys(df, text_col, id_col, k, bands, shingle_n, hash_fn=hash_fn)
+    exploded = banded_keys(
+        df, text_col, id_col, k, bands, shingle_n, hash_fn=hash_fn, sig_df=sig_df
+    )
     if max_band_size is not None and cap_mode == "blacklist":
         # The band table is tiny (k hashes per doc) next to the corpus;
         # materialize it once rather than recompute the signature

@@ -1263,6 +1263,107 @@ WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE
 """
 
 
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-recall EVALUATION of the production LSH configuration
+    (the lang_confusion pattern: the heuristic is measured, not just
+    computed). Ground truth = exact-Jaccard-verified (>= 0.2) pairs
+    from the MAXIMAL-recall banding of the same 8-minhash signature —
+    8 bands x 1 row, which candidates any single matching minhash (the
+    4x2 production bands are a strict subset by pigeonhole, modulo the
+    shared bucket cap). Caught = truth pairs the production 4x2
+    banding also produces. One row: (n_true, n_caught, recall) — the
+    measured point on the MMDS r-vs-b S-curve for this corpus. The
+    pinned signature follows the blacklist-mode persist idiom (cache
+    lives until spark.catalog.clearCache, the remove_dup_spans
+    caveat); the dominant cost is the wide banding's candidate verify,
+    not the signature."""
+    docs = _t(spark, sf_dir, "documents")
+    # the 8-minhash signature is banded TWO ways — compute it once,
+    # pin it, and feed both bandings (the single-computation lesson)
+    sig = dedup.minhash_signature(docs, k=8, shingle_n=3).persist()
+    sig.count()
+    wide = dedup.lsh_candidate_pairs(
+        docs, k=8, bands=8, shingle_n=3, max_band_size=LSH_MAX_BAND, sig_df=sig
+    )
+    truth = dedup.ngram_jaccard_pairs(docs, wide, n=3, threshold=0.2).select(
+        "id_a", "id_b"
+    )
+    prod = dedup.lsh_candidate_pairs(
+        docs, k=8, bands=4, shingle_n=3, max_band_size=LSH_MAX_BAND, sig_df=sig
+    ).select("id_a", "id_b")
+    caught = truth.join(prod, ["id_a", "id_b"], "left_semi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true"))
+        .crossJoin(
+            F.broadcast(caught.agg(F.count(F.lit(1)).alias("n_caught")))
+        )
+        .select(
+            "n_true",
+            "n_caught",
+            F.round(
+                F.col("n_caught") / F.greatest(F.col("n_true"), F.lit(1)), 9
+            ).alias("recall"),
+        )
+    )
+
+
+SQL_LSH_RECALL = f"""
+WITH t AS (SELECT doc_id, {{SQL_TOKS}} AS toks FROM documents),
+g AS (SELECT doc_id, {{SQL_GRAMS3}} AS grams FROM t),
+h AS (SELECT doc_id, list_transform(grams, g -> md5(g || '#0') || md5(g || '#1')) AS hs FROM g),
+sig AS (SELECT doc_id, {", ".join(_sql_minhash(i) for i in range(8))} FROM h),
+wide AS (
+  SELECT doc_id, 0 AS band_id, md5(mh0) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh1) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh2) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh3) FROM sig
+  UNION ALL SELECT doc_id, 4, md5(mh4) FROM sig
+  UNION ALL SELECT doc_id, 5, md5(mh5) FROM sig
+  UNION ALL SELECT doc_id, 6, md5(mh6) FROM sig
+  UNION ALL SELECT doc_id, 7, md5(mh7) FROM sig
+),
+wkept AS (
+  SELECT doc_id, band_id, band_key FROM wide
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {LSH_MAX_BAND}
+),
+wpairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM wkept a JOIN wkept b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+truth AS (
+  SELECT id_a, id_b FROM wpairs
+  JOIN g ga ON ga.doc_id = id_a
+  JOIN g gb ON gb.doc_id = id_b
+  WHERE len(list_intersect(ga.grams, gb.grams))::DOUBLE
+      / greatest(len(list_distinct(ga.grams || gb.grams)), 1) >= 0.2
+),
+prodb AS (
+  SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key FROM sig
+  UNION ALL SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+  UNION ALL SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+  UNION ALL SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig
+),
+pkept AS (
+  SELECT doc_id, band_id, band_key FROM prodb
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_key) <= {LSH_MAX_BAND}
+),
+ppairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pkept a JOIN pkept b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+caught AS (SELECT id_a, id_b FROM truth WHERE (id_a, id_b) IN (SELECT (id_a, id_b) FROM ppairs))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       (SELECT CAST(count(*) AS BIGINT) FROM caught) AS n_caught,
+       round((SELECT count(*) FROM caught)::DOUBLE
+         / greatest((SELECT count(*) FROM truth), 1), 9) AS recall
+"""
+SQL_LSH_RECALL = SQL_LSH_RECALL.replace("{SQL_TOKS}", SQL_TOKS).replace(
+    "{SQL_GRAMS3}", SQL_GRAMS3
+)
+
+
 def dedup_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures (one md5 per token feeds all bits)."""
     return dedup.simhash(_t(spark, sf_dir, "documents"), n_bits=16)
@@ -7303,6 +7404,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_confusion": lang_confusion,
     "attr_multi_touch": attr_multi_touch,
     "attr_position_touch": attr_position_touch,
+    "dedup_lsh_recall": dedup_lsh_recall,
     "ts_weekly_ohlc": ts_weekly_ohlc,
     "emb_minmax_normalized": emb_minmax_normalized,
     "stream_weekly_ohlc": stream_weekly_ohlc,
@@ -7501,6 +7603,7 @@ WHERE value % 2 = 0"""
     "lang_confusion": SQL_LANG_CONFUSION,
     "attr_multi_touch": SQL_ATTR_MULTI_TOUCH,
     "attr_position_touch": SQL_ATTR_POSITION_TOUCH,
+    "dedup_lsh_recall": SQL_LSH_RECALL,
     "ts_weekly_ohlc": SQL_WEEKLY_OHLC,
     "emb_minmax_normalized": SQL_EMB_MINMAX,
     "stream_weekly_ohlc": SQL_STREAM_WEEKLY_OHLC,

@@ -196,6 +196,41 @@ def test_simhash_hamming_star_connectivity_equivalent(spark):
     ]
 
 
+def test_banded_keys_sig_df_reuse_and_banding_recall_gap(spark):
+    """banded_keys/lsh_candidate_pairs accept a precomputed signature
+    table (sig_df), and the 8x1 banding candidates a pair that shares
+    ONE minhash while the production 4x2 banding misses it — the
+    mechanical recall gap dedup_lsh_recall measures (caught only when
+    an ALIGNED minhash pair matches)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import dedup
+
+    mh = lambda i, j: f"{i:08x}{j:08x}"  # noqa: E731
+    rows = [
+        # A and B share mh0 ONLY -> wide candidates, prod misses
+        Row(doc_id=1, **{f"mh{k}": (mh(0, 0) if k == 0 else mh(1, k)) for k in range(8)}),
+        Row(doc_id=2, **{f"mh{k}": (mh(0, 0) if k == 0 else mh(2, k)) for k in range(8)}),
+        # C and D share the aligned band (mh2, mh3) -> both catch
+        Row(doc_id=3, **{f"mh{k}": (mh(9, k) if k in (2, 3) else mh(3, k)) for k in range(8)}),
+        Row(doc_id=4, **{f"mh{k}": (mh(9, k) if k in (2, 3) else mh(4, k)) for k in range(8)}),
+    ]
+    sig = spark.createDataFrame(rows)
+    docs = sig.select("doc_id").withColumn("text", F.lit("unused"))
+
+    def pairs(bands):
+        return {
+            (r.id_a, r.id_b)
+            for r in dedup.lsh_candidate_pairs(
+                docs, k=8, bands=bands, sig_df=sig
+            ).collect()
+        }
+
+    assert pairs(8) == {(1, 2), (3, 4)}
+    assert pairs(4) == {(3, 4)}  # the one-minhash pair is missed
+
+
 def test_unigram_logppl_hand_corpus(spark):
     import math
 
