@@ -510,9 +510,6 @@ def test_streaming_funnel_matches_batch_fold(spark, tmp_path, state_buckets):
     assert got == want and len(got) > 0
 
 
-import pytest
-
-
 @pytest.mark.parametrize("state_buckets", [None, 4])
 def test_streaming_scd2_matches_batch_history(spark, tmp_path, state_buckets):
     """Two event-time-ordered micro-batches drive the per-key SCD2
@@ -653,9 +650,6 @@ def test_request_reply_rtt_measured(spark, tmp_path):
         assert p50 < 30
     finally:
         q.stop()
-
-
-import pytest
 
 
 @pytest.mark.parametrize("state_buckets", [None, 4])
