@@ -180,6 +180,8 @@ _INTENTIONAL_CARTESIAN = {
     "text_pmi_collocations",         # 1-row bigram-total scalar crossed
                                      # into the pair table
     "emb_minmax_normalized",         # 1-row per-dim min/max stat arrays
+    "dedup_lsh_recall",              # two 1-row eval counters crossed
+                                     # into the (n_true, n_caught) row
                                      # crossed into the embeddings scan
     "emb_int8_quantized",            # same minmax stats cross (builds on
                                      # minmax_normalize)
