@@ -110,6 +110,13 @@ QUERY_SET = [
     "ts_weekly_ohlc",
     "lang_confusion",
     "dq_expectations",
+    # round 7: star-capped hamming bands (the 10x replication makes
+    # every doc a 10-fold duplicate — exactly the swarm the star mode
+    # collapses), the position-weight explode, and the two-banding
+    # recall evaluation
+    "dedup_simhash_hamming_star",
+    "attr_position_touch",
+    "dedup_lsh_recall",
 ]
 
 
