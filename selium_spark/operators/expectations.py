@@ -22,6 +22,7 @@ structural half in this engine.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -87,7 +88,16 @@ def expect_unique_approx(*cols: str, max_dup_frac: float = 0.0) -> Expectation:
     not 0.0). The estimator is md5-deterministic, so the same corpus
     always yields the same metric (and the DuckDB oracle reproduces it
     bit-for-bit); the bound is about closeness to TRUTH, not run-to-
-    run noise. Composite keys hash the '|'-joined string forms."""
+    run noise. Composite keys hash the '|'-joined string forms.
+
+    NULL keys: a row whose key columns are ALL NULL feeds no register
+    — operand-for-operand parity with sketches.hll_register_updates,
+    where md5 of a NULL cast is NULL and updates nothing (round-7
+    advice; concat_ws alone would coalesce to '' and hash a phantom
+    value). Note this differs from :func:`expect_unique`, whose exact
+    ``count_distinct(struct(...))`` counts the all-NULL tuple as one
+    distinct value; all-NULL rows still count toward ``n`` in the
+    duplicate fraction either way."""
     return Expectation(
         "unique_approx:" + ",".join(cols),
         max_dup_frac,
@@ -116,7 +126,23 @@ def validate_expectations(
     helper_cols = []
     for i, r in enumerate(rules):
         if r.approx:
-            h = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in r.unique_cols]))
+            # rows where EVERY key col is NULL must not feed a register
+            # (matching sketches.hll_register_updates, where md5 of a
+            # NULL cast is NULL and updates nothing; concat_ws alone
+            # would coalesce them to '' and hash a phantom value —
+            # round-7 advice). Any non-null component keeps the row.
+            any_non_null = reduce(
+                lambda a, b: a | b,
+                [F.col(c).isNotNull() for c in r.unique_cols],
+            )
+            h = F.md5(
+                F.when(
+                    any_non_null,
+                    F.concat_ws(
+                        "|", *[F.col(c).cast("string") for c in r.unique_cols]
+                    ),
+                )
+            )
             helper_cols.append(
                 (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M).alias(
                     f"_ux{i}b"

@@ -582,6 +582,12 @@ def streaming_funnel(
             state.setTimeoutTimestamp(far)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if key[0] is None or pd.isna(key[0]):
+            # null-key drop-and-count: mirrors _bucketed_fold's policy
+            # so both state layouts stay output-identical
+            if late_counter is not None:
+                late_counter.add(sum(len(p) for p in pdfs))
+            return
         if state.exists:
             step, t_prev_us = state.get
         else:
@@ -643,7 +649,13 @@ def streaming_funnel(
         n_late = 0
         parts = [p for p in pdfs if len(p)]
         if parts:
-            for k, g in pd.concat(parts).groupby("user", sort=False):
+            for k, g in pd.concat(parts).groupby(
+                "user", sort=False, dropna=False
+            ):
+                if pd.isna(k):
+                    # null-key drop-and-count: _bucketed_fold policy
+                    n_late += len(g)
+                    continue
                 i = index.get(k)
                 if i is None:
                     index[k] = i = len(ks)
@@ -832,6 +844,11 @@ def streaming_scd2(
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if key[0] is None or pd.isna(key[0]):
+            # null-key drop-and-count: mirrors _bucketed_fold's policy
+            if late_counter is not None:
+                late_counter.add(sum(len(p) for p in pdfs))
+            return
         st = state.get if state.exists else (None, None)
         parts = [p for p in pdfs if len(p)]
         if not parts:
@@ -970,6 +987,11 @@ def streaming_gapfill_locf(
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if key[0] is None or pd.isna(key[0]):
+            # null-key drop-and-count: mirrors _bucketed_fold's policy
+            if late_counter is not None:
+                late_counter.add(sum(len(p) for p in pdfs))
+            return
         if state.exists:
             cur_p, cur_ts_us, cur_tb, cur_val = state.get
         else:
@@ -1109,7 +1131,13 @@ def streaming_gapfill_locf(
         n_late_total = 0
         parts = [p for p in pdfs if len(p)]
         if parts:
-            for k, g in pd.concat(parts).groupby("key", sort=False):
+            for k, g in pd.concat(parts).groupby(
+                "key", sort=False, dropna=False
+            ):
+                if pd.isna(k):
+                    # null-key drop-and-count: _bucketed_fold policy
+                    n_late_total += len(g)
+                    continue
                 i = index.get(k)
                 st = (
                     (a_p[i], a_ts[i], a_tb[i], a_val[i])
@@ -1358,6 +1386,11 @@ def streaming_gapfill_interp(
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if key[0] is None or pd.isna(key[0]):
+            # null-key drop-and-count: mirrors _bucketed_fold's policy
+            if late_counter is not None:
+                late_counter.add(sum(len(p) for p in pdfs))
+            return
         st = state.get if state.exists else fresh
         parts = [p for p in pdfs if len(p)]
         if not parts:
@@ -1424,6 +1457,15 @@ def _bucketed_fold(
     update — bounded by bucket count at any key cardinality.
     Incompatible with per-key event-time timers (timers fire per
     GROUP), so callers with timeout paths must gate it.
+
+    Null-key policy (round-7 advice): rows whose key is NULL or not
+    long-castable cannot live in the ``array<long>`` parallel-array
+    state — they are DROPPED and counted into ``late_counter``
+    (pandas ``groupby(dropna=False)`` surfaces them as one NaN group;
+    the default dropna=True would discard them SILENTLY). The per-key
+    layouts apply the same drop-and-count in their fns, so the two
+    layouts stay output-identical on null-bearing corpora (the dq
+    suite tolerates up to 2% null user_ids).
     """
     fields = [f.strip() for f in state_cols.split(",")]
     arr_struct = "keys array<long>, " + ", ".join(
@@ -1447,7 +1489,12 @@ def _bucketed_fold(
             return
         frames = []
         n_late_total = 0
-        for k, g in pd.concat(parts).groupby("_key", sort=False):
+        for k, g in pd.concat(parts).groupby("_key", sort=False, dropna=False):
+            if pd.isna(k):
+                # null / non-long-castable keys: drop-and-count (see
+                # the null-key policy in the docstring)
+                n_late_total += len(g)
+                continue
             i = index.get(k)
             st = tuple(c[i] for c in scalars) if i is not None else fresh_state
             out, new_st, n_late = fold(g, st)
@@ -1617,6 +1664,11 @@ def streaming_cusum(
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if key[0] is None or pd.isna(key[0]):
+            # null-key drop-and-count: mirrors _bucketed_fold's policy
+            if late_counter is not None:
+                late_counter.add(sum(len(p) for p in pdfs))
+            return
         st = state.get if state.exists else (None, 0, 0, 0, BIG)
         parts = [p for p in pdfs if len(p)]
         if not parts:
@@ -1783,6 +1835,11 @@ def streaming_ewma_level(
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if key[0] is None or pd.isna(key[0]):
+            # null-key drop-and-count: mirrors _bucketed_fold's policy
+            if late_counter is not None:
+                late_counter.add(sum(len(p) for p in pdfs))
+            return
         st = state.get if state.exists else fresh
         parts = [p for p in pdfs if len(p)]
         if not parts:

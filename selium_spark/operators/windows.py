@@ -1168,10 +1168,16 @@ def attribute_multi_touch(
     touch list comes from a RANGE frame on epoch seconds bounded by
     ``max_gap_s``, so per-row window state is O(in-horizon touches) BY
     CONSTRUCTION — a hot key with years of touch history carries only
-    the horizon's worth per row. Strictly-prior tie semantics (a touch
-    at the conversion's own epoch counts only with a lower id, i.e.
-    earlier in (ts, id) order) are restored with a post-filter, making
-    the output IDENTICAL to the rows-frame fold on every input.
+    the horizon's worth per row. The second-truncated RANGE frame is
+    only the SUPERSET bound; strictly-prior tie semantics are restored
+    with a post-filter on the touch's FULL-PRECISION microsecond epoch
+    and id — ``(ts_us, id) < (conv ts_us, conv id)`` — so a touch in
+    the conversion's own wall-clock second resolves by sub-second
+    order first, id second, exactly the ``(ts, id)`` total order the
+    rows fold walks. This makes the output identical to the rows-frame
+    fold on every input, INCLUDING sub-second timestamps (comparing
+    truncated epochs here would mis-handle same-second touches whose
+    sub-second order disagrees with id order).
 
     ``frame="rows"`` is that reference fold — a running ordered
     collect of every prior touch, horizon-filtered at each conversion
@@ -1191,6 +1197,11 @@ def attribute_multi_touch(
             f"weighting must be 'linear' or 'position', got {weighting!r}"
         )
     epoch = F.col(ts_col).cast("timestamp").cast("long")
+    # full-precision microsecond epoch: tie resolution and position
+    # order must follow the REAL (ts, id) total order — the oracle
+    # compares (tts, touch_id) at timestamp precision — not the
+    # second-truncated epoch the RANGE frame is forced to bound on
+    epoch_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     if frame == "range":
         wr = (
             Window.partitionBy(key)
@@ -1199,21 +1210,27 @@ def attribute_multi_touch(
         )
         touch = F.when(
             F.col(type_col) == touch_type,
-            F.struct(F.col("_ce").alias("e"), F.col(id_col).alias("id")),
+            F.struct(
+                F.col("_ce").alias("e"),
+                F.col("_ceu").alias("eu"),
+                F.col(id_col).alias("id"),
+            ),
         )
         conv = (
             df.withColumn("_ce", epoch)
+            .withColumn("_ceu", epoch_us)
             .withColumn("_all", F.collect_list(touch).over(wr))
             .where(F.col(type_col) == conv_type)
         )
-        # the RANGE frame is value-bounded, so it also admits touches
-        # AT the conversion's epoch that sort after it by id; the
-        # strictly-prior-in-(ts,id)-order filter keeps tie semantics
-        # identical to the rows fold
+        # the second-truncated RANGE frame is value-bounded, so it
+        # also admits touches in the conversion's own second that sort
+        # AFTER it; the strictly-prior filter on the full-precision
+        # (eu, id) order keeps tie semantics identical to the rows
+        # fold even when sub-second order disagrees with id order
         in_h = F.filter(
             F.col("_all"),
-            lambda t: (t["e"] < F.col("_ce"))
-            | ((t["e"] == F.col("_ce")) & (t["id"] < F.col(id_col))),
+            lambda t: (t["eu"] < F.col("_ceu"))
+            | ((t["eu"] == F.col("_ceu")) & (t["id"] < F.col(id_col))),
         )
     else:
         w = (
@@ -1223,7 +1240,9 @@ def attribute_multi_touch(
         )
         touch = F.when(
             F.col(type_col) == touch_type,
-            F.struct(epoch.alias("e"), F.col(id_col).alias("id")),
+            F.struct(
+                epoch.alias("e"), epoch_us.alias("eu"), F.col(id_col).alias("id")
+            ),
         )
         conv = (
             df.withColumn("_all", F.collect_list(touch).over(w))
@@ -1235,8 +1254,9 @@ def attribute_multi_touch(
         )
     n = F.size(in_h)
     if weighting == "position":
-        # struct(e, id) sorts by (e, id) == (ts, id): positions are
-        # deterministic under same-epoch ties
+        # struct(e, eu, id) sorts by (e, eu, id) == full-precision
+        # (ts, id), since e is eu's second truncation: positions match
+        # the oracle's ORDER BY (tts, touch_id) even on sub-second ties
         out = conv.select(
             key,
             F.col(id_col).alias("conversion_id"),

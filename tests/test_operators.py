@@ -1160,6 +1160,29 @@ def test_expect_unique_approx_composes_with_other_rules(spark):
     eout = X.validate_expectations(empty, rules).collect()
     assert all(r.ok and r.n_rows == 0 and r.metric == 0.0 for r in eout)
 
+    # NULL keys feed no register (round-7 advice: parity with
+    # hll_register_updates, where md5 of a NULL cast updates nothing;
+    # concat_ws alone would hash '' as a phantom value): adding
+    # all-NULL-key rows leaves the backed-out ESTIMATE unchanged —
+    # only n, the duplicate-fraction denominator, moves
+    with_nulls = df.unionByName(
+        spark.range(500).selectExpr(
+            "CAST(NULL AS BIGINT) AS k",
+            "CAST(NULL AS BIGINT) AS dup_k",
+            "CAST(0.0 AS DOUBLE) AS v",
+        )
+    )
+    nr = (
+        X.validate_expectations(
+            with_nulls, [X.expect_unique_approx("k", max_dup_frac=0.2)]
+        )
+        .collect()[0]
+    )
+    assert nr.n_rows == 2500
+    # 500 nulls push n past the (unchanged) estimate, so the clamp at
+    # zero no longer hides it and the estimate backs out exactly
+    assert abs(2500 * (1 - nr.metric) - est) < 1e-3
+
 
 def test_attribute_first_touch_mode(spark):
     """mode='first' picks the EARLIEST prior touch; invalid mode
@@ -1339,3 +1362,52 @@ def test_attribute_multi_touch_range_equals_rows_fold(spark):
             touch_type="click", conv_type="purchase", max_gap_s=10,
             frame="bogus",
         )
+
+
+def test_attribute_multi_touch_subsecond_ties(spark):
+    """SUB-SECOND tie semantics (round-7 advice, medium): touches in
+    the conversion's own wall-clock SECOND must resolve by the
+    full-precision (ts, id) order — the order the rows fold walks and
+    the oracle's (tts, touch_id) comparison uses — not by the
+    second-truncated epoch the RANGE frame bounds on. The corpus makes
+    truncated-second order DISAGREE with id order both ways: a
+    lower-id touch 250ms AFTER the conversion (must NOT count) and a
+    higher-id touch 250ms BEFORE it (must count)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import windows
+
+    rows = [
+        # conversion at 100.500s; all three touches share second 100
+        (1, 20, "click", 100_250_000),    # before conv, higher id -> counts
+        (1, 15, "purchase", 100_500_000),
+        (1, 10, "click", 100_750_000),    # after conv, lower id -> excluded
+        (1, 12, "click", 100_500_000),    # same MICROsecond, lower id -> counts
+        # key 2: position weighting across a sub-second straddle —
+        # full-precision order is (31, 33, 32), NOT id order
+        (2, 33, "click", 200_400_000),
+        (2, 31, "click", 200_100_000),
+        (2, 32, "click", 200_900_000),
+        (2, 40, "purchase", 201_000_000),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, us long"
+    ).withColumn("ts", F.timestamp_micros("us")).drop("us")
+
+    def run(frame, weighting="linear"):
+        out = windows.attribute_multi_touch(
+            df, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=1000,
+            frame=frame, weighting=weighting,
+        )
+        return sorted(map(tuple, out.collect()))
+
+    got = run("range")
+    assert got == run("rows")
+    assert sorted(t[2] for t in got if t[1] == 15) == [12, 20]
+    pos = run("range", "position")
+    assert pos == run("rows", "position")
+    # U-shape follows full-precision time order: first=31, last=32
+    w = {t[2]: t[3] for t in pos if t[1] == 40}
+    assert w == {31: 0.4, 32: 0.4, 33: pytest.approx(0.2)}

@@ -1535,3 +1535,56 @@ def test_streaming_ewma_matches_batch_fold(spark, tmp_path, state_buckets):
         for r in windows.ewma_level(ev, "ts", "user_id", "value", alpha=0.25).collect()
     }
     assert got == want and len(got) >= 10
+
+
+@pytest.mark.parametrize("state_buckets", [None, 4])
+def test_streaming_fold_null_keys_dropped_and_counted(
+    spark, tmp_path, state_buckets
+):
+    """Null-key policy (round-7 advice): rows with a NULL key are
+    DROPPED AND COUNTED into late_counter by BOTH state layouts — the
+    per-key layout would otherwise fold a null-key group while the
+    bucketed layout's pandas groupby (default dropna=True) silently
+    discarded it, breaking the output-identical contract between
+    layouts on null-bearing corpora (the dq suite tolerates up to 2%
+    null user_ids)."""
+    from selium_spark import Engine
+    from selium_spark.operators import stateful
+    from selium_spark.streaming.replay import replay_to_memory
+
+    src = str(tmp_path / "ev")
+    _write_keyed_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-01 00:00:00", 1, 10.0),
+            (None, "2024-01-01 00:30:00", 2, 99.0),
+            (2, "2024-01-01 01:00:00", 3, 20.0),
+        ],
+    )
+    _write_keyed_events(
+        spark,
+        src,
+        [
+            (1, "2024-01-03 00:00:00", 4, 11.0),
+            (None, "2024-01-02 00:30:00", 5, 77.0),
+        ],
+    )
+    schema = spark.read.parquet(src).schema
+    eng = Engine(spark)
+    acc = eng.late_counter(f"nullkey_{state_buckets}")
+
+    snap = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_gapfill_locf(
+            s, "user_id", "ts", "value", "event_id", grain="day",
+            state_buckets=state_buckets, late_counter=acc,
+        ),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=4,
+    )
+    assert {r.key for r in snap.select("key").distinct().collect()} == {1, 2}
+    assert acc.value == 2
