@@ -141,6 +141,9 @@ HEADLINE = [
     "stream_gapfill_interp",
     "stream_weekly_ohlc_closed",
     "attr_position_touch",
+    # round 8: the repo's most expensive batch query joins the bench
+    # (r7 verdict task #4 — was scale-set-only, invisible to BENCH)
+    "dedup_lsh_recall",
 ]
 
 

@@ -1272,38 +1272,50 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     4x2 production bands are a strict subset by pigeonhole, modulo the
     shared bucket cap). Caught = truth pairs the production 4x2
     banding also produces. One row: (n_true, n_caught, recall) — the
-    measured point on the MMDS r-vs-b S-curve for this corpus. The
-    pinned signature follows the blacklist-mode persist idiom (cache
-    lives until spark.catalog.clearCache, the remove_dup_spans
-    caveat); the dominant cost is the wide banding's candidate verify,
-    not the signature."""
+    measured point on the MMDS r-vs-b S-curve for this corpus.
+
+    Evaluation runs EAGERLY inside this callable (round-7 verdict task
+    #4): the shared signature and the verified truth set are persisted
+    for exactly the two jobs that consume them and unpersisted in a
+    ``finally`` — no session-lifetime cache pin across repeated
+    suite/bench invocations (the prior blacklist-mode persist idiom
+    leaked until clearCache). The two counts it returns are scalars,
+    so the result ships as a one-row local relation; the bench harness
+    times the whole callable, so nothing escapes measurement."""
     docs = _t(spark, sf_dir, "documents")
     # the 8-minhash signature is banded TWO ways — compute it once,
     # pin it, and feed both bandings (the single-computation lesson)
     sig = dedup.minhash_signature(docs, k=8, shingle_n=3).persist()
-    sig.count()
-    wide = dedup.lsh_candidate_pairs(
-        docs, k=8, bands=8, shingle_n=3, max_band_size=LSH_MAX_BAND, sig_df=sig
-    )
-    truth = dedup.ngram_jaccard_pairs(docs, wide, n=3, threshold=0.2).select(
-        "id_a", "id_b"
-    )
-    prod = dedup.lsh_candidate_pairs(
-        docs, k=8, bands=4, shingle_n=3, max_band_size=LSH_MAX_BAND, sig_df=sig
-    ).select("id_a", "id_b")
-    caught = truth.join(prod, ["id_a", "id_b"], "left_semi")
-    return (
-        truth.agg(F.count(F.lit(1)).alias("n_true"))
-        .crossJoin(
-            F.broadcast(caught.agg(F.count(F.lit(1)).alias("n_caught")))
+    truth = None
+    try:
+        sig.count()  # materialize BEFORE the two consumers fan out
+        wide = dedup.lsh_candidate_pairs(
+            docs, k=8, bands=8, shingle_n=3,
+            max_band_size=LSH_MAX_BAND, sig_df=sig,
         )
-        .select(
-            "n_true",
-            "n_caught",
-            F.round(
-                F.col("n_caught") / F.greatest(F.col("n_true"), F.lit(1)), 9
-            ).alias("recall"),
+        truth = (
+            dedup.ngram_jaccard_pairs(docs, wide, n=3, threshold=0.2)
+            .select("id_a", "id_b")
+            .persist()
         )
+        prod = dedup.lsh_candidate_pairs(
+            docs, k=8, bands=4, shingle_n=3,
+            max_band_size=LSH_MAX_BAND, sig_df=sig,
+        ).select("id_a", "id_b")
+        n_true = truth.count()
+        n_caught = truth.join(prod, ["id_a", "id_b"], "left_semi").count()
+    finally:
+        sig.unpersist()
+        if truth is not None:
+            truth.unpersist()
+    return spark.createDataFrame(
+        [(n_true, n_caught)], "n_true long, n_caught long"
+    ).select(
+        "n_true",
+        "n_caught",
+        F.round(
+            F.col("n_caught") / F.greatest(F.col("n_true"), F.lit(1)), 9
+        ).alias("recall"),
     )
 
 
