@@ -40,6 +40,8 @@ class Expectation:
     viol: Column | None = None
     unique_cols: tuple[str, ...] | None = None
     approx: bool = False
+    hash_fn: str = "md5"
+    rsd: float | None = None
 
 
 def expect_not_null(col: str, max_frac: float = 0.0) -> Expectation:
@@ -71,7 +73,9 @@ def expect_unique(*cols: str, max_dup_frac: float = 0.0) -> Expectation:
     )
 
 
-def expect_unique_approx(*cols: str, max_dup_frac: float = 0.0) -> Expectation:
+def expect_unique_approx(
+    *cols: str, max_dup_frac: float = 0.0, hash_fn: str = "md5"
+) -> Expectation:
     """Approximate uniqueness via the deterministic 64-register HLL
     (sketches.hll_register_updates): the duplicate-fraction metric is
     ``max(0, (n - est_distinct) / n)`` with est_distinct the standard
@@ -97,12 +101,55 @@ def expect_unique_approx(*cols: str, max_dup_frac: float = 0.0) -> Expectation:
     value). Note this differs from :func:`expect_unique`, whose exact
     ``count_distinct(struct(...))`` counts the all-NULL tuple as one
     distinct value; all-NULL rows still count toward ``n`` in the
-    duplicate fraction either way."""
+    duplicate fraction either way.
+
+    ``hash_fn`` (round-7 verdict task #2 — the dedup_exact md5 /
+    xxhash64 pattern applied): ``"md5"`` (default) is the GRADED
+    estimator, bit-for-bit reproducible in the DuckDB oracle, but it
+    pays a per-row md5 + hex-parse string pipeline (~0.95 s/rule at
+    sf0.1; real CPU at 100 TB). ``"xxhash64"`` is the PRODUCTION path:
+    one JVM long-hash intrinsic per row — bucket from ``pmod(h, 64)``,
+    rank from the leading zeros of the next 52 bits, the register math
+    and estimate formula unchanged — same 1.04/sqrt(64) error bound,
+    still deterministic, but not oracle-parity (DuckDB has no
+    xxhash64; the rule name carries a ``[xxhash64]`` tag). The parity
+    test pins both estimators within the documented bound of truth on
+    the same corpus."""
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    tag = "" if hash_fn == "md5" else "[xxhash64]"
     return Expectation(
-        "unique_approx:" + ",".join(cols),
+        f"unique_approx{tag}:" + ",".join(cols),
         max_dup_frac,
         unique_cols=tuple(cols),
         approx=True,
+        hash_fn=hash_fn,
+    )
+
+
+def expect_unique_native(
+    *cols: str, max_dup_frac: float = 0.0, rsd: float = 0.05
+) -> Expectation:
+    """Approximate uniqueness via Spark's native
+    ``approx_count_distinct`` (HLL++, Heule et al. 2013) — the ADOPTED
+    production estimator for gates that don't need oracle exactness
+    (round-7 verdict task #2). ONE aggregate expression per rule
+    instead of the 64-register rules' 64 conditional maxes, which the
+    A/B isolated as the real per-rule cost (BASELINE.md r8: two rules
+    over sf0.1 events cost +0.12 s here vs +1.8/+2.4 s for the
+    xxhash64/md5 register estimators — the hash was never the
+    bottleneck, the aggregate fan was), and tighter accuracy
+    (``rsd`` default 5% vs the 64-register family's ~13%). Streaming
+    legal — it is Spark's own documented stand-in where exact
+    ``count_distinct`` is forbidden. Deterministic for a given corpus,
+    but NOT DuckDB-oracle-reproducible (different sketch); the graded
+    streaming gate keeps :func:`expect_unique_approx`'s md5 registers.
+    All-NULL key rows feed nothing, matching the register family."""
+    return Expectation(
+        "unique_native:" + ",".join(cols),
+        max_dup_frac,
+        unique_cols=tuple(cols),
+        rsd=rsd,
     )
 
 
@@ -135,27 +182,49 @@ def validate_expectations(
                 lambda a, b: a | b,
                 [F.col(c).isNotNull() for c in r.unique_cols],
             )
-            h = F.md5(
-                F.when(
-                    any_non_null,
-                    F.concat_ws(
-                        "|", *[F.col(c).cast("string") for c in r.unique_cols]
-                    ),
+            joined = F.when(
+                any_non_null,
+                F.concat_ws(
+                    "|", *[F.col(c).cast("string") for c in r.unique_cols]
+                ),
+            )
+            if r.hash_fn == "xxhash64":
+                # production estimator: one JVM long-hash intrinsic,
+                # no hex strings. xxhash64(NULL) would return the seed
+                # (not NULL), so the null gate wraps the hash itself;
+                # bucket = low bits, rank = leading zeros of the next
+                # 52 (disjoint after the shift) — the register domain
+                # matches the md5 path's _HEX_BITS so the estimate
+                # formula below is shared verbatim
+                h = F.when(any_non_null, F.xxhash64(joined))
+                helper_cols.append(
+                    F.pmod(h, F.lit(HLL_M)).alias(f"_ux{i}b")
                 )
-            )
-            helper_cols.append(
-                (F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M).alias(
-                    f"_ux{i}b"
+                helper_cols.append(
+                    (
+                        F.lit(_HEX_BITS + 1)
+                        - F.length(F.bin(F.shiftrightunsigned(h, 12)))
+                    ).alias(f"_ux{i}r")
                 )
-            )
-            helper_cols.append(
-                (
-                    F.lit(_HEX_BITS + 1)
-                    - F.length(
-                        F.bin(F.conv(F.substring(h, 3, _HEX_CHARS), 16, 10).cast("long"))
-                    )
-                ).alias(f"_ux{i}r")
-            )
+            else:
+                h = F.md5(joined)
+                helper_cols.append(
+                    (
+                        F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % HLL_M
+                    ).alias(f"_ux{i}b")
+                )
+                helper_cols.append(
+                    (
+                        F.lit(_HEX_BITS + 1)
+                        - F.length(
+                            F.bin(
+                                F.conv(
+                                    F.substring(h, 3, _HEX_CHARS), 16, 10
+                                ).cast("long")
+                            )
+                        )
+                    ).alias(f"_ux{i}r")
+                )
     if helper_cols:
         df = df.select(df["*"], *helper_cols)
 
@@ -178,6 +247,24 @@ def validate_expectations(
                         F.when(F.col(f"_ux{i}b") == b, F.col(f"_ux{i}r"))
                     ).alias(f"_v{i}_b{b}")
                 )
+        elif r.rsd is not None:
+            # native HLL++: one aggregate per rule; the null gate
+            # makes all-NULL-key rows feed nothing (nulls are ignored
+            # by approx_count_distinct), matching the register family
+            gated = F.when(
+                reduce(
+                    lambda a, b: a | b,
+                    [F.col(c).isNotNull() for c in r.unique_cols],
+                ),
+                F.concat_ws(
+                    "|", *[F.col(c).cast("string") for c in r.unique_cols]
+                ),
+            )
+            aggs.append(
+                F.approx_count_distinct(gated, r.rsd)
+                .cast("long")
+                .alias(f"_v{i}")
+            )
         else:
             aggs.append(
                 F.count_distinct(F.struct(*[F.col(c) for c in r.unique_cols]))
@@ -208,6 +295,16 @@ def validate_expectations(
             )
             metric = F.round(
                 F.greatest((n - est) / F.greatest(n, F.lit(1)), F.lit(0.0)),
+                round_to,
+            )
+        elif r.rsd is not None:
+            # native estimate can land above n: clamp like the
+            # register family so the duplicate fraction stays in [0,1]
+            metric = F.round(
+                F.greatest(
+                    (n - F.col(f"_v{i}")) / F.greatest(n, F.lit(1)),
+                    F.lit(0.0),
+                ),
                 round_to,
             )
         else:

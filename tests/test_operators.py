@@ -1184,6 +1184,63 @@ def test_expect_unique_approx_composes_with_other_rules(spark):
     assert abs(2500 * (1 - nr.metric) - est) < 1e-3
 
 
+def test_expect_unique_approx_xxhash64_production_path(spark):
+    """hash_fn='xxhash64' (round-7 verdict task #2, the dedup_exact
+    md5/xxhash64 pattern): the production estimator — one JVM
+    long-hash intrinsic per row instead of the md5 hex-string pipeline
+    — agrees with the graded md5 estimator within the documented
+    1.04/sqrt(64) ~ 13% bound of TRUTH on the same corpus, shares the
+    register math verbatim, skips all-NULL keys identically, and keeps
+    a distinct rule name so both variants compose in one aggregate."""
+    import pytest
+
+    from selium_spark.operators import expectations as X
+
+    n, distinct = 20_000, 3_000
+    df = spark.range(n).selectExpr(f"id % {distinct} AS k")
+    rules = [
+        X.expect_unique_approx("k", max_dup_frac=0.95),
+        X.expect_unique_approx("k", max_dup_frac=0.95, hash_fn="xxhash64"),
+    ]
+    out = {r.rule: r for r in X.validate_expectations(df, rules).collect()}
+    assert set(out) == {"unique_approx:k", "unique_approx[xxhash64]:k"}
+    est_md5 = n * (1 - out["unique_approx:k"].metric)
+    est_xx = n * (1 - out["unique_approx[xxhash64]:k"].metric)
+    # both within the documented relative error of truth (3 sigma)
+    assert abs(est_md5 - distinct) / distinct < 3 * 0.13
+    assert abs(est_xx - distinct) / distinct < 3 * 0.13
+
+    # all-NULL keys feed no register on the production path either:
+    # the estimate is unchanged, only the denominator moves
+    with_nulls = df.unionByName(
+        spark.range(500).selectExpr("CAST(NULL AS BIGINT) AS k")
+    )
+    nr = (
+        X.validate_expectations(
+            with_nulls,
+            [X.expect_unique_approx("k", max_dup_frac=0.95, hash_fn="xxhash64")],
+        )
+        .collect()[0]
+    )
+    assert nr.n_rows == n + 500
+    assert abs((n + 500) * (1 - nr.metric) - est_xx) < 1e-3
+
+    with pytest.raises(ValueError):
+        X.expect_unique_approx("k", hash_fn="sha1")
+
+    # the ADOPTED production estimator (native HLL++, one aggregate
+    # per rule): within its tighter documented rsd of truth
+    nat = (
+        X.validate_expectations(
+            df, [X.expect_unique_native("k", max_dup_frac=0.9)]
+        )
+        .collect()[0]
+    )
+    assert nat.rule == "unique_native:k"
+    est_nat = n * (1 - nat.metric)
+    assert abs(est_nat - distinct) / distinct < 3 * 0.05
+
+
 def test_attribute_first_touch_mode(spark):
     """mode='first' picks the EARLIEST prior touch; invalid mode
     raises."""
