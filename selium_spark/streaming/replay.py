@@ -78,9 +78,16 @@ def replay_to_memory(
             query.awaitTermination(timeout_s)
             if query.isActive:
                 query.stop()
-            # materialize before the checkpoint dir disappears
-            sink = spark.table(name)
-            return spark.createDataFrame(sink.collect(), sink.schema)
+            # materialize before the checkpoint dir disappears —
+            # JVM-side (executor-stored blocks, freed by the
+            # ContextCleaner once the frame is unreferenced), NOT a
+            # collect()+createDataFrame round-trip: shipping every
+            # sink row through Python and back cost ~0.5-0.7 s per
+            # graded replay at sf0.1 (r8 profile, BASELINE.md) and
+            # pinned the whole output in driver memory
+            sink = spark.table(name).localCheckpoint(eager=True)
+            spark.catalog.dropTempView(name)  # free the memory sink
+            return sink
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
