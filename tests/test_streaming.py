@@ -462,7 +462,7 @@ def test_wasm_guest_over_stream_matches_batch(spark, tmp_path):
 import pytest
 
 
-@pytest.mark.parametrize("state_buckets", [None, 4])
+@pytest.mark.parametrize("state_buckets", [None, 4, "auto"])
 def test_streaming_funnel_matches_batch_fold(spark, tmp_path, state_buckets):
     """Replayed event files (event-time ordered) drive the per-user
     funnel state to the same step counts as the batch operator.
@@ -652,15 +652,15 @@ def test_request_reply_rtt_measured(spark, tmp_path):
         q.stop()
 
 
-@pytest.mark.parametrize("state_buckets", [None, 4])
+@pytest.mark.parametrize("state_buckets", [None, 4, "auto"])
 def test_streaming_gapfill_matches_batch_locf(spark, tmp_path, state_buckets):
     """Two event-time-ordered micro-batches drive the per-key gapfill
     state to the same dense grid as the batch fold — including holes
     that SPAN the batch boundary (gap jumped only when the batch-2 obs
     arrives) and a period whose winning obs arrives in a later batch.
-    Parametrized over state_buckets: the hashed-bucket state layout
-    (many keys folded per state group) must be output-identical to the
-    per-key default."""
+    Parametrized over state_buckets — None (per-key), a pinned bucket
+    count, and 'auto' (the r8 default, resolve_state_buckets): every
+    layout must be output-identical."""
     from pyspark.sql import functions as F
 
     from selium_spark.operators import stateful, windows
