@@ -214,6 +214,15 @@ EVENT_SKEW_QUERY_SET = [
     "seq_transition_matrix",
     # two leads + triple groupBy: the 3-gram sibling
     "seq_top_paths",
+    # r8: attribution family — user-keyed window ops with the same
+    # hot-partition exposure the CEP sweep caught a quadratic in;
+    # last/first ride a running struct-max (O(n) per partition),
+    # multi/position ride the horizon-bounded RANGE collect whose
+    # per-row state is O(in-horizon touches) by construction
+    "attr_last_touch",
+    "attr_first_touch",
+    "attr_multi_touch",
+    "attr_position_touch",
 ]
 
 
