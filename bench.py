@@ -142,8 +142,11 @@ HEADLINE = [
     "stream_weekly_ohlc_closed",
     "attr_position_touch",
     # round 8: the repo's most expensive batch query joins the bench
-    # (r7 verdict task #4 — was scale-set-only, invisible to BENCH)
+    # (r7 verdict task #4 — was scale-set-only, invisible to BENCH),
+    # plus the daily-grain candlestick pair (r7 verdict task #8)
     "dedup_lsh_recall",
+    "ts_daily_ohlc",
+    "stream_daily_ohlc_closed",
 ]
 
 

@@ -1299,3 +1299,38 @@ def attribute_multi_touch(
         .alias("weight"),
         "n_touches",
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: list[str],
+    value_col: str,
+    id_col: str,
+    grain: str = "week",
+) -> DataFrame:
+    """Candlestick (OHLC) downsampling per key per period — the TSDB
+    rollup (reference parity: the same aggregate-over-window shape as
+    the W1 tumbling rollups, SURVEY §2.3, specialized to the
+    open/high/low/close quartet). Open/close are the first/last value
+    in (ts, id) order via min/max over a (ts, id, value) struct —
+    tie-safe, no window function, ONE grouped aggregate with map-side
+    combine: linear and skew-blind at any grain, the plan you want at
+    100 TB. Grains (r7 verdict task #8 — the gapfill family's grain
+    parity applied to candlesticks): 'hour' | 'day' | 'week'
+    (``date_trunc`` semantics; week is Monday-anchored).
+
+    Returns key_cols + (period timestamp, open, high, low, close, n).
+    """
+    if grain not in ("hour", "day", "week"):
+        raise ValueError(f"grain must be 'hour', 'day' or 'week', got {grain!r}")
+    first = F.min(F.struct(ts_col, id_col, value_col))
+    last = F.max(F.struct(ts_col, id_col, value_col))
+    period = F.date_trunc(grain, F.col(ts_col).cast("timestamp"))
+    return df.groupBy(*key_cols, period.alias("period")).agg(
+        first.getField(value_col).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        last.getField(value_col).alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )

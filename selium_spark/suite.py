@@ -6963,26 +6963,47 @@ LEFT JOIN n ON n.conversion_id = c.conversion_id
 
 def ts_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly OHLC downsampling per event type (the TSDB candlestick
-    rollup): open/close are the first/last value in (ts, id) order via
-    min/max over a (ts, id, value) struct — tie-safe, no window, one
-    grouped aggregate with map-side combine."""
+    rollup, windows.ohlc_bars): open/close are the first/last value in
+    (ts, id) order via min/max over a (ts, id, value) struct —
+    tie-safe, no window, one grouped aggregate with map-side
+    combine."""
     ev = _t(spark, sf_dir, "events")
-    wk = F.date_format(
-        F.date_trunc("week", F.col("ts").cast("timestamp")), "yyyy-MM-dd"
-    )
-    first = F.min(F.struct("ts", "event_id", "value"))
-    last = F.max(F.struct("ts", "event_id", "value"))
-    return ev.groupBy(F.col("event_type"), wk.alias("week")).agg(
-        first.getField("value").alias("open"),
-        F.max("value").alias("high"),
-        F.min("value").alias("low"),
-        last.getField("value").alias("close"),
-        F.count(F.lit(1)).alias("n"),
+    return windows.ohlc_bars(
+        ev, "ts", ["event_type"], "value", "event_id", grain="week"
+    ).select(
+        "event_type",
+        F.date_format("period", "yyyy-MM-dd").alias("week"),
+        "open", "high", "low", "close", "n",
     )
 
 
 SQL_WEEKLY_OHLC = """
 SELECT event_type, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+  (min({'ts': ts, 'id': event_id, 'v': value})).v AS open,
+  max(value) AS high, min(value) AS low,
+  (max({'ts': ts, 'id': event_id, 'v': value})).v AS close,
+  CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def ts_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-grain candlesticks (r7 verdict task #8 — the gapfill
+    family's grain parity applied to OHLC): the same one-aggregate
+    windows.ohlc_bars plan at grain='day'; hour is tested at unit
+    level (same code path, one constant apart)."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.ohlc_bars(
+        ev, "ts", ["event_type"], "value", "event_id", grain="day"
+    ).select(
+        "event_type",
+        F.date_format("period", "yyyy-MM-dd").alias("day"),
+        "open", "high", "low", "close", "n",
+    )
+
+
+SQL_DAILY_OHLC = """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
   (min({'ts': ts, 'id': event_id, 'v': value})).v AS open,
   max(value) AS high, min(value) AS low,
   (max({'ts': ts, 'id': event_id, 'v': value})).v AS close,
@@ -7153,6 +7174,72 @@ SELECT strftime(wstart, '%Y-%m-%d') AS week, event_type,
   CAST(count(*) AS BIGINT) AS n
 FROM b CROSS JOIN mx
 WHERE wstart + INTERVAL 7 DAY <= mx.m
+GROUP BY 1, 2
+"""
+
+
+def stream_daily_ohlc_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-grain append-mode streaming candlesticks (r7 verdict task
+    #8): the stream_weekly_ohlc_closed production shape at grain=day —
+    watermark-closed bars emitted exactly once, state O(open days);
+    the final partial day stays open (pending, not missing) and the
+    oracle mirrors that boundary."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema).withWatermark("ts", "0 seconds")
+        first = F.min(F.struct("ts", "event_id", "value"))
+        last = F.max(F.struct("ts", "event_id", "value"))
+        return (
+            ev.groupBy(
+                F.window("ts", "1 day").alias("w"), F.col("event_type")
+            )
+            .agg(
+                first.getField("value").alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                last.getField("value").alias("close"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+                "event_type",
+                "open",
+                "high",
+                "low",
+                "close",
+                "n",
+            )
+        )
+
+    return replay_to_memory(
+        spark,
+        f"{sf_dir}/events.parquet",
+        schema,
+        transform,
+        output_mode="append",
+        shuffle_partitions=8,
+    )
+
+
+SQL_STREAM_DAILY_OHLC_CLOSED = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+b AS (
+  SELECT *,
+    to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400) AS dstart
+  FROM events
+)
+SELECT strftime(dstart, '%Y-%m-%d') AS day, event_type,
+  (min({'ts': ts, 'id': event_id, 'v': value})).v AS open,
+  max(value) AS high, min(value) AS low,
+  (max({'ts': ts, 'id': event_id, 'v': value})).v AS close,
+  CAST(count(*) AS BIGINT) AS n
+FROM b CROSS JOIN mx
+WHERE dstart + INTERVAL 1 DAY <= mx.m
 GROUP BY 1, 2
 """
 
@@ -7425,9 +7512,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attr_position_touch": attr_position_touch,
     "dedup_lsh_recall": dedup_lsh_recall,
     "ts_weekly_ohlc": ts_weekly_ohlc,
+    "ts_daily_ohlc": ts_daily_ohlc,
     "emb_minmax_normalized": emb_minmax_normalized,
     "stream_weekly_ohlc": stream_weekly_ohlc,
     "stream_weekly_ohlc_closed": stream_weekly_ohlc_closed,
+    "stream_daily_ohlc_closed": stream_daily_ohlc_closed,
     "emb_int8_quantized": emb_int8_quantized,
     "seq_top_paths": seq_top_paths,
 }
@@ -7624,9 +7713,11 @@ WHERE value % 2 = 0"""
     "attr_position_touch": SQL_ATTR_POSITION_TOUCH,
     "dedup_lsh_recall": SQL_LSH_RECALL,
     "ts_weekly_ohlc": SQL_WEEKLY_OHLC,
+    "ts_daily_ohlc": SQL_DAILY_OHLC,
     "emb_minmax_normalized": SQL_EMB_MINMAX,
     "stream_weekly_ohlc": SQL_STREAM_WEEKLY_OHLC,
     "stream_weekly_ohlc_closed": SQL_STREAM_WEEKLY_OHLC_CLOSED,
+    "stream_daily_ohlc_closed": SQL_STREAM_DAILY_OHLC_CLOSED,
     "emb_int8_quantized": SQL_EMB_INT8,
     "seq_top_paths": SQL_TOP_PATHS,
 }

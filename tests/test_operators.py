@@ -1468,3 +1468,49 @@ def test_attribute_multi_touch_subsecond_ties(spark):
     # U-shape follows full-precision time order: first=31, last=32
     w = {t[2]: t[3] for t in pos if t[1] == 40}
     assert w == {31: 0.4, 32: 0.4, 33: pytest.approx(0.2)}
+
+
+def test_ohlc_bars_grains(spark):
+    """windows.ohlc_bars (r7 verdict task #8): hour/day/week
+    candlesticks from the same one-aggregate plan. Open/close follow
+    (ts, id) order — tie rows at the same timestamp resolve by id —
+    and each grain's periods truncate correctly; invalid grain
+    raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import windows
+
+    rows = [
+        # key a, hour 10: open is id 1 (ties with id 2 at the same ts)
+        ("a", 1, "2024-01-01 10:00:05", 5.0),
+        ("a", 2, "2024-01-01 10:00:05", 9.0),
+        ("a", 3, "2024-01-01 10:59:59", 2.0),
+        # hour 11 crosses into the same day
+        ("a", 4, "2024-01-01 11:30:00", 7.0),
+        # next week entirely
+        ("a", 5, "2024-01-08 00:00:00", 4.0),
+        ("b", 6, "2024-01-01 10:15:00", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "k string, event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def bars(grain):
+        out = windows.ohlc_bars(df, "ts", ["k"], "value", "event_id", grain)
+        return {
+            (r.k, str(r.period)): (r.open, r.high, r.low, r.close, r.n)
+            for r in out.collect()
+        }
+
+    h = bars("hour")
+    assert h[("a", "2024-01-01 10:00:00")] == (5.0, 9.0, 2.0, 2.0, 3)
+    assert h[("a", "2024-01-01 11:00:00")] == (7.0, 7.0, 7.0, 7.0, 1)
+    assert h[("b", "2024-01-01 10:00:00")] == (1.0, 1.0, 1.0, 1.0, 1)
+    d = bars("day")
+    assert d[("a", "2024-01-01 00:00:00")] == (5.0, 9.0, 2.0, 7.0, 4)
+    w = bars("week")
+    assert w[("a", "2024-01-01 00:00:00")] == (5.0, 9.0, 2.0, 7.0, 4)
+    assert w[("a", "2024-01-08 00:00:00")] == (4.0, 4.0, 4.0, 4.0, 1)
+    with pytest.raises(ValueError):
+        windows.ohlc_bars(df, "ts", ["k"], "value", "event_id", "month")
