@@ -794,15 +794,18 @@ def main() -> None:
         print(json.dumps({"n_copies": n, "mode": "skew", "hot_frac": 0.3,
                           "queries": report}, indent=2))
         return
-    base = time_queries(spark, BASE_SF, QUERY_SET)
-    scaled = time_queries(spark, out_dir, QUERY_SET)
+    # extra positional args select a QUERY_SET subset (r8: lets the
+    # 100x refresh run the expensive ops in bounded slices)
+    subset = [a for a in args[1:] if a in QUERIES] or QUERY_SET
+    base = time_queries(spark, BASE_SF, subset)
+    scaled = time_queries(spark, out_dir, subset)
     report = {
         name: {
             "base_s": base[name],
             f"x{n}_s": scaled[name],
             "ratio": round(scaled[name] / max(base[name], 0.01), 1),
         }
-        for name in QUERY_SET
+        for name in subset
     }
     print(json.dumps({"n_copies": n, "queries": report}, indent=2))
 
