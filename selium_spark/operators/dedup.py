@@ -666,10 +666,24 @@ def embedding_neardup_pairs(
     the candidate vectors. ``exact=True`` opts into the O(n^2)
     all-pairs baseline (the audited brute-force reference plan).
     """
-    from .similarity import cosine, rhp_banded_candidate_pairs
+    from .similarity import dot, norm, rhp_banded_candidate_pairs
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # norms precompute per VECTOR in the pre-join projections (n rows)
+    # instead of per candidate PAIR: cosine needs three array folds
+    # (dot + both norms) and the two norm folds were being re-evaluated
+    # for every candidate — 2/3 of the verify cost at any selectivity.
+    # Operand-for-operand the same expression as cosine(va, vb) =
+    # dot / (norm * norm), so every rounded value is bit-identical.
+    a = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm(F.col(vec_col)).alias("_na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+    )
     if exact:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
@@ -677,8 +691,11 @@ def embedding_neardup_pairs(
             emb, threshold=threshold, id_col=id_col, vec_col=vec_col, dim=dim
         )
         pairs = cand.join(a, "id_a").join(b, "id_b")
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6
+    )
     return (
-        pairs.withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        pairs.withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -703,22 +720,29 @@ def semantic_dedup(
     table is written partitionBy(cluster_id) (similarity.
     ivf_index_write). Output: (vec_id, cluster_id, max_cos, keep).
     """
-    from .similarity import cosine, ivf_assign
+    from .similarity import dot, ivf_assign, norm
 
+    # per-vector norm precomputed BEFORE the within-cluster self-join
+    # (the embedding_neardup_pairs r8 device): cosine's two norm folds
+    # would otherwise re-evaluate per PAIR; dot/(na*nb) is operand-for-
+    # operand the cosine(a, b) expression, so values are bit-identical
     assigned = ivf_assign(fan_out(emb), centroids, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col), F.col(vec_col), "cluster_id"
+        F.col(id_col), F.col(vec_col), "cluster_id",
+        norm(F.col(vec_col)).alias("_nv"),
     )
     a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(
+        dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        / (F.col("a._nv") * F.col("b._nv")),
+        6,
+    )
     pair_max = (
         a.join(
             b,
             (F.col("a.cluster_id") == F.col("b.cluster_id"))
             & (F.col(f"b.{id_col}") < F.col(f"a.{id_col}")),
         )
-        .select(
-            F.col(f"a.{id_col}").alias(id_col),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cos"),
-        )
+        .select(F.col(f"a.{id_col}").alias(id_col), cos.alias("cos"))
         .groupBy(id_col)
         .agg(F.max("cos").alias("max_cos"))
     )

@@ -211,9 +211,10 @@ def rhp_banded_candidate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    band_bits: int = 6,
+    band_bits: int | str = "auto",
     miss_target: float = 1e-4,
     seed: int = 17,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Candidate near-neighbor pairs from banded RHP-LSH: explode each
     signature into (band_id, band_value) keys and equi-self-join — the
@@ -222,8 +223,29 @@ def rhp_banded_candidate_pairs(
     hash-uniform, and no bucket ever sees the corpus cross product.
     Callers verify candidates with exact cosine (see
     dedup.embedding_neardup_pairs).
+
+    ``band_bits="auto"`` (default, r8): sizes the band width to the
+    CORPUS — bits = clamp(ceil(log2(n)), 6, 16) — because the expected
+    RANDOM-collision candidate count is C(n,2) * bands / 2**bits: at
+    fixed bits the self-join degenerates toward the cross product as n
+    grows (measured at 2k vectors / threshold 0.8: bits=6 emitted 810k
+    candidate pairs = 40% of all pairs; corpus-sized bits=12 emitted
+    95k for the same <=1e-4 miss bound, 4.2x faster end-to-end —
+    BASELINE.md r8). Auto mode lifts the band cap to 256 so the extra
+    bands the narrower per-band match probability needs keep the miss
+    target HONEST rather than silently degrading recall; the signature
+    pass is one vectorized matmul either way. Pass ``n_rows`` when the
+    caller already knows the count (skips one count job); an int
+    ``band_bits`` pins the width exactly (the pre-r8 behavior).
     """
-    n_bands = rhp_band_plan(threshold, band_bits, miss_target)
+    import math
+
+    if band_bits == "auto":
+        n = n_rows if n_rows is not None else emb.count()
+        band_bits = max(6, min(16, math.ceil(math.log2(max(n, 2)))))
+        n_bands = rhp_band_plan(threshold, band_bits, miss_target, max_bands=256)
+    else:
+        n_bands = rhp_band_plan(threshold, band_bits, miss_target)
     sig = rhp_banded_signatures(emb, n_bands, band_bits, id_col, vec_col, dim, seed)
     keyed = sig.select(
         F.col(id_col), F.posexplode("bands").alias("band_id", "band_val")
@@ -517,6 +539,16 @@ def pq_encode_stateless(
     KB, so shipping it as literals beats a broadcast-join hop, and each
     incoming vector costs m_subs * k_codes fixed-size L2 evaluations —
     embarrassingly parallel, zero shuffle.
+
+    The codebook ships as ONE nested-array literal per subspace (plus
+    a parallel code-id array), scored with zip_with — not one literal
+    node per float: the unrolled m*k*d tree (1024 nodes at 8x16x8)
+    cost ~5 s of driver-side ANALYSIS at query start, 4x the actual
+    execution (r8 profile, BASELINE.md). zip_with pairs candidates in
+    array order and l2sq is already the sequential zip_with/aggregate
+    fold, so the arithmetic order — and therefore every rounded
+    distance and the (dist, code_id) argmin — is bit-identical to the
+    unrolled form; only the expression SHAPE changed.
     """
     by_m: dict[int, list] = {}
     for r in codebook_rows:
@@ -527,17 +559,19 @@ def pq_encode_stateless(
     vec = F.col(vec_col)
 
     def code_for(m: int) -> Column:
+        subs_m = sorted(by_m[m])
+        ids_m = F.lit([cid for cid, _ in subs_m])
+        vecs_m = F.lit([sv for _, sv in subs_m])
         esub = F.slice(vec, m * sub_d + 1, sub_d)
-        cands = [
-            F.struct(
-                F.round(l2sq(esub, F.array(*[F.lit(x) for x in subvec])), 6).alias(
-                    "dist"
-                ),
-                F.lit(code_id).alias("code_id"),
-            )
-            for code_id, subvec in sorted(by_m[m])
-        ]
-        return F.array_min(F.array(*cands))["code_id"]
+        cands = F.zip_with(
+            vecs_m,
+            ids_m,
+            lambda sv, cid: F.struct(
+                F.round(l2sq(esub, sv), 6).alias("dist"),
+                cid.cast("int").alias("code_id"),
+            ),
+        )
+        return F.array_min(cands)["code_id"]
 
     return df.select(
         F.col(id_col),
