@@ -544,7 +544,10 @@ def simhash(
         bits = simhash_bits(F.col("_hashes"), n_bits)
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    value = F.lit(0)
+    # long accumulator: the fold overflows 32-bit ints past n_bits=31
+    # (numerically identical for narrower widths; output was already
+    # cast long)
+    value = F.lit(0).cast("long")
     for bit in bits:
         value = value * F.lit(2) + bit
     bitstr = F.concat(*[b.cast("string") for b in bits])

@@ -156,17 +156,38 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
       repeats of an earlier trigram.
 
     All pure JVM-side array expressions — no UDFs, no shuffle; scales
-    linearly with corpus size. The top-bigram count is O(distinct x
-    total) per doc, bounded by doc length (fine for web-page-sized
-    docs; chunk first for book-length inputs).
+    linearly with corpus size. The top-bigram count is the longest
+    equal run of the SORTED bigram array — one O(L log L) sort + one
+    O(L) fold per doc. (The obvious distinct-x-filter form is O(L^2)
+    per doc and was this repo's single most expensive query at sf0.1:
+    20.5 s -> 2.9 s from this rewrite, BASELINE.md r8; the count of
+    the most frequent element is the same number either way.)
     """
     toks = tokens(text_col)
     n = F.size(toks)
     big = ngrams_all(text_col, 2)
     tri = ngrams_all(text_col, 3)
-    top_big = F.array_max(
-        F.transform(F.array_distinct(big), lambda g: F.size(F.filter(big, lambda x: x == g)))
+    # fold state: (previous element, current run length, best run);
+    # bigrams are non-empty strings so the '' seed never matches
+    run_fold = F.aggregate(
+        F.array_sort(big),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
+    # array_max over an empty distinct list was NULL; keep that contract
+    top_big = F.when(F.size(big) > 0, run_fold)
     return (
         df.withColumn("n_tokens", n)
         .withColumn("unique_token_ratio", F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1)))

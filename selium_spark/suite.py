@@ -1400,19 +1400,39 @@ FROM bits
 """
 
 
+SQL_SIMHASH_32 = f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, t -> md5(t)) AS hs FROM t),
+bits AS (SELECT doc_id, {", ".join(f"{_sql_simhash_bit(i)} AS b{i}" for i in range(32))} FROM h)
+SELECT doc_id,
+  {" + ".join(f"b{i} * {2 ** (31 - i)}::BIGINT" for i in range(32))} AS simhash
+FROM bits
+"""
+
+
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs within hamming distance 3: banded
-    signature self-join (4 bands x 4 bits; pigeonhole-complete for
-    distance <= 3) + exact bit_count(xor) verification. The join keys
-    are band buckets, never the corpus cross-product."""
+    signature self-join (4 bands, pigeonhole-complete for distance
+    <= 3) + exact bit_count(xor) verification. The join keys are band
+    buckets, never the corpus cross-product.
+
+    r8: the signature widened 16 -> 32 bits (md5 has 32 hex digits, so
+    both engines read the extra bits from the SAME per-token hash).
+    Bucket selectivity is what scales the band join — expected random
+    candidates are C(n,2) * bands / 2**band_bits, and 4-bit bands (16
+    values) saturated at sf0.1's 5k docs: 12M candidate pairs, 16.5 s,
+    and quadratic drift with n. 8-bit bands (256 values) emit ~190k
+    for the same pigeonhole recall at distance <= 3 (BASELINE.md r8).
+    The star twin keeps the 16-bit config graded, so both widths stay
+    under the oracle."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup.simhash_hamming_pairs(docs, max_hamming=3)
+    return dedup.simhash_hamming_pairs(docs, max_hamming=3, n_bits=32)
 
 
 SQL_SIMHASH_HAMMING = f"""
-WITH sh AS ({{SIMHASH_BODY}}),
+WITH sh AS ({{SIMHASH_BODY32}}),
 bands AS (
-  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 4)) & 15 AS val
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS val
   FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
 ),
 cand AS (
@@ -1424,7 +1444,7 @@ cand AS (
 SELECT id_a, id_b, CAST(bit_count(xor(sa::BIGINT, sb::BIGINT)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sa::BIGINT, sb::BIGINT)) <= 3
 """
-SQL_SIMHASH_HAMMING = SQL_SIMHASH_HAMMING.replace("{SIMHASH_BODY}", SQL_SIMHASH)
+SQL_SIMHASH_HAMMING = SQL_SIMHASH_HAMMING.replace("{SIMHASH_BODY32}", SQL_SIMHASH_32)
 
 #: hot-bucket cap for the graded star-mode hamming query — chosen BELOW
 #: the sf0.01 mean band-bucket size (500 docs / 16 four-bit values ~ 31)
