@@ -489,27 +489,29 @@ def dup_span_stats(
     spans"; report per-doc distinct-shingle counts, the duplicated
     fraction, and a keep verdict (dup_frac <= ``max_dup_frac``).
 
-    Plan: one explode of distinct shingles -> groupBy(shingle) doc
-    count -> join back -> groupBy(doc). Both shuffles are keyed on
-    md5-uniform shingle text / doc id (no skew); the corpus text is
-    scanned once. At 100 TB the shingle table is the big intermediate
-    — cut it with a stop-shingle frequency cap or minhash sampling
-    before the join-back (coverage note, not done here).
+    Plan: one explode of distinct shingles -> per-shingle doc count as
+    a WINDOW count over the shingle partition -> groupBy(doc). One
+    traversal of the corpus text and two shuffles, both keyed on
+    md5-uniform shingle text / doc id (no skew). The count(*) over the
+    shingle partition IS the distinct-doc count because the explode is
+    per-doc-distinct. (The r8 rewrite: the previous groupBy(shingle) +
+    join-back consumed the tokenize/ngram subtree TWICE — the exact
+    double-traversal remove_dup_spans pins with a persist — costing
+    ~40% of the query; the window form needs no pin at all.) At 100 TB
+    the shingle table is the big intermediate — cut it with a
+    stop-shingle frequency cap or minhash sampling before the window
+    (coverage note, not done here).
     """
     grams = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(ngrams_all(text_col, n))).alias("shingle"),
     )
-    shared = grams.groupBy("shingle").agg(
-        F.count_distinct(F.col(id_col)).alias("n_docs")
+    tagged = grams.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     )
-    per_doc = (
-        grams.join(shared, "shingle")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum((F.col("n_docs") >= min_docs).cast("long")).alias("n_dup_shingles"),
-        )
+    per_doc = tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("n_docs") >= min_docs).cast("long")).alias("n_dup_shingles"),
     )
     return per_doc.select(
         F.col(id_col),
