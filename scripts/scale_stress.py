@@ -117,6 +117,18 @@ QUERY_SET = [
     "dedup_simhash_hamming_star",
     "attr_position_touch",
     "dedup_lsh_recall",
+    # round 8: the full-suite sweep's former stragglers, after their
+    # rewrites (sorted-run top-bigram, window shingle counts, auto RHP
+    # bits + norm-precomputed verify) — in the set so a regression to
+    # the quadratic shapes is caught. dedup_simhash_hamming (the
+    # UNCAPPED pairs branch) is deliberately absent: on the replicated
+    # corpus every doc is a 10-fold near-dup, so its OUTPUT alone is
+    # 3.85M verified pairs (~300 s measured at 10x) — the audit branch
+    # for bounded corpora; its scale path is the star twin above.
+    "text_repetition",
+    "text_span_dedup",
+    "dedup_embedding_neardup",
+    "dedup_semantic",
 ]
 
 
