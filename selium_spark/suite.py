@@ -115,13 +115,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a single cast to double, identical to the oracle's
     CAST(SUM(DECIMAL) AS DOUBLE) rounding."""
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("2000-12-01"))
-    from .sources.layout import fan_out
-
-    li = fan_out(
-        li.select(
-            "l_returnflag", "l_linestatus", "l_quantity",
-            "l_extendedprice", "l_discount", "l_tax",
-        )
+    # no fan_out here (r8): the aggregate is map-side-combinable cheap
+    # arithmetic, not CPU-heavy per-row work — the round-robin shuffle
+    # cost 0.5 s against a 0.2 s scan+agg at sf0.1, and a real 100 TB
+    # scan splits into thousands of range partitions on its own. The
+    # partial-sum overflow bound widens from a 128MB split to one local
+    # file (~600k rows x 1.1e11 max charge = 7e16 << 2^63) — still safe
+    li = li.select(
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax",
     )
     p = F.round(F.col("l_extendedprice") * 100).cast("long")
     q = F.round(F.col("l_quantity") * 100).cast("long")
