@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from selium_spark.operators import dedup, relational, similarity, text, transforms, windows
@@ -1514,3 +1515,30 @@ def test_ohlc_bars_grains(spark):
     assert w[("a", "2024-01-08 00:00:00")] == (4.0, 4.0, 4.0, 4.0, 1)
     with pytest.raises(ValueError):
         windows.ohlc_bars(df, "ts", ["k"], "value", "event_id", "month")
+
+
+@pytest.mark.parametrize("buckets", [None, 8, "auto"])
+def test_grouped_entropy_layouts(spark, buckets):
+    """grouped_entropy (the §2.6 UDAF surface) is output-identical
+    across its layouts: one-call-per-key (None), a pinned bucket
+    count, and the batch 'auto' (2x parallelism — r8). Values follow
+    the sorted-category ordered sum the oracle pins; a single-category
+    key reads exactly 0.0 entropy."""
+    import math
+
+    from selium_spark.operators.udaf import grouped_entropy
+
+    rows = (
+        [(1, "a")] * 4 + [(1, "b")] * 4          # uniform 2-cat -> 1.0
+        + [(2, "a")] * 9 + [(2, "b")]            # skewed
+        + [(3, "c")] * 5                         # single-cat -> 0.0
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        r.user_id: (r.n_events, r.entropy)
+        for r in grouped_entropy(
+            df, "user_id", "event_type", buckets=buckets
+        ).collect()
+    }
+    h2 = round(-(0.9 * math.log2(0.9) + 0.1 * math.log2(0.1)), 6)
+    assert got == {1: (8, 1.0), 2: (10, h2), 3: (5, 0.0)}
