@@ -147,6 +147,8 @@ HEADLINE = [
     "dedup_lsh_recall",
     "ts_daily_ohlc",
     "stream_daily_ohlc_closed",
+    "q_asof_forward_enrich",
+    "q_asof_nearest_enrich",
 ]
 
 

@@ -52,49 +52,127 @@ def asof_join(
     by: list[str] | None = None,
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance_s: int | None = None,
 ) -> DataFrame:
-    """As-of join: for each left row, attach the most recent right row
-    with ``right.ts <= left.ts`` (optionally per ``by`` key).
+    """As-of join with pandas-merge_asof direction semantics: for each
+    left row attach ONE right row (optionally per ``by`` key) —
+
+    - ``direction="backward"`` (default): the most recent right row
+      with ``right.ts <= left.ts`` (the classic as-of);
+    - ``"forward"``: the earliest right row with ``right.ts >=
+      left.ts`` (time-to-next-event enrichment);
+    - ``"nearest"``: whichever of the two is closer in time, ties
+      going backward (the pandas convention).
+
+    ``tolerance_s`` bounds the match: a right row further than this
+    many seconds leaves the left row unenriched (NULLs) instead of
+    silently stretching — the attribute_last_touch max_gap contract.
 
     Batch twin of W3 latest-value enrich (config stream applied to work
     items, examples/orchestrator/src/lib.rs:244-287; 'latest config
-    wins' bias per SURVEY §7.4.6). Oracle: DuckDB ASOF JOIN.
+    wins' bias per SURVEY §7.4.6). Oracle: DuckDB ASOF JOIN, whose
+    inequality direction expresses backward AND forward; nearest
+    composes two ASOF CTEs.
 
     Scale design: union the two sides tagged with a side marker, then a
-    single window sort on (by, ts, side) with ``last_value(ignorenulls)``
-    carries the latest right values forward. One shuffle, no range
-    explosion, spill-safe — survives 100× scale-up where a naive
-    range-join (left.ts >= right.ts cross filter) would not.
+    single window sort on (by, ts, side) with ``last(ignorenulls)``
+    over the RUNNING frame carries the matched right row (packed as one
+    struct) across; forward runs the SAME running frame on the
+    DESC-sorted order — never a ``[.. FOLLOWING]`` frame, which Spark
+    evaluates O(n^2) per partition (the r7 CEP lesson). One shuffle per
+    direction (nearest pays both), no range explosion, spill-safe —
+    survives 100x scale-up where a naive range-join would not. Tie
+    bias: right rows order before left rows at an equal timestamp in
+    BOTH directions, so an exactly-simultaneous right row matches.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be 'backward', 'forward' or 'nearest', got {direction!r}"
+        )
     by = by or []
     right_cols = right_cols or [c for c in right.columns if c != ts and c not in by]
 
+    # the matched right row travels as ONE struct (its ts rides along
+    # for tolerance/nearest gap math), so every direction picks all
+    # right columns from the SAME row
+    pay = F.struct(
+        F.col(ts).alias("_rts"), *[F.col(c).alias(c) for c in right_cols]
+    )
     lhs = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("_is_left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(_pay_type(right, ts, right_cols)).alias("_pay"),
     )
     rhs = right.select(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) if c not in by + [ts] else F.col(c)
           for c in left.columns],
         F.lit(0).alias("_is_left"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        pay.alias("_pay"),
     )
     unioned = lhs.unionByName(rhs)
 
-    # Right rows sort before left rows at the same timestamp so a config
-    # with ts == work.ts applies to that work item (latest-wins bias).
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(ts).asc(), F.col("_is_left").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = unioned
-    for c in right_cols:
-        out = out.withColumn(
-            f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
+    def pick(desc: bool) -> Column:
+        # right rows sort before left rows at the same timestamp so an
+        # exactly-simultaneous right row applies (latest-wins bias)
+        order = F.col(ts).desc() if desc else F.col(ts).asc()
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(order, F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-    return out.where(F.col("_is_left") == 1).drop("_is_left")
+        return F.last(F.col("_pay"), ignorenulls=True).over(w)
+
+    epoch = F.col(ts).cast("timestamp").cast("long")
+
+    def gated(match: Column, gap: Column) -> Column:
+        if tolerance_s is None:
+            return match
+        return F.when(gap <= F.lit(tolerance_s), match)
+
+    out = unioned
+    if direction == "backward":
+        m = F.col("_m")
+        out = out.withColumn("_m", pick(desc=False)).withColumn(
+            "_m", gated(m, epoch - m["_rts"].cast("timestamp").cast("long"))
+        )
+    elif direction == "forward":
+        m = F.col("_m")
+        out = out.withColumn("_m", pick(desc=True)).withColumn(
+            "_m", gated(m, m["_rts"].cast("timestamp").cast("long") - epoch)
+        )
+    else:
+        b, f = F.col("_b"), F.col("_f")
+        gb = epoch - b["_rts"].cast("timestamp").cast("long")
+        gf = f["_rts"].cast("timestamp").cast("long") - epoch
+        out = (
+            out.withColumn("_b", pick(desc=False))
+            .withColumn("_f", pick(desc=True))
+            .withColumn("_b", gated(b, gb))
+            .withColumn("_f", gated(f, gf))
+            # ties go backward (pandas nearest convention)
+            .withColumn(
+                "_m",
+                F.when(b.isNotNull() & (f.isNull() | (gb <= gf)), b).otherwise(f),
+            )
+        )
+    for c in right_cols:
+        out = out.withColumn(f"{c}{suffix}", F.col("_m")[c])
+    return (
+        out.where(F.col("_is_left") == 1)
+        .drop("_is_left", "_pay", "_m", "_b", "_f")
+    )
+
+
+def _pay_type(right: DataFrame, ts: str, right_cols: list[str]):
+    """Struct type for the as-of payload (right ts + carried cols)."""
+    from pyspark.sql import types as T
+
+    fields = {f.name: f.dataType for f in right.schema.fields}
+    return T.StructType(
+        [T.StructField("_rts", fields[ts])]
+        + [T.StructField(c, fields[c]) for c in right_cols]
+    )
 
 
 def range_join(

@@ -631,6 +631,109 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') c
 """
 
 
+def q_asof_forward_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (r8 — pandas merge_asof direction parity):
+    each non-purchase event enriched with the user's NEXT purchase
+    value at-or-after its timestamp plus the seconds until it
+    (time-to-next-conversion, the forward twin of W3). Same one
+    shuffle + running-frame plan as backward, on the DESC-sorted
+    order — never a [.. FOLLOWING] frame, which Spark evaluates
+    O(n^2) per partition. Oracle: DuckDB ASOF with the inequality
+    reversed."""
+    ev = _t(spark, sf_dir, "events")
+    work = ev.where(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    conf = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.col("value").alias("purchase_value"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    out = relational.asof_join(
+        work, conf, ts="ts", by=["user_id"],
+        right_cols=["purchase_value", "purchase_ts"], direction="forward",
+    )
+    gap = F.col("purchase_ts_asof").cast("timestamp").cast("long") - F.col(
+        "ts"
+    ).cast("timestamp").cast("long")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("purchase_value_asof"), F.lit(-1.0)).alias(
+            "next_purchase_value"
+        ),
+        F.coalesce(gap, F.lit(-1)).alias("gap_s"),
+    )
+
+
+SQL_ASOF_FORWARD = """
+SELECT w.event_id, w.user_id,
+  coalesce(c.value, -1.0) AS next_purchase_value,
+  coalesce(CAST(date_diff('second', w.ts, c.ts) AS BIGINT), -1) AS gap_s
+FROM (SELECT * FROM events WHERE event_type <> 'purchase') w
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') c
+  ON w.user_id = c.user_id AND w.ts <= c.ts
+"""
+
+
+def q_asof_nearest_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join with a tolerance (r8): each error event
+    enriched with the user's closest signup value within 6 hours
+    either way — ties go backward (the pandas merge_asof convention),
+    a signup further than the tolerance leaves the error unenriched.
+    Oracle: two DuckDB ASOF CTEs (one per direction) composed with the
+    same gap comparison."""
+    ev = _t(spark, sf_dir, "events")
+    work = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    conf = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    out = relational.asof_join(
+        work, conf, ts="ts", by=["user_id"],
+        right_cols=["signup_value"], direction="nearest",
+        tolerance_s=6 * 3600,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("signup_value_asof"), F.lit(-1.0)).alias(
+            "near_signup_value"
+        ),
+    )
+
+
+SQL_ASOF_NEAREST = """
+WITH w AS (SELECT * FROM events WHERE event_type = 'error'),
+s AS (SELECT * FROM events WHERE event_type = 'signup'),
+b AS (
+  SELECT w.event_id, s.value AS v,
+         CAST(date_diff('second', s.ts, w.ts) AS BIGINT) AS gap
+  FROM w ASOF LEFT JOIN s ON w.user_id = s.user_id AND w.ts >= s.ts
+),
+f AS (
+  SELECT w.event_id, s.value AS v,
+         CAST(date_diff('second', w.ts, s.ts) AS BIGINT) AS gap
+  FROM w ASOF LEFT JOIN s ON w.user_id = s.user_id AND w.ts <= s.ts
+),
+g AS (
+  SELECT w.event_id, w.user_id,
+    CASE WHEN b.gap <= 21600 THEN b.v END AS bv,
+    CASE WHEN b.gap <= 21600 THEN b.gap END AS bgap,
+    CASE WHEN f.gap <= 21600 THEN f.v END AS fv,
+    CASE WHEN f.gap <= 21600 THEN f.gap END AS fgap
+  FROM w LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+)
+SELECT event_id, user_id,
+  coalesce(
+    CASE WHEN bv IS NOT NULL AND (fv IS NULL OR bgap <= fgap) THEN bv
+         ELSE fv END,
+    -1.0) AS near_signup_value
+FROM g
+"""
+
+
 SQL_STREAM_LATEST = """
 SELECT w.event_id, CAST(c.value AS VARCHAR) AS signup_value_asof
 FROM (SELECT * FROM events WHERE event_type <> 'signup') w
@@ -7371,6 +7474,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w1_tumbling_daily": w1_tumbling_daily,
     "w2_threshold_alerts": w2_threshold_alerts,
     "w3_latest_enrich": w3_latest_enrich,
+    "q_asof_forward_enrich": q_asof_forward_enrich,
+    "q_asof_nearest_enrich": q_asof_nearest_enrich,
     "w1c_session_windows": w1c_session_windows,
     "funnel_steps": funnel_steps,
     "cohort_retention_weekly": cohort_retention_weekly,
@@ -7598,6 +7703,8 @@ ORACLES: dict[str, str] = {
     "w1_tumbling_daily": SQL_W1,
     "w2_threshold_alerts": SQL_W2,
     "w3_latest_enrich": SQL_W3,
+    "q_asof_forward_enrich": SQL_ASOF_FORWARD,
+    "q_asof_nearest_enrich": SQL_ASOF_NEAREST,
     "w4_route_blocked": SQL_W4,
     "w5_take_n": SQL_W5,
     "w6_union_pattern": SQL_W6,

@@ -1542,3 +1542,62 @@ def test_grouped_entropy_layouts(spark, buckets):
     }
     h2 = round(-(0.9 * math.log2(0.9) + 0.1 * math.log2(0.1)), 6)
     assert got == {1: (8, 1.0), 2: (10, h2), 3: (5, 0.0)}
+
+
+def test_asof_join_directions(spark):
+    """asof_join direction semantics (r8, pandas merge_asof parity):
+    backward takes the latest right at-or-before, forward the earliest
+    at-or-after (via the DESC-sorted running frame — never a FOLLOWING
+    frame), nearest the closer with ties going BACKWARD; tolerance_s
+    nulls matches beyond the horizon; an exactly-simultaneous right
+    row matches in every direction."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import relational
+
+    work = spark.createDataFrame(
+        [(1, 10, "w10"), (1, 25, "w25"), (1, 100, "w100"), (2, 5, "w5")],
+        "user_id long, e long, tag string",
+    ).withColumn("ts", F.timestamp_seconds("e")).drop("e")
+    cfg = spark.createDataFrame(
+        [(1, 12, 1.0), (1, 25, 2.0), (1, 40, 3.0)],
+        "user_id long, e long, v double",
+    ).withColumn("ts", F.timestamp_seconds("e")).drop("e")
+
+    def run(**kw):
+        out = relational.asof_join(
+            work, cfg, ts="ts", by=["user_id"], right_cols=["v"], **kw
+        )
+        return {r.tag: r.v_asof for r in out.collect()}
+
+    assert run(direction="backward") == {
+        "w10": None, "w25": 2.0, "w100": 3.0, "w5": None,
+    }
+    assert run(direction="forward") == {
+        "w10": 1.0, "w25": 2.0, "w100": None, "w5": None,
+    }
+    # w10: backward none -> forward 12; w100: forward none -> backward
+    # 40; a both-sides candidate at equal gap would go backward
+    assert run(direction="nearest") == {
+        "w10": 1.0, "w25": 2.0, "w100": 3.0, "w5": None,
+    }
+    # tolerance: w100's nearest (40, gap 60) exceeds 30s -> unenriched
+    assert run(direction="nearest", tolerance_s=30) == {
+        "w10": 1.0, "w25": 2.0, "w100": None, "w5": None,
+    }
+    # equidistant tie goes backward: work at 26 between cfg 25 and 27
+    tie_w = spark.createDataFrame(
+        [(1, 26, "tie")], "user_id long, e long, tag string"
+    ).withColumn("ts", F.timestamp_seconds("e")).drop("e")
+    tie_c = spark.createDataFrame(
+        [(1, 25, 9.0), (1, 27, 8.0)], "user_id long, e long, v double"
+    ).withColumn("ts", F.timestamp_seconds("e")).drop("e")
+    out = relational.asof_join(
+        tie_w, tie_c, ts="ts", by=["user_id"], right_cols=["v"],
+        direction="nearest",
+    )
+    assert out.collect()[0].v_asof == 9.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        relational.asof_join(work, cfg, ts="ts", direction="sideways")
