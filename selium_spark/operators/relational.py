@@ -114,11 +114,14 @@ def asof_join(
 
     def pick(desc: bool) -> Column:
         # right rows sort before left rows at the same timestamp so an
-        # exactly-simultaneous right row applies (latest-wins bias)
+        # exactly-simultaneous right row applies (latest-wins bias);
+        # the payload struct is the final tiebreak so DUPLICATE right
+        # timestamps resolve deterministically (max payload wins)
+        # instead of by arbitrary partition order
         order = F.col(ts).desc() if desc else F.col(ts).asc()
         w = (
             Window.partitionBy(*by)
-            .orderBy(order, F.col("_is_left").asc())
+            .orderBy(order, F.col("_is_left").asc(), F.col("_pay").asc())
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         return F.last(F.col("_pay"), ignorenulls=True).over(w)

@@ -1601,3 +1601,64 @@ def test_asof_join_directions(spark):
 
     with pytest.raises(ValueError):
         relational.asof_join(work, cfg, ts="ts", direction="sideways")
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Differential test: asof_join's three directions + tolerance
+    reproduce pandas.merge_asof on randomized keyed series (right
+    timestamps unique per key, so both libraries' duplicate-ts
+    conventions are out of play). Property-based via hypothesis with
+    a bounded example budget — each example is a real Spark job."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import relational
+
+    ts_strat = st.integers(min_value=0, max_value=500)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        lefts=st.lists(
+            st.tuples(st.integers(1, 3), ts_strat), min_size=1, max_size=12
+        ),
+        rights=st.lists(
+            st.tuples(st.integers(1, 3), ts_strat, st.floats(0, 100)),
+            min_size=1, max_size=12,
+            unique_by=lambda r: (r[0], r[1]),
+        ),
+        direction=st.sampled_from(["backward", "forward", "nearest"]),
+        tol=st.sampled_from([None, 50, 200]),
+    )
+    def check(lefts, rights, direction, tol):
+        lpdf = pd.DataFrame(
+            [(k, pd.Timestamp(t, unit="s"), i) for i, (k, t) in enumerate(lefts)],
+            columns=["k", "ts", "lid"],
+        ).sort_values("ts")
+        rpdf = pd.DataFrame(
+            [(k, pd.Timestamp(t, unit="s"), v) for k, t, v in rights],
+            columns=["k", "ts", "v"],
+        ).sort_values("ts")
+        want_df = pd.merge_asof(
+            lpdf, rpdf, on="ts", by="k", direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        )
+        want = {int(r.lid): (None if pd.isna(r.v) else float(r.v))
+                for r in want_df.itertuples()}
+
+        ldf = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lefts)],
+            "k long, e long, lid long",
+        ).withColumn("ts", F.timestamp_seconds("e")).drop("e")
+        rdf = spark.createDataFrame(
+            rights, "k long, e long, v double"
+        ).withColumn("ts", F.timestamp_seconds("e")).drop("e")
+        got_df = relational.asof_join(
+            ldf, rdf, ts="ts", by=["k"], right_cols=["v"],
+            direction=direction, tolerance_s=tol,
+        )
+        got = {int(r.lid): r.v_asof for r in got_df.collect()}
+        assert got == want, (direction, tol, lefts, rights)
+
+    check()
