@@ -235,6 +235,11 @@ EVENT_SKEW_QUERY_SET = [
     "attr_first_touch",
     "attr_multi_touch",
     "attr_position_touch",
+    # r8: as-of directions — same user-keyed one-window-sort shape;
+    # forward is the DESC-sorted running frame (the O(n^2) FOLLOWING
+    # trap this sweep exists to catch), nearest pays both passes
+    "q_asof_forward_enrich",
+    "q_asof_nearest_enrich",
 ]
 
 
