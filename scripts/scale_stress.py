@@ -129,6 +129,10 @@ QUERY_SET = [
     "text_span_dedup",
     "dedup_embedding_neardup",
     "dedup_semantic",
+    # r8: as-of directions (one window sort per pass; forward is the
+    # DESC-sorted running frame)
+    "q_asof_forward_enrich",
+    "q_asof_nearest_enrich",
 ]
 
 
