@@ -729,9 +729,16 @@ def semantic_dedup(
     # (the embedding_neardup_pairs r8 device): cosine's two norm folds
     # would otherwise re-evaluate per PAIR; dot/(na*nb) is operand-for-
     # operand the cosine(a, b) expression, so values are bit-identical
-    assigned = ivf_assign(fan_out(emb), centroids, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col), F.col(vec_col), "cluster_id",
-        norm(F.col(vec_col)).alias("_nv"),
+    # materialized once (localCheckpoint/checkpoint, r8): the
+    # assignment table feeds THREE consumers (both self-join sides +
+    # the final left join); the pin guarantees the broadcast +
+    # argmax-window subtree runs once by construction instead of
+    # relying on exchange reuse surviving plan changes
+    assigned = _truncate_lineage(
+        ivf_assign(fan_out(emb), centroids, id_col=id_col, vec_col=vec_col).select(
+            F.col(id_col), F.col(vec_col), "cluster_id",
+            norm(F.col(vec_col)).alias("_nv"),
+        )
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     cos = F.round(
