@@ -80,8 +80,10 @@ def asof_join(
     over the RUNNING frame carries the matched right row (packed as one
     struct) across; forward runs the SAME running frame on the
     DESC-sorted order — never a ``[.. FOLLOWING]`` frame, which Spark
-    evaluates O(n^2) per partition (the r7 CEP lesson). One shuffle per
-    direction (nearest pays both), no range explosion, spill-safe —
+    evaluates O(n^2) per partition (the r7 CEP lesson). ONE hash
+    shuffle total — nearest reuses it and pays only the second
+    per-partition sort+window (verified in the physical plan: 1
+    Exchange, 2 Window nodes) — no range explosion, spill-safe:
     survives 100x scale-up where a naive range-join would not. Tie
     bias: right rows order before left rows at an equal timestamp in
     BOTH directions, so an exactly-simultaneous right row matches.
