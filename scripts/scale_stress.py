@@ -816,8 +816,16 @@ def main() -> None:
                           "queries": report}, indent=2))
         return
     # extra positional args select a QUERY_SET subset (r8: lets the
-    # 100x refresh run the expensive ops in bounded slices)
-    subset = [a for a in args[1:] if a in QUERIES] or QUERY_SET
+    # 100x refresh run the expensive ops in bounded slices). Unknown
+    # names are an ERROR (r9, ADVICE): a typo'd subset silently fell
+    # back to the full expensive sweep.
+    unknown = sorted(set(args[1:]) - set(QUERIES))
+    if unknown:
+        raise SystemExit(
+            f"unknown query name(s): {', '.join(unknown)}; "
+            f"known: {', '.join(sorted(QUERIES))}"
+        )
+    subset = list(args[1:]) or QUERY_SET
     base = time_queries(spark, BASE_SF, subset)
     scaled = time_queries(spark, out_dir, subset)
     report = {

@@ -529,6 +529,15 @@ def simhash(
     duplicate-grouping behavior (identical texts hash identically in
     both families; tests pin group equality on the fixture corpus).
     """
+    # Width guards live HERE, not only in simhash_hamming_pairs (r9,
+    # ADVICE): md5 has 32 hex digits, so bit i>31 reads substring('')
+    # where instr(HEX,'')=1 — every extra bit silently collapses to
+    # sign-of-token-count garbage; the long accumulator overflows past
+    # 63 bits in either family.
+    if hash_fn == "md5" and n_bits > 32:
+        raise ValueError("md5 simhash tops out at 32 bits (one per hex digit)")
+    if n_bits > 63:
+        raise ValueError("simhash width tops out at 63 bits (long accumulator)")
     df = fan_out(df)  # hash per token x bit-aggregates: CPU-bound per row
     if hash_fn == "xxhash64":
         hashed = df.select(
@@ -924,11 +933,7 @@ def simhash_hamming_pairs(
     band buckets need the wider widths (expected random candidates are
     C(n,2) * bands / 2^(n_bits/n_bands); BASELINE.md r8 measures
     48-bit xxhash64 vs 32-bit md5 at 50k docs)."""
-    if hash_fn == "md5" and n_bits > 32:
-        raise ValueError("md5 simhash tops out at 32 bits (one per hex digit)")
-    if n_bits > 63:
-        raise ValueError("simhash width tops out at 63 bits (long accumulator)")
-    sh = simhash(df, text_col, id_col, n_bits, hash_fn=hash_fn)
+    sh = simhash(df, text_col, id_col, n_bits, hash_fn=hash_fn)  # validates widths
     band_bits = n_bits // n_bands
     mask = (1 << band_bits) - 1
     bands = sh.select(

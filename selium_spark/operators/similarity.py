@@ -160,12 +160,24 @@ def rhp_band_plan(threshold: float, band_bits: int = 6, miss_target: float = 1e-
     """
     import math
 
+    b = rhp_bands_required(threshold, band_bits, miss_target)
+    return max(4, min(max_bands, b))
+
+
+def rhp_bands_required(threshold: float, band_bits: int,
+                       miss_target: float) -> int:
+    """UNCAPPED band count for the ``miss_target`` bound at this width
+    (the raw ceil(ln(miss)/ln(1-p^r)) term of :func:`rhp_band_plan`).
+    Auto-mode callers use this to size band_bits and bands JOINTLY —
+    checking it against the cap BEFORE committing to a width, instead
+    of letting the cap silently degrade the miss bound (r9, ADVICE)."""
+    import math
+
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     pr = p**band_bits
     if pr >= 1.0:
         return 1
-    b = math.ceil(math.log(miss_target) / math.log(1.0 - pr))
-    return max(4, min(max_bands, b))
+    return math.ceil(math.log(miss_target) / math.log(1.0 - pr))
 
 
 def rhp_banded_signatures(
@@ -231,10 +243,16 @@ def rhp_banded_candidate_pairs(
     grows (measured at 2k vectors / threshold 0.8: bits=6 emitted 810k
     candidate pairs = 40% of all pairs; corpus-sized bits=12 emitted
     95k for the same <=1e-4 miss bound, 4.2x faster end-to-end —
-    BASELINE.md r8). Auto mode lifts the band cap to 256 so the extra
-    bands the narrower per-band match probability needs keep the miss
-    target HONEST rather than silently degrading recall; the signature
-    pass is one vectorized matmul either way. Pass ``n_rows`` when the
+    BASELINE.md r8). Auto mode scales the band cap with the width (r9):
+    the uncapped band requirement at the corpus-sized bits is GRANTED
+    (up to 1024) rather than truncated — threshold 0.8 at bits=16 needs
+    ~356 bands, and a fixed 256 cap would silently degrade actual miss
+    to ~1.3e-3 (13x target). Random collisions scale as bands/2^bits =
+    ln(1/miss)/(2p)^bits, falling with wider bits, so granting bands at
+    wide bits is strictly cheaper on candidates than narrowing the
+    width; a warning fires in the pathological corner where even 1024
+    bands can't hold the bound. The signature pass is one vectorized
+    matmul either way. Pass ``n_rows`` when the
     caller already knows the count (skips one count job); an int
     ``band_bits`` pins the width exactly (the pre-r8 behavior).
     """
@@ -243,7 +261,33 @@ def rhp_banded_candidate_pairs(
     if band_bits == "auto":
         n = n_rows if n_rows is not None else emb.count()
         band_bits = max(6, min(16, math.ceil(math.log2(max(n, 2)))))
-        n_bands = rhp_band_plan(threshold, band_bits, miss_target, max_bands=256)
+        # Scale the band cap with the width (r9, ADVICE): at wide bits
+        # the per-band match probability p^r drops and the bound can
+        # need more bands than a fixed 256 cap (threshold 0.8 at
+        # bits=16 wants ~356) — a hit cap silently degrades actual
+        # miss to ~1.3e-3, 13x the target. Granting the bands is the
+        # RIGHT trade: random collisions scale as bands/2^bits =
+        # ln(1/miss)/(2p)^bits, which FALLS with wider bits whenever
+        # p>0.5 (any threshold above ~0), so wide-bits-many-bands beats
+        # narrow-bits-few-bands on candidate count; the costs that grow
+        # (matmul planes, exploded band keys) are linear in n and
+        # cheap. A 1024 ceiling guards the pathological low-threshold
+        # corner — hitting it warns instead of silently degrading.
+        needed = rhp_bands_required(threshold, band_bits, miss_target)
+        if needed > 1024:
+            import warnings
+
+            p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+            actual_miss = (1.0 - p**band_bits) ** 1024
+            warnings.warn(
+                f"rhp auto banding: miss_target={miss_target} needs "
+                f"{needed} bands at band_bits={band_bits}; capping at "
+                f"1024 bands degrades the actual miss bound to "
+                f"~{actual_miss:.1e}. Relax miss_target or lower "
+                f"threshold.",
+                stacklevel=2,
+            )
+        n_bands = rhp_band_plan(threshold, band_bits, miss_target, max_bands=1024)
     else:
         n_bands = rhp_band_plan(threshold, band_bits, miss_target)
     sig = rhp_banded_signatures(emb, n_bands, band_bits, id_col, vec_col, dim, seed)

@@ -76,18 +76,36 @@ def grouped_entropy(
     if buckets is None:
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             n, e = entropy_of(pdf)
-            return pd.DataFrame({key: [pdf["_k"].iloc[0]], "n_events": [n], out_col: [e]})
+            # nullable Int64: a NULL key arrives as NaN (float64); an unsafe
+            # float->long Arrow cast of NaN is garbage, Int64 keeps it null.
+            return pd.DataFrame(
+                {
+                    key: pd.array([pdf["_k"].iloc[0]], dtype="Int64"),
+                    "n_events": [n],
+                    out_col: [e],
+                }
+            )
 
         return counts.groupBy("_k").applyInPandas(fn, schema=out_schema)
 
     def bucket_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: NULL keys form one NaN group (emitted as a null-key
+        # row, matching the per-key layout and the SQL oracle's GROUP BY);
+        # pandas' default dropna=True would discard them SILENTLY — the
+        # same bug fixed in stateful.py's bucket folds.
         ks, ns, es = [], [], []
-        for k, g in pdf.groupby("_k", sort=False):
+        for k, g in pdf.groupby("_k", sort=False, dropna=False):
             n, e = entropy_of(g)
             ks.append(k)
             ns.append(n)
             es.append(e)
-        return pd.DataFrame({key: ks, "n_events": ns, out_col: es})
+        return pd.DataFrame(
+            {
+                key: pd.array(ks, dtype="Int64"),
+                "n_events": ns,
+                out_col: es,
+            }
+        )
 
     return (
         counts.withColumn("_b", F.pmod(F.xxhash64("_k"), F.lit(buckets)))

@@ -191,6 +191,51 @@ def test_embedding_neardup_banded_default_matches_exact(spark):
     assert got == want and len(want) >= 2
 
 
+def test_rhp_auto_band_plan_miss_bound_honest():
+    """Auto banding's miss bound holds at large corpora (r9, ADVICE):
+    at band_bits=16 (n>32768) and threshold 0.8 the bound needs ~356
+    bands; the old fixed 256 cap silently degraded actual miss to
+    ~1.3e-3 (13x the 1e-4 target). The cap now scales to 1024 in auto
+    mode, so the planned (bits, bands) must actually satisfy the
+    target across the corpus-size sweep; the pathological corner that
+    still can't fit warns instead of staying silent."""
+    import math
+    import warnings
+
+    from selium_spark.operators.similarity import (
+        rhp_band_plan,
+        rhp_bands_required,
+    )
+
+    # the ADVICE repro: requirement above the old cap, now granted
+    assert rhp_bands_required(0.8, 16, 1e-4) > 256
+    assert rhp_band_plan(0.8, 16, 1e-4, max_bands=1024) == rhp_bands_required(
+        0.8, 16, 1e-4
+    )
+    for n_log2, thr in [(10, 0.8), (13, 0.8), (16, 0.8), (16, 0.7), (16, 0.9)]:
+        bits = max(6, min(16, n_log2))
+        bands = rhp_band_plan(thr, bits, 1e-4, max_bands=1024)
+        p = 1.0 - math.acos(thr) / math.pi
+        assert (1.0 - p**bits) ** bands <= 1e-4, (n_log2, thr, bits, bands)
+    # corner that cannot fit even 1024 bands must warn, not silently cap
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None and rhp_bands_required(0.3, 16, 1e-4) > 1024:
+        from selium_spark.operators.similarity import rhp_banded_candidate_pairs
+
+        emb = spark.createDataFrame(
+            [(i, [float(i)] * 4) for i in range(3)],
+            "vec_id LONG, embedding ARRAY<FLOAT>",
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            rhp_banded_candidate_pairs(
+                emb, threshold=0.3, dim=4, n_rows=100_000
+            )
+            assert any("miss bound" in str(x.message) for x in w)
+
+
 def test_lang_id_and_quality(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the mat and it is a cat"), (2, "der hund ist ein hund und das ist gut")],
@@ -1544,6 +1589,31 @@ def test_grouped_entropy_layouts(spark, buckets):
     assert got == {1: (8, 1.0), 2: (10, h2), 3: (5, 0.0)}
 
 
+@pytest.mark.parametrize("buckets", [None, 8, "auto"])
+def test_grouped_entropy_null_keys(spark, buckets):
+    """NULL keys form their own group in EVERY layout (r9, ADVICE):
+    the bucketed pandas fold previously ran groupby with the default
+    dropna=True and silently dropped the null-key group, breaking the
+    output-identical contract with the per-key layout and the SQL
+    oracle's GROUP BY (which both keep a NULL-key row)."""
+    from selium_spark.operators.udaf import grouped_entropy
+
+    rows = (
+        [(1, "a")] * 3 + [(1, "b")]
+        + [(None, "a")] * 2 + [(None, "b")] * 2   # null key, uniform -> 1.0
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        r.user_id: (r.n_events, r.entropy)
+        for r in grouped_entropy(
+            df, "user_id", "event_type", buckets=buckets
+        ).collect()
+    }
+    assert set(got) == {1, None}
+    assert got[None] == (4, 1.0)
+    assert got[1][0] == 4
+
+
 def test_asof_join_directions(spark):
     """asof_join direction semantics (r8, pandas merge_asof parity):
     backward takes the latest right at-or-before, forward the earliest
@@ -1692,3 +1762,11 @@ def test_simhash_hamming_wide_production_family(spark):
         dedup.simhash_hamming_pairs(df, n_bits=48)  # md5 caps at 32
     with pytest.raises(ValueError):
         dedup.simhash_hamming_pairs(df, n_bits=64, hash_fn="xxhash64")
+    # the guards live in simhash() itself (r9, ADVICE): a DIRECT call
+    # past the md5 width would read substring positions beyond the 32
+    # hex digits, where instr(HEX,'')=1 turns every extra bit into
+    # sign-of-token-count garbage — it must raise, not degrade.
+    with pytest.raises(ValueError):
+        dedup.simhash(df, n_bits=33)
+    with pytest.raises(ValueError):
+        dedup.simhash(df, n_bits=64, hash_fn="xxhash64")
