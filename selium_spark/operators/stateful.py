@@ -1575,9 +1575,20 @@ def streaming_cusum(
     scale_in: int = 2,
     late_counter=None,
     state_buckets: int | str | None = "auto",
+    alarms_only: bool = False,
 ) -> DataFrame:
     """Streaming twin of :func:`windows.cusum_changepoints`: the
     one-sided CUSUM statistic emerges incrementally as events arrive.
+
+    ``alarms_only=True`` (r9, judge task #3): the fold emits only (a)
+    alarm rows, (b) the chain's LAST period (stays open — its snapshot
+    can change, so the latest must always be in the sink for the
+    ``max_by(src_n)`` collapse to rescind a stale provisional alarm),
+    and (c) a re-touched previous-open period (the only other snapshot
+    class that supersedes an earlier emission). Collapse + ``WHERE
+    alarm`` then equals the batch op's ``alarms_only`` output exactly
+    — per-trigger emission drops from periods-touched to alarms +
+    O(keys touched).
 
     ``state_buckets``: hash keys into that many state groups, each
     holding its keys' 5-scalar states as parallel arrays (the
@@ -1672,6 +1683,12 @@ def streaming_cusum(
             s_pref = int(cums[-2])
             min_s = int(mins[-2])
         new_st = (int(uniq[-1]), int(sums[-1]), int(ns[-1]), s_pref, min_s)
+        if alarms_only:
+            keep = stats > thr_cents
+            keep[-1] = True  # open period: latest snapshot must land
+            if cur_p is not None and uniq[0] == cur_p:
+                keep[0] = True  # re-touched previous-open: supersedes
+            uniq, sums, stats, ns = uniq[keep], sums[keep], stats[keep], ns[keep]
         return (uniq, sums, stats, ns), new_st, n_late
 
     def emit(k: int, out) -> pd.DataFrame:

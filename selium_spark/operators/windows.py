@@ -749,10 +749,17 @@ def cusum_changepoints(
     threshold: float,
     grain: str = "day",
     scale_in: int = 2,
+    alarms_only: bool = False,
 ) -> DataFrame:
     """One-sided CUSUM change detection (Page 1954) over per-period
     decimal sums: deviation ``d_i = x_i - target - slack``, statistic
     ``s_i = max(0, s_{i-1} + d_i)``, alarm when ``s_i > threshold``.
+
+    ``alarms_only=True`` (r9, judge task #3) emits only the threshold
+    crossings — the alerting consumer's shape. The statistic is
+    unchanged (the full per-key chain still computes); only the OUTPUT
+    shrinks, from keys x periods to the alarm count (~100x at the 100x
+    SF, where the full emission was the scale table's worst ratio).
 
     The recursion is NOT computed as a fold: it unrolls to the closed
     form ``s_i = S_i - min_{j<=i} S_j`` (prefix sum minus prefix min),
@@ -797,13 +804,14 @@ def cusum_changepoints(
     # all-positive run understates the statistic
     zero = F.lit(0).cast(dec_t)
     stat = F.col("_S") - F.least(zero, F.min("_S").over(w))
-    return pre.select(
+    out = pre.select(
         F.col(key_col),
         F.col("_period").alias("period"),
         F.col("_x").cast("double").alias("period_sum"),
         stat.cast("double").alias("stat"),
         (stat > F.lit(threshold).cast(dec_t)).alias("alarm"),
     )
+    return out.where(F.col("alarm")) if alarms_only else out
 
 
 def transition_counts(

@@ -6078,6 +6078,66 @@ def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ts_cusum_alarms_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM alarms-only emission (r9, judge task #3): the alerting
+    consumer's shape — the full per-key statistic chain computes
+    unchanged, but only threshold crossings emit, cutting output from
+    keys x periods to the alarm count (~100x at the 100x SF, where the
+    full emission was the scale table's worst ratio 46.1)."""
+    ev = _t(spark, sf_dir, "events")
+    return windows.cusum_changepoints(
+        ev, "ts", "user_id", "value",
+        target=120.0, slack=5.0, threshold=200.0, alarms_only=True,
+    ).withColumn("period", F.date_format("period", "yyyy-MM-dd"))
+
+
+SQL_CUSUM_ALARMS_ONLY = SQL_CUSUM.replace(
+    "FROM st\n", "FROM st\nWHERE stat > CAST(200.0 AS DECIMAL(18,2))\n"
+)
+
+
+def stream_cusum_alarms_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM with fold-side alarm gating (r9, judge task #3):
+    the fold emits alarms + the open-period/re-touched-previous-open
+    snapshots (the only superseding classes), so the max_by(src_n)
+    collapse still rescinds stale provisional alarms and the final
+    ``WHERE alarm`` equals the batch alarms_only output exactly."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        ev = _norm_stream_ts(stream, schema)
+        from .operators.stateful import streaming_cusum as op
+
+        return op(
+            ev, "user_id", "ts", "value",
+            target=120.0, slack=5.0, threshold=200.0,
+            state_buckets=256, alarms_only=True,
+        )
+
+    snap = replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform,
+        output_mode="update", shuffle_partitions=8,
+    )
+    return (
+        snap.groupBy("key", "period")
+        .agg(
+            F.max_by(F.struct("period_sum", "stat", "alarm"), F.col("src_n")).alias("w")
+        )
+        .where(F.col("w.alarm"))
+        .select(
+            F.col("key").alias("user_id"),
+            F.date_format("period", "yyyy-MM-dd").alias("period"),
+            F.col("w.period_sum").alias("period_sum"),
+            F.col("w.stat").alias("stat"),
+            F.col("w.alarm").alias("alarm"),
+        )
+    )
+
+
 def stream_ewma_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming EWMA twin (stateful.streaming_ewma_level): the
     smoothing level advances batch-by-batch through the identical IEEE
@@ -7628,7 +7688,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w_gapfill_interp_daily": w_gapfill_interp_daily,
     "ts_ewma_level": ts_ewma_level,
     "ts_cusum_alarms": ts_cusum_alarms,
+    "ts_cusum_alarms_only": ts_cusum_alarms_only,
     "stream_cusum_alarms": stream_cusum_alarms,
+    "stream_cusum_alarms_only": stream_cusum_alarms_only,
     "stream_ewma_level": stream_ewma_level,
     "graph_copurchase_triangles": graph_copurchase_triangles,
     "drift_psi_value": drift_psi_value,
@@ -7831,7 +7893,9 @@ WHERE value % 2 = 0"""
     "w_gapfill_interp_daily": SQL_GAPFILL_INTERP,
     "ts_ewma_level": SQL_EWMA_LEVEL,
     "ts_cusum_alarms": SQL_CUSUM,
+    "ts_cusum_alarms_only": SQL_CUSUM_ALARMS_ONLY,
     "stream_cusum_alarms": SQL_CUSUM,
+    "stream_cusum_alarms_only": SQL_CUSUM_ALARMS_ONLY,
     "stream_ewma_level": SQL_EWMA_LEVEL,
     "graph_copurchase_triangles": SQL_TRIANGLES,
     "drift_psi_value": SQL_PSI,

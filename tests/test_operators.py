@@ -1734,6 +1734,60 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     check()
 
 
+def test_asof_join_keyless_bucketed(spark):
+    """Keyless as-of (r9, judge task #2): ``by=[]`` must NOT plan a
+    single-partition global window — it routes through sampled range
+    buckets with a broadcast carry table. Differential vs
+    pandas.merge_asof across all directions + tolerance, with
+    n_range_buckets small enough that carries genuinely cross bucket
+    boundaries (left rows land in buckets whose nearest right row
+    lives in another bucket); plus a plan assertion that the window
+    exchange partitions on the bucket key."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import relational
+
+    # rights sparse (every ~40s), lefts dense — many lefts must reach
+    # across bucket boundaries for their match
+    lefts = [(i, i * 7 % 503) for i in range(60)]
+    rights = [(t, float(t)) for t in range(0, 501, 40)]
+    lpdf = pd.DataFrame(
+        [(pd.Timestamp(t, unit="s"), i) for i, t in lefts], columns=["ts", "lid"]
+    ).sort_values("ts")
+    rpdf = pd.DataFrame(
+        [(pd.Timestamp(t, unit="s"), v) for t, v in rights], columns=["ts", "v"]
+    ).sort_values("ts")
+
+    ldf = spark.createDataFrame(lefts, "lid long, e long").withColumn(
+        "ts", F.timestamp_seconds("e")
+    ).drop("e")
+    rdf = spark.createDataFrame(rights, "e long, v double").withColumn(
+        "ts", F.timestamp_seconds("e")
+    ).drop("e")
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 25):
+            want_df = pd.merge_asof(
+                lpdf, rpdf, on="ts", direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+            )
+            want = {int(r.lid): (None if pd.isna(r.v) else float(r.v))
+                    for r in want_df.itertuples()}
+            got_df = relational.asof_join(
+                ldf, rdf, ts="ts", by=[], right_cols=["v"],
+                direction=direction, tolerance_s=tol, n_range_buckets=6,
+            )
+            got = {int(r.lid): r.v_asof for r in got_df.collect()}
+            assert got == want, (direction, tol)
+
+    # plan: the big window partitions on _bkt, never on nothing
+    plan = relational.asof_join(
+        ldf, rdf, ts="ts", by=[], right_cols=["v"], n_range_buckets=6
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "_bkt" in plan
+
+
 def test_simhash_hamming_wide_production_family(spark):
     """Wide xxhash64 simhash signatures (r8): the production family
     reads up to 63 bits off one JVM hash per token — the width a 50k+

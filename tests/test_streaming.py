@@ -1418,6 +1418,68 @@ def test_streaming_cusum_matches_batch_closed_form(spark, tmp_path, state_bucket
     assert not all(a for (_, _, a) in want.values())
 
 
+@pytest.mark.parametrize("state_buckets", [None, 4])
+def test_streaming_cusum_alarms_only_rescinds(spark, tmp_path, state_buckets):
+    """alarms_only fold gating (r9, judge task #3): a provisional
+    open-period ALARM that recedes before the period closes must be
+    rescinded by a later non-alarm snapshot — both when the period is
+    re-touched while still open-chain-last AND when it closes mid-batch
+    as a re-touched previous-open (case (c)). Collapse + WHERE alarm
+    equals the batch alarms_only output."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import stateful, windows
+    from selium_spark.streaming.replay import replay_to_memory
+
+    # key 1: day1 first sees +65 (stat 25 > thr 20, provisional alarm),
+    # then -60 arrives in batch 2 TOGETHER with day2 rows — day1 closes
+    # mid-batch at stat 0 (rescind via the re-touched previous-open
+    # emission). key 2: a plain closed alarm that must survive.
+    rows1 = [(1, dt.datetime(2024, 1, 1, 5), 105.0),
+             (2, dt.datetime(2024, 1, 1, 6), 90.0)]
+    rows2 = [(1, dt.datetime(2024, 1, 1, 9), -60.0),   # day1 recedes
+             (1, dt.datetime(2024, 1, 2, 5), 42.0),    # day1 closes
+             (2, dt.datetime(2024, 1, 2, 7), 41.0)]
+    sch = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows1, sch).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(rows2, sch).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    kw = dict(target=40.0, slack=0.0, threshold=20.0)
+    snap = replay_to_memory(
+        spark, src, schema,
+        lambda s: stateful.streaming_cusum(
+            s, "user_id", "ts", "value",
+            state_buckets=state_buckets, alarms_only=True, **kw,
+        ),
+        output_mode="update", max_files_per_trigger=1, shuffle_partitions=2,
+    )
+    # the provisional day1 alarm row for key 1 IS in the raw sink ...
+    raw = {(r.key, str(r.period.date()), r.alarm, r.src_n) for r in snap.collect()}
+    assert (1, "2024-01-01", True, 1) in raw
+    got = {
+        (r.key, str(r.period.date())): (r.period_sum, r.stat)
+        for r in snap.groupBy("key", "period")
+        .agg(F.max_by(F.struct("period_sum", "stat", "alarm"), F.col("src_n")).alias("w"))
+        .where(F.col("w.alarm"))
+        .select("key", "period", "w.period_sum", "w.stat")
+        .collect()
+    }
+    ev = spark.createDataFrame(rows1 + rows2, sch)
+    want = {
+        (r.user_id, str(r.period)): (r.period_sum, r.stat)
+        for r in windows.cusum_changepoints(
+            ev, "ts", "user_id", "value", alarms_only=True, **kw
+        ).collect()
+    }
+    # ... but the collapse rescinds it: batch parity, key 1 day1 gone
+    assert got == want
+    assert (1, "2024-01-01") not in got and (2, "2024-01-01") in got
+
+
 def test_streaming_cusum_late_rows_counted_and_dropped(spark, tmp_path):
     """A batch-2 row whose period predates the key's open period cannot
     be folded: it is dropped AND counted (Drop-mode loss accounting),
