@@ -86,6 +86,10 @@ QUERY_SET = [
     "w_gapfill_interp_daily",
     "ts_ewma_level",
     "ts_cusum_alarms",
+    # r9: the alarms-only emission (judge task #3) — same statistic,
+    # output cut from keys x periods to threshold crossings; its 100x
+    # ratio should collapse vs the full emission's 46.1
+    "ts_cusum_alarms_only",
     "drift_psi_value",
     "mad_daily_outliers",
     "seq_transition_matrix",
@@ -245,6 +249,219 @@ EVENT_SKEW_QUERY_SET = [
     "q_asof_forward_enrich",
     "q_asof_nearest_enrich",
 ]
+
+
+# ---------------------------------------------------------------------------
+# Production-path variants (r9, judge task #1): the xxhash64 signature
+# families, expect_unique_native, and the two-pass PMI candidate — the
+# plans a 100 TB deployment would actually run, where the graded md5
+# pipelines exist only for DuckDB-oracle parity. Each entry maps to its
+# graded twin so the --production mode can print like-for-like rows.
+
+
+def _prod_dedup_exact(spark, sf_dir):
+    from selium_spark.operators import dedup
+
+    return dedup.dedup_exact(
+        load_table(spark, sf_dir, "documents"), hash_fn="xxhash64"
+    )
+
+
+def _prod_lsh_candidates(spark, sf_dir):
+    from selium_spark.operators import dedup
+    from selium_spark.suite import LSH_MAX_BAND
+
+    return dedup.lsh_candidate_pairs(
+        load_table(spark, sf_dir, "documents"), k=8, bands=4, shingle_n=3,
+        max_band_size=LSH_MAX_BAND, hash_fn="xxhash64",
+    )
+
+
+def _prod_simhash_star(spark, sf_dir):
+    from selium_spark.operators import dedup
+    from selium_spark.suite import HAMMING_STAR_CAP
+
+    return dedup.simhash_hamming_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3,
+        n_bands=4, n_bits=48, hash_fn="xxhash64",
+        max_band_size=HAMMING_STAR_CAP, overflow="star",
+    )
+
+
+def _prod_dq_native(spark, sf_dir):
+    from selium_spark.operators import expectations as X
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        X.expect_not_null("l_orderkey"),
+        X.expect_between("l_quantity", 1.0, 50.0),
+        X.expect_between("l_discount", 0.0, 0.1),
+        X.expect_between("l_tax", 0.0, 0.05, max_frac=0.2),
+        X.expect_values_in("l_returnflag", ["A", "N", "R"]),
+        X.expect_unique_native("l_orderkey", "l_linenumber", max_dup_frac=0.06),
+    ]
+    return X.validate_expectations(li, rules)
+
+
+def _prod_dq_xxhash64(spark, sf_dir):
+    from selium_spark.operators import expectations as X
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        X.expect_not_null("l_orderkey"),
+        X.expect_between("l_quantity", 1.0, 50.0),
+        X.expect_between("l_discount", 0.0, 0.1),
+        X.expect_between("l_tax", 0.0, 0.05, max_frac=0.2),
+        X.expect_values_in("l_returnflag", ["A", "N", "R"]),
+        X.expect_unique_approx(
+            "l_orderkey", "l_linenumber", max_dup_frac=0.2, hash_fn="xxhash64"
+        ),
+    ]
+    return X.validate_expectations(li, rules)
+
+
+def _pmi_two_pass(spark, sf_dir):
+    """Judge task #4 candidate: prune the bigram-occurrence table with
+    a frequency threshold BEFORE the pair groupBy. Output-identical to
+    text.pmi_collocations: marginals (c1/c2) equal the occurrence
+    counts by w1/w2 (cheaper vocab-keyed aggregates), and a pair with
+    c12 >= min_count needs BOTH words' marginals >= min_count, so the
+    pre-filter never drops a surviving pair."""
+    from selium_spark.operators.text import tokens
+
+    df = load_table(spark, sf_dir, "documents")
+    min_count, k, round_to = 5, 100, 9
+    toks = tokens("text")
+    pairs_col = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda a, b: F.when(
+                b.isNotNull(), F.struct(a.alias("w1"), b.alias("w2"))
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    occ = df.select(F.explode(pairs_col).alias("p")).select("p.w1", "p.w2")
+    occ = occ.persist()
+    ctx = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    tgt = occ.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    total = ctx.agg(F.sum("c1").alias("n_big"))
+    f1 = ctx.where(F.col("c1") >= min_count).select("w1", "c1")
+    f2 = tgt.where(F.col("c2") >= min_count).select("w2", "c2")
+    pairs = (
+        occ.join(F.broadcast(f1), "w1")
+        .join(F.broadcast(f2), "w2")
+        .groupBy("w1", "w2", "c1", "c2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .where(F.col("c12") >= min_count)
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c12") / F.col("n_big"))
+            / ((F.col("c1") / F.col("n_big")) * (F.col("c2") / F.col("n_big")))
+        ),
+        round_to,
+    )
+    out = (
+        pairs.crossJoin(F.broadcast(total))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )
+    out.write.format("noop").mode("overwrite").save()
+    occ.unpersist()
+    return None  # already materialized (needs the unpersist)
+
+
+# name -> (graded twin in QUERIES or None, callable)
+PROD_QUERIES = {
+    "dedup_exact_docs_xxhash64": ("dedup_exact_docs", _prod_dedup_exact),
+    "dedup_lsh_candidates_xxhash64": ("dedup_lsh_candidates", _prod_lsh_candidates),
+    "dedup_simhash_star_xxhash64": ("dedup_simhash_hamming_star", _prod_simhash_star),
+    "dq_expectations_native": ("dq_expectations", _prod_dq_native),
+    "dq_expectations_xxhash64": ("dq_expectations", _prod_dq_xxhash64),
+    "text_pmi_two_pass": ("text_pmi_collocations", _pmi_two_pass),
+}
+
+# the doc-keyed subset the --skew --production mode times on the
+# uniform vs skewed corpora (dq is lineitem-keyed, pmi's skew exposure
+# is already covered by the graded twin in SKEW_QUERY_SET)
+PROD_SKEW_QUERIES = [
+    "dedup_exact_docs_xxhash64",
+    "dedup_lsh_candidates_xxhash64",
+    "dedup_simhash_star_xxhash64",
+]
+
+
+def time_prod_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    out = {}
+    for name in names:
+        _, fn = PROD_QUERIES[name]
+        t0 = time.time()
+        res = fn(spark, sf_dir)
+        if res is not None:
+            res.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 2)
+    return out
+
+
+def production_main(n: int, skew_mode: bool) -> None:
+    """--production [N]: time the production-path configs at base vs Nx
+    next to their graded md5 twins (judge task #1 — the 100 TB claims
+    should rest on measured production plans, not only the oracle
+    plans). With --skew: uniform vs skewed doc corpora instead."""
+    spark = get_spark(app_name="prod_stress", cpus=32, shuffle_partitions=64)
+    if skew_mode:
+        n_docs = n * 50_000
+        uni_dir = f"/root/repo/tmp/docs_uniform_{n_docs}"
+        skew_dir = f"/root/repo/tmp/docs_skewed_{n_docs}"
+        for d, frac in ((uni_dir, 0.0), (skew_dir, 0.3)):
+            if not os.path.exists(f"{d}/documents.parquet"):
+                print(f"building {n_docs}-doc corpus (hot_frac={frac}) at {d} ...",
+                      file=sys.stderr)
+                build_doc_corpus(spark, n_docs, d, frac)
+        uniform = time_prod_queries(spark, uni_dir, PROD_SKEW_QUERIES)
+        skewed = time_prod_queries(spark, skew_dir, PROD_SKEW_QUERIES)
+        report = {
+            name: {
+                "uniform_s": uniform[name],
+                "skewed_s": skewed[name],
+                "ratio": round(skewed[name] / max(uniform[name], 0.01), 2),
+            }
+            for name in PROD_SKEW_QUERIES
+        }
+        print(json.dumps({"n_docs": n_docs, "mode": "production_skew",
+                          "hot_frac": 0.3, "queries": report}, indent=2))
+        return
+    out_dir = f"/root/repo/tmp/scaled_x{n}"
+    if not os.path.exists(f"{out_dir}/lineitem.parquet"):
+        print(f"building {n}x dataset at {out_dir} ...", file=sys.stderr)
+        build_scaled(spark, n, out_dir)
+    names = list(PROD_QUERIES)
+    twins = sorted({t for t, _ in PROD_QUERIES.values() if t})
+    base = time_prod_queries(spark, BASE_SF, names)
+    scaled = time_prod_queries(spark, out_dir, names)
+    twin_base = time_queries(spark, BASE_SF, twins)
+    twin_scaled = time_queries(spark, out_dir, twins)
+    report = {}
+    for name in names:
+        twin, _ = PROD_QUERIES[name]
+        row = {
+            "base_s": base[name],
+            f"x{n}_s": scaled[name],
+            "ratio": round(scaled[name] / max(base[name], 0.01), 1),
+        }
+        if twin:
+            row["twin"] = twin
+            row["twin_base_s"] = twin_base[twin]
+            row[f"twin_x{n}_s"] = twin_scaled[twin]
+            row["twin_ratio"] = round(
+                twin_scaled[twin] / max(twin_base[twin], 0.01), 1
+            )
+        report[name] = row
+    print(json.dumps({"n_copies": n, "mode": "production", "queries": report},
+                     indent=2))
 
 
 def build_event_corpus(spark, n_rows: int, out_dir: str, hot_frac: float) -> None:
@@ -785,6 +1002,9 @@ def main() -> None:
         }
         print(json.dumps({"n_rows": n_rows, "mode": "skew_events",
                           "hot_frac": 0.3, "queries": report}, indent=2))
+        return
+    if "--production" in sys.argv:
+        production_main(int(args[0]) if args else 10, "--skew" in sys.argv)
         return
     skew_mode = "--skew" in sys.argv
     n = int(args[0]) if args else 10

@@ -734,6 +734,43 @@ FROM g
 """
 
 
+def q_asof_keyless_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS as-of join (r9 — judge task #2's bucketed device): each
+    order enriched with the corpus-WIDE ship-day activity (number of
+    lineitems shipped on the latest ship date at-or-before the order
+    date) — a global market-state enrichment with no join key at all.
+    ``by=[]`` routes through the sampled-range-bucket plan: a
+    per-bucket running window plus a broadcast ~32-row carry table,
+    never the single-partition global window the naive formulation
+    plans. Oracle: DuckDB ASOF LEFT JOIN with no equality condition."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").alias("ts")
+    )
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").alias("ts"))
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )
+    out = relational.asof_join(
+        orders, daily, ts="ts", by=[], right_cols=["n_shipped"]
+    )
+    return out.select(
+        "o_orderkey",
+        F.coalesce(F.col("n_shipped_asof"), F.lit(0)).alias("ship_day_activity"),
+    )
+
+
+SQL_ASOF_KEYLESS = """
+SELECT o.o_orderkey,
+  coalesce(d.n_shipped, 0) AS ship_day_activity
+FROM orders o
+ASOF LEFT JOIN (
+  SELECT l_shipdate AS dts, count(*) AS n_shipped
+  FROM lineitem GROUP BY l_shipdate
+) d ON o.o_orderdate >= d.dts
+"""
+
+
 SQL_STREAM_LATEST = """
 SELECT w.event_id, CAST(c.value AS VARCHAR) AS signup_value_asof
 FROM (SELECT * FROM events WHERE event_type <> 'signup') w
@@ -7549,6 +7586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w3_latest_enrich": w3_latest_enrich,
     "q_asof_forward_enrich": q_asof_forward_enrich,
     "q_asof_nearest_enrich": q_asof_nearest_enrich,
+    "q_asof_keyless_market": q_asof_keyless_market,
     "w1c_session_windows": w1c_session_windows,
     "funnel_steps": funnel_steps,
     "cohort_retention_weekly": cohort_retention_weekly,
@@ -7780,6 +7818,7 @@ ORACLES: dict[str, str] = {
     "w3_latest_enrich": SQL_W3,
     "q_asof_forward_enrich": SQL_ASOF_FORWARD,
     "q_asof_nearest_enrich": SQL_ASOF_NEAREST,
+    "q_asof_keyless_market": SQL_ASOF_KEYLESS,
     "w4_route_blocked": SQL_W4,
     "w5_take_n": SQL_W5,
     "w6_union_pattern": SQL_W6,
