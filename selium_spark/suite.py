@@ -1240,6 +1240,26 @@ FROM documents GROUP BY content_hash
 """
 
 
+def dedup_exact_docs_xxhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION exact dedup (r9 — value-grading the xxhash64 escape):
+    the 8-byte JVM-intrinsic content hash instead of the 32-hex md5
+    string (4x smaller shuffle key; collision odds ~n^2/2^65). DuckDB
+    cannot compute xxhash64, so the hash column is dropped and the
+    oracle groups by the NORMALIZED TEXT itself — the grouping both
+    hashes encode — making the production path value-checked, not just
+    unit-pinned."""
+    return dedup.dedup_exact(
+        _t(spark, sf_dir, "documents"), hash_fn="xxhash64"
+    ).select("doc_id", "n_copies")
+
+
+SQL_DEDUP_EXACT_XX = r"""
+SELECT min(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+"""
+
+
 def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-minhash signatures over word 3-gram shingles (md5-sliced
     hash budget; see dedup.minhash_signature)."""
@@ -7596,6 +7616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "s10_lcg_pipeline": s10_lcg_pipeline,
     "wasm_udf_lcg_bucket": wasm_udf_lcg_bucket,
     "dedup_exact_docs": dedup_exact_docs,
+    "dedup_exact_docs_xxhash64": dedup_exact_docs_xxhash64,
     "dedup_minhash_sigs": dedup_minhash_sigs,
     "dedup_lsh_candidates": dedup_lsh_candidates,
     "dedup_simhash_docs": dedup_simhash_docs,
@@ -7857,6 +7878,7 @@ WHERE value % 2 = 0"""
     "q_distinct_users_daily": SQL_DISTINCT_USERS,
     "pipeline_data_prep": SQL_DATA_PREP,
     "dedup_exact_docs": SQL_DEDUP_EXACT,
+    "dedup_exact_docs_xxhash64": SQL_DEDUP_EXACT_XX,
     "dedup_minhash_sigs": SQL_MINHASH_SIGS,
     "dedup_lsh_candidates": SQL_LSH_PAIRS,
     "dedup_jaccard_verified": SQL_JACCARD,
