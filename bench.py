@@ -149,6 +149,13 @@ HEADLINE = [
     "stream_daily_ohlc_closed",
     "q_asof_forward_enrich",
     "q_asof_nearest_enrich",
+    # round 9: keyless as-of (bucketed two-phase device), alarms-only
+    # CUSUM emission (batch + streaming twins), and the value-graded
+    # xxhash64 exact-dedup production path
+    "q_asof_keyless_market",
+    "ts_cusum_alarms_only",
+    "stream_cusum_alarms_only",
+    "dedup_exact_docs_xxhash64",
 ]
 
 
