@@ -565,9 +565,11 @@ def bigram_lm_counts(
     """Bigram language-model count tables: (w1, w2, c) pair counts plus
     the two marginals Kneser-Ney smoothing needs — left_types(w2) =
     |{w1 : c(w1,w2)>0}| (continuation count) and right_types(w1).
-    One explode + one groupBy on the pair; the marginals re-aggregate
-    the PAIR table (vocab-sized, not corpus-sized) — the same
-    partial-reaggregation shape as the hierarchical rollup."""
+    One explode + one groupBy on the pair, with the pair table
+    MATERIALIZED (``localCheckpoint(eager=True)``, r9 — the PMI
+    single-traversal lesson) so the left/right marginal branches and
+    the final join re-read the vocab-sized table instead of each
+    rebuilding the corpus explode."""
     pairs_col = F.zip_with(
         tokens(text_col),
         F.slice(tokens(text_col), 2, F.greatest(F.size(tokens(text_col)) - 1, F.lit(1))),
@@ -580,6 +582,7 @@ def bigram_lm_counts(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= min_count)
+        .localCheckpoint(eager=True)
     )
     left = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("left_types"))
     right = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("right_types"))
@@ -606,10 +609,16 @@ def bigram_interp_logppl(
     self-consistent, so no unseen-event smoothing is needed on the
     training corpus itself.
 
-    Plan shape: one explode to bigram occurrences; the probability
-    table is the distinct-bigram table (sub-corpus-sized, uniformly
-    keyed) joined back on (w1, w2); marginals re-aggregate the PAIR
-    table, not the corpus (the bigram_lm_counts shape). The per-doc
+    Plan shape (r9 rewrite — the PMI single-traversal lesson applied):
+    one explode to bigram occurrences; the distinct-pair table is
+    MATERIALIZED once (``localCheckpoint(eager=True)``) before the
+    marginal re-aggregations, because the ctx/tgt/total/prob branches
+    otherwise each rebuild the corpus tokenize+explode subtree
+    (broadcast sides share no exchange — measured 73.6 s at the 100x
+    SF from five corpus traversals, vs two traversals after the pin:
+    the pair aggregate and the final join-back). The checkpointed
+    table is vocab^2-bounded and carries real size stats, so AQE picks
+    the broadcast side of the occurrence join on its own. The per-doc
     sum folds in position order over a sorted collect_list so the
     float total is bit-identical across engines (same device as
     unigram_logppl)."""
@@ -627,7 +636,11 @@ def bigram_interp_logppl(
     occ = df.select(
         F.col(id_col), F.posexplode(pairs_col).alias("pos", "p")
     ).select(id_col, "pos", "p.w1", "p.w2")
-    pairs = occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    pairs = (
+        occ.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
     ctx = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
     tgt = pairs.groupBy("w2").agg(F.sum("c12").alias("t2"))
     total = pairs.agg(F.sum("c12").alias("n_big"))
@@ -647,16 +660,32 @@ def bigram_interp_logppl(
         )
     )
     joined = occ.join(prob, ["w1", "w2"])
-    fold = F.aggregate(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "nll"))), lambda s: s["nll"]
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # position-ordered fold WITHOUT collect_list (r9): the running
+    # window sum accumulates row-by-row in frame order, so it performs
+    # the identical IEEE addition sequence as the sorted-array fold it
+    # replaces (acc + nll in ascending pos) — bit-identical, and ONE
+    # exchange + ONE per-doc sort instead of the ObjectHashAggregate
+    # that shuffled every (pos, nll) struct and array-sorted per doc
+    # (the x100 cost after the pair-table pin: 54.5 -> see BASELINE r9)
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return joined.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(fold / F.count(F.lit(1)), round_to).alias("bigram_logppl"),
+    w_all = Window.partitionBy(id_col)
+    return (
+        joined.withColumn("_run", F.sum("nll").over(w_run))
+        .withColumn("_n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy(id_col).orderBy("pos")),
+        )
+        .where(F.col("_rn") == F.col("_n"))
+        .select(
+            F.col(id_col),
+            F.col("_n").alias("n_bigrams"),
+            F.round(F.col("_run") / F.col("_n"), round_to).alias("bigram_logppl"),
+        )
     )
 
 
