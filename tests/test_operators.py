@@ -1787,6 +1787,14 @@ def test_asof_join_keyless_bucketed(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "_bkt" in plan
 
+    # empty right side: every left row survives unenriched (the carry
+    # table aggregates to all-null and coalesce passes the null through)
+    empty = rdf.where(F.lit(False))
+    got = relational.asof_join(
+        ldf, empty, ts="ts", by=[], right_cols=["v"], n_range_buckets=6
+    ).collect()
+    assert len(got) == len(lefts) and all(r.v_asof is None for r in got)
+
 
 def test_simhash_hamming_wide_production_family(spark):
     """Wide xxhash64 simhash signatures (r8): the production family
