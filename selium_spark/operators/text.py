@@ -901,6 +901,15 @@ def token_budget_select(
     integers. The score is rounded to ``round_to`` BEFORE ordering so
     the cross-engine sort order is ulp-robust.
 
+    The scored projection is MATERIALIZED (``localCheckpoint``, r9 —
+    the PMI lesson a third time): the two-phase device consumes its
+    input three ways (the quantile boundary sample, the per-bucket
+    partial-sum aggregate, and the ranked join), and each consumer
+    otherwise re-runs the tokenize-heavy quality scan — measured 3x
+    the corpus cost at the 100x SF. The pinned table is NARROW
+    (id, long, double — ~30 bytes/doc regardless of document size),
+    so executor storage is n_docs-bounded, not corpus-bounded.
+
     Returns (id, n_tokens, q, cum_tokens) for the selected head.
     """
     from . import windows
@@ -909,7 +918,7 @@ def token_budget_select(
         F.col(id_col),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.col("quality_score"), round_to).alias("q"),
-    )
+    ).localCheckpoint(eager=True)
     ranked = windows.global_running_sum(
         scored,
         [(-F.col("q")), F.col(id_col)],
