@@ -388,11 +388,15 @@ def bm25_scores(
     """
     toks = tokens(text_col)
     docs = df.select(F.col(id_col), F.size(toks).alias("dl"), toks.alias("_toks"))
+    # tf pinned (r9): the |terms|-bounded hit table feeds BOTH the
+    # per-term document frequencies and the scoring join — without the
+    # pin the dfreq broadcast build re-runs the corpus explode
     tf = (
         docs.select(F.col(id_col), F.col("dl"), F.explode("_toks").alias("term"))
         .where(F.col("term").isin(terms))
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -448,18 +452,30 @@ def unigram_logppl(
     unigram LM: per-doc mean negative log-likelihood of its tokens
     under the corpus unigram distribution, plus a keep verdict
     (low log-perplexity = typical text). The vocab (tiny vs corpus)
-    is broadcast back; the per-doc sum folds in token-position order
-    over a sorted collect_list so the float total is bit-identical
-    across engines and runs (group-agg partial order would not be)."""
+    is pinned (r9) then broadcast back; the per-doc sum folds in
+    token-position order over a sorted collect_list so the float
+    total is bit-identical across engines and runs (group-agg partial
+    order would not be)."""
     tok = df.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
     )
-    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    # vocab pinned (r9, the PMI/bigram lesson): its total/nll branches
+    # otherwise each rebuild the corpus tokenize+explode subtree
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     total = vocab.agg(F.sum("tf").alias("total"))
     nll = vocab.crossJoin(F.broadcast(total)).select(
         "token", (-F.log(F.col("tf") / F.col("total"))).alias("nll")
     )
     joined = tok.join(F.broadcast(nll), "token")
+    # collect_list fold KEPT here (r9): the bigram twin's running-
+    # window rewrite was A/B'd on this op too and LOST (interleaved
+    # min-of-3 at the 100x SF: window 4.98 s vs list 4.49 s — the
+    # single-token rows are narrow enough that the object aggregate
+    # beats the extra per-doc sort), so only the vocab pin is adopted
     fold = F.aggregate(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "nll"))), lambda s: s["nll"]
