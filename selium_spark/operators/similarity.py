@@ -161,6 +161,12 @@ def rhp_band_plan(threshold: float, band_bits: int = 6, miss_target: float = 1e-
     import math
 
     b = rhp_bands_required(threshold, band_bits, miss_target)
+    if b == 1:
+        # exact-match corner (p^r >= 1, e.g. threshold=1.0): a single
+        # band already meets any miss bound — skipping the max(4,...)
+        # floor restores the old single-band fast path instead of
+        # quadrupling signature work for redundant bands (r10, ADVICE).
+        return 1
     return max(4, min(max_bands, b))
 
 

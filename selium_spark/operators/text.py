@@ -40,6 +40,24 @@ def token_count(col: str | Column) -> Column:
     return F.size(tokens(col))
 
 
+def _pin(df: DataFrame, pin: bool) -> DataFrame:
+    """Materialize a multiply-consumed derived table (the r9
+    repeated-traversal audit device) — or pass it through untouched.
+
+    FAULT-TOLERANCE TRADE-OFF (r10, ADVICE): ``localCheckpoint`` blocks
+    are NOT fault-tolerant — lineage is truncated, so losing an
+    executor after the pin fails the job instead of recomputing, and
+    ``eager=True`` runs Spark jobs at operator-CONSTRUCTION time even
+    if the caller never consumes the result. On a long-lived 100 TB
+    cluster where executor churn is routine, fault-sensitive callers
+    should pass ``pin=False``: output-identical, at the cost of the
+    measured repeated corpus traversals the pin exists to avoid
+    (1.6-3.9x at the 100x SF, BASELINE.md r9). The pinned tables are
+    all vocab- or n_docs-bounded, so the storage cost of ``pin=True``
+    is never corpus-bounded."""
+    return df.localCheckpoint(eager=True) if pin else df
+
+
 def bpe_token_count(col: str | Column) -> Column:
     """Sub-word-ish token count via the BPE pre-tokenizer regex."""
     c = F.col(col) if isinstance(col, str) else col
@@ -373,6 +391,7 @@ def bm25_scores(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pin: bool = True,
 ) -> DataFrame:
     """Okapi BM25 relevance of every document against a bag of query
     terms: score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
@@ -396,8 +415,8 @@ def bm25_scores(
         .where(F.col("term").isin(terms))
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
     )
+    tf = _pin(tf, pin)
     stats = docs.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -447,6 +466,7 @@ def unigram_logppl(
     threshold: float = 3.43,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pin: bool = True,
 ) -> DataFrame:
     """CCNet-style perplexity quality filter with a self-trained
     unigram LM: per-doc mean negative log-likelihood of its tokens
@@ -461,10 +481,8 @@ def unigram_logppl(
     )
     # vocab pinned (r9, the PMI/bigram lesson): its total/nll branches
     # otherwise each rebuild the corpus tokenize+explode subtree
-    vocab = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+    vocab = _pin(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf")), pin
     )
     total = vocab.agg(F.sum("tf").alias("total"))
     nll = vocab.crossJoin(F.broadcast(total)).select(
@@ -577,6 +595,7 @@ def bigram_lm_counts(
     df: DataFrame,
     text_col: str = "text",
     min_count: int = 1,
+    pin: bool = True,
 ) -> DataFrame:
     """Bigram language-model count tables: (w1, w2, c) pair counts plus
     the two marginals Kneser-Ney smoothing needs — left_types(w2) =
@@ -598,8 +617,8 @@ def bigram_lm_counts(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
         .where(F.col("c") >= min_count)
-        .localCheckpoint(eager=True)
     )
+    pairs = _pin(pairs, pin)
     left = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("left_types"))
     right = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("right_types"))
     return pairs.join(left, "w2").join(right, "w1").select(
@@ -613,6 +632,7 @@ def bigram_interp_logppl(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_to: int = 9,
+    pin: bool = True,
 ) -> DataFrame:
     """Jelinek-Mercer interpolated bigram LM perplexity, self-trained —
     the quality signal one LM order above :func:`unigram_logppl` (the
@@ -652,10 +672,8 @@ def bigram_interp_logppl(
     occ = df.select(
         F.col(id_col), F.posexplode(pairs_col).alias("pos", "p")
     ).select(id_col, "pos", "p.w1", "p.w2")
-    pairs = (
-        occ.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=True)
+    pairs = _pin(
+        occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")), pin
     )
     ctx = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
     tgt = pairs.groupBy("w2").agg(F.sum("c12").alias("t2"))
@@ -901,6 +919,7 @@ def token_budget_select(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_to: int = 9,
+    pin: bool = True,
 ) -> DataFrame:
     """Greedy token-budget corpus head: documents sorted best-first by
     quality score (doc id tie-break), kept while the EXACT cumulative
@@ -930,11 +949,14 @@ def token_budget_select(
     """
     from . import windows
 
-    scored = quality_score(df, text_col).select(
-        F.col(id_col),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.round(F.col("quality_score"), round_to).alias("q"),
-    ).localCheckpoint(eager=True)
+    scored = _pin(
+        quality_score(df, text_col).select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("quality_score"), round_to).alias("q"),
+        ),
+        pin,
+    )
     ranked = windows.global_running_sum(
         scored,
         [(-F.col("q")), F.col(id_col)],
@@ -1070,6 +1092,7 @@ def pmi_collocations(
     min_count: int = 5,
     k: int = 100,
     round_to: int = 9,
+    pin: bool = True,
 ) -> DataFrame:
     """Top-k collocations by pointwise mutual information —
     ``pmi(w1,w2) = log( P(w1,w2) / (P(w1)·P(w2)) )`` with all three
@@ -1124,8 +1147,8 @@ def pmi_collocations(
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=True)
     )
+    pairs = _pin(pairs, pin)
     ctx = pairs.groupBy("w1").agg(F.sum("c12").alias("c1"))
     tgt = pairs.groupBy("w2").agg(F.sum("c12").alias("c2"))
     total = pairs.agg(F.sum("c12").alias("n_big"))

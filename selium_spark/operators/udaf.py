@@ -57,9 +57,19 @@ def grouped_entropy(
       size). ``None`` keeps the one-call-per-key layout
       (output-identical, pinned by test parametrization).
     """
-    counts = df.groupBy(
-        F.col(key).alias("_k"), F.col(cat_col).alias("_c")
-    ).agg(F.count(F.lit(1)).alias("_n"))
+    # NULL keys ride a separate boolean flag, and _k itself is made
+    # non-nullable (coalesce to 0) BEFORE the frame ships to pandas
+    # (r10, ADVICE): Arrow converts an int64 column containing nulls to
+    # float64 for the whole pandas frame, so any non-null key above
+    # 2^53 sharing a bucket with a NULL key would silently round —
+    # emitting a WRONG integer key. With the flag the column stays
+    # int64 end-to-end and the null-key row is reconstructed from _kn.
+    counts = (
+        df.groupBy(F.col(key).alias("_k"), F.col(cat_col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_kn", F.col("_k").isNull())
+        .withColumn("_k", F.coalesce(F.col("_k"), F.lit(0).cast("long")))
+    )
 
     if buckets == "auto":
         sc = df.sparkSession.sparkContext
@@ -73,42 +83,49 @@ def grouped_entropy(
         p = g["_n"].to_numpy(dtype=np.float64) / float(n)
         return n, round(float(-(p * np.log2(p)).sum()), round_to)
 
+    def keys_out(ks: list, nulls: list) -> pd.array:
+        # exact int64 values; pd.NA for the null-key group.
+        return pd.array(
+            [pd.NA if kn else int(k) for k, kn in zip(ks, nulls)],
+            dtype="Int64",
+        )
+
     if buckets is None:
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             n, e = entropy_of(pdf)
-            # nullable Int64: a NULL key arrives as NaN (float64); an unsafe
-            # float->long Arrow cast of NaN is garbage, Int64 keeps it null.
             return pd.DataFrame(
                 {
-                    key: pd.array([pdf["_k"].iloc[0]], dtype="Int64"),
+                    key: keys_out([pdf["_k"].iloc[0]],
+                                  [bool(pdf["_kn"].iloc[0])]),
                     "n_events": [n],
                     out_col: [e],
                 }
             )
 
-        return counts.groupBy("_k").applyInPandas(fn, schema=out_schema)
+        return counts.groupBy("_k", "_kn").applyInPandas(fn, schema=out_schema)
 
     def bucket_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        # dropna=False: NULL keys form one NaN group (emitted as a null-key
-        # row, matching the per-key layout and the SQL oracle's GROUP BY);
-        # pandas' default dropna=True would discard them SILENTLY — the
-        # same bug fixed in stateful.py's bucket folds.
-        ks, ns, es = [], [], []
-        for k, g in pdf.groupby("_k", sort=False, dropna=False):
+        # The (coalesced) key column is NaN-free, but grouping includes
+        # _kn so a real key 0 never merges with the NULL-key group.
+        ks, kns, ns, es = [], [], [], []
+        for (k, kn), g in pdf.groupby(["_k", "_kn"], sort=False):
             n, e = entropy_of(g)
             ks.append(k)
+            kns.append(bool(kn))
             ns.append(n)
             es.append(e)
         return pd.DataFrame(
             {
-                key: pd.array(ks, dtype="Int64"),
+                key: keys_out(ks, kns),
                 "n_events": ns,
                 out_col: es,
             }
         )
 
     return (
-        counts.withColumn("_b", F.pmod(F.xxhash64("_k"), F.lit(buckets)))
+        counts.withColumn(
+            "_b", F.pmod(F.xxhash64("_k", "_kn"), F.lit(buckets))
+        )
         .groupBy("_b")
         .applyInPandas(bucket_fn, schema=out_schema)
     )

@@ -6151,6 +6151,15 @@ def ts_cusum_alarms_only(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CUSUM_ALARMS_ONLY = SQL_CUSUM.replace(
     "FROM st\n", "FROM st\nWHERE stat > CAST(200.0 AS DECIMAL(18,2))\n"
 )
+# Guard the splice (r10, ADVICE): if SQL_CUSUM is ever reworded so the
+# anchor "FROM st\n" disappears, .replace() becomes a silent no-op and
+# the alarms-only oracle would degrade to the FULL-emission oracle —
+# the gate would then fail confusingly at compare time instead of
+# pointing here.
+assert "WHERE stat >" in SQL_CUSUM_ALARMS_ONLY, (
+    "SQL_CUSUM_ALARMS_ONLY splice anchor missing — SQL_CUSUM was "
+    "reworded; update the alarms-only splice to match."
+)
 
 
 def stream_cusum_alarms_only(spark: SparkSession, sf_dir: str) -> DataFrame:

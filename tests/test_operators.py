@@ -236,6 +236,86 @@ def test_rhp_auto_band_plan_miss_bound_honest():
             assert any("miss bound" in str(x.message) for x in w)
 
 
+def test_rhp_band_plan_exact_match_fast_path():
+    """threshold=1.0 (p^r >= 1) takes the single-band fast path again
+    (r10, ADVICE): the max(4,...) floor previously granted 3 redundant
+    bands for exact-match thresholds — output-identical (pairs are
+    distinct()ed) but 4x the signature work."""
+    from selium_spark.operators.similarity import rhp_band_plan
+
+    assert rhp_band_plan(1.0, 6, 1e-4) == 1
+    assert rhp_band_plan(1.0, 16, 1e-12) == 1
+    # non-degenerate thresholds keep the floor
+    assert rhp_band_plan(0.95, 6, 1e-4) >= 4
+
+
+def test_grouped_entropy_large_keys_with_null_sibling(spark):
+    """Keys above 2^53 stay EXACT even when their bucket also holds a
+    NULL key (r10, ADVICE): Arrow used to convert the whole int64 _k
+    column to float64 for any null-bearing pandas frame, silently
+    rounding large keys to a WRONG integer. The null flag + coalesce
+    keeps the column int64 end-to-end."""
+    from selium_spark.operators.udaf import grouped_entropy
+
+    big = (1 << 60) + 1  # not representable in float64
+    rows = (
+        [(big, "a")] * 2 + [(big, "b")] * 2
+        + [(big + 2, "c")] * 3
+        + [(None, "a")] * 5
+        + [(0, "a"), (0, "b")]           # real key 0 vs the NULL group
+    )
+    df = spark.createDataFrame(rows, "user_id long, event_type string")
+    # buckets=1 forces every group (incl. the null key) into ONE pandas
+    # frame — the exact frame shape that triggered the float64 cast.
+    got = {
+        r.user_id: (r.n_events, r.entropy)
+        for r in grouped_entropy(
+            df, "user_id", "event_type", buckets=1
+        ).collect()
+    }
+    assert set(got) == {big, big + 2, None, 0}
+    assert got[big] == (4, 1.0)
+    assert got[big + 2] == (3, 0.0)
+    assert got[None] == (5, 0.0)
+    assert got[0] == (2, 1.0)
+
+
+@pytest.mark.parametrize(
+    "op", ["bm25", "logppl", "bigram_counts", "bigram_ppl", "budget", "pmi"]
+)
+def test_text_pin_escape_hatch(spark, op):
+    """pin=False (r10, ADVICE): every localCheckpoint-pinned text
+    operator is output-identical without the pin — the escape hatch
+    for fault-sensitive deployments where truncated lineage (executor
+    loss => job failure) is worse than repeated corpus traversals."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat ran"),
+            (2, "a dog and a cat and a bird"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "cat cat cat dog dog bird"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+
+    def run(pin):
+        if op == "bm25":
+            out = text.bm25_scores(docs, ["cat", "dog"], pin=pin)
+        elif op == "logppl":
+            out = text.unigram_logppl(docs, pin=pin)
+        elif op == "bigram_counts":
+            out = text.bigram_lm_counts(docs, pin=pin)
+        elif op == "bigram_ppl":
+            out = text.bigram_interp_logppl(docs, pin=pin)
+        elif op == "budget":
+            out = text.token_budget_select(docs, 25, pin=pin)
+        else:
+            out = text.pmi_collocations(docs, min_count=2, k=10, pin=pin)
+        return sorted(map(tuple, out.collect()))
+
+    assert run(True) == run(False)
+
+
 def test_lang_id_and_quality(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the mat and it is a cat"), (2, "der hund ist ein hund und das ist gut")],
