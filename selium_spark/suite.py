@@ -771,6 +771,60 @@ ASOF LEFT JOIN (
 """
 
 
+def q_asof_keyless_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless as-of, direction='nearest' (r10, judge task #6): each
+    order enriched with the ship-day activity of the NEAREST ship date
+    (ties backward, pandas convention). Grading this direction pins
+    BOTH carry tables of the sampled-range-bucket device against
+    drift — backward's bucket-prefix carry AND forward's bucket-suffix
+    carry are live in one query (the r9 graded query exercised only
+    the backward prefix). The right side is the per-day aggregate, so
+    right timestamps are unique and the nearest tiebreak is purely the
+    gap comparison."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").alias("ts")
+    )
+    daily = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").alias("ts"))
+        .agg(F.count(F.lit(1)).alias("n_shipped"))
+    )
+    out = relational.asof_join(
+        orders, daily, ts="ts", by=[], right_cols=["n_shipped"],
+        direction="nearest",
+    )
+    return out.select(
+        "o_orderkey",
+        F.coalesce(F.col("n_shipped_asof"), F.lit(0)).alias("near_ship_activity"),
+    )
+
+
+SQL_ASOF_KEYLESS_NEAREST = """
+WITH d AS (
+  SELECT l_shipdate AS dts, count(*) AS n_shipped
+  FROM lineitem GROUP BY l_shipdate
+),
+b AS (
+  SELECT o.o_orderkey, d.n_shipped AS bv,
+         CAST(date_diff('day', d.dts, o.o_orderdate) AS BIGINT) AS bgap
+  FROM orders o ASOF LEFT JOIN d ON o.o_orderdate >= d.dts
+),
+f AS (
+  SELECT o.o_orderkey, d.n_shipped AS fv,
+         CAST(date_diff('day', o.o_orderdate, d.dts) AS BIGINT) AS fgap
+  FROM orders o ASOF LEFT JOIN d ON o.o_orderdate <= d.dts
+)
+SELECT o.o_orderkey,
+  coalesce(
+    CASE WHEN b.bv IS NOT NULL AND (f.fv IS NULL OR b.bgap <= f.fgap)
+         THEN b.bv ELSE f.fv END,
+    0) AS near_ship_activity
+FROM orders o
+LEFT JOIN b USING (o_orderkey)
+LEFT JOIN f USING (o_orderkey)
+"""
+
+
 SQL_STREAM_LATEST = """
 SELECT w.event_id, CAST(c.value AS VARCHAR) AS signup_value_asof
 FROM (SELECT * FROM events WHERE event_type <> 'signup') w
@@ -5822,8 +5876,11 @@ LIMIT 200
 def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated bigram LM perplexity per document (round 6;
     text.bigram_interp_logppl): Jelinek-Mercer mix of the corpus's own
-    bigram conditional and unigram-target marginal, position-ordered
-    float fold for cross-engine bit equality."""
+    bigram conditional and unigram-target marginal. r10: the per-doc
+    fold is an exact DECIMAL(38,18) sum (associative -> plain groupBy,
+    no position column, no per-doc window sort — the x100 GC floor);
+    the oracle applies the identical cast so cross-engine equality
+    holds without ordering."""
     docs = _t(spark, sf_dir, "documents")
     return text.bigram_interp_logppl(docs, lam=0.7)
 
@@ -6356,7 +6413,13 @@ def mad_daily_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (windows.robust_zscore_outliers): median/MAD z-score with BOTH
     medians computed rank-based in DECIMAL (engine median functions
     interpolate midpoints differently — measured), flagging
-    |z| > 3.5 within each event type."""
+    |z| > 3.5 within each event type.
+
+    spread=32 (r10, judge task #3): |event_type| = 5 here, so the
+    plain path's rank sorts ran on 5 tasks regardless of cluster
+    size — the per-group two-phase device spreads them across 5 x 32.
+    pin=True is safe: the input is the day-grain aggregate
+    (users x types x days rows), never corpus-bounded."""
     ev = _t(spark, sf_dir, "events")
     per = (
         ev.withColumn("_period", F.to_date(F.date_trunc("day", F.col("ts"))))
@@ -6371,7 +6434,9 @@ def mad_daily_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "day_sum",
         )
     )
-    return windows.robust_zscore_outliers(per, "event_type", "day_sum", z_thresh=3.5)
+    return windows.robust_zscore_outliers(
+        per, "event_type", "day_sum", z_thresh=3.5, spread=32, pin=True
+    )
 
 
 SQL_MAD = """
@@ -7616,6 +7681,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof_forward_enrich": q_asof_forward_enrich,
     "q_asof_nearest_enrich": q_asof_nearest_enrich,
     "q_asof_keyless_market": q_asof_keyless_market,
+    "q_asof_keyless_nearest": q_asof_keyless_nearest,
     "w1c_session_windows": w1c_session_windows,
     "funnel_steps": funnel_steps,
     "cohort_retention_weekly": cohort_retention_weekly,
@@ -7849,6 +7915,7 @@ ORACLES: dict[str, str] = {
     "q_asof_forward_enrich": SQL_ASOF_FORWARD,
     "q_asof_nearest_enrich": SQL_ASOF_NEAREST,
     "q_asof_keyless_market": SQL_ASOF_KEYLESS,
+    "q_asof_keyless_nearest": SQL_ASOF_KEYLESS_NEAREST,
     "w4_route_blocked": SQL_W4,
     "w5_take_n": SQL_W5,
     "w6_union_pattern": SQL_W6,

@@ -951,6 +951,45 @@ def test_robust_zscore_exact_medians_odd_and_even(spark):
     assert abs(r.robust_z - round(488.0 / (1.4826 * 1.0), 9)) < 1e-9
 
 
+@pytest.mark.parametrize("pin", [False, True])
+def test_robust_zscore_spread_path_parity(spark, pin):
+    """spread=N (r10, the per-group global_rank escape) is
+    output-identical to the plain per-group-sort path on a dataset
+    stressing the rank device: heavy duplicate values straddling
+    bucket boundaries, odd AND even group sizes, a group far smaller
+    than the bucket count, and an all-duplicates group (MAD=0,
+    dropped)."""
+    import random
+
+    from selium_spark.operators import windows
+
+    rng = random.Random(7)
+    rows = []
+    # big even group with many ties (values quantized to 0.5)
+    rows += [("a", round(rng.uniform(0, 50) * 2) / 2) for _ in range(4000)]
+    rows += [("a", 5000.0), ("a", -4000.0)]            # clear outliers
+    # odd group
+    rows += [("b", float(i % 37)) for i in range(999)]
+    rows += [("b", 99999.0)]                           # one outlier, makes it even
+    rows += [("b", 7.0)]                               # back to odd
+    # tiny group (< n_range_buckets)
+    rows += [("c", 1.0), ("c", 2.0), ("c", 300.0)]
+    # constant group -> MAD 0 -> dropped
+    rows += [("d", 4.0)] * 9
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE").repartition(16)
+
+    def canon(out):
+        return sorted((r.g, r.v, r.robust_z) for r in out.collect())
+
+    plain = canon(windows.robust_zscore_outliers(df, "g", "v"))
+    spread = canon(
+        windows.robust_zscore_outliers(df, "g", "v", spread=8, pin=pin)
+    )
+    assert plain == spread
+    assert len(plain) > 0
+    assert not any(g == "d" for g, _, _ in plain)
+
+
 def test_robust_zscore_zero_mad_group_dropped(spark):
     from selium_spark.operators import windows
 
