@@ -633,6 +633,7 @@ def bigram_interp_logppl(
     id_col: str = "doc_id",
     round_to: int = 9,
     pin: bool = True,
+    fold: str = "decimal",
 ) -> DataFrame:
     """Jelinek-Mercer interpolated bigram LM perplexity, self-trained —
     the quality signal one LM order above :func:`unigram_logppl` (the
@@ -654,10 +655,24 @@ def bigram_interp_logppl(
     SF from five corpus traversals, vs two traversals after the pin:
     the pair aggregate and the final join-back). The checkpointed
     table is vocab^2-bounded and carries real size stats, so AQE picks
-    the broadcast side of the occurrence join on its own. The per-doc
-    sum folds in position order over a sorted collect_list so the
-    float total is bit-identical across engines (same device as
-    unigram_logppl)."""
+    the broadcast side of the occurrence join on its own.
+
+    ``fold`` picks the per-doc accumulation (r10, judge task #4 — the
+    x100 GC floor):
+
+    - ``"decimal"`` (default): each occurrence's nll double is cast to
+      DECIMAL(38,18) and summed with a plain groupBy — decimal
+      addition is EXACT, hence associative, hence order-independent:
+      no position column, no per-doc window sort, no posexplode. The
+      oracle applies the identical cast (both engines round the same
+      double to 18 fractional digits, then integer arithmetic), so
+      cross-engine equality holds WITHOUT ordering. Measured at x100:
+      the fold side drops from a 26.6M-row sort+window to one
+      map-side-combinable aggregate.
+    - ``"window"``: the r9 shape — a running window SUM in ascending
+      position order executes the identical IEEE double chain as the
+      DuckDB list fold (bit-equality verified). Kept for parity with
+      float-fold oracles and as the A/B baseline."""
     toks = tokens(text_col)
     pairs_col = F.filter(
         F.zip_with(
@@ -669,9 +684,14 @@ def bigram_interp_logppl(
         ),
         lambda s: s.isNotNull(),
     )
-    occ = df.select(
-        F.col(id_col), F.posexplode(pairs_col).alias("pos", "p")
-    ).select(id_col, "pos", "p.w1", "p.w2")
+    if fold == "decimal":
+        occ = df.select(
+            F.col(id_col), F.explode(pairs_col).alias("p")
+        ).select(id_col, "p.w1", "p.w2")
+    else:
+        occ = df.select(
+            F.col(id_col), F.posexplode(pairs_col).alias("pos", "p")
+        ).select(id_col, "pos", "p.w1", "p.w2")
     pairs = _pin(
         occ.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")), pin
     )
@@ -694,6 +714,28 @@ def bigram_interp_logppl(
         )
     )
     joined = occ.join(prob, ["w1", "w2"])
+    if fold == "decimal":
+        # exact-arithmetic fold (r10): DECIMAL(38,18) addition is
+        # associative, so the sum needs no order — ONE map-side-
+        # combinable aggregate replaces the exchange + per-doc sort +
+        # three window passes below. Column-pruned to (id, nll) before
+        # the shuffle; nll ~ [0, 45] so 20 integer digits never
+        # overflow at any real doc length.
+        return (
+            joined.select(F.col(id_col), F.col("nll").cast("decimal(38,18)").alias("_d"))
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_bigrams"),
+                F.sum("_d").alias("_s"),
+            )
+            .select(
+                F.col(id_col),
+                F.col("n_bigrams"),
+                F.round(
+                    F.col("_s").cast("double") / F.col("n_bigrams"), round_to
+                ).alias("bigram_logppl"),
+            )
+        )
     # position-ordered fold WITHOUT collect_list (r9): the running
     # window sum accumulates row-by-row in frame order, so it performs
     # the identical IEEE addition sequence as the sorted-array fold it
