@@ -156,6 +156,9 @@ HEADLINE = [
     "ts_cusum_alarms_only",
     "stream_cusum_alarms_only",
     "dedup_exact_docs_xxhash64",
+    # round 10: keyless as-of nearest (both carry tables live), and the
+    # spread-mode MAD path rides the existing mad_daily_outliers entry
+    "q_asof_keyless_nearest",
 ]
 
 
@@ -190,6 +193,63 @@ def run_one(spark, name: str) -> float:
 
 #: extra reps a suspect (contaminated) query gets at the end of the run
 RETIME_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_RETIME_REPS", "3"))
+
+
+def canary_once(spark) -> float:
+    """Box-speed canary (r10, judge task #2): a FIXED synthetic
+    workload — pure PySpark builtins over ``spark.range``, zero repo
+    operators, zero testdata — timed at every sweep boundary.
+
+    Round-over-round BENCH deltas were uninterpretable (the r9 bench
+    read 1.20x slower on ~flat code; a judge worktree A/B was needed
+    to clear it): this box's epoch-to-epoch speed swings ~2x. The
+    canary gives every BENCH_rN a recorded normalizer measured IN the
+    same session, same minutes, as the queries: compare
+    ``value * (canary_ref / canary_sec)`` across rounds, or just
+    check whether the canary moved with the headline number (box) or
+    stayed put (code).
+
+    DO NOT EDIT this workload — its only value is being identical
+    across rounds. It exercises the three cost centers the suite
+    leans on: shuffle agg (groupBy on 100k keys), a window sort, and
+    whole-stage-codegen expression work over 20M rows.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    df = spark.range(0, 20_000_000, 1, 32)
+    agg = (
+        df.withColumn("k", F.pmod(F.xxhash64("id"), F.lit(100_000)))
+        .withColumn("v", (F.col("id") % 997).cast("double"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy(F.pmod(F.col("k"), F.lit(64))).orderBy(
+        F.col("s").desc(), F.col("k")
+    )
+    out = agg.withColumn("r", F.row_number().over(w)).where(F.col("r") <= 10)
+    out.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
+def session_trim(spark) -> None:
+    """Between-sweep session-aging mitigation (r10, judge task #5):
+    clear the SQL cache and nudge BOTH collectors. Long single-session
+    sweeps accumulate block-manager blocks (every localCheckpoint pin
+    lives until its DataFrame is GC'd Python-side AND the JVM context
+    cleaner runs) plus JIT/GC pressure that inflated sub-second
+    queries 2-7x by sweep end (r9). Python gc.collect() drops the
+    DataFrame refs, System.gc() lets the ContextCleaner actually free
+    the blocks."""
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def retime_suspects(
@@ -251,7 +311,12 @@ def main() -> None:
     # in time, plus extra back-to-back reps for sub-second queries.
     samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
     errors: set[str] = set()
+    # box-speed canary at every sweep boundary (r10): one warm-up,
+    # then a sample before each sweep and after the last
+    canary_samples: list[float] = []
+    canary_once(spark)
     for sweep in range(SWEEPS + 1):
+        canary_samples.append(round(canary_once(spark), 3))
         for name in HEADLINE:
             if name in errors:
                 continue
@@ -260,6 +325,8 @@ def main() -> None:
             except Exception as exc:  # keep the line parseable even on failure
                 errors.add(name)
                 print(f"bench error {name}: {exc}", file=sys.stderr)
+        session_trim(spark)
+    canary_samples.append(round(canary_once(spark), 3))
     for name in HEADLINE:
         post_warm = samples[name][1:]
         if name in errors or not post_warm:
@@ -311,7 +378,15 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "protocol": f"warm-up + min over {SWEEPS} time-separated sweeps"
-                            f" (+{FAST_EXTRA_REPS} reps for sub-{FAST_QUERY_S}s queries)",
+                            f" (+{FAST_EXTRA_REPS} reps for sub-{FAST_QUERY_S}s queries)"
+                            " + box-speed canary + between-sweep session trim",
+                # box-speed normalizer (r10): a FIXED synthetic workload
+                # (canary_once — never edit it) timed at each sweep
+                # boundary. Cross-round comparisons should normalize by
+                # canary_sec or at least check it moved with the
+                # headline number (box) vs stayed put (code).
+                "canary_sec": round(min(canary_samples), 3),
+                "canary_samples": canary_samples,
                 "stream_rows_per_sec": stream_rps,
                 # a contaminated run self-identifies: loadavg >> 32
                 # means co-tenant steal, and the numbers are suspect

@@ -19,6 +19,7 @@ the bar fresh are reported as genuine stragglers.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import sys
 import time
@@ -28,6 +29,9 @@ sys.path.insert(0, "/root/repo")
 from selium_spark import get_spark  # noqa: E402
 from selium_spark.suite import QUERIES  # noqa: E402
 
+#: queries between session trims (clearCache + two-collector GC)
+TRIM_EVERY = 25
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -35,7 +39,19 @@ def main() -> None:
     spark = get_spark(app_name="engine_sweep", cpus=32, shuffle_partitions=32)
     times: dict[str, float] = {}
     t_start = time.time()
-    for name, fn in QUERIES.items():
+    for i, (name, fn) in enumerate(QUERIES.items()):
+        if i and i % TRIM_EVERY == 0:
+            # session-aging mitigation (r10, judge task #5): the r9
+            # 195-query sweep inflated sub-second queries 2-7x by the
+            # end (block-manager blocks from localCheckpoint pins +
+            # GC pressure). Python gc drops the DataFrame refs; JVM
+            # gc lets the ContextCleaner actually free the blocks.
+            import gc
+
+            spark.catalog.clearCache()
+            gc.collect()
+            with contextlib.suppress(Exception):
+                spark.sparkContext._jvm.System.gc()
         best = None
         for _ in range(2):
             t0 = time.time()

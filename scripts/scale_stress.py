@@ -956,6 +956,7 @@ def streaming_main(scales: list[int]) -> None:
 
 
 WARM = "--warm" in sys.argv
+ABAB = "--abab" in sys.argv
 
 
 def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
@@ -975,6 +976,32 @@ def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
             best = dt if best is None else min(best, dt)
         out[name] = round(best, 2)
     return out
+
+
+def time_queries_abab(
+    spark, dirs: list[str], names: list[str], reps: int = 3
+) -> list[dict[str, float]]:
+    """Interleaved ABAB timing (r10, judge task #2): for each query,
+    alternate the two corpora A,B,A,B,... in ONE session and take each
+    side's min over the post-warmup reps. Box-state drift (co-tenant
+    steal, session aging) hits BOTH sides of every comparison within
+    the same minutes, so the published RATIOS survive a noisy box —
+    the protocol that dissolved three phantom 100x ratios and the r9
+    cross-commit bench scare. Rep 1 of each side is its warmup
+    (discarded); ``reps`` counts the measured pairs."""
+    outs: list[dict[str, float]] = [{} for _ in dirs]
+    for name in names:
+        samples: list[list[float]] = [[] for _ in dirs]
+        for rep in range(reps + 1):
+            for i, d in enumerate(dirs):
+                t0 = time.time()
+                QUERIES[name](spark, d).write.format("noop").mode("overwrite").save()
+                samples[i].append(time.time() - t0)
+        for i in range(len(dirs)):
+            outs[i][name] = round(min(samples[i][1:]), 2)
+        print(f"  abab {name}: " + " vs ".join(
+            f"{outs[i][name]}s" for i in range(len(dirs))), file=sys.stderr)
+    return outs
 
 
 def main() -> None:
@@ -1003,8 +1030,12 @@ def main() -> None:
                 print(f"building {n_rows}-event corpus (hot_frac={frac}) at {d} ...",
                       file=sys.stderr)
                 build_event_corpus(spark, n_rows, d, frac)
-        uniform = time_queries(spark, uni_dir, EVENT_SKEW_QUERY_SET)
-        skewed = time_queries(spark, skew_dir, EVENT_SKEW_QUERY_SET)
+        if ABAB:
+            uniform, skewed = time_queries_abab(
+                spark, [uni_dir, skew_dir], EVENT_SKEW_QUERY_SET)
+        else:
+            uniform = time_queries(spark, uni_dir, EVENT_SKEW_QUERY_SET)
+            skewed = time_queries(spark, skew_dir, EVENT_SKEW_QUERY_SET)
         report = {
             name: {
                 "uniform_s": uniform[name],
@@ -1035,8 +1066,12 @@ def main() -> None:
                 print(f"building {n_docs}-doc corpus (hot_frac={frac}) at {d} ...",
                       file=sys.stderr)
                 build_doc_corpus(spark, n_docs, d, frac)
-        uniform = time_queries(spark, uni_dir, SKEW_QUERY_SET)
-        skewed = time_queries(spark, skew_dir, SKEW_QUERY_SET)
+        if ABAB:
+            uniform, skewed = time_queries_abab(
+                spark, [uni_dir, skew_dir], SKEW_QUERY_SET)
+        else:
+            uniform = time_queries(spark, uni_dir, SKEW_QUERY_SET)
+            skewed = time_queries(spark, skew_dir, SKEW_QUERY_SET)
         report = {
             name: {
                 "uniform_s": uniform[name],
@@ -1059,8 +1094,11 @@ def main() -> None:
             f"known: {', '.join(sorted(QUERIES))}"
         )
     subset = list(args[1:]) or QUERY_SET
-    base = time_queries(spark, BASE_SF, subset)
-    scaled = time_queries(spark, out_dir, subset)
+    if ABAB:
+        base, scaled = time_queries_abab(spark, [BASE_SF, out_dir], subset)
+    else:
+        base = time_queries(spark, BASE_SF, subset)
+        scaled = time_queries(spark, out_dir, subset)
     report = {
         name: {
             "base_s": base[name],

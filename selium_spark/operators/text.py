@@ -467,6 +467,7 @@ def unigram_logppl(
     text_col: str = "text",
     id_col: str = "doc_id",
     pin: bool = True,
+    fold: str = "decimal",
 ) -> DataFrame:
     """CCNet-style perplexity quality filter with a self-trained
     unigram LM: per-doc mean negative log-likelihood of its tokens
@@ -489,12 +490,27 @@ def unigram_logppl(
         "token", (-F.log(F.col("tf") / F.col("total"))).alias("nll")
     )
     joined = tok.join(F.broadcast(nll), "token")
-    # collect_list fold KEPT here (r9): the bigram twin's running-
-    # window rewrite was A/B'd on this op too and LOST (interleaved
-    # min-of-3 at the 100x SF: window 4.98 s vs list 4.49 s — the
-    # single-token rows are narrow enough that the object aggregate
-    # beats the extra per-doc sort), so only the vocab pin is adopted
-    fold = F.aggregate(
+    if fold == "decimal":
+        # exact-arithmetic fold (r10, the bigram device): DECIMAL
+        # addition is associative, so no order, no collect_list, no
+        # per-doc array sort — one map-side-combinable aggregate. The
+        # oracle applies the identical cast.
+        out = joined.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("nll").cast("decimal(38,18)")).alias("_s"),
+        ).select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(
+                F.col("_s").cast("double") / F.col("n_tokens"), 9
+            ).alias("logppl"),
+        )
+        return out.withColumn("keep", F.col("logppl") <= threshold)
+    # fold="list": the r9 shape — position-ordered float fold over a
+    # sorted collect_list, the IDENTICAL IEEE chain as a list oracle.
+    # (The bigram twin's running-window rewrite was A/B'd on this op
+    # too and LOST: window 4.98 s vs list 4.49 s at the 100x SF.)
+    fold_col = F.aggregate(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "nll"))), lambda s: s["nll"]
         ),
@@ -503,7 +519,7 @@ def unigram_logppl(
     )
     out = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(fold / F.count(F.lit(1)), 9).alias("logppl"),
+        F.round(fold_col / F.count(F.lit(1)), 9).alias("logppl"),
     )
     return out.withColumn("keep", F.col("logppl") <= threshold)
 

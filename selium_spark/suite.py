@@ -1723,8 +1723,10 @@ SQL_SIMHASH_HAMMING_STAR = SQL_SIMHASH_HAMMING_STAR.replace(
 def text_logppl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity quality filter: per-doc mean negative
     log-likelihood under the corpus's own unigram LM; keep = below
-    threshold (typical text). Vocab is broadcast; the per-doc fold runs
-    in token order for bit determinism."""
+    threshold (typical text). Vocab is broadcast; r10: the per-doc
+    fold is an exact DECIMAL(38,18) sum (associative -> order-free, no
+    collect_list/array_sort — the bigram device), with the oracle
+    applying the identical cast."""
     docs = _t(spark, sf_dir, "documents")
     return text.unigram_logppl(docs, threshold=3.4)
 
@@ -1740,7 +1742,7 @@ total AS (SELECT sum(tf) AS total FROM vocab),
 nll AS (SELECT token, -ln(tf / total) AS nll FROM vocab CROSS JOIN total),
 d AS (
   SELECT tok.doc_id, count(*) AS n_tokens,
-    round(list_aggregate(list_transform(list_sort(list({'pos': tok.pos, 'nll': nll.nll})), s -> s.nll), 'sum')
+    round(CAST(SUM(CAST(nll.nll AS DECIMAL(38,18))) AS DOUBLE)
           / count(*), 9) AS logppl
   FROM tok JOIN nll USING (token)
   GROUP BY tok.doc_id
