@@ -137,6 +137,11 @@ QUERY_SET = [
     # DESC-sorted running frame)
     "q_asof_forward_enrich",
     "q_asof_nearest_enrich",
+    # r10: keyless as-of (sampled-range-bucket device, both carries in
+    # the nearest direction) — window exchange on ~32 bucket keys must
+    # hold as rows multiply
+    "q_asof_keyless_market",
+    "q_asof_keyless_nearest",
 ]
 
 
