@@ -951,11 +951,20 @@ def robust_zscore_outliers(
     |groups| * N tasks. Output-identical (rank statistics select the
     same mid VALUES under any tie order). The device consumes its
     input three ways per pass (boundaries, counts, ranked join), so
-    ``pin=True`` localCheckpoints the projected input and the
-    deviation table — correct when the input is already aggregate-
-    bounded (day grain x groups, as in mad_daily); leave False when
-    the input is corpus-scale and re-scans are cheaper than
-    materializing it (see text._pin for the fault-tolerance note).
+    ``pin=True`` localCheckpoints the projected INPUT — correct when
+    it is already aggregate-bounded (day grain x groups, as in
+    mad_daily); leave False when the input is corpus-scale and
+    re-scans are cheaper than materializing it (see text._pin for the
+    fault-tolerance note). The deviation table is deliberately NOT
+    pinned and the second rank pass runs on its (group, deviation)
+    PROJECTION: pinning the full-width deviation table was measured
+    SLOWER at the 100x SF (35.0 vs 19.0 s interleaved ABAB — an
+    8M-row wide materialization vs three cheap broadcast-join
+    recomputes over the pinned input), while winning only ~0.9 s at
+    sf0.1 — the 100 TB side of that trade is not close. The deviation
+    table also derives from the pinned INPUT (not the ranked r1):
+    ranks are only needed inside the median aggregate, so joining med
+    back to base skips a whole rebuild of the rank device.
     """
     dec_t = f"decimal(18,{scale_in})"
     g = F.col(group_col)
@@ -979,15 +988,18 @@ def robust_zscore_outliers(
             * F.when(F.max("_n") % 2 == 1, F.lit(2)).otherwise(F.lit(1))
         ).alias("_med2")
     )
-    d = r1.join(F.broadcast(med) if spread is not None else med, group_col).withColumn(
-        "_dev2", F.abs(F.col("_dv") * 2 - F.col("_med2"))
-    )
     if spread is not None:
-        d = d.drop("_rn", "_n")
-        if pin:
-            d = d.localCheckpoint(eager=True)
-        r2 = _grouped_mid_rank(d, group_col, "_dev2", spread, "_rn2", "_n2")
+        d = base.join(F.broadcast(med), group_col).withColumn(
+            "_dev2", F.abs(F.col("_dv") * 2 - F.col("_med2"))
+        )
+        r2 = _grouped_mid_rank(
+            d.select(group_col, "_dev2"), group_col, "_dev2", spread,
+            "_rn2", "_n2",
+        )
     else:
+        d = r1.join(med, group_col).withColumn(
+            "_dev2", F.abs(F.col("_dv") * 2 - F.col("_med2"))
+        )
         r2 = d.withColumn(
             "_rn2", F.row_number().over(Window.partitionBy(group_col).orderBy("_dev2"))
         ).withColumn("_n2", F.count(F.lit(1)).over(w_grp))
@@ -1000,7 +1012,7 @@ def robust_zscore_outliers(
             * F.when(F.max("_n2") % 2 == 1, F.lit(2)).otherwise(F.lit(1))
         ).alias("_mad4")
     )
-    out = d.join(mad, group_col)
+    out = d.join(F.broadcast(mad) if spread is not None else mad, group_col)
     num = (F.col("_dv") * 2 - F.col("_med2")).cast("double")
     z = F.round(
         (num * F.lit(2.0)) / (F.lit(1.4826) * F.col("_mad4").cast("double")),
