@@ -6,6 +6,12 @@ time here; a super-linear query indicates a shuffle/skew problem.
 Usage: python scripts/scale_stress.py [N]              (default 10)
        python scripts/scale_stress.py [N] --skew       (skewed-corpus mode)
        python scripts/scale_stress.py --streaming      (stateful-stream mode)
+       ... --abab   interleave the two corpora per query in ONE session
+                    (box drift hits both sides of every ratio — use for
+                    all perf claims; r10)
+       ... --trim   clearCache between reps: persist-device queries pay
+                    their true per-execution cost instead of amortizing
+                    the build across reps (r10)
 
 --skew builds a SECOND Nx documents table where one domain carries 30%
 of all rows and the same 30% share ONE boilerplate text (hot LSH band
@@ -962,6 +968,22 @@ def streaming_main(scales: list[int]) -> None:
 
 WARM = "--warm" in sys.argv
 ABAB = "--abab" in sys.argv
+#: --trim: clearCache between reps so persist-device queries pay their
+#: TRUE per-execution cost instead of amortizing the dominant build
+#: across reps (Spark's cache manager dedupes by logical plan, so rep
+#: 2+ of e.g. text_remove_dup_spans silently reuses rep 1's positional
+#: table — the same flattering artifact bench.py's session trim fixed
+#: in r10). Without --trim the historical amortized protocol applies;
+#: both answer real questions (steady-state re-run vs cold execution).
+TRIM = "--trim" in sys.argv
+
+
+def _maybe_trim(spark) -> None:
+    if TRIM:
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
 
 
 def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
@@ -979,6 +1001,7 @@ def time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            _maybe_trim(spark)
         out[name] = round(best, 2)
     return out
 
@@ -1002,6 +1025,7 @@ def time_queries_abab(
                 t0 = time.time()
                 QUERIES[name](spark, d).write.format("noop").mode("overwrite").save()
                 samples[i].append(time.time() - t0)
+                _maybe_trim(spark)
         for i in range(len(dirs)):
             outs[i][name] = round(min(samples[i][1:]), 2)
         print(f"  abab {name}: " + " vs ".join(
