@@ -473,13 +473,33 @@ def unigram_logppl(
     unigram LM: per-doc mean negative log-likelihood of its tokens
     under the corpus unigram distribution, plus a keep verdict
     (low log-perplexity = typical text). The vocab (tiny vs corpus)
-    is pinned (r9) then broadcast back; the per-doc sum folds in
-    token-position order over a sorted collect_list so the float
-    total is bit-identical across engines and runs (group-agg partial
-    order would not be)."""
-    tok = df.select(
-        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
-    )
+    is pinned (r9) then broadcast back.
+
+    ``fold`` picks the per-doc accumulation (same device as
+    :func:`bigram_interp_logppl`):
+
+    - ``"decimal"`` (default, r10): each token's nll double is cast to
+      DECIMAL(38,18) and summed with a plain groupBy — decimal
+      addition is exact, hence associative, hence order-free: no
+      position column, no collect_list, no per-doc array sort. The
+      oracle applies the identical cast.
+    - ``"list"``: the r9 shape — the per-doc sum folds in
+      token-position order over a sorted collect_list so the float
+      total is bit-identical to a list-fold oracle (group-agg partial
+      order would not be). Kept as the float-parity A/B baseline."""
+    if fold not in ("decimal", "list"):
+        raise ValueError(
+            f"unigram_logppl: fold must be 'decimal' or 'list', got {fold!r}"
+        )
+    if fold == "decimal":
+        # no position column needed — plain explode (the bigram device)
+        tok = df.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("token")
+        )
+    else:
+        tok = df.select(
+            F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "token")
+        )
     # vocab pinned (r9, the PMI/bigram lesson): its total/nll branches
     # otherwise each rebuild the corpus tokenize+explode subtree
     vocab = _pin(
@@ -689,6 +709,10 @@ def bigram_interp_logppl(
       position order executes the identical IEEE double chain as the
       DuckDB list fold (bit-equality verified). Kept for parity with
       float-fold oracles and as the A/B baseline."""
+    if fold not in ("decimal", "window"):
+        raise ValueError(
+            f"bigram_interp_logppl: fold must be 'decimal' or 'window', got {fold!r}"
+        )
     toks = tokens(text_col)
     pairs_col = F.filter(
         F.zip_with(

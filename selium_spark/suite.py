@@ -5890,7 +5890,7 @@ def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_BIGRAM_PPL = f"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
 occ AS (
-  SELECT doc_id, i AS pos, toks[i] AS w1, toks[i + 1] AS w2
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
   FROM t, unnest(range(1, greatest(len(toks), 1))) AS u(i)
   WHERE toks[i + 1] IS NOT NULL
 ),
@@ -5905,9 +5905,8 @@ prob AS (
   CROSS JOIN tot o
 )
 SELECT o.doc_id, COUNT(*) AS n_bigrams,
-  round(list_aggregate(
-    list_transform(list_sort(list({{'pos': o.pos, 'nll': pr.nll}})), s -> s.nll),
-    'sum') / COUNT(*), 9) AS bigram_logppl
+  round(CAST(SUM(CAST(pr.nll AS DECIMAL(38,18))) AS DOUBLE)
+        / COUNT(*), 9) AS bigram_logppl
 FROM occ o JOIN prob pr ON o.w1 = pr.w1 AND o.w2 = pr.w2
 GROUP BY o.doc_id
 """
@@ -6215,10 +6214,13 @@ SQL_CUSUM_ALARMS_ONLY = SQL_CUSUM.replace(
 # the alarms-only oracle would degrade to the FULL-emission oracle —
 # the gate would then fail confusingly at compare time instead of
 # pointing here.
-assert "WHERE stat >" in SQL_CUSUM_ALARMS_ONLY, (
-    "SQL_CUSUM_ALARMS_ONLY splice anchor missing — SQL_CUSUM was "
-    "reworded; update the alarms-only splice to match."
-)
+# Explicit raise, not assert (r11, ADVICE): asserts are stripped under
+# python -O, which would silently lose exactly this protection.
+if "WHERE stat >" not in SQL_CUSUM_ALARMS_ONLY:
+    raise RuntimeError(
+        "SQL_CUSUM_ALARMS_ONLY splice anchor missing — SQL_CUSUM was "
+        "reworded; update the alarms-only splice to match."
+    )
 
 
 def stream_cusum_alarms_only(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -253,11 +253,18 @@ def test_mad_spread_windows_are_bucket_partitioned(spark):
     import re
 
     p = plan_of(spark, "mad_daily_outliers")
-    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", p.text)
+    # Capture only the PARTITION-BY prefix (column refs up to the first
+    # orderBy/frame token) rather than [^)]* — the old pattern truncated
+    # at the first nested closing paren and only worked because partition
+    # columns happen to precede the frame spec in plan text (r11 ADVICE).
+    specs = re.findall(
+        r"row_number\(\) windowspecdefinition\((\w+#\d+[^,]*(?:, \w+#\d+[^,]*)*)",
+        p.text,
+    )
+    assert specs, "no rank window found in the plan"
     # pin=True truncates lineage at the deviation-table checkpoint, so
     # only the SECOND rank pass is visible in the final plan — the
     # first is pinned by the spread-vs-plain parity test instead
-    assert specs, "no rank window found in the plan"
     for spec in specs:
         assert "_bkt" in spec, f"rank window lost its bucket partitioning: {spec}"
 
