@@ -289,6 +289,90 @@ def retime_suspects(
     return retimes
 
 
+def round_over_round(
+    timings: dict, canary_sec: float, repo_dir: str | None = None
+) -> dict | None:
+    """Canary-normalized round-over-round delta (r11, judge task #3 —
+    BENCH_r10 recorded the canary but the comparison was still raw
+    seconds, leaving manual adjudication to the judge).
+
+    Finds the highest-numbered ``BENCH_r*.json`` in the repo root (the
+    previous round's recorded line), intersects its query set with this
+    run's (both readings >= 0 — like-for-like, since the headline list
+    grows every round), and reports:
+
+    - ``delta_raw``        = lfl_now / lfl_prev  (raw seconds ratio)
+    - ``delta_canary_norm``= delta_raw * canary_prev / canary_now —
+      the code-level ratio after dividing out box speed, valid because
+      the canary is a FIXED workload timed in the same session minutes
+      as the queries on both sides. < 1 means the code got faster.
+
+    Returns None when no prior BENCH exists; ``delta_canary_norm`` is
+    None when the prior round predates the canary (r1-r9).
+    """
+    import glob
+    import re
+
+    repo_dir = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(repo_dir, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return None
+    rn, path = max(rounds)
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except Exception:
+        return None
+    # The driver's BENCH_rN.json wraps bench stdout: {"parsed": <the
+    # JSON line or null>, "tail": "<last N chars of stdout>"}. When
+    # parsed is null (tail truncated mid-line), scrape "name": secs
+    # pairs from the tail — the intersection with THIS run's query
+    # names below filters out non-query keys, and a query that fell
+    # off the truncated front just drops out of the like-for-like set.
+    if "queries" not in prev and prev.get("parsed"):
+        prev = prev["parsed"]
+    if "queries" not in prev and isinstance(prev.get("tail"), str):
+        tail = prev["tail"]
+        scraped = {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(r'"(\w+)": (-?\d+(?:\.\d+)?)', tail)
+        }
+        cm = re.search(r'"canary_sec": (\d+(?:\.\d+)?)', tail)
+        prev = {
+            "queries": scraped,
+            "canary_sec": float(cm.group(1)) if cm else None,
+        }
+    prev_q = prev.get("queries") or {}
+    shared = sorted(
+        n
+        for n, t in timings.items()
+        if t is not None and t >= 0 and (prev_q.get(n) or -1) >= 0
+    )
+    if not shared:
+        return None
+    lfl_now = sum(timings[n] for n in shared)
+    lfl_prev = sum(prev_q[n] for n in shared)
+    out = {
+        "prev_round": rn,
+        "shared_queries": len(shared),
+        "lfl_now_sec": round(lfl_now, 3),
+        "lfl_prev_sec": round(lfl_prev, 3),
+        "delta_raw": round(lfl_now / lfl_prev, 4) if lfl_prev > 0 else None,
+        "canary_prev_sec": prev.get("canary_sec"),
+        "delta_canary_norm": None,
+    }
+    prev_canary = prev.get("canary_sec")
+    if prev_canary and canary_sec and lfl_prev > 0:
+        out["delta_canary_norm"] = round(
+            (lfl_now / lfl_prev) * (prev_canary / canary_sec), 4
+        )
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="selium_bench", cpus=CPUS, shuffle_partitions=CPUS)
     load_start = os.getloadavg()
@@ -387,6 +471,12 @@ def main() -> None:
                 # headline number (box) vs stayed put (code).
                 "canary_sec": round(min(canary_samples), 3),
                 "canary_samples": canary_samples,
+                # like-for-like vs the previous round's recorded line,
+                # both raw and canary-normalized (r11): the normalized
+                # ratio divides out box speed — < 1 means code faster
+                "round_over_round": round_over_round(
+                    timings, min(canary_samples)
+                ),
                 "stream_rows_per_sec": stream_rps,
                 # a contaminated run self-identifies: loadavg >> 32
                 # means co-tenant steal, and the numbers are suspect

@@ -921,6 +921,7 @@ def robust_zscore_outliers(
     round_to: int = 9,
     spread: int | None = None,
     pin: bool = False,
+    spread_min_rows: int | None = None,
 ) -> DataFrame:
     """Robust outlier detection per group via the median/MAD z-score
     (Iglewicz-Hoberg: ``z = (x - median) / (1.4826 * MAD)``, flag
@@ -965,6 +966,17 @@ def robust_zscore_outliers(
     table also derives from the pinned INPUT (not the ranked r1):
     ranks are only needed inside the median aggregate, so joining med
     back to base skips a whole rebuild of the rank device.
+
+    ``spread_min_rows`` (r11, carried TODO #4) gates the spread device
+    on input size: when set alongside ``spread``, inputs below the
+    threshold take the plain per-group path automatically — its fixed
+    overhead (quantile samples + per-bucket offset aggregates, ~4 s at
+    an 80k-row grain) only pays off when a group's sort would otherwise
+    be large, and a sub-threshold sort on |groups| tasks is already
+    sub-second. The row count is an action: free after the ``pin=True``
+    checkpoint (the table is materialized anyway), one extra input
+    traversal when ``pin=False`` — prefer the gate with ``pin=True``.
+    Output is identical on both routes (parity-tested).
     """
     dec_t = f"decimal(18,{scale_in})"
     g = F.col(group_col)
@@ -973,6 +985,9 @@ def robust_zscore_outliers(
     base = df.withColumn("_dv", F.col(value_col).cast(dec_t))
     if pin:
         base = base.localCheckpoint(eager=True)
+    if spread is not None and spread_min_rows is not None:
+        if base.count() < spread_min_rows:
+            spread = None
     if spread is not None:
         r1 = _grouped_mid_rank(base, group_col, "_dv", spread, "_rn", "_n")
     else:

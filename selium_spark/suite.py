@@ -6423,7 +6423,13 @@ def mad_daily_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain path's rank sorts ran on 5 tasks regardless of cluster
     size — the per-group two-phase device spreads them across 5 x 32.
     pin=True is safe: the input is the day-grain aggregate
-    (users x types x days rows), never corpus-bounded."""
+    (users x types x days rows), never corpus-bounded.
+
+    spread_min_rows=1M (r11, carried TODO #4): the device's fixed
+    overhead only pays above ~1M grain rows, so sub-threshold inputs
+    (sf0.1's 80k) take the plain path automatically — the count is
+    free on the pinned table, and the x100 grain (8M rows) still
+    engages the spread. Output identical on both routes."""
     ev = _t(spark, sf_dir, "events")
     per = (
         ev.withColumn("_period", F.to_date(F.date_trunc("day", F.col("ts"))))
@@ -6439,7 +6445,8 @@ def mad_daily_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return windows.robust_zscore_outliers(
-        per, "event_type", "day_sum", z_thresh=3.5, spread=32, pin=True
+        per, "event_type", "day_sum", z_thresh=3.5, spread=32, pin=True,
+        spread_min_rows=1_000_000,
     )
 
 

@@ -244,29 +244,76 @@ def test_bigram_ppl_total_is_scalar_broadcast(spark):
     assert p.text.count("CartesianProduct") == 0
 
 
+def _rank_window_specs(text: str) -> list[str]:
+    """PARTITION-BY prefixes of every row_number window in a plan.
+
+    Captures only column refs up to the first orderBy/frame token
+    rather than [^)]* — the old pattern truncated at the first nested
+    closing paren and only worked because partition columns happen to
+    precede the frame spec in plan text (r11 ADVICE)."""
+    import re
+
+    return re.findall(
+        r"row_number\(\) windowspecdefinition\((\w+#\d+[^,]*(?:, \w+#\d+[^,]*)*)",
+        text,
+    )
+
+
 def test_mad_spread_windows_are_bucket_partitioned(spark):
-    """mad_daily_outliers (spread=32, r10): BOTH rank windows must be
+    """robust_zscore_outliers(spread=N): BOTH rank windows must be
     partitioned by (group, range bucket), never by the group alone —
     the per-group two-phase device that lifts the |groups|-task
     parallelism bound. A refactor that drops the spread routing would
-    silently reinstate the 5-task sort ceiling."""
-    import re
+    silently reinstate the 5-task sort ceiling. Asserted on the
+    operator with the size gate off (spread_min_rows=None forces the
+    device); the suite query's gate is covered by the test below."""
+    from selium_spark.operators import windows
+    from selium_spark.plans import summarize
 
-    p = plan_of(spark, "mad_daily_outliers")
-    # Capture only the PARTITION-BY prefix (column refs up to the first
-    # orderBy/frame token) rather than [^)]* — the old pattern truncated
-    # at the first nested closing paren and only worked because partition
-    # columns happen to precede the frame spec in plan text (r11 ADVICE).
-    specs = re.findall(
-        r"row_number\(\) windowspecdefinition\((\w+#\d+[^,]*(?:, \w+#\d+[^,]*)*)",
-        p.text,
+    df = spark.range(0, 2000).selectExpr(
+        "CAST(id % 5 AS STRING) AS g", "CAST(id % 97 AS DOUBLE) AS v"
     )
+    p = summarize(windows.robust_zscore_outliers(df, "g", "v", spread=8))
+    specs = _rank_window_specs(p.text)
     assert specs, "no rank window found in the plan"
-    # pin=True truncates lineage at the deviation-table checkpoint, so
-    # only the SECOND rank pass is visible in the final plan — the
-    # first is pinned by the spread-vs-plain parity test instead
     for spec in specs:
         assert "_bkt" in spec, f"rank window lost its bucket partitioning: {spec}"
+
+
+def test_mad_spread_min_rows_gate_routes_both_ways(spark):
+    """spread_min_rows (r11, carried TODO #4): sub-threshold inputs
+    take the PLAIN per-group path (no bucket column anywhere — the
+    device's fixed overhead is pure loss on a grain that sorts
+    sub-second on |groups| tasks); above-threshold inputs engage the
+    spread. The suite's mad_daily_outliers passes spread_min_rows=1M,
+    so at the test SF (~tiny grain) its plan must show the gated
+    plain shape — the x100 scale table is where the spread engages."""
+    from selium_spark.operators import windows
+    from selium_spark.plans import summarize
+
+    df = spark.range(0, 2000).selectExpr(
+        "CAST(id % 5 AS STRING) AS g", "CAST(id % 97 AS DOUBLE) AS v"
+    )
+    gated = summarize(
+        windows.robust_zscore_outliers(
+            df, "g", "v", spread=8, spread_min_rows=1_000_000
+        )
+    )
+    assert "_bkt" not in gated.text, "gate failed: spread engaged below threshold"
+    assert _rank_window_specs(gated.text), "plain path lost its rank windows"
+    engaged = summarize(
+        windows.robust_zscore_outliers(df, "g", "v", spread=8, spread_min_rows=100)
+    )
+    specs = _rank_window_specs(engaged.text)
+    assert specs and all("_bkt" in s for s in specs), (
+        "gate failed: spread did not engage above threshold"
+    )
+    # the suite query (spread=32, spread_min_rows=1M, pin=True) gates
+    # to plain at this SF; pin truncates lineage so only the second
+    # rank pass is visible — it must be group-partitioned, unbucketed
+    p = plan_of(spark, "mad_daily_outliers")
+    assert "_bkt" not in p.text
+    assert _rank_window_specs(p.text)
 
 
 def test_global_rank_window_is_bucket_partitioned(spark):

@@ -72,3 +72,55 @@ def test_bench_retime_suspects_emits_both_readings():
     )
     assert retimes2 == {"q_x": {"benched": 1.5, "retimed": 9.9}}
     assert timings2["q_x"] == 1.5
+
+
+def test_bench_round_over_round_canary_normalized(tmp_path):
+    """Round-10 verdict task #3: BENCH recorded the canary but the
+    round-over-round comparison was still raw seconds. bench.py now
+    computes the like-for-like delta itself, both raw and
+    canary-normalized (divide out box speed), against the newest
+    BENCH_r*.json — including the driver's wrapped format where
+    `parsed` is null and queries must be scraped from a truncated
+    `tail` string."""
+    import json
+
+    import bench
+
+    # plain format (a full bench stdout line)
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"queries": {"a": 2.0, "b": 4.0, "gone": 1.0}, "canary_sec": 2.0})
+    )
+    # like-for-like: 'gone' missing now, 'new' missing before
+    out = bench.round_over_round(
+        {"a": 1.0, "b": 2.0, "new": 9.0}, canary_sec=1.0, repo_dir=str(tmp_path)
+    )
+    assert out["prev_round"] == 7
+    assert out["shared_queries"] == 2
+    assert out["delta_raw"] == 0.5  # 3.0 / 6.0
+    # box got 2x faster (canary 2.0 -> 1.0), so code-level delta is 1.0
+    assert out["delta_canary_norm"] == 1.0
+
+    # newest round wins; driver-wrapped format with truncated tail
+    tail = '"b": 4.0, "c": 1.0}, "canary_sec": 3.0, "loadavg_start": [1.0]}'
+    (tmp_path / "BENCH_r08.json").write_text(
+        json.dumps({"parsed": None, "tail": tail})
+    )
+    out2 = bench.round_over_round(
+        {"b": 2.0, "c": 1.0}, canary_sec=1.5, repo_dir=str(tmp_path)
+    )
+    assert out2["prev_round"] == 8
+    # loadavg_start etc. never collide: intersection is on query names
+    assert out2["shared_queries"] == 2
+    assert out2["delta_raw"] == 0.6  # 3.0 / 5.0
+    assert out2["delta_canary_norm"] == 1.2  # 0.6 * (3.0 / 1.5)
+
+    # errored queries (-1) drop from both sides
+    out3 = bench.round_over_round(
+        {"b": -1.0, "c": 1.0}, canary_sec=3.0, repo_dir=str(tmp_path)
+    )
+    assert out3["shared_queries"] == 1 and out3["delta_raw"] == 1.0
+
+    # no prior BENCH at all
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert bench.round_over_round({"a": 1.0}, 1.0, repo_dir=str(empty)) is None
