@@ -159,6 +159,11 @@ HEADLINE = [
     # round 10: keyless as-of nearest (both carry tables live), and the
     # spread-mode MAD path rides the existing mad_daily_outliers entry
     "q_asof_keyless_nearest",
+    # round 11: IVFADC composite ANN (coarse probe x PQ residual
+    # codes) + its streaming ingest twin and recall@10 metric
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
+    "stream_ivfpq_encode",
 ]
 
 

@@ -681,6 +681,289 @@ def pq_adc_topk(
     return adc.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
 
 
+def ivfpq_residuals(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    resid_col: str = "residual",
+) -> DataFrame:
+    """IVF residuals — the first half of IVFADC (Jegou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011,
+    §IV): assign every vector to its max-cosine coarse centroid
+    (:func:`ivf_assign`) and subtract that centroid per-dimension.
+    PQ-encoding the RESIDUAL instead of the raw vector is what makes
+    the composite beat either half alone: residuals are centered near
+    zero, so the same codebook budget spends its precision where the
+    vectors actually are.
+
+    Arithmetic contract: the subtraction is float->DOUBLE per element
+    (exact — every float32 is representable), so the residual stream
+    is bit-identical across engines. One broadcast join back to the
+    K-row centroid table; the corpus is scanned once and never
+    shuffled."""
+    assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
+    cents = centroids.select(
+        F.col("centroid_id").alias(cluster_col),
+        F.col("centroid_vec").alias("_cv"),
+    )
+    return assigned.join(F.broadcast(cents), cluster_col).select(
+        id_col,
+        cluster_col,
+        F.zip_with(
+            F.col(vec_col),
+            F.col("_cv"),
+            lambda a, b: a.cast("double") - b.cast("double"),
+        ).alias(resid_col),
+    )
+
+
+def ivfpq_codebook(
+    resid: DataFrame,
+    m_subs: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    resid_col: str = "residual",
+) -> DataFrame:
+    """PQ codebook over IVF residuals: one codebook SHARED across all
+    inverted lists (the classic IVFADC layout — per-list codebooks
+    multiply memory by K for marginal recall). Deterministic toy
+    training: subspace slices of the first ``k_codes`` residuals by id
+    (swap in per-subspace k-means for production recall; the plan
+    shape is identical). Output (m, code_id, subvec):
+    m_subs * k_codes rows, always broadcastable."""
+    first = resid.orderBy(F.col(id_col).asc()).limit(k_codes)
+    ms = F.explode(F.sequence(F.lit(0), F.lit(m_subs - 1))).alias("m")
+    d = F.size(F.col(resid_col)) / m_subs
+    return first.select(F.col(id_col).alias("code_id"), F.col(resid_col), ms).select(
+        "m",
+        "code_id",
+        F.slice(
+            F.col(resid_col), (F.col("m") * d + 1).cast("int"), d.cast("int")
+        ).alias("subvec"),
+    )
+
+
+def ivfpq_encode(
+    resid: DataFrame,
+    codebook: DataFrame,
+    m_subs: int = 8,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster_id",
+    resid_col: str = "residual",
+) -> DataFrame:
+    """Encode residuals to PQ code ids, carrying the inverted-list key
+    through: output (id, cluster_id, m, code_id) IS the IVFADC index —
+    at 100 TB it is written ``partitionBy(cluster_id)`` (the
+    :func:`ivf_index_write` layout) so a probe is a partition-pruned
+    scan of n_probe/K of the files over m_subs-byte-ish codes instead
+    of raw vectors. Same argmin contract as :func:`pq_encode`
+    (round(l2sq, 6), ties to the smaller code_id); the cluster key
+    rides the existing per-vector rows, so keeping it costs no extra
+    shuffle."""
+    d = F.size(F.col(resid_col)) / m_subs
+    resid = fan_out(resid)  # m_subs x K L2 distances per row: CPU-bound
+    subs = resid.select(
+        F.col(id_col),
+        F.col(cluster_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m_subs - 1))).alias("m"),
+        F.col(resid_col),
+    ).select(
+        F.col(id_col),
+        F.col(cluster_col),
+        "m",
+        F.slice(
+            F.col(resid_col), (F.col("m") * d + 1).cast("int"), d.cast("int")
+        ).alias("esub"),
+    )
+    scored = subs.join(F.broadcast(codebook), "m").withColumn(
+        "dist", F.round(l2sq(F.col("esub"), F.col("subvec")), 6)
+    )
+    return scored.groupBy(id_col, cluster_col, "m").agg(
+        F.min_by(F.col("code_id"), F.struct(F.col("dist"), F.col("code_id"))).alias(
+            "code_id"
+        )
+    )
+
+
+def ivfpq_adc_topk(
+    encoded: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    m_subs: int = 8,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """IVFADC query: probe the ``n_probe`` max-cosine coarse centroids,
+    compute the QUERY residual against each probed centroid
+    (driver-side double subtraction — K-bounded, exactly like the IVF
+    probe collect), build the per-(probe, m, code) asymmetric distance
+    table from the broadcast codebook, and ADC-score ONLY the probed
+    lists' codes. The scan touches n_probe/K of the index and never a
+    raw vector; partial distances fold in ascending-m order (the
+    :func:`pq_adc_topk` contract) so the result is bit-identical
+    across engines. Distances are comparable across probed lists
+    because ||x - q||^2 = ||r_x - r_q||^2 within a shared centroid —
+    the standard IVFADC approximation."""
+    spark = encoded.sparkSession
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probes = (
+        centroids.select(
+            "centroid_id",
+            "centroid_vec",
+            F.round(cosine(F.col("centroid_vec"), q), 6).alias("s"),
+        )
+        .orderBy(F.col("s").desc(), F.col("centroid_id").asc())
+        .limit(n_probe)
+        .collect()
+    )
+    # per-probe query residual: float->double is exact, so Python's
+    # IEEE double subtraction here equals the oracle's ::DOUBLE one
+    probe_rows = [
+        (
+            int(r["centroid_id"]),
+            [float(a) - float(b) for a, b in zip(query_vec, r["centroid_vec"])],
+        )
+        for r in probes
+    ]
+    probes_df = spark.createDataFrame(probe_rows, f"{cluster_col} int, qres array<double>")
+    sub_d = len(query_vec) // m_subs
+    # n_probe x (m_subs * k_codes) rows, both sides tiny and the right
+    # side broadcast — the audited small-crossJoin device, never
+    # corpus-scaled
+    dist_table = probes_df.crossJoin(F.broadcast(codebook)).select(
+        cluster_col,
+        "m",
+        "code_id",
+        F.round(
+            l2sq(
+                F.slice(F.col("qres"), (F.col("m") * sub_d + 1).cast("int"), sub_d),
+                F.col("subvec"),
+            ),
+            6,
+        ).alias("p"),
+    )
+    partials = encoded.where(
+        F.col(cluster_col).isin([cid for cid, _ in probe_rows])
+    ).join(F.broadcast(dist_table), [cluster_col, "m", "code_id"])
+    adc = partials.groupBy(id_col).agg(
+        F.round(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "p"))),
+                    lambda s: s["p"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("adc_dist")
+    )
+    return adc.orderBy(F.col("adc_dist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def ivfpq_encode_stateless(
+    df: DataFrame,
+    centroid_rows: list,
+    codebook_rows: list,
+    m_subs: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Streaming-safe IVFADC encoder: centroids AND codebook fold into
+    literal expressions (a few KB — the :func:`pq_encode_stateless`
+    device), so assign + residual + encode is a pure per-row map: no
+    join, no aggregation, no state — legal in streaming append mode.
+    This is the live-ingest half of the IVFADC index: new vectors
+    stream in, (id, cluster_id, m, code_id) rows stream out to the
+    partitioned index, while queries keep probing the already-written
+    lists.
+
+    Output contract identical to the batch :func:`ivfpq_encode`:
+    argmax centroid by (round(cosine, 6), smaller id on ties) — the
+    max is taken over (s, -position) structs so the tie goes to the
+    SMALLER centroid id, matching ivf_assign's row_number order —
+    then per-subspace argmin by (round(l2sq, 6), code_id)."""
+    cents = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
+        for r in centroid_rows
+    )
+    cid_lit = F.lit([cid for cid, _ in cents])
+    cvec_lit = F.lit([cv for _, cv in cents])
+    n_cents = len(cents)
+    by_m: dict[int, list] = {}
+    for r in codebook_rows:
+        by_m.setdefault(int(r["m"]), []).append(
+            (int(r["code_id"]), [float(x) for x in r["subvec"]])
+        )
+    sub_d = len(next(iter(by_m.values()))[0][1])
+    vec = F.col(vec_col)
+
+    best = F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_cents - 1)),
+            lambda i: F.struct(
+                F.round(cosine(vec, F.element_at(cvec_lit, i + 1)), 6).alias("s"),
+                (-i).alias("negpos"),
+            ),
+        )
+    )
+    pos = -best["negpos"]
+    resid = F.zip_with(
+        vec,
+        F.element_at(cvec_lit, pos + 1),
+        lambda a, b: a.cast("double") - b,
+    )
+
+    def code_for(m: int, rcol: Column) -> Column:
+        subs_m = sorted(by_m[m])
+        ids_m = F.lit([cid for cid, _ in subs_m])
+        vecs_m = F.lit([sv for _, sv in subs_m])
+        esub = F.slice(rcol, m * sub_d + 1, sub_d)
+        cands = F.zip_with(
+            vecs_m,
+            ids_m,
+            lambda sv, cid: F.struct(
+                F.round(l2sq(esub, sv), 6).alias("dist"),
+                cid.cast("int").alias("code_id"),
+            ),
+        )
+        return F.array_min(cands)["code_id"]
+
+    return (
+        df.select(
+            F.col(id_col),
+            F.element_at(cid_lit, pos + 1).alias("cluster_id"),
+            resid.alias("_r"),
+        )
+        .select(
+            id_col,
+            "cluster_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(m).alias("m"),
+                            code_for(m, F.col("_r")).alias("code_id"),
+                        )
+                        for m in range(m_subs)
+                    ]
+                )
+            ).alias("_mc"),
+        )
+        .select(
+            id_col,
+            "cluster_id",
+            F.col("_mc.m").alias("m"),
+            F.col("_mc.code_id").alias("code_id"),
+        )
+    )
+
+
 def minmax_normalize(
     emb: DataFrame,
     vec_col: str = "embedding",

@@ -3148,6 +3148,179 @@ QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code_id) = 1
 """
 
 
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC composite ANN (r11; Jegou et al., TPAMI 2011): coarse
+    IVF quantizer (8 centroids) + one shared PQ codebook (8 subspaces
+    x 16 codes) trained on RESIDUALS, queried by asymmetric distance
+    over the n_probe=2 probed lists only. This is the
+    billion-scale production shape: the coarse probe prunes to
+    n_probe/K of the index (partition pruning when the index is
+    written partitionBy(cluster_id) — similarity.ivf_index_write) and
+    the scan touches m_subs-byte codes, never raw vectors. The
+    codebook trains on the residuals of the first 16 vectors by id —
+    a TakeOrdered of the RAW table assigned separately (16 rows
+    through the centroid join), so the corpus-wide residual lineage
+    runs exactly once, in the encode."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    cents = similarity.make_centroids(emb, n=8)
+    first16 = emb.orderBy(F.col("vec_id").asc()).limit(16)
+    cb = similarity.ivfpq_codebook(
+        similarity.ivfpq_residuals(first16, cents), m_subs=8, k_codes=16
+    )
+    resid = similarity.ivfpq_residuals(emb, cents)
+    codes = similarity.ivfpq_encode(resid, cb, m_subs=8)
+    return similarity.ivfpq_adc_topk(
+        codes, cents, cb, q, k=10, n_probe=2, m_subs=8
+    )
+
+
+# Shared IVFADC pipeline: coarse assign (max-cosine, ties to smaller
+# centroid id) -> per-dim DOUBLE residual -> shared residual codebook
+# (slices of the first-16-by-id residuals) -> per-(vec, m) argmin code
+# -> probes -> per-probe query residual -> ADC distance table ->
+# ascending-m fold. Mirrors similarity.ivfpq_* exactly.
+SQL_IVFPQ_BODY = """
+WITH ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+assign_scored AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    round({CA}, 6) AS c_score
+  FROM embeddings e CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id AS cluster_id FROM assign_scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c_score DESC, centroid_id ASC) = 1
+),
+resid AS (
+  SELECT a.vec_id, a.cluster_id,
+    list_transform(generate_series(1, len(a.embedding)),
+      i -> a.embedding[i]::DOUBLE - c.cvec[i]::DOUBLE) AS r
+  FROM assigned a JOIN cents c ON a.cluster_id = c.centroid_id
+),
+cb AS (
+  SELECT ms.m, r.vec_id AS code_id, r.r[ms.m*8+1 : ms.m*8+8] AS subvec
+  FROM resid r CROSS JOIN ms
+  WHERE r.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+sub AS (
+  SELECT r.vec_id, r.cluster_id, ms.m, r.r[ms.m*8+1 : ms.m*8+8] AS esub
+  FROM resid r CROSS JOIN ms
+),
+scored AS (
+  SELECT s.vec_id, s.cluster_id, s.m, cb.code_id,
+    round(list_aggregate(list_transform(generate_series(1, 8),
+      i -> (s.esub[i] - cb.subvec[i]) * (s.esub[i] - cb.subvec[i])), 'sum'), 6) AS d
+  FROM sub s JOIN cb ON s.m = cb.m
+),
+codes AS (
+  SELECT vec_id, cluster_id, m, code_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code_id) = 1
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT centroid_id, cvec FROM cents CROSS JOIN q
+  ORDER BY round({CQ}, 6) DESC, centroid_id ASC
+  LIMIT 2
+),
+qres AS (
+  SELECT p.centroid_id AS cluster_id,
+    list_transform(generate_series(1, len(q.qv)),
+      i -> q.qv[i]::DOUBLE - p.cvec[i]::DOUBLE) AS qr
+  FROM probes p CROSS JOIN q
+),
+dist_table AS (
+  SELECT qr.cluster_id, cb.m, cb.code_id,
+    round(list_aggregate(list_transform(generate_series(1, 8),
+      i -> (qr.qr[cb.m*8 + i] - cb.subvec[i]) * (qr.qr[cb.m*8 + i] - cb.subvec[i])), 'sum'), 6) AS p
+  FROM cb CROSS JOIN qres qr
+),
+adc AS (
+  SELECT c.vec_id,
+    round(list_aggregate(list_transform(list_sort(list({'m': c.m, 'p': dt.p})), s -> s.p), 'sum'), 6) AS adc_dist
+  FROM codes c JOIN dist_table dt
+    ON c.cluster_id = dt.cluster_id AND c.m = dt.m AND c.code_id = dt.code_id
+  GROUP BY c.vec_id
+)
+""".replace(
+    "{CA}", SQL_COSINE_AB.replace("va", "e.embedding").replace("vb", "c.cvec")
+).replace(
+    "{CQ}", SQL_COSINE_AB.replace("va", "cvec").replace("vb", "qv")
+)
+
+SQL_IVFPQ_TOPK = (
+    SQL_IVFPQ_BODY
+    + "SELECT vec_id, adc_dist FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10"
+)
+
+
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality metric as a query (the ann_recall_ivf pattern):
+    recall@10 of the IVFADC composite against the exact brute-force
+    top-10 — the number a corpus owner tunes n_probe/m_subs/k_codes
+    against (single-row output)."""
+    exact = ann_bruteforce_topk(spark, sf_dir).select("vec_id")
+    approx = ann_ivfpq_topk(spark, sf_dir).select("vec_id")
+    hit = exact.join(approx, "vec_id")
+    return hit.agg((F.count(F.lit(1)) / F.lit(10.0)).alias("recall_at_10"))
+
+
+SQL_IVFPQ_RECALL = (
+    SQL_IVFPQ_BODY
+    + """, s2 AS (
+  SELECT e.vec_id, e.embedding AS va, q.qv AS vb FROM embeddings e CROSS JOIN q
+),
+exact AS (
+  SELECT vec_id, round({SQL_COSINE_AB}, 6) AS score
+  FROM s2 ORDER BY score DESC, vec_id ASC LIMIT 10
+),
+approx AS (
+  SELECT vec_id FROM adc ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+)
+SELECT COUNT(*) / 10.0 AS recall_at_10
+FROM exact JOIN approx USING (vec_id)
+""".replace("{SQL_COSINE_AB}", SQL_COSINE_AB)
+)
+
+
+def stream_ivfpq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVFADC ingest: embeddings replayed as a file stream
+    through the stateless literal-constant encoder
+    (similarity.ivfpq_encode_stateless) in APPEND mode — coarse
+    assign + residual + PQ argmin as a pure per-row map, no state
+    store. Emission equals the batch ivfpq_encode (same rounding and
+    tie contracts), so this streaming query carries a full value
+    oracle. Live index ingest: new vectors stream into the
+    partitionBy(cluster_id) layout while queries probe the
+    already-written lists."""
+    from .streaming.replay import replay_to_memory
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.make_centroids(emb, n=8)
+    cent_rows = cents.collect()
+    first16 = emb.orderBy(F.col("vec_id").asc()).limit(16)
+    cb_rows = similarity.ivfpq_codebook(
+        similarity.ivfpq_residuals(first16, cents), m_subs=8, k_codes=16
+    ).collect()
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return similarity.ivfpq_encode_stateless(
+            stream, cent_rows, cb_rows, m_subs=8
+        )
+
+    return replay_to_memory(
+        spark, f"{sf_dir}/embeddings.parquet", schema, transform,
+        output_mode="append",
+    )
+
+
+SQL_STREAM_IVFPQ_ENCODE = (
+    SQL_IVFPQ_BODY
+    + "SELECT vec_id, cluster_id, m, code_id FROM codes"
+)
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): wide per-priority aggregates to long
     (metric, value) rows via stack — the inverse of q_pivot_status."""
@@ -7717,6 +7890,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_rhp_pairs": ann_rhp_pairs,
     "ann_pq_topk": ann_pq_topk,
     "ann_recall_ivf": ann_recall_ivf,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_recall": ann_ivfpq_recall,
+    "stream_ivfpq_encode": stream_ivfpq_encode,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprints": text_fingerprints,
@@ -7983,6 +8159,9 @@ WHERE value % 2 = 0"""
     "ann_rhp_pairs": SQL_ANN_RHP,
     "ann_recall_ivf": SQL_ANN_RECALL,
     "ann_pq_topk": SQL_PQ_TOPK,
+    "ann_ivfpq_topk": SQL_IVFPQ_TOPK,
+    "ann_ivfpq_recall": SQL_IVFPQ_RECALL,
+    "stream_ivfpq_encode": SQL_STREAM_IVFPQ_ENCODE,
     "mm_decode_features": SQL_MM_DECODE,
     "mm_resize_plan": SQL_MM_RESIZE,
     "mm_frame_sample": SQL_MM_FRAMES,

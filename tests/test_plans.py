@@ -45,6 +45,22 @@ def test_ann_bruteforce_is_take_ordered(spark):
     assert p.has_take_ordered  # per-partition top-k, no global sort
 
 
+def test_ann_ivfpq_broadcasts_all_small_sides(spark):
+    """IVFADC (r11): centroids, codebook, and the ADC distance table
+    are all K-bounded and must broadcast — the corpus side never
+    shuffles against another corpus-sized table, and the final top-k
+    is a TakeOrderedAndProject, not a global sort. The only
+    cross-products are the probe/codebook smalls."""
+    p = plan_of(spark, "ann_ivfpq_topk")
+    assert p.n_broadcast_joins >= 3
+    # keyless smalls (centroid assign, probe x codebook) may plan as
+    # BroadcastNestedLoopJoin — always BuildRight on the broadcast
+    # side; a true CartesianProduct (both sides shuffled) never
+    assert "CartesianProduct" not in p.text
+    assert "BuildLeft" not in p.text  # the corpus is never the broadcast side
+    assert p.has_take_ordered
+
+
 def test_asof_join_single_sort_no_range_explosion(spark):
     p = plan_of(spark, "w3_latest_enrich")
     assert not p.has_cartesian

@@ -4,6 +4,9 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+from pyspark.sql import functions as F
+
 from selium_spark.operators import packing, text
 
 
@@ -649,3 +652,92 @@ def test_token_budget_select_boundary(spark):
             break
         head.append(r.doc_id)
     assert sorted(r.doc_id for r in sel) == sorted(head)
+
+
+def test_ivfpq_pipeline_and_stateless_parity(spark):
+    """IVFADC composite (r11): residuals subtract the max-cosine
+    centroid per-dim in DOUBLE; codes encode the residual; ADC over
+    probed lists is exact for a vector whose residual reconstructs
+    exactly; and the stateless (streaming) encoder emits EXACTLY the
+    batch encode rows — same cosine-argmax (ties to smaller centroid
+    id) and L2-argmin (ties to smaller code id) contracts."""
+    from selium_spark.operators import similarity
+
+    # 4-dim, 2 centroids (vectors 0/1), 2 subspaces x 2 codes.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0]),
+        (1, [0.0, 1.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 1.0]),   # cluster 0
+        (3, [0.1, 0.9, 1.0, 0.1]),   # cluster 1
+        (4, [1.0, 0.0, 1.0, 0.0]),   # equidistant-ish: tie contract
+    ]
+    emb = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<FLOAT>")
+    cents = similarity.make_centroids(emb, n=2)
+    resid = similarity.ivfpq_residuals(emb, cents)
+    got = {r["vec_id"]: r for r in resid.collect()}
+    # centroid members: zero residual, own cluster
+    assert got[0]["cluster_id"] == 0 and got[1]["cluster_id"] == 1
+    assert got[0]["residual"] == [0.0, 0.0, 0.0, 0.0]
+    # vec 2 lands on centroid 0 and the residual is the exact
+    # float->double difference
+    assert got[2]["cluster_id"] == 0
+    assert got[2]["residual"][0] == float(np.float32(0.9)) - 1.0
+
+    # train the codebook on NON-centroid residuals (vecs 2/3) — the
+    # centroids' own residuals are zero vectors, a degenerate codebook
+    cb = similarity.ivfpq_codebook(
+        resid.where(F.col("vec_id") >= 2), m_subs=2, k_codes=2
+    )
+    assert cb.count() == 4
+    encoded = similarity.ivfpq_encode(resid, cb, m_subs=2)
+    batch = {
+        (r["vec_id"], r["m"]): (r["cluster_id"], r["code_id"])
+        for r in encoded.collect()
+    }
+    # codebook members encode to themselves
+    assert batch[(2, 0)] == (0, 2) and batch[(2, 1)] == (0, 2)
+    assert batch[(3, 0)] == (1, 3) and batch[(3, 1)] == (1, 3)
+    # vec 0's zero residual sub0 is EQUIDISTANT to code 2 ([-0.1, 0.1])
+    # and code 3 ([0.1, -0.1]) -> the L2 argmin tie goes to code 2
+    assert batch[(0, 0)] == (0, 2)
+    # vec 4's cosine ties exactly between both centroids -> cluster 0
+    assert batch[(4, 0)][0] == 0
+
+    # stateless encoder: identical rows, including the tie rows
+    stateless = {
+        (r["vec_id"], r["m"]): (r["cluster_id"], r["code_id"])
+        for r in similarity.ivfpq_encode_stateless(
+            emb, cents.collect(), cb.collect(), m_subs=2
+        ).collect()
+    }
+    assert stateless == batch
+
+    # ADC with vec 0 as the query, probing both lists: vecs 0/2/4
+    # share cluster 0 and codes (2,2) -> equal distance, vec_id ties;
+    # the cluster-1 codes score against the cluster-1 query residual
+    top = similarity.ivfpq_adc_topk(
+        encoded, cents, cb, [1.0, 0.0, 0.0, 1.0], k=5, n_probe=2, m_subs=2
+    ).collect()
+    assert [r["vec_id"] for r in top] == [0, 2, 4, 3, 1]
+    assert top[0]["adc_dist"] == top[2]["adc_dist"] < top[3]["adc_dist"]
+
+
+def test_ivfpq_centroid_argmax_tie_breaks_to_smaller_id(spark):
+    """Two IDENTICAL centroids: every vector's cosine ties exactly, so
+    the assignment must go to centroid 0 on both the batch path
+    (row_number orderBy c_score desc, cid asc) and the stateless path
+    (array_max over (s, -position) structs)."""
+    from selium_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.6, 0.8])],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    cents = similarity.make_centroids(emb, n=2)  # identical vectors 0/1
+    resid = similarity.ivfpq_residuals(emb, cents)
+    assert {r["cluster_id"] for r in resid.collect()} == {0}
+    cb = similarity.ivfpq_codebook(resid, m_subs=1, k_codes=2)
+    stateless = similarity.ivfpq_encode_stateless(
+        emb, cents.collect(), cb.collect(), m_subs=1
+    )
+    assert {r["cluster_id"] for r in stateless.collect()} == {0}
