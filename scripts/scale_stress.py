@@ -151,6 +151,59 @@ QUERY_SET = [
 ]
 
 
+#: ANN corpus-scaling set (r11): the embedding table is a copied-1:1
+#: small dim in the main scaled dataset, so ANN queries get their own
+#: vector-replicated corpus via --ann. Copy-0 keeps ids 0..15, so the
+#: toy centroids/codebook ("first k by id") are CONSTANT across
+#: scales — the experiment isolates index/encode/probe throughput at
+#: N x vectors under a fixed model, the shape of growing a live index.
+ANN_QUERY_SET = [
+    "ann_ivfpq_topk",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "ann_bruteforce_topk",
+]
+
+
+def build_ann_corpus(spark, n_copies: int, out_dir: str) -> None:
+    """N x embeddings with remapped vec_ids (same device as
+    build_scaled.replicate: pre-spread the small base so the writer
+    emits splittable files)."""
+    os.makedirs(out_dir, exist_ok=True)
+    emb = load_table(spark, BASE_SF, "embeddings")
+    mx = emb.agg(F.max("vec_id")).first()[0] + 1
+    copies = spark.range(n_copies).withColumnRenamed("id", "_copy")
+    out = (
+        emb.repartition(32)
+        .crossJoin(F.broadcast(copies))
+        .withColumn("vec_id", F.col("vec_id") + F.col("_copy") * F.lit(mx))
+        .drop("_copy")
+    )
+    out.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+
+
+def ann_main(n: int) -> None:
+    spark = get_spark(app_name="ann_scale", cpus=32, shuffle_partitions=64)
+    out_dir = f"/root/repo/tmp/emb_x{n}"
+    if not os.path.exists(f"{out_dir}/embeddings.parquet"):
+        print(f"building {n}x embedding corpus at {out_dir} ...", file=sys.stderr)
+        build_ann_corpus(spark, n, out_dir)
+    if ABAB:
+        base, scaled = time_queries_abab(spark, [BASE_SF, out_dir], ANN_QUERY_SET)
+    else:
+        base = time_queries(spark, BASE_SF, ANN_QUERY_SET)
+        scaled = time_queries(spark, out_dir, ANN_QUERY_SET)
+    report = {
+        name: {
+            "base_s": base[name],
+            f"x{n}_s": scaled[name],
+            "ratio": round(scaled[name] / max(base[name], 0.01), 2),
+        }
+        for name in ANN_QUERY_SET
+    }
+    print(json.dumps({"n_copies": n, "mode": "ann", "queries": report}, indent=2))
+
+
 def build_scaled(spark, n_copies: int, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
     copies = spark.range(n_copies).withColumnRenamed("id", "_copy")
@@ -1041,6 +1094,9 @@ def main() -> None:
         return
     if "--lsh" in sys.argv:
         lsh_main(int(args[0]) if args else 100_000)
+        return
+    if "--ann" in sys.argv:
+        ann_main(int(args[0]) if args else 100)
         return
     if "--fold-buckets" in sys.argv:
         fold_buckets_main(int(args[0]) if args else 10)
