@@ -164,6 +164,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "ann_ivfpq_recall",
     "stream_ivfpq_encode",
+    "emb_kmeans_assign",
 ]
 
 

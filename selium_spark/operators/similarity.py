@@ -367,9 +367,21 @@ def kmeans_centroids(
         dims = assigned.select(
             "cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "v")
         )
+        # exact-decimal mean (r11, the logppl fold device): a plain
+        # double avg folds in partition order, so the trained centroids
+        # would differ in ulps across engines/runs; DECIMAL(38,18)
+        # addition is exact hence order-free, and the float32 cast
+        # below collapses both engines' doubles to the same value —
+        # what makes the trained ASSIGNMENT value-oracle-able
         means = (
             dims.groupBy("cluster_id", "dim")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.sum(F.col("v").cast("double").cast("decimal(38,18)"))
+                    .cast("double")
+                    / F.count(F.lit(1))
+                ).alias("m")
+            )
             .groupBy("cluster_id")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
             .select(

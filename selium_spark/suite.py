@@ -3321,6 +3321,71 @@ SQL_STREAM_IVFPQ_ENCODE = (
 )
 
 
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, value-graded (r11 — previously test-only): 3
+    declarative iterations (similarity.kmeans_centroids: broadcast
+    cosine-argmax assign -> per-(cluster, dim) exact-DECIMAL mean ->
+    float32 re-assembly, empty clusters keep their previous centroid)
+    then the final assignment of every vector. The decimal mean is
+    what makes an ITERATIVE float algorithm value-oracle-able: double
+    sums fold in partition order, so without it the trained centroids
+    drift in ulps between engines and the argmax flips on near-ties.
+    Output is integer-only (vec_id, cluster_id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(emb, k=8, iterations=3)
+    return similarity.ivf_assign(emb, cents).select("vec_id", "cluster_id")
+
+
+def _kmeans_iter_sql(i: int) -> str:
+    """One unrolled Lloyd iteration: assign to cents{i}, exact-decimal
+    per-dimension means, float32 re-assembly, empty-cluster coalesce
+    -> cents{i+1}. Mirrors similarity.kmeans_centroids exactly."""
+    cos = SQL_COSINE_AB.replace("va", "e.embedding").replace("vb", "c.cvec")
+    return f"""
+asg{i} AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+    round({cos}, 6) AS s
+  FROM embeddings e CROSS JOIN cents{i} c
+),
+a{i} AS (
+  SELECT vec_id, embedding, centroid_id FROM asg{i}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id ASC) = 1
+),
+dims{i} AS (
+  SELECT a.centroid_id, u.d,
+    CAST(CAST(SUM(CAST(a.embedding[u.d]::DOUBLE AS DECIMAL(38,18))) AS DOUBLE)
+         / COUNT(*) AS FLOAT) AS m
+  FROM a{i} a, unnest(generate_series(1, len(a.embedding))) AS u(d)
+  GROUP BY 1, 2
+),
+means{i} AS (
+  SELECT centroid_id, list(m ORDER BY d) AS mv FROM dims{i} GROUP BY 1
+),
+cents{i + 1} AS (
+  SELECT p.centroid_id, COALESCE(n.mv, p.cvec) AS cvec
+  FROM cents{i} p LEFT JOIN means{i} n USING (centroid_id)
+)"""
+
+
+SQL_KMEANS_ASSIGN = (
+    "WITH cents0 AS (SELECT vec_id AS centroid_id, embedding AS cvec"
+    " FROM embeddings WHERE vec_id IN"
+    " (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),"
+    + ",".join(_kmeans_iter_sql(i) for i in range(3))
+    + """,
+final_asg AS (
+  SELECT e.vec_id, c.centroid_id,
+    round({COS}, 6) AS s
+  FROM embeddings e CROSS JOIN cents3 c
+)
+SELECT vec_id, centroid_id AS cluster_id FROM final_asg
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id ASC) = 1
+""".replace(
+        "{COS}", SQL_COSINE_AB.replace("va", "e.embedding").replace("vb", "c.cvec")
+    )
+)
+
+
 def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): wide per-priority aggregates to long
     (metric, value) rows via stack — the inverse of q_pivot_status."""
@@ -7893,6 +7958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "ann_ivfpq_recall": ann_ivfpq_recall,
     "stream_ivfpq_encode": stream_ivfpq_encode,
+    "emb_kmeans_assign": emb_kmeans_assign,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprints": text_fingerprints,
@@ -8162,6 +8228,7 @@ WHERE value % 2 = 0"""
     "ann_ivfpq_topk": SQL_IVFPQ_TOPK,
     "ann_ivfpq_recall": SQL_IVFPQ_RECALL,
     "stream_ivfpq_encode": SQL_STREAM_IVFPQ_ENCODE,
+    "emb_kmeans_assign": SQL_KMEANS_ASSIGN,
     "mm_decode_features": SQL_MM_DECODE,
     "mm_resize_plan": SQL_MM_RESIZE,
     "mm_frame_sample": SQL_MM_FRAMES,
