@@ -165,6 +165,7 @@ HEADLINE = [
     "ann_ivfpq_recall",
     "stream_ivfpq_encode",
     "emb_kmeans_assign",
+    "emb_hard_negatives",
 ]
 
 

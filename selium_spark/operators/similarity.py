@@ -976,6 +976,54 @@ def ivfpq_encode_stateless(
     )
 
 
+def hard_negatives(
+    emb: DataFrame,
+    anchors: DataFrame,
+    lo: float = 0.5,
+    hi: float = 0.95,
+    j: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for every anchor vector, the
+    ``j`` highest-cosine corpus vectors inside the band [lo, hi) —
+    close enough to be hard for the model, below the near-duplicate
+    ceiling so they are genuinely negative (the standard negative-
+    mining recipe for training embedding models on a crawl corpus;
+    e.g. DPR, Karpukhin et al. 2020, §3.2 picks hard negatives by
+    retrieval score). Anchors exclude themselves by id.
+
+    Plan: the anchor table (a training batch — hundreds to thousands
+    of rows, never corpus-scale) broadcasts against one corpus scan;
+    the band filter prunes BEFORE the rank shuffle, so the window
+    sorts only band members, partitioned per anchor — parallelism
+    scales with |anchors|, the production regime. (For a degenerate
+    handful of anchors over a giant band, route ranks through the
+    per-group sampled-bucket device — windows._grouped_mid_rank's
+    pattern — the documented escape; not wired here because real
+    anchor sets are batch-sized.) Scores round to 6 before ranking so
+    float ulp noise cannot reorder ties across engines; ties break on
+    vec_id."""
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("_avec")
+    )
+    scored = (
+        fan_out(emb)
+        .crossJoin(F.broadcast(a))
+        .where(F.col(id_col) != F.col("anchor_id"))
+        .withColumn("cosine", F.round(cosine(F.col(vec_col), F.col("_avec")), 6))
+        .where((F.col("cosine") >= lo) & (F.col("cosine") < hi))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= j)
+        .select("anchor_id", F.col(id_col), "cosine")
+    )
+
+
 def minmax_normalize(
     emb: DataFrame,
     vec_col: str = "embedding",

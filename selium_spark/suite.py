@@ -3321,6 +3321,38 @@ SQL_STREAM_IVFPQ_ENCODE = (
 )
 
 
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (r11;
+    similarity.hard_negatives): for each of the first 4 vectors
+    (standing in for a training batch of anchors), the top-5 corpus
+    vectors with cosine in [0.25, 0.9) — hard for the model, below the
+    near-dup ceiling (band tuned to this corpus: the synthetic vectors
+    are near-orthogonal off-cluster, max anchor cosine ~0.37). Anchor table broadcasts; the band filter prunes
+    before the per-anchor rank window."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.orderBy(F.col("vec_id").asc()).limit(4)
+    return similarity.hard_negatives(emb, anchors, lo=0.25, hi=0.9, j=5)
+
+
+SQL_HARD_NEGATIVES = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, embedding AS avec FROM embeddings
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)
+),
+scored AS (
+  SELECT a.anchor_id, e.vec_id,
+    round({COS}, 6) AS cosine
+  FROM embeddings e CROSS JOIN a
+  WHERE e.vec_id <> a.anchor_id
+),
+band AS (SELECT * FROM scored WHERE cosine >= 0.25 AND cosine < 0.9)
+SELECT anchor_id, vec_id, cosine FROM band
+QUALIFY row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, vec_id ASC) <= 5
+""".replace(
+    "{COS}", SQL_COSINE_AB.replace("va", "e.embedding").replace("vb", "a.avec")
+)
+
+
 def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means, value-graded (r11 — previously test-only): 3
     declarative iterations (similarity.kmeans_centroids: broadcast
@@ -7959,6 +7991,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_recall": ann_ivfpq_recall,
     "stream_ivfpq_encode": stream_ivfpq_encode,
     "emb_kmeans_assign": emb_kmeans_assign,
+    "emb_hard_negatives": emb_hard_negatives,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprints": text_fingerprints,
@@ -8229,6 +8262,7 @@ WHERE value % 2 = 0"""
     "ann_ivfpq_recall": SQL_IVFPQ_RECALL,
     "stream_ivfpq_encode": SQL_STREAM_IVFPQ_ENCODE,
     "emb_kmeans_assign": SQL_KMEANS_ASSIGN,
+    "emb_hard_negatives": SQL_HARD_NEGATIVES,
     "mm_decode_features": SQL_MM_DECODE,
     "mm_resize_plan": SQL_MM_RESIZE,
     "mm_frame_sample": SQL_MM_FRAMES,
