@@ -195,6 +195,13 @@ _INTENTIONAL_CARTESIAN = {
                                      # into the 1-row triangle count
     "text_pmi_collocations",         # 1-row bigram-total scalar crossed
                                      # into the pair table
+    "ann_ivfpq_topk",                # centroid assign + probe x codebook
+                                     # smalls (r11; all broadcast,
+                                     # BuildLeft pinned off by its own
+                                     # plan test)
+    "ann_ivfpq_recall",              # same + the brute-force baseline
+    "emb_kmeans_assign",             # per-iteration centroid cross (K rows)
+    "emb_hard_negatives",            # anchor-batch cross (|anchors| rows)
     "emb_minmax_normalized",         # 1-row per-dim min/max stat arrays
     "dedup_lsh_recall",              # two 1-row eval counters crossed
                                      # into the (n_true, n_caught) row
