@@ -165,10 +165,15 @@ ANN_QUERY_SET = [
 ]
 
 
-def build_ann_corpus(spark, n_copies: int, out_dir: str) -> None:
+def build_ann_corpus(
+    spark, n_copies: int, out_dir: str, hot_frac: float = 0.0
+) -> None:
     """N x embeddings with remapped vec_ids (same device as
     build_scaled.replicate: pre-spread the small base so the writer
-    emits splittable files)."""
+    emits splittable files). ``hot_frac`` > 0 builds the IVF
+    worst case: that fraction of all rows carries vector 0's embedding
+    EXACTLY, so they all land in ONE inverted list — and vector 0 is
+    the suite's query, so the probe hits the hot list every time."""
     os.makedirs(out_dir, exist_ok=True)
     emb = load_table(spark, BASE_SF, "embeddings")
     mx = emb.agg(F.max("vec_id")).first()[0] + 1
@@ -179,29 +184,76 @@ def build_ann_corpus(spark, n_copies: int, out_dir: str) -> None:
         .withColumn("vec_id", F.col("vec_id") + F.col("_copy") * F.lit(mx))
         .drop("_copy")
     )
+    if hot_frac > 0:
+        hot = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+        out = out.withColumn(
+            "embedding",
+            F.when(
+                F.pmod(F.xxhash64("vec_id"), F.lit(1000))
+                < F.lit(int(hot_frac * 1000)),
+                F.lit(hot).cast("array<float>"),
+            ).otherwise(F.col("embedding")),
+        )
+        # keep ids 0..15 (copy 0) carrying their ORIGINAL vectors so the
+        # toy centroids/codebook stay identical to the uniform corpus
+        base16 = emb.where(F.col("vec_id") < 16).select("vec_id", "embedding")
+        out = (
+            out.alias("o")
+            .join(F.broadcast(base16.alias("b")), "vec_id", "left")
+            .select(
+                "vec_id",
+                F.coalesce(F.col("b.embedding"), F.col("o.embedding")).alias(
+                    "embedding"
+                ),
+                *[c for c in out.columns if c not in ("vec_id", "embedding")],
+            )
+        )
     out.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
-def ann_main(n: int) -> None:
+def ann_main(n: int, skew: bool = False) -> None:
+    """--ann: uniform Nx vector corpus vs base (scaling evidence).
+    --ann --skew: uniform Nx vs 30%-hot-list Nx (ONE inverted list
+    holds 30% of all vectors AND the query probes it) — the bounded
+    skew ratio is the evidence that the compressed-codes ADC probe
+    absorbs a hot list that a raw-vector probe pays full width for."""
     spark = get_spark(app_name="ann_scale", cpus=32, shuffle_partitions=64)
     out_dir = f"/root/repo/tmp/emb_x{n}"
     if not os.path.exists(f"{out_dir}/embeddings.parquet"):
         print(f"building {n}x embedding corpus at {out_dir} ...", file=sys.stderr)
         build_ann_corpus(spark, n, out_dir)
-    if ABAB:
-        base, scaled = time_queries_abab(spark, [BASE_SF, out_dir], ANN_QUERY_SET)
+    if skew:
+        hot_dir = f"/root/repo/tmp/emb_hot_x{n}"
+        if not os.path.exists(f"{hot_dir}/embeddings.parquet"):
+            print(f"building {n}x hot-list corpus at {hot_dir} ...", file=sys.stderr)
+            build_ann_corpus(spark, n, hot_dir, hot_frac=0.3)
+        dirs, labels = [out_dir, hot_dir], ("uniform_s", "skewed_s")
     else:
-        base = time_queries(spark, BASE_SF, ANN_QUERY_SET)
-        scaled = time_queries(spark, out_dir, ANN_QUERY_SET)
+        dirs, labels = [BASE_SF, out_dir], ("base_s", f"x{n}_s")
+    if ABAB:
+        left, right = time_queries_abab(spark, dirs, ANN_QUERY_SET)
+    else:
+        left = time_queries(spark, dirs[0], ANN_QUERY_SET)
+        right = time_queries(spark, dirs[1], ANN_QUERY_SET)
     report = {
         name: {
-            "base_s": base[name],
-            f"x{n}_s": scaled[name],
-            "ratio": round(scaled[name] / max(base[name], 0.01), 2),
+            labels[0]: left[name],
+            labels[1]: right[name],
+            "ratio": round(right[name] / max(left[name], 0.01), 2),
         }
         for name in ANN_QUERY_SET
     }
-    print(json.dumps({"n_copies": n, "mode": "ann", "queries": report}, indent=2))
+    print(
+        json.dumps(
+            {
+                "n_copies": n,
+                "mode": "ann_skew" if skew else "ann",
+                **({"hot_frac": 0.3} if skew else {}),
+                "queries": report,
+            },
+            indent=2,
+        )
+    )
 
 
 def build_scaled(spark, n_copies: int, out_dir: str) -> None:
@@ -1096,7 +1148,7 @@ def main() -> None:
         lsh_main(int(args[0]) if args else 100_000)
         return
     if "--ann" in sys.argv:
-        ann_main(int(args[0]) if args else 100)
+        ann_main(int(args[0]) if args else 100, skew="--skew" in sys.argv)
         return
     if "--fold-buckets" in sys.argv:
         fold_buckets_main(int(args[0]) if args else 10)
