@@ -799,6 +799,33 @@ def ivfpq_encode(
     )
 
 
+def ivfpq_index_write(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVFADC index: (id, m, code_id) written
+    ``partitionBy(cluster_id)`` — the 100 TB layout where a probe is a
+    partition-pruned scan of n_probe/K of the FILES over
+    m_subs-byte-ish codes. Feed the partitioned read straight into
+    :func:`ivfpq_adc_topk`: its probed-list ``isin`` filter compiles
+    to PartitionFilters on this layout (asserted in test_scale_ops).
+    One corpus pass (assign + residual + encode fused); no shuffle
+    beyond the write's own partitioning."""
+    m_subs = codebook.agg(F.max("m")).first()[0] + 1
+    resid = ivfpq_residuals(emb, centroids, id_col=id_col, vec_col=vec_col)
+    encoded = ivfpq_encode(resid, codebook, m_subs=m_subs, id_col=id_col)
+    (
+        encoded.select(id_col, "cluster_id", "m", "code_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+
+
 def ivfpq_adc_topk(
     encoded: DataFrame,
     centroids: DataFrame,

@@ -373,3 +373,38 @@ def test_minmax_normalize_rejects_ragged_input(spark):
     )
     with pytest.raises(Exception, match="ragged input"):
         similarity.minmax_normalize(ragged).collect()
+
+
+def test_ivfpq_index_partition_pruning(spark, tmp_path):
+    """The materialized IVFADC index (r11): ivfpq_adc_topk over the
+    partitionBy(cluster_id) read prunes to the probed lists at
+    planning time, and its results equal the on-the-fly composite."""
+    from selium_spark.operators import similarity
+    from selium_spark.plans import summarize
+    from selium_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = similarity.make_centroids(emb, n=8)
+    query_vec = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    resid16 = similarity.ivfpq_residuals(
+        emb.orderBy(F.col("vec_id").asc()).limit(16), cents
+    )
+    cb = similarity.ivfpq_codebook(resid16, m_subs=8, k_codes=16)
+
+    idx = str(tmp_path / "ivfpq_index")
+    similarity.ivfpq_index_write(emb, cents, cb, idx)
+
+    topk_idx = similarity.ivfpq_adc_topk(
+        spark.read.parquet(idx), cents, cb, query_vec, k=10, n_probe=2
+    )
+    fly = similarity.ivfpq_encode(similarity.ivfpq_residuals(emb, cents), cb)
+    topk_fly = similarity.ivfpq_adc_topk(fly, cents, cb, query_vec, k=10, n_probe=2)
+    assert [tuple(r) for r in topk_idx.collect()] == [
+        tuple(r) for r in topk_fly.collect()
+    ]
+
+    # the probed-list isin filter must prune partitions at planning
+    # time, not scan-and-filter
+    p = summarize(topk_idx)
+    assert "PartitionFilters" in p.text
+    assert "cluster_id" in p.text.split("PartitionFilters", 1)[1][:300]
