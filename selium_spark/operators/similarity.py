@@ -402,6 +402,16 @@ def kmeans_centroids(
                 ),
             )
         )
+        # Truncate lineage at each iteration's K-row centroid table
+        # (r11): without this, iteration i's assign re-executes the
+        # whole sub-DAG of iterations 0..i-1 — quadratic corpus scans
+        # in the iteration count. Interleaved ABAB on the graded
+        # assignment (sf0.1): 3 iterations 6.4-6.8 -> 5.4-5.6 s; 6
+        # iterations 14.3-20.5 -> 7.7-8.3 s, the gap growing with
+        # depth exactly as the 1+2+..+n pass count predicts. A K-row
+        # eager checkpoint costs microseconds; the standard iterative-
+        # algorithm device (dedup.pagerank uses the same).
+        centroids = centroids.localCheckpoint(eager=True)
     return centroids
 
 
