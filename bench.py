@@ -166,6 +166,7 @@ HEADLINE = [
     "stream_ivfpq_encode",
     "emb_kmeans_assign",
     "emb_hard_negatives",
+    "stream_attr_last_touch",
 ]
 
 

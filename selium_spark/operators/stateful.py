@@ -1922,3 +1922,157 @@ def streaming_ewma_level(
         out_schema=out_schema,
         late_counter=late_counter,
     )
+
+
+def streaming_last_touch(
+    events: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    touch_type: str,
+    conv_type: str,
+    max_gap_s: int | None = None,
+    mode: str = "last",
+    late_counter=None,
+    state_buckets: int | str | None = "auto",
+) -> DataFrame:
+    """Streaming twin of :func:`windows.attribute_last_touch`: each
+    CONVERSION is attributed the moment it arrives, against the
+    key's running touch state — ``mode="last"`` keeps the most recent
+    touch (two int64 scalars per key), ``mode="first"`` the earliest
+    (set once). Emission is one FINAL row per conversion (never
+    superseded — no reader collapse needed), equal to the batch
+    window pass when events arrive in event-time order (the replay
+    harness's file order). A touch arriving after a conversion was
+    emitted cannot retro-attribute it — the standard streaming-
+    attribution caveat, same class as the funnel's committed steps;
+    such rows are metered into ``late_counter`` via the conversion
+    high-water mark kept in state.
+
+    Batch-exactness details: each micro-batch sorts per key by
+    (ts, id) — the batch window's ORDER BY — so a same-timestamp
+    touch attributes only to conversions with a higher id, exactly
+    like the running max/min of the (ts, id) struct; the gap is the
+    difference of FLOOR epoch seconds (the batch twin's
+    cast-timestamp-to-long), and ``max_gap_s`` leaves stale
+    conversions unattributed (null touch/gap) rather than stretching.
+    State is 4 int64 scalars per key (-1 sentinels), so the hashed-
+    bucket layout (``state_buckets``, the measured r7 device) applies
+    unchanged; per-key layout via ``state_buckets=None``.
+    """
+    if mode not in ("last", "first"):
+        raise ValueError(f"mode must be 'last' or 'first', got {mode!r}")
+
+    def fold(g: pd.DataFrame, st: tuple):
+        t_us, t_id, c_us, _pad = st
+        t_us = -1 if t_us is None else t_us
+        t_id = -1 if t_id is None else t_id
+        c_us = -1 if c_us is None else c_us
+        g = g.sort_values([ts_col, id_col], kind="mergesort")
+        # Arrow hands the fold datetime64[ns]: int64 is NANOS, so
+        # // 1000 yields the µs the state stores (the funnel fold's
+        # same conversion)
+        tv = (g[ts_col].astype("int64") // 1000).to_numpy()
+        iv = g[id_col].astype("int64").to_numpy()
+        types = g[type_col].to_numpy()
+        n_late = int((tv < c_us).sum()) if c_us >= 0 else 0
+        is_touch = types == touch_type
+        pos = np.arange(len(g))
+        if mode == "last":
+            idx = np.maximum.accumulate(np.where(is_touch, pos, -1))
+            cur_ts = np.where(idx >= 0, tv[np.clip(idx, 0, None)], t_us)
+            cur_id = np.where(idx >= 0, iv[np.clip(idx, 0, None)], t_id)
+        else:
+            if t_us >= 0:
+                cur_ts = np.full(len(g), t_us, dtype="int64")
+                cur_id = np.full(len(g), t_id, dtype="int64")
+            else:
+                big = len(g)
+                idx = np.minimum.accumulate(np.where(is_touch, pos, big))
+                cur_ts = np.where(idx < big, tv[np.clip(idx, 0, big - 1)], -1)
+                cur_id = np.where(idx < big, iv[np.clip(idx, 0, big - 1)], -1)
+        is_conv = types == conv_type
+        out = None
+        if is_conv.any():
+            cts, cid = cur_ts[is_conv], cur_id[is_conv]
+            ctv, civ = tv[is_conv], iv[is_conv]
+            gap = ctv // 1_000_000 - cts // 1_000_000
+            ok = cts >= 0
+            if max_gap_s is not None:
+                ok = ok & (gap <= max_gap_s)
+            out = (civ, np.where(ok, cid, -1), np.where(ok, gap, -1))
+            c_us = max(c_us, int(ctv.max()))
+        # new touch state
+        if mode == "last":
+            t_us, t_id = int(cur_ts[-1]), int(cur_id[-1])
+        elif t_us < 0 and is_touch.any():
+            f = int(np.argmax(is_touch))
+            t_us, t_id = int(tv[f]), int(iv[f])
+        return out, (t_us, t_id, c_us, 0), n_late
+
+    def emit(k: int, out) -> pd.DataFrame:
+        civ, cid, gap = out
+        return pd.DataFrame(
+            {
+                "user_id": np.full(len(civ), k, dtype="int64"),
+                "conversion_id": civ,
+                "touch_id": cid,
+                "gap_s": gap,
+            }
+        )
+
+    out_schema = "user_id long, conversion_id long, touch_id long, gap_s long"
+    state_cols = "t_us long, t_id long, c_us long, pad long"
+    fresh = (None, None, None, None)
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if key[0] is None or pd.isna(key[0]):
+            # null-key drop-and-count: mirrors _bucketed_fold's policy
+            if late_counter is not None:
+                late_counter.add(sum(len(p) for p in pdfs))
+            return
+        st = state.get if state.exists else fresh
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update(st)
+            return
+        out, new_st, n_late = fold(pd.concat(parts), st)
+        if n_late and late_counter is not None:
+            late_counter.add(n_late)
+        state.update(new_st)
+        if out is not None:
+            yield emit(key[0], out)
+
+    selected = events.select(
+        F.col(key_col).alias("_key"),
+        F.col(type_col),
+        F.col(ts_col),
+        F.col(id_col),
+    )
+    state_buckets = resolve_state_buckets(state_buckets)
+    if state_buckets is None:
+        return (
+            selected.withColumnRenamed("_key", "key")
+            .groupBy("key")
+            .applyInPandasWithState(
+                fn,
+                outputStructType=out_schema,
+                stateStructType=state_cols,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+    return _bucketed_fold(
+        selected.withColumnRenamed("_key", "key"),
+        "key",
+        state_buckets,
+        fold,
+        emit,
+        fresh_state=fresh,
+        state_cols=state_cols,
+        out_schema=out_schema,
+        late_counter=late_counter,
+    )

@@ -6993,6 +6993,38 @@ FROM c
 """
 
 
+def stream_attr_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-touch attribution (r11;
+    stateful.streaming_last_touch) — the attribution family's
+    streaming twin: conversions attribute the moment they arrive
+    against the key's running last-click state (two int64 scalars per
+    key, hashed-bucket layout), one FINAL emission per conversion, no
+    reader collapse. Equals the batch window pass under event-time-
+    ordered replay, so this streaming query carries the batch
+    oracle verbatim."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        from .operators.stateful import streaming_last_touch as op
+
+        ev = _norm_stream_ts(stream, schema)
+        return op(
+            ev, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=3600,
+            state_buckets=256,
+        )
+
+    snap = replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform,
+        output_mode="update",
+    )
+    return snap.na.fill({"touch_id": -1, "gap_s": -1})
+
+
 def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream INTERVAL self-join — Spark's native two-sided
     join state: clicks matched to the same user's purchases within the
@@ -8122,6 +8154,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_remove_dup_spans": text_remove_dup_spans,
     "text_budget_head": text_budget_head,
     "attr_last_touch": attr_last_touch,
+    "stream_attr_last_touch": stream_attr_last_touch,
     "stream_interval_join": stream_interval_join,
     "mm_dhash_neardup": mm_dhash_neardup,
     "dq_expectations": dq_expectations,
@@ -8335,6 +8368,7 @@ WHERE value % 2 = 0"""
     "text_remove_dup_spans": SQL_REMOVE_DUP_SPANS,
     "text_budget_head": SQL_BUDGET_HEAD,
     "attr_last_touch": SQL_ATTR_LAST_TOUCH,
+    "stream_attr_last_touch": SQL_ATTR_LAST_TOUCH,
     "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
     "mm_dhash_neardup": SQL_MM_DHASH,
     "dq_expectations": SQL_DQ_EXPECTATIONS,

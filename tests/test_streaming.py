@@ -1691,3 +1691,104 @@ def test_stream_dq_production_estimators(spark, tmp_path):
     }
     assert got == want and len(got) == 4
     assert got["unique_native:event_id"][1]  # unique key passes
+
+
+@pytest.mark.parametrize("state_buckets", [None, 4, "auto"])
+def test_streaming_last_touch_matches_batch(spark, tmp_path, state_buckets):
+    """Attribution streaming twin (r11): event-time-ordered replay in
+    TWO micro-batches attributes every conversion exactly like the
+    batch window pass — cross-batch state carry included (a click in
+    batch 1 attributes a purchase in batch 2). Parametrized over the
+    state layouts."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import stateful, windows
+    from selium_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 40
+    )
+    src = str(tmp_path / "ev")
+    cut = "2024-01-04"
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    from selium_spark.streaming.replay import replay_to_memory
+
+    schema = spark.read.parquet(src).schema
+    out = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_last_touch(
+            s, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=3600,
+            state_buckets=state_buckets,
+        ),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=4,
+    )
+    got = {
+        (r["user_id"], r["conversion_id"]): (r["touch_id"], r["gap_s"])
+        for r in out.collect()
+    }
+    want = {
+        (r["user_id"], r["conversion_id"]): (r["touch_id"], r["gap_s"])
+        for r in windows.attribute_last_touch(
+            ev, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=3600,
+        ).na.fill({"touch_id": -1, "gap_s": -1}).collect()
+    }
+    # batch emits nulls; the fold emits -1 sentinels
+    got = {k: (t if t is not None else -1, g if g is not None else -1)
+           for k, (t, g) in got.items()}
+    assert got == want and len(got) > 0
+    # each conversion emitted exactly once (final rows, no collapse)
+    assert out.count() == out.select("conversion_id").distinct().count()
+
+
+def test_streaming_first_touch_matches_batch(spark, tmp_path):
+    """mode='first': the earliest touch wins and is set once in state."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import stateful, windows
+    from selium_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 40
+    )
+    src = str(tmp_path / "ev")
+    cut = "2024-01-04"
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    from selium_spark.streaming.replay import replay_to_memory
+
+    schema = spark.read.parquet(src).schema
+    out = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_last_touch(
+            s, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=None,
+            mode="first", state_buckets=4,
+        ),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=4,
+    )
+    got = {
+        (r["user_id"], r["conversion_id"]): (r["touch_id"], r["gap_s"])
+        for r in out.na.fill({"touch_id": -1, "gap_s": -1}).collect()
+    }
+    want = {
+        (r["user_id"], r["conversion_id"]): (r["touch_id"], r["gap_s"])
+        for r in windows.attribute_last_touch(
+            ev, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=None,
+            mode="first",
+        ).na.fill({"touch_id": -1, "gap_s": -1}).collect()
+    }
+    assert got == want and len(got) > 0
