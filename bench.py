@@ -358,7 +358,10 @@ def round_over_round(
     shared = sorted(
         n
         for n, t in timings.items()
-        if t is not None and t >= 0 and (prev_q.get(n) or -1) >= 0
+        if t is not None
+        and t >= 0
+        and prev_q.get(n) is not None
+        and prev_q[n] >= 0  # `or -1` would drop an exact-0.0 reading
     )
     if not shared:
         return None

@@ -1947,8 +1947,10 @@ def streaming_last_touch(
     harness's file order). A touch arriving after a conversion was
     emitted cannot retro-attribute it — the standard streaming-
     attribution caveat, same class as the funnel's committed steps;
-    such rows are metered into ``late_counter`` via the conversion
-    high-water mark kept in state.
+    such touch rows are metered into ``late_counter`` via the
+    conversion high-water mark kept in state. Output key column is
+    named after ``key_col``; unattributed conversions carry -1
+    sentinels. State is 3 int64 scalars per key.
 
     Batch-exactness details: each micro-batch sorts per key by
     (ts, id) — the batch window's ORDER BY — so a same-timestamp
@@ -1956,8 +1958,7 @@ def streaming_last_touch(
     like the running max/min of the (ts, id) struct; the gap is the
     difference of FLOOR epoch seconds (the batch twin's
     cast-timestamp-to-long), and ``max_gap_s`` leaves stale
-    conversions unattributed (null touch/gap) rather than stretching.
-    State is 4 int64 scalars per key (-1 sentinels), so the hashed-
+    conversions unattributed rather than stretching. The hashed-
     bucket layout (``state_buckets``, the measured r7 device) applies
     unchanged; per-key layout via ``state_buckets=None``.
     """
@@ -1965,7 +1966,7 @@ def streaming_last_touch(
         raise ValueError(f"mode must be 'last' or 'first', got {mode!r}")
 
     def fold(g: pd.DataFrame, st: tuple):
-        t_us, t_id, c_us, _pad = st
+        t_us, t_id, c_us = st
         t_us = -1 if t_us is None else t_us
         t_id = -1 if t_id is None else t_id
         c_us = -1 if c_us is None else c_us
@@ -1976,8 +1977,11 @@ def streaming_last_touch(
         tv = (g[ts_col].astype("int64") // 1000).to_numpy()
         iv = g[id_col].astype("int64").to_numpy()
         types = g[type_col].to_numpy()
-        n_late = int((tv < c_us).sum()) if c_us >= 0 else 0
         is_touch = types == touch_type
+        # late metric = TOUCHES that arrived behind an already-emitted
+        # conversion (the class that can no longer attribute) — not
+        # bystander rows or late conversions
+        n_late = int(((tv < c_us) & is_touch).sum()) if c_us >= 0 else 0
         pos = np.arange(len(g))
         if mode == "last":
             idx = np.maximum.accumulate(np.where(is_touch, pos, -1))
@@ -1998,7 +2002,13 @@ def streaming_last_touch(
             cts, cid = cur_ts[is_conv], cur_id[is_conv]
             ctv, civ = tv[is_conv], iv[is_conv]
             gap = ctv // 1_000_000 - cts // 1_000_000
-            ok = cts >= 0
+            # lexicographic (ts, id) <= (conv ts, conv id) — the batch
+            # window's ORDER BY. In-batch values satisfy it by the
+            # prefix accumulate; CARRIED state can violate it when a
+            # same-timestamp touch with a higher id arrived in an
+            # earlier micro-batch (review r11): the batch twin would
+            # sort that touch AFTER the conversion and not attribute.
+            ok = (cts >= 0) & ((cts < ctv) | ((cts == ctv) & (cid < civ)))
             if max_gap_s is not None:
                 ok = ok & (gap <= max_gap_s)
             out = (civ, np.where(ok, cid, -1), np.where(ok, gap, -1))
@@ -2009,22 +2019,22 @@ def streaming_last_touch(
         elif t_us < 0 and is_touch.any():
             f = int(np.argmax(is_touch))
             t_us, t_id = int(tv[f]), int(iv[f])
-        return out, (t_us, t_id, c_us, 0), n_late
+        return out, (t_us, t_id, c_us), n_late
 
     def emit(k: int, out) -> pd.DataFrame:
         civ, cid, gap = out
         return pd.DataFrame(
             {
-                "user_id": np.full(len(civ), k, dtype="int64"),
+                key_col: np.full(len(civ), k, dtype="int64"),
                 "conversion_id": civ,
                 "touch_id": cid,
                 "gap_s": gap,
             }
         )
 
-    out_schema = "user_id long, conversion_id long, touch_id long, gap_s long"
-    state_cols = "t_us long, t_id long, c_us long, pad long"
-    fresh = (None, None, None, None)
+    out_schema = f"{key_col} long, conversion_id long, touch_id long, gap_s long"
+    state_cols = "t_us long, t_id long, c_us long"
+    fresh = (None, None, None)
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState

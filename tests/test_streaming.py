@@ -1792,3 +1792,53 @@ def test_streaming_first_touch_matches_batch(spark, tmp_path):
         ).na.fill({"touch_id": -1, "gap_s": -1}).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_last_touch_same_ts_cross_batch_tiebreak(spark, tmp_path):
+    """Review r11 regression: a touch at the SAME timestamp as a later
+    conversion but with a HIGHER id sorts AFTER the conversion in the
+    batch window's (ts, id) order — it must not attribute, even when
+    it arrives in an EARLIER micro-batch and sits in carried state.
+    Late touches (not bystander rows) feed the late counter."""
+    from datetime import datetime
+
+    from selium_spark.operators import stateful, windows
+    from selium_spark.streaming.replay import replay_to_memory
+
+    t0 = datetime(2024, 1, 5, 0, 0, 0)
+    rows = [
+        # batch 1: the higher-id same-ts click, plus a bystander view
+        (7, 900, "click", t0),
+        (7, 901, "view", t0),
+        # batch 2: the conversion at the same ts with a LOWER id
+        (7, 100, "purchase", t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    src = str(tmp_path / "ev")
+    df.where("event_id >= 900").coalesce(1).write.mode("append").parquet(src)
+    df.where("event_id < 900").coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    out = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_last_touch(
+            s, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=3600,
+            state_buckets=4,
+        ),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=2,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["touch_id"] == -1 and out[0]["gap_s"] == -1
+    # batch twin agrees
+    b = windows.attribute_last_touch(
+        df, "user_id", "event_type", "ts", "event_id",
+        touch_type="click", conv_type="purchase", max_gap_s=3600,
+    ).na.fill({"touch_id": -1, "gap_s": -1}).collect()
+    assert len(b) == 1 and b[0]["touch_id"] == -1
