@@ -167,6 +167,7 @@ HEADLINE = [
     "emb_kmeans_assign",
     "emb_hard_negatives",
     "stream_attr_last_touch",
+    "stream_attr_multi_touch",
 ]
 
 

@@ -2086,3 +2086,133 @@ def streaming_last_touch(
         out_schema=out_schema,
         late_counter=late_counter,
     )
+
+
+def streaming_multi_touch(
+    events: DataFrame,
+    key_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    touch_type: str,
+    conv_type: str,
+    max_gap_s: int,
+    late_counter=None,
+) -> DataFrame:
+    """Streaming twin of :func:`windows.attribute_multi_touch`
+    (linear): every conversion emits, the moment it arrives, one row
+    per in-horizon touch with weight round(1/n, 9) — or a single
+    (-1, 0.0, 0) row when unattributed — exactly the batch operator's
+    output under event-time-ordered replay.
+
+    State per key is the HORIZON-BOUNDED touch list (two parallel
+    int64 arrays): after each batch, touches whose floor-epoch-second
+    is older than ``floor(max ts seen) - max_gap_s`` are pruned —
+    under event-time-ordered arrival no future conversion can need
+    them, so state is O(touches per horizon window), not O(history).
+    That array-valued state is why this fold ships only in the
+    per-key layout: the hashed-bucket device stores parallel SCALAR
+    arrays (one slot per key) and cannot hold a list per key.
+
+    Batch-exactness contracts: candidate touches satisfy the
+    lexicographic (ts, id) <= (conv ts, conv id) order (applied to
+    CARRIED state too — the same-ts/higher-id cross-batch case the
+    last-touch fold regression-tests) and the floor-epoch-seconds
+    horizon ``te >= ce - max_gap_s``; the weight rounds HALF-UP via
+    floor(x*1e9 + 0.5) to match both engines' round(double, 9).
+    Touches arriving behind the conversion high-water mark are
+    metered into ``late_counter``."""
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if key[0] is None or pd.isna(key[0]):
+            if late_counter is not None:
+                late_counter.add(sum(len(p) for p in pdfs))
+            return
+        if state.exists:
+            st_ts, st_id, hw_us = state.get
+            st_ts = list(st_ts or [])
+            st_id = list(st_id or [])
+            hw_us = -1 if hw_us is None else hw_us
+        else:
+            st_ts, st_id, hw_us = [], [], -1
+        parts = [p for p in pdfs if len(p)]
+        if not parts:
+            state.update((st_ts, st_id, hw_us))
+            return
+        g = pd.concat(parts).sort_values([ts_col, id_col], kind="mergesort")
+        tv = (g[ts_col].astype("int64") // 1000).to_numpy()
+        iv = g[id_col].astype("int64").to_numpy()
+        types = g[type_col].to_numpy()
+        is_touch = types == touch_type
+        if late_counter is not None and hw_us >= 0:
+            n_late = int(((tv < hw_us) & is_touch).sum())
+            if n_late:
+                late_counter.add(n_late)
+        out_conv, out_tid, out_w, out_n = [], [], [], []
+        sts = np.asarray(st_ts, dtype="int64")
+        sid = np.asarray(st_id, dtype="int64")
+        for i in np.flatnonzero(types == conv_type):
+            ctv, civ = int(tv[i]), int(iv[i])
+            ce = ctv // 1_000_000
+            # carried state: full lexicographic + horizon filters
+            keep = (
+                ((sts < ctv) | ((sts == ctv) & (sid < civ)))
+                & (sts // 1_000_000 >= ce - max_gap_s)
+            ) if len(sts) else np.zeros(0, dtype=bool)
+            # batch-local touches positionally before the conversion
+            # are (ts, id) < conv by the sort; horizon still applies
+            bmask = is_touch.copy()
+            bmask[i:] = False
+            bmask &= tv // 1_000_000 >= ce - max_gap_s
+            cand = np.concatenate([sid[keep], iv[bmask]])
+            n = len(cand)
+            if n:
+                w = np.floor((1.0 / n) * 1e9 + 0.5) / 1e9  # HALF_UP round 9
+                out_conv.extend([civ] * n)
+                out_tid.extend(int(x) for x in cand)
+                out_w.extend([w] * n)
+                out_n.extend([n] * n)
+            else:
+                out_conv.append(civ)
+                out_tid.append(-1)
+                out_w.append(0.0)
+                out_n.append(0)
+            hw_us = max(hw_us, ctv)
+        # fold batch touches into state, then prune to the horizon of
+        # the newest event seen (ordered replay: no future conversion
+        # can reach further back)
+        if is_touch.any():
+            st_ts = st_ts + [int(x) for x in tv[is_touch]]
+            st_id = st_id + [int(x) for x in iv[is_touch]]
+        if st_ts:
+            cutoff = (int(tv.max()) // 1_000_000 - max_gap_s) * 1_000_000
+            kept = [(t, x) for t, x in zip(st_ts, st_id) if t >= cutoff]
+            st_ts = [t for t, _ in kept]
+            st_id = [x for _, x in kept]
+        state.update((st_ts, st_id, hw_us))
+        if out_conv:
+            yield pd.DataFrame(
+                {
+                    key_col: np.full(len(out_conv), int(key[0]), dtype="int64"),
+                    "conversion_id": out_conv,
+                    "touch_id": out_tid,
+                    "weight": out_w,
+                    "n_touches": out_n,
+                }
+            )
+
+    selected = events.select(
+        F.col(key_col).alias("key"), F.col(type_col), F.col(ts_col), F.col(id_col)
+    ).withColumnRenamed("key", key_col)
+    return selected.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{key_col} long, conversion_id long, touch_id long, "
+            "weight double, n_touches long"
+        ),
+        stateStructType="ts_arr array<long>, id_arr array<long>, hw_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

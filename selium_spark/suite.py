@@ -7519,6 +7519,36 @@ def attr_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_attr_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming linear multi-touch attribution (r11;
+    stateful.streaming_multi_touch): each conversion emits its
+    1/n-weighted in-horizon touch rows the moment it arrives, against
+    the key's HORIZON-BOUNDED touch-list state (pruned each batch to
+    what a future conversion could still reach — O(touches per hour)
+    per key, not O(history)). Equals the batch window pass under
+    event-time-ordered replay, so it carries the batch oracle
+    verbatim."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        from .operators.stateful import streaming_multi_touch as op
+
+        ev = _norm_stream_ts(stream, schema)
+        return op(
+            ev, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=3600,
+        )
+
+    return replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform,
+        output_mode="update",
+    )
+
+
 SQL_ATTR_MULTI_TOUCH = """
 WITH c AS (
   SELECT user_id, event_id AS conversion_id, ts AS cts,
@@ -8155,6 +8185,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_budget_head": text_budget_head,
     "attr_last_touch": attr_last_touch,
     "stream_attr_last_touch": stream_attr_last_touch,
+    "stream_attr_multi_touch": stream_attr_multi_touch,
     "stream_interval_join": stream_interval_join,
     "mm_dhash_neardup": mm_dhash_neardup,
     "dq_expectations": dq_expectations,
@@ -8369,6 +8400,7 @@ WHERE value % 2 = 0"""
     "text_budget_head": SQL_BUDGET_HEAD,
     "attr_last_touch": SQL_ATTR_LAST_TOUCH,
     "stream_attr_last_touch": SQL_ATTR_LAST_TOUCH,
+    "stream_attr_multi_touch": SQL_ATTR_MULTI_TOUCH,
     "stream_interval_join": SQL_STREAM_INTERVAL_JOIN,
     "mm_dhash_neardup": SQL_MM_DHASH,
     "dq_expectations": SQL_DQ_EXPECTATIONS,

@@ -1842,3 +1842,51 @@ def test_streaming_last_touch_same_ts_cross_batch_tiebreak(spark, tmp_path):
         touch_type="click", conv_type="purchase", max_gap_s=3600,
     ).na.fill({"touch_id": -1, "gap_s": -1}).collect()
     assert len(b) == 1 and b[0]["touch_id"] == -1
+
+
+def test_streaming_multi_touch_matches_batch(spark, tmp_path):
+    """Multi-touch streaming twin (r11): two-batch event-time replay
+    emits every conversion's 1/n-weighted touch rows exactly like the
+    batch operator, including cross-batch in-horizon touches and the
+    unattributed (-1, 0.0, 0) row; state stays horizon-bounded."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import stateful, windows
+    from selium_spark.sources.tables import load_table
+    from selium_spark.streaming.replay import replay_to_memory
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 40
+    )
+    src = str(tmp_path / "ev")
+    cut = "2024-01-04"
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    out = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_multi_touch(
+            s, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=3600,
+        ),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=4,
+    )
+    key = ["user_id", "conversion_id", "touch_id"]
+    got = {
+        tuple(r[k] for k in key): (r["weight"], r["n_touches"])
+        for r in out.collect()
+    }
+    want = {
+        tuple(r[k] for k in key): (r["weight"], r["n_touches"])
+        for r in windows.attribute_multi_touch(
+            ev, key="user_id", type_col="event_type", ts_col="ts",
+            id_col="event_id", touch_type="click", conv_type="purchase",
+            max_gap_s=3600,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
