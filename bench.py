@@ -168,6 +168,7 @@ HEADLINE = [
     "emb_hard_negatives",
     "stream_attr_last_touch",
     "stream_attr_multi_touch",
+    "stream_attr_position_touch",
 ]
 
 

@@ -2097,13 +2097,20 @@ def streaming_multi_touch(
     touch_type: str,
     conv_type: str,
     max_gap_s: int,
+    weighting: str = "linear",
     late_counter=None,
 ) -> DataFrame:
-    """Streaming twin of :func:`windows.attribute_multi_touch`
-    (linear): every conversion emits, the moment it arrives, one row
-    per in-horizon touch with weight round(1/n, 9) — or a single
-    (-1, 0.0, 0) row when unattributed — exactly the batch operator's
-    output under event-time-ordered replay.
+    """Streaming twin of :func:`windows.attribute_multi_touch`: every
+    conversion emits, the moment it arrives, one row per in-horizon
+    touch — weight round(1/n, 9) for ``weighting="linear"``, the
+    U-shaped scheme for ``"position"`` (n=1 -> 1.0, n=2 -> 0.5/0.5,
+    else 0.4 to the first and last touch in (ts, id) order and
+    round(0.2/(n-2), 9) to each middle) — or a single (-1, 0.0, 0)
+    row when unattributed; exactly the batch operator's output under
+    event-time-ordered replay. Position order lexsorts the candidate
+    set on (ts, id): carried state and batch-local touches interleave
+    at equal timestamps, so concatenation order alone is not the
+    batch's sort order.
 
     State per key is the HORIZON-BOUNDED touch list (two parallel
     int64 arrays): after each batch, touches whose floor-epoch-second
@@ -2122,6 +2129,19 @@ def streaming_multi_touch(
     floor(x*1e9 + 0.5) to match both engines' round(double, 9).
     Touches arriving behind the conversion high-water mark are
     metered into ``late_counter``."""
+    if weighting not in ("linear", "position"):
+        raise ValueError(
+            f"weighting must be 'linear' or 'position', got {weighting!r}"
+        )
+
+    def _weights(n: int) -> np.ndarray:
+        if weighting == "linear" or n <= 2:
+            w = 1.0 / n if n != 2 else 0.5
+            return np.full(n, np.floor(w * 1e9 + 0.5) / 1e9)
+        mid = np.floor((0.2 / (n - 2)) * 1e9 + 0.5) / 1e9  # HALF_UP round 9
+        out = np.full(n, mid)
+        out[0] = out[-1] = 0.4
+        return out
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -2167,12 +2187,13 @@ def streaming_multi_touch(
             bmask[i:] = False
             bmask &= tv // 1_000_000 >= ce - max_gap_s
             cand = np.concatenate([sid[keep], iv[bmask]])
+            cand_ts = np.concatenate([sts[keep], tv[bmask]])
             n = len(cand)
             if n:
-                w = np.floor((1.0 / n) * 1e9 + 0.5) / 1e9  # HALF_UP round 9
+                order = np.lexsort((cand, cand_ts))  # (ts, id) total order
                 out_conv.extend([civ] * n)
-                out_tid.extend(int(x) for x in cand)
-                out_w.extend([w] * n)
+                out_tid.extend(int(x) for x in cand[order])
+                out_w.extend(float(x) for x in _weights(n))
                 out_n.extend([n] * n)
             else:
                 out_conv.append(civ)

@@ -7578,6 +7578,35 @@ LEFT JOIN n ON n.conversion_id = c.conversion_id
 """
 
 
+def stream_attr_position_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming U-shaped multi-touch (r11): the same horizon-bounded
+    touch-list fold as stream_attr_multi_touch with the position
+    weighting — first/last in-horizon touch 0.4 each, middles split
+    0.2 (candidates lexsorted on (ts, id) so carried-state and
+    batch-local touches interleave in the batch's sort order). Batch
+    oracle verbatim."""
+    from .sources.tables import ensure_nanos_as_long
+    from .streaming.replay import replay_to_memory
+
+    ensure_nanos_as_long(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        from .operators.stateful import streaming_multi_touch as op
+
+        ev = _norm_stream_ts(stream, schema)
+        return op(
+            ev, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=3600,
+            weighting="position",
+        )
+
+    return replay_to_memory(
+        spark, f"{sf_dir}/events.parquet", schema, transform,
+        output_mode="update",
+    )
+
+
 def attr_position_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U-shaped (position-based) multi-touch attribution: first and
     last in-horizon click take 0.4 each, middles split 0.2 evenly
@@ -8186,6 +8215,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "attr_last_touch": attr_last_touch,
     "stream_attr_last_touch": stream_attr_last_touch,
     "stream_attr_multi_touch": stream_attr_multi_touch,
+    "stream_attr_position_touch": stream_attr_position_touch,
     "stream_interval_join": stream_interval_join,
     "mm_dhash_neardup": mm_dhash_neardup,
     "dq_expectations": dq_expectations,
@@ -8411,6 +8441,7 @@ WHERE value % 2 = 0"""
     "lang_confusion": SQL_LANG_CONFUSION,
     "attr_multi_touch": SQL_ATTR_MULTI_TOUCH,
     "attr_position_touch": SQL_ATTR_POSITION_TOUCH,
+    "stream_attr_position_touch": SQL_ATTR_POSITION_TOUCH,
     "dedup_lsh_recall": SQL_LSH_RECALL,
     "ts_weekly_ohlc": SQL_WEEKLY_OHLC,
     "ts_daily_ohlc": SQL_DAILY_OHLC,

@@ -1890,3 +1890,118 @@ def test_streaming_multi_touch_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_position_touch_matches_batch(spark, tmp_path):
+    """U-shaped weighting through the streaming fold: positions come
+    from the lexsorted (ts, id) candidate set spanning carried state
+    and batch-local touches, so a two-batch replay assigns the same
+    0.4/middle/0.4 weights as the batch operator."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import stateful, windows
+    from selium_spark.sources.tables import load_table
+    from selium_spark.streaming.replay import replay_to_memory
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("user_id") < 40
+    )
+    src = str(tmp_path / "ev")
+    cut = "2024-01-04"
+    ev.where(F.col("ts") < cut).coalesce(1).write.mode("append").parquet(src)
+    ev.where(F.col("ts") >= cut).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    out = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_multi_touch(
+            s, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=3600,
+            weighting="position",
+        ),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=4,
+    )
+    key = ["user_id", "conversion_id", "touch_id"]
+    got = {
+        tuple(r[k] for k in key): (r["weight"], r["n_touches"])
+        for r in out.collect()
+    }
+    want = {
+        tuple(r[k] for k in key): (r["weight"], r["n_touches"])
+        for r in windows.attribute_multi_touch(
+            ev, key="user_id", type_col="event_type", ts_col="ts",
+            id_col="event_id", touch_type="click", conv_type="purchase",
+            max_gap_s=3600, weighting="position",
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_multi_touch_weights_synthetic(spark, tmp_path):
+    """The events corpus never exceeds n=1 in-horizon touch at test
+    SFs, so the weight arithmetic needs a crafted case: 4 clicks
+    (two per micro-batch, spanning the boundary) before one purchase
+    -> linear gives 0.25 each; position gives 0.4/0.1/0.1/0.4 with
+    first/last by (ts, id) order across the batch boundary."""
+    from datetime import datetime, timedelta
+
+    from selium_spark.operators import stateful, windows
+    from selium_spark.streaming.replay import replay_to_memory
+
+    t0 = datetime(2024, 1, 5, 12, 0, 0)
+    rows = [
+        (9, 10, "click", t0),
+        (9, 11, "click", t0 + timedelta(minutes=5)),
+        (9, 12, "click", t0 + timedelta(minutes=10)),
+        (9, 13, "click", t0 + timedelta(minutes=15)),
+        (9, 14, "purchase", t0 + timedelta(minutes=20)),
+        # a second conversion with ZERO in-horizon touches (next day)
+        (9, 20, "purchase", t0 + timedelta(days=1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    src = str(tmp_path / "ev")
+    df.where("event_id <= 11").coalesce(1).write.mode("append").parquet(src)
+    df.where("event_id > 11").coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    for weighting, expect in (
+        ("linear", {10: 0.25, 11: 0.25, 12: 0.25, 13: 0.25}),
+        ("position", {10: 0.4, 11: 0.1, 12: 0.1, 13: 0.4}),
+    ):
+        out = replay_to_memory(
+            spark,
+            src,
+            schema,
+            lambda s: stateful.streaming_multi_touch(
+                s, "user_id", "event_type", "ts", "event_id",
+                touch_type="click", conv_type="purchase", max_gap_s=3600,
+                weighting=weighting,
+            ),
+            output_mode="update",
+            max_files_per_trigger=1,
+            shuffle_partitions=2,
+        ).collect()
+        got = {
+            r["touch_id"]: r["weight"] for r in out if r["conversion_id"] == 14
+        }
+        assert got == expect, (weighting, got)
+        naked = [r for r in out if r["conversion_id"] == 20]
+        assert len(naked) == 1 and naked[0]["touch_id"] == -1
+        assert naked[0]["weight"] == 0.0 and naked[0]["n_touches"] == 0
+        # batch twin agrees on the same frame
+        b = {
+            r["touch_id"]: r["weight"]
+            for r in windows.attribute_multi_touch(
+                df, key="user_id", type_col="event_type", ts_col="ts",
+                id_col="event_id", touch_type="click", conv_type="purchase",
+                max_gap_s=3600, weighting=weighting,
+            ).collect()
+            if r["conversion_id"] == 14
+        }
+        assert b == expect
