@@ -1950,26 +1950,36 @@ def streaming_last_touch(
     such touch rows are metered into ``late_counter`` via the
     conversion high-water mark kept in state. Output key column is
     named after ``key_col``; unattributed conversions carry -1
-    sentinels. State is 3 int64 scalars per key.
+    sentinels. State is 5 int64 scalars per key: the best touch, a
+    RUNNER-UP touch, and the conversion high-water mark.
 
-    Batch-exactness details: each micro-batch sorts per key by
-    (ts, id) — the batch window's ORDER BY — so a same-timestamp
-    touch attributes only to conversions with a higher id, exactly
-    like the running max/min of the (ts, id) struct; the gap is the
-    difference of FLOOR epoch seconds (the batch twin's
-    cast-timestamp-to-long), and ``max_gap_s`` leaves stale
-    conversions unattributed rather than stretching. The hashed-
-    bucket layout (``state_buckets``, the measured r7 device) applies
-    unchanged; per-key layout via ``state_buckets=None``.
+    Batch-exactness details (r12 rewrite, the r11 advice case): the
+    carried touches are injected into the micro-batch as virtual rows
+    and the whole candidate set re-sorts on (ts, id) — the batch
+    window's ORDER BY — so a conversion attributes exactly the last
+    (``mode="last"``) or first (``mode="first"``) touch that SORTS
+    BEFORE it, carried state included. A carried same-timestamp touch
+    with a higher id than the conversion therefore steps aside for
+    the carried runner-up, matching the batch twin (the case the
+    single-slot r11 state got wrong). ``mode="first"`` is exact
+    unconditionally (the global (ts, id)-minimum touch is carried);
+    ``mode="last"`` is exact up to the two carried slots — it
+    diverges only when TWO OR MORE carried touches share a later
+    conversion's exact timestamp with higher ids, the narrowed
+    residual caveat. The gap is the difference of FLOOR epoch seconds
+    (the batch twin's cast-timestamp-to-long), and ``max_gap_s``
+    leaves stale conversions unattributed rather than stretching (no
+    runner-up fallback on a gap miss — the batch twin has none). The
+    hashed-bucket layout (``state_buckets``, the measured r7 device)
+    applies unchanged; per-key layout via ``state_buckets=None``.
     """
     if mode not in ("last", "first"):
         raise ValueError(f"mode must be 'last' or 'first', got {mode!r}")
 
     def fold(g: pd.DataFrame, st: tuple):
-        t_us, t_id, c_us = st
-        t_us = -1 if t_us is None else t_us
-        t_id = -1 if t_id is None else t_id
-        c_us = -1 if c_us is None else c_us
+        t_us, t_id, r_us, r_id, c_us = (
+            -1 if v is None else v for v in st
+        )
         g = g.sort_values([ts_col, id_col], kind="mergesort")
         # Arrow hands the fold datetime64[ns]: int64 is NANOS, so
         # // 1000 yields the µs the state stores (the funnel fold's
@@ -1982,44 +1992,63 @@ def streaming_last_touch(
         # conversion (the class that can no longer attribute) — not
         # bystander rows or late conversions
         n_late = int(((tv < c_us) & is_touch).sum()) if c_us >= 0 else 0
-        pos = np.arange(len(g))
-        if mode == "last":
-            idx = np.maximum.accumulate(np.where(is_touch, pos, -1))
-            cur_ts = np.where(idx >= 0, tv[np.clip(idx, 0, None)], t_us)
-            cur_id = np.where(idx >= 0, iv[np.clip(idx, 0, None)], t_id)
-        else:
-            if t_us >= 0:
-                cur_ts = np.full(len(g), t_us, dtype="int64")
-                cur_id = np.full(len(g), t_id, dtype="int64")
-            else:
-                big = len(g)
-                idx = np.minimum.accumulate(np.where(is_touch, pos, big))
-                cur_ts = np.where(idx < big, tv[np.clip(idx, 0, big - 1)], -1)
-                cur_id = np.where(idx < big, iv[np.clip(idx, 0, big - 1)], -1)
-        is_conv = types == conv_type
+        # carried touches become VIRTUAL rows merged into the batch's
+        # (ts, id) order (runner-up strictly precedes best by
+        # construction): a candidate then qualifies for a conversion
+        # iff it sorts before it — the batch window's order, with no
+        # separate lexicographic test
+        car_ts = [v for v in (r_us, t_us) if v >= 0]
+        car_id = [i for v, i in ((r_us, r_id), (t_us, t_id)) if v >= 0]
+        nc = len(car_ts)
+        vt = np.concatenate([np.asarray(car_ts, dtype="int64"), tv])
+        vi = np.concatenate([np.asarray(car_id, dtype="int64"), iv])
+        vtouch = np.concatenate([np.ones(nc, dtype=bool), is_touch])
+        vconv = np.concatenate(
+            [np.zeros(nc, dtype=bool), types == conv_type]
+        )
+        order = np.lexsort((vi, vt))
+        vt, vi = vt[order], vi[order]
+        vtouch, vconv = vtouch[order], vconv[order]
+        cum = np.cumsum(vtouch)  # touches at-or-before each position
+        touch_pos = np.flatnonzero(vtouch)
         out = None
-        if is_conv.any():
-            cts, cid = cur_ts[is_conv], cur_id[is_conv]
-            ctv, civ = tv[is_conv], iv[is_conv]
+        if vconv.any():
+            pc = np.flatnonzero(vconv)
+            ctv, civ = vt[pc], vi[pc]
+            nbefore = cum[pc]  # conv rows are never touches
+            has = nbefore >= 1
+            if len(touch_pos):
+                idx = (
+                    touch_pos[np.maximum(nbefore - 1, 0)]
+                    if mode == "last"
+                    else np.full(len(pc), touch_pos[0])
+                )
+                cts = np.where(has, vt[idx], -1)
+                cid = np.where(has, vi[idx], -1)
+            else:
+                cts = np.full(len(pc), -1, dtype="int64")
+                cid = np.full(len(pc), -1, dtype="int64")
             gap = ctv // 1_000_000 - cts // 1_000_000
-            # lexicographic (ts, id) <= (conv ts, conv id) — the batch
-            # window's ORDER BY. In-batch values satisfy it by the
-            # prefix accumulate; CARRIED state can violate it when a
-            # same-timestamp touch with a higher id arrived in an
-            # earlier micro-batch (review r11): the batch twin would
-            # sort that touch AFTER the conversion and not attribute.
-            ok = (cts >= 0) & ((cts < ctv) | ((cts == ctv) & (cid < civ)))
+            ok = cts >= 0
             if max_gap_s is not None:
                 ok = ok & (gap <= max_gap_s)
             out = (civ, np.where(ok, cid, -1), np.where(ok, gap, -1))
             c_us = max(c_us, int(ctv.max()))
-        # new touch state
+        # new touch state from the MERGED order: the tail of touch_pos
+        # is the top-2 over carried + batch for mode="last"; its head
+        # is the global first for mode="first" (runner slot unused)
         if mode == "last":
-            t_us, t_id = int(cur_ts[-1]), int(cur_id[-1])
-        elif t_us < 0 and is_touch.any():
-            f = int(np.argmax(is_touch))
-            t_us, t_id = int(tv[f]), int(iv[f])
-        return out, (t_us, t_id, c_us), n_late
+            t_us = t_id = r_us = r_id = -1
+            if len(touch_pos) >= 1:
+                p = touch_pos[-1]
+                t_us, t_id = int(vt[p]), int(vi[p])
+            if len(touch_pos) >= 2:
+                p = touch_pos[-2]
+                r_us, r_id = int(vt[p]), int(vi[p])
+        elif len(touch_pos):
+            p = touch_pos[0]
+            t_us, t_id = int(vt[p]), int(vi[p])
+        return out, (t_us, t_id, r_us, r_id, c_us), n_late
 
     def emit(k: int, out) -> pd.DataFrame:
         civ, cid, gap = out
@@ -2033,8 +2062,8 @@ def streaming_last_touch(
         )
 
     out_schema = f"{key_col} long, conversion_id long, touch_id long, gap_s long"
-    state_cols = "t_us long, t_id long, c_us long"
-    fresh = (None, None, None)
+    state_cols = "t_us long, t_id long, r_us long, r_id long, c_us long"
+    fresh = (None, None, None, None, None)
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -2113,13 +2142,16 @@ def streaming_multi_touch(
     batch's sort order.
 
     State per key is the HORIZON-BOUNDED touch list (two parallel
-    int64 arrays): after each batch, touches whose floor-epoch-second
-    is older than ``floor(max ts seen) - max_gap_s`` are pruned —
-    under event-time-ordered arrival no future conversion can need
-    them, so state is O(touches per horizon window), not O(history).
-    That array-valued state is why this fold ships only in the
-    per-key layout: the hashed-bucket device stores parallel SCALAR
-    arrays (one slot per key) and cannot hold a list per key.
+    int64 arrays, kept (ts, id)-SORTED so each batch's merge is a
+    concatenate + lexsort of sorted runs): after each batch, touches
+    whose floor-epoch-second is older than ``floor(max ts seen) -
+    max_gap_s`` are pruned (the cutoff is MONOTONE across batches —
+    kept in state) — under event-time-ordered arrival no future
+    conversion can need them, so state is O(touches per horizon
+    window), not O(history). That array-valued state is why this fold
+    ships only in the per-key layout: the hashed-bucket device stores
+    parallel SCALAR arrays (one slot per key) and cannot hold a list
+    per key.
 
     Batch-exactness contracts: candidate touches satisfy the
     lexicographic (ts, id) <= (conv ts, conv id) order (applied to
@@ -2127,21 +2159,26 @@ def streaming_multi_touch(
     last-touch fold regression-tests) and the floor-epoch-seconds
     horizon ``te >= ce - max_gap_s``; the weight rounds HALF-UP via
     floor(x*1e9 + 0.5) to match both engines' round(double, 9).
-    Touches arriving behind the conversion high-water mark are
-    metered into ``late_counter``."""
+
+    Emission is fully vectorized (r12, the r11 perf watch item):
+    carried state and batch touches merge into one (ts, id)-sorted
+    candidate pool, each conversion's eligible touches are the
+    CONTIGUOUS pool slice [horizon searchsorted, rank-of-conversion),
+    and all (conversion x touch) rows materialize via one
+    repeat/cumsum expansion — no per-conversion Python.
+
+    Late metrics: touches arriving behind the conversion high-water
+    mark are metered into ``late_counter``, and so are CONVERSIONS
+    whose horizon reaches below the state's prune cutoff (r12
+    advice) — the exact condition under which a disordered conversion
+    may silently under-attribute against already-pruned state."""
     if weighting not in ("linear", "position"):
         raise ValueError(
             f"weighting must be 'linear' or 'position', got {weighting!r}"
         )
 
-    def _weights(n: int) -> np.ndarray:
-        if weighting == "linear" or n <= 2:
-            w = 1.0 / n if n != 2 else 0.5
-            return np.full(n, np.floor(w * 1e9 + 0.5) / 1e9)
-        mid = np.floor((0.2 / (n - 2)) * 1e9 + 0.5) / 1e9  # HALF_UP round 9
-        out = np.full(n, mid)
-        out[0] = out[-1] = 0.4
-        return out
+    def _rnd9(x: np.ndarray) -> np.ndarray:
+        return np.floor(x * 1e9 + 0.5) / 1e9  # HALF_UP round(double, 9)
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -2151,72 +2188,119 @@ def streaming_multi_touch(
                 late_counter.add(sum(len(p) for p in pdfs))
             return
         if state.exists:
-            st_ts, st_id, hw_us = state.get
-            st_ts = list(st_ts or [])
-            st_id = list(st_id or [])
+            st_ts, st_id, hw_us, cut_us = state.get
+            sts = np.asarray(st_ts or [], dtype="int64")
+            sid = np.asarray(st_id or [], dtype="int64")
             hw_us = -1 if hw_us is None else hw_us
+            cut_us = None if (cut_us is None or cut_us < 0) else cut_us
         else:
-            st_ts, st_id, hw_us = [], [], -1
+            sts = sid = np.empty(0, dtype="int64")
+            hw_us, cut_us = -1, None
         parts = [p for p in pdfs if len(p)]
         if not parts:
-            state.update((st_ts, st_id, hw_us))
+            state.update((sts.tolist(), sid.tolist(), hw_us,
+                          -1 if cut_us is None else cut_us))
             return
         g = pd.concat(parts).sort_values([ts_col, id_col], kind="mergesort")
         tv = (g[ts_col].astype("int64") // 1000).to_numpy()
         iv = g[id_col].astype("int64").to_numpy()
         types = g[type_col].to_numpy()
         is_touch = types == touch_type
-        if late_counter is not None and hw_us >= 0:
-            n_late = int(((tv < hw_us) & is_touch).sum())
-            if n_late:
-                late_counter.add(n_late)
-        out_conv, out_tid, out_w, out_n = [], [], [], []
-        sts = np.asarray(st_ts, dtype="int64")
-        sid = np.asarray(st_id, dtype="int64")
-        for i in np.flatnonzero(types == conv_type):
-            ctv, civ = int(tv[i]), int(iv[i])
+        n_late = 0
+        if hw_us >= 0:
+            n_late += int(((tv < hw_us) & is_touch).sum())
+        # candidate pool: carried (sorted) + batch touches (sorted by
+        # the frame sort) merged into one (ts, id) order; event ids
+        # are unique, so the lexsort is a total order
+        pts = np.concatenate([sts, tv[is_touch]])
+        pid = np.concatenate([sid, iv[is_touch]])
+        porder = np.lexsort((pid, pts))
+        pts, pid = pts[porder], pid[porder]
+        psec = pts // 1_000_000
+        ci = np.flatnonzero(types == conv_type)
+        out = None
+        if len(ci):
+            ctv, civ = tv[ci], iv[ci]
             ce = ctv // 1_000_000
-            # carried state: full lexicographic + horizon filters
-            keep = (
-                ((sts < ctv) | ((sts == ctv) & (sid < civ)))
-                & (sts // 1_000_000 >= ce - max_gap_s)
-            ) if len(sts) else np.zeros(0, dtype=bool)
-            # batch-local touches positionally before the conversion
-            # are (ts, id) < conv by the sort; horizon still applies
-            bmask = is_touch.copy()
-            bmask[i:] = False
-            bmask &= tv // 1_000_000 >= ce - max_gap_s
-            cand = np.concatenate([sid[keep], iv[bmask]])
-            cand_ts = np.concatenate([sts[keep], tv[bmask]])
-            n = len(cand)
-            if n:
-                order = np.lexsort((cand, cand_ts))  # (ts, id) total order
-                out_conv.extend([civ] * n)
-                out_tid.extend(int(x) for x in cand[order])
-                out_w.extend(float(x) for x in _weights(n))
-                out_n.extend([n] * n)
+            # late CONVERSIONS (r12 advice): horizon reaching below
+            # the carried prune cutoff means candidates may already
+            # be gone — meter the divergence, don't hide it
+            if cut_us is not None:
+                n_late += int(
+                    ((ce - max_gap_s) * 1_000_000 < cut_us).sum()
+                )
+            # eligible pool slice per conversion: [lo, hi) where lo is
+            # the horizon searchsorted on floor-seconds and hi the
+            # conversion's (ts, id) rank in the pool — both vectorized
+            lo = np.searchsorted(psec, ce - max_gap_s, side="left")
+            hi_l = np.searchsorted(pts, ctv, side="left")
+            hi_r = np.searchsorted(pts, ctv, side="right")
+            # ties on ts resolve on id inside the (sorted-by-id) run:
+            # rank within run via a combined argsort only when runs
+            # exist (the common no-tie case skips it)
+            if (hi_r > hi_l).any():
+                hi = hi_l.copy()
+                for j in np.flatnonzero(hi_r > hi_l):
+                    hi[j] += int(
+                        np.searchsorted(
+                            pid[hi_l[j]:hi_r[j]], civ[j], side="left"
+                        )
+                    )
             else:
-                out_conv.append(civ)
-                out_tid.append(-1)
-                out_w.append(0.0)
-                out_n.append(0)
-            hw_us = max(hw_us, ctv)
-        # fold batch touches into state, then prune to the horizon of
-        # the newest event seen (ordered replay: no future conversion
-        # can reach further back)
-        if is_touch.any():
-            st_ts = st_ts + [int(x) for x in tv[is_touch]]
-            st_id = st_id + [int(x) for x in iv[is_touch]]
-        if st_ts:
-            cutoff = (int(tv.max()) // 1_000_000 - max_gap_s) * 1_000_000
-            kept = [(t, x) for t, x in zip(st_ts, st_id) if t >= cutoff]
-            st_ts = [t for t, _ in kept]
-            st_id = [x for _, x in kept]
-        state.update((st_ts, st_id, hw_us))
-        if out_conv:
+                hi = hi_l
+            n = np.maximum(hi - lo, 0)
+            pos_mask = n > 0
+            npos = n[pos_mask]
+            total = int(npos.sum())
+            if total:
+                starts = np.cumsum(npos) - npos
+                within = np.arange(total) - np.repeat(starts, npos)
+                pool_idx = np.repeat(lo[pos_mask], npos) + within
+                nn = np.repeat(npos, npos)
+                if weighting == "linear":
+                    w = _rnd9(1.0 / nn)
+                else:
+                    w = np.where(
+                        nn <= 2,
+                        _rnd9(1.0 / nn),
+                        np.where(
+                            (within == 0) | (within == nn - 1),
+                            0.4,
+                            _rnd9(0.2 / np.maximum(nn - 2, 1)),
+                        ),
+                    )
+                out_conv = np.concatenate([np.repeat(civ[pos_mask], npos),
+                                           civ[~pos_mask]])
+                out_tid = np.concatenate([pid[pool_idx],
+                                          np.full((~pos_mask).sum(), -1)])
+                out_w = np.concatenate([w, np.zeros((~pos_mask).sum())])
+                out_n = np.concatenate([nn, np.zeros((~pos_mask).sum(),
+                                                     dtype="int64")])
+            else:
+                out_conv = civ
+                out_tid = np.full(len(ci), -1, dtype="int64")
+                out_w = np.zeros(len(ci))
+                out_n = np.zeros(len(ci), dtype="int64")
+            out = (out_conv, out_tid, out_w, out_n)
+            hw_us = max(hw_us, int(ctv.max()))
+        if n_late and late_counter is not None:
+            late_counter.add(n_late)
+        # prune the pool to the horizon of the newest event seen; the
+        # cutoff never moves backward (monotone across batches — what
+        # the late-conversion meter compares against)
+        new_cut = (int(tv.max()) // 1_000_000 - max_gap_s) * 1_000_000
+        if cut_us is not None:
+            new_cut = max(new_cut, cut_us)
+        keep = pts >= new_cut
+        state.update(
+            (pts[keep].tolist(), pid[keep].tolist(), hw_us, new_cut)
+        )
+        if out is not None:
+            out_conv, out_tid, out_w, out_n = out
             yield pd.DataFrame(
                 {
-                    key_col: np.full(len(out_conv), int(key[0]), dtype="int64"),
+                    key_col: np.full(len(out_conv), int(key[0]),
+                                     dtype="int64"),
                     "conversion_id": out_conv,
                     "touch_id": out_tid,
                     "weight": out_w,
@@ -2233,7 +2317,9 @@ def streaming_multi_touch(
             f"{key_col} long, conversion_id long, touch_id long, "
             "weight double, n_touches long"
         ),
-        stateStructType="ts_arr array<long>, id_arr array<long>, hw_us long",
+        stateStructType=(
+            "ts_arr array<long>, id_arr array<long>, hw_us long, cut_us long"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

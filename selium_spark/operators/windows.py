@@ -15,8 +15,13 @@ shuffle carries only per-partition partials, not raw rows.
 
 from __future__ import annotations
 
+import logging
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def tumbling(
@@ -975,7 +980,10 @@ def robust_zscore_outliers(
     be large, and a sub-threshold sort on |groups| tasks is already
     sub-second. The row count is an action: free after the ``pin=True``
     checkpoint (the table is materialized anyway), one extra input
-    traversal when ``pin=False`` — prefer the gate with ``pin=True``.
+    traversal when ``pin=False`` — prefer the gate with ``pin=True``
+    (an unpinned gate warns about the extra scan; r12 advice). The
+    chosen route is surfaced at DEBUG ("spread engaged"/"plain path")
+    so a caller can see which plan ran without reading the explain.
     Output is identical on both routes (parity-tested).
     """
     dec_t = f"decimal(18,{scale_in})"
@@ -986,8 +994,23 @@ def robust_zscore_outliers(
     if pin:
         base = base.localCheckpoint(eager=True)
     if spread is not None and spread_min_rows is not None:
-        if base.count() < spread_min_rows:
+        if not pin:
+            warnings.warn(
+                "robust_zscore_outliers: spread_min_rows with pin=False "
+                "pays a full extra input traversal for the gating count() "
+                "on every call — pass pin=True (the count is then free on "
+                "the materialized checkpoint) or drop the gate",
+                stacklevel=2,
+            )
+        n_in = base.count()
+        if n_in < spread_min_rows:
             spread = None
+        logger.debug(
+            "robust_zscore_outliers gate: %d input rows vs spread_min_rows=%d -> %s",
+            n_in,
+            spread_min_rows,
+            "spread engaged" if spread is not None else "plain path",
+        )
     if spread is not None:
         r1 = _grouped_mid_rank(base, group_col, "_dv", spread, "_rn", "_n")
     else:

@@ -990,6 +990,32 @@ def test_robust_zscore_spread_path_parity(spark, pin):
     assert not any(g == "d" for g, _, _ in plain)
 
 
+def test_robust_zscore_gate_warns_only_when_unpinned(spark):
+    """r12 advice: the spread_min_rows gate's count() is a silent full
+    input traversal when pin=False — it must warn; with pin=True the
+    count reads the materialized checkpoint and must stay quiet."""
+    import warnings as _w
+
+    from selium_spark.operators import windows
+
+    df = spark.createDataFrame(
+        [("a", float(i % 13)) for i in range(200)] + [("a", 9999.0)],
+        "g STRING, v DOUBLE",
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        windows.robust_zscore_outliers(
+            df, "g", "v", spread=4, spread_min_rows=1_000_000, pin=False
+        ).collect()
+    assert any("extra input traversal" in str(x.message) for x in rec)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        windows.robust_zscore_outliers(
+            df, "g", "v", spread=4, spread_min_rows=1_000_000, pin=True
+        ).collect()
+    assert not any("extra input traversal" in str(x.message) for x in rec)
+
+
 def test_robust_zscore_zero_mad_group_dropped(spark):
     from selium_spark.operators import windows
 

@@ -1844,6 +1844,61 @@ def test_streaming_last_touch_same_ts_cross_batch_tiebreak(spark, tmp_path):
     assert len(b) == 1 and b[0]["touch_id"] == -1
 
 
+@pytest.mark.parametrize("state_buckets", [None, 4])
+def test_streaming_last_touch_runner_up_fallback(spark, tmp_path, state_buckets):
+    """r12 advice regression: when the carried MOST-RECENT touch
+    shares a later conversion's timestamp with a higher id (it sorts
+    after the conversion in the batch (ts, id) order), the carried
+    RUNNER-UP touch must attribute — the single-slot r11 state
+    emitted -1 here while the batch twin attributes the older touch.
+    Both state layouts."""
+    from datetime import datetime, timedelta
+
+    from selium_spark.operators import stateful, windows
+    from selium_spark.streaming.replay import replay_to_memory
+
+    t0 = datetime(2024, 1, 5, 0, 0, 0)
+    rows = [
+        # batch 1: an older qualifying click, then the higher-id
+        # same-ts-as-conversion click that must step aside
+        (7, 50, "click", t0 - timedelta(minutes=10)),
+        (7, 900, "click", t0),
+        # batch 2: the conversion at t0 with a LOWER id than 900
+        (7, 100, "purchase", t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+    src = str(tmp_path / "ev")
+    df.where("event_id >= 50 AND event_id != 100").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    df.where("event_id = 100").coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    out = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_last_touch(
+            s, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=3600,
+            state_buckets=state_buckets,
+        ),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=2,
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["touch_id"] == 50 and out[0]["gap_s"] == 600
+    # batch twin agrees
+    b = windows.attribute_last_touch(
+        df, "user_id", "event_type", "ts", "event_id",
+        touch_type="click", conv_type="purchase", max_gap_s=3600,
+    ).collect()
+    assert len(b) == 1 and b[0]["touch_id"] == 50
+
+
 def test_streaming_multi_touch_matches_batch(spark, tmp_path):
     """Multi-touch streaming twin (r11): two-batch event-time replay
     emits every conversion's 1/n-weighted touch rows exactly like the
@@ -1939,6 +1994,72 @@ def test_streaming_position_touch_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_multi_touch_late_conversion_metered(spark, tmp_path):
+    """r12 advice: a DISORDERED conversion whose horizon reaches below
+    the state's prune cutoff may silently under-attribute (its
+    candidates are already pruned) — it must feed late_counter, not
+    just late touches. Here the batch twin attributes click 1 to the
+    out-of-order purchase 3; the stream, having pruned it, emits -1
+    and meters the divergence."""
+    from datetime import datetime
+
+    from selium_spark.operators import stateful
+    from selium_spark.streaming.replay import replay_to_memory
+
+    rows1 = [
+        (5, 1, "click", datetime(2024, 1, 5, 10, 0, 0)),
+        (5, 2, "purchase", datetime(2024, 1, 5, 10, 30, 0)),
+    ]
+    rows2 = [
+        # out-of-order: older than the cutoff 10:20:00 the first
+        # batch pruned to (10:30 - 600 s)
+        (5, 3, "purchase", datetime(2024, 1, 5, 10, 5, 0)),
+    ]
+    schema_s = "user_id long, event_id long, event_type string, ts timestamp"
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows1, schema_s).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(rows2, schema_s).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    acc = spark.sparkContext.accumulator(0)
+
+    out = replay_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: stateful.streaming_multi_touch(
+            s, "user_id", "event_type", "ts", "event_id",
+            touch_type="click", conv_type="purchase", max_gap_s=600,
+            late_counter=acc,
+        ),
+        output_mode="update",
+        max_files_per_trigger=1,
+        shuffle_partitions=2,
+    ).collect()
+    got = {r["conversion_id"]: r["touch_id"] for r in out}
+    # conv 2's click is out of horizon (1800 s > 600); conv 3's
+    # in-horizon click was PRUNED by batch 1's cutoff — the stream
+    # emits -1 for both but meters conv 3's divergence
+    assert got == {2: -1, 3: -1}
+    assert acc.value == 1
+    # the divergence is real: the batch twin attributes click 1
+    from selium_spark.operators import windows
+
+    df = spark.createDataFrame(rows1 + rows2, schema_s)
+    b = {
+        r["conversion_id"]: r["touch_id"]
+        for r in windows.attribute_multi_touch(
+            df, key="user_id", type_col="event_type", ts_col="ts",
+            id_col="event_id", touch_type="click", conv_type="purchase",
+            max_gap_s=600,
+        ).collect()
+    }
+    assert b[3] == 1
 
 
 def test_streaming_multi_touch_weights_synthetic(spark, tmp_path):
