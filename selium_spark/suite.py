@@ -3283,6 +3283,34 @@ FROM exact JOIN approx USING (vec_id)
 )
 
 
+def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-index serving path, value-graded (r12, r11
+    verdict task #5): write the IVFADC index partitionBy(cluster_id)
+    (similarity.ivfpq_index_write — one fused assign+residual+encode
+    corpus pass), then answer the query FROM THE WRITTEN INDEX. The
+    probed-list isin filter compiles to PartitionFilters on this
+    layout, so the scan touches n_probe/K of the files and only
+    m_subs-byte-ish codes — the actual 100 TB probe (plan-asserted
+    against this exact construction in tests/test_plans.py). Results
+    equal the on-the-fly composite, hence the same DuckDB oracle as
+    ann_ivfpq_topk."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).head()["embedding"]]
+    cents = similarity.make_centroids(emb, n=8)
+    first16 = emb.orderBy(F.col("vec_id").asc()).limit(16)
+    cb = similarity.ivfpq_codebook(
+        similarity.ivfpq_residuals(first16, cents), m_subs=8, k_codes=16
+    )
+    path = tempfile.mkdtemp(prefix="selium_ivfpq_idx_")
+    similarity.ivfpq_index_write(emb, cents, cb, path)
+    index = spark.read.parquet(path)
+    return similarity.ivfpq_adc_topk(
+        index, cents, cb, q, k=10, n_probe=2, m_subs=8
+    )
+
+
 def stream_ivfpq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming IVFADC ingest: embeddings replayed as a file stream
     through the stateless literal-constant encoder
@@ -8079,6 +8107,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": ann_pq_topk,
     "ann_recall_ivf": ann_recall_ivf,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "ann_ivfpq_index_topk": ann_ivfpq_index_topk,
     "ann_ivfpq_recall": ann_ivfpq_recall,
     "stream_ivfpq_encode": stream_ivfpq_encode,
     "emb_kmeans_assign": emb_kmeans_assign,
@@ -8353,6 +8382,7 @@ WHERE value % 2 = 0"""
     "ann_recall_ivf": SQL_ANN_RECALL,
     "ann_pq_topk": SQL_PQ_TOPK,
     "ann_ivfpq_topk": SQL_IVFPQ_TOPK,
+    "ann_ivfpq_index_topk": SQL_IVFPQ_TOPK,
     "ann_ivfpq_recall": SQL_IVFPQ_RECALL,
     "stream_ivfpq_encode": SQL_STREAM_IVFPQ_ENCODE,
     "emb_kmeans_assign": SQL_KMEANS_ASSIGN,

@@ -408,3 +408,74 @@ def test_ivfpq_index_partition_pruning(spark, tmp_path):
     p = summarize(topk_idx)
     assert "PartitionFilters" in p.text
     assert "cluster_id" in p.text.split("PartitionFilters", 1)[1][:300]
+
+
+def test_ivfpq_codebook_kmeans_trains_and_beats_toy(spark):
+    """train='kmeans' (r12, r11 verdict task #6): on a corpus whose
+    subvectors actually cluster (4 patterns + small deterministic
+    jitter), the per-subspace Lloyd's codebook must (a) keep the
+    (m, code_id, subvec) contract, (b) be deterministic across runs
+    (exact-DECIMAL means), and (c) cut the quantization error vs the
+    first-k toy slices."""
+    import numpy as np
+
+    from selium_spark.operators import similarity
+
+    rng = np.random.default_rng(12)
+    patterns = rng.normal(0, 1, (4, 16))
+    rows = []
+    for i in range(200):
+        v = patterns[i % 4] + rng.normal(0, 0.05, 16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = similarity.make_centroids(emb, n=2)
+    resid = similarity.ivfpq_residuals(emb, cents)
+
+    def mse(cb):
+        subs = resid.select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("m"),
+            "residual",
+        ).select(
+            "vec_id",
+            "m",
+            F.slice("residual", (F.col("m") * 4 + 1).cast("int"), 4).alias("esub"),
+        )
+        return (
+            subs.join(F.broadcast(cb), "m")
+            .withColumn("d", similarity.l2sq(F.col("esub"), F.col("subvec")))
+            .groupBy("vec_id", "m")
+            .agg(F.min("d").alias("qd"))
+            .agg(F.avg("qd"))
+            .first()[0]
+        )
+
+    toy = similarity.ivfpq_codebook(resid, m_subs=4, k_codes=8)
+    trained = similarity.ivfpq_codebook(
+        resid, m_subs=4, k_codes=8, train="kmeans", iterations=3
+    )
+    assert trained.count() == 4 * 8
+    assert [f.name for f in trained.schema.fields] == ["m", "code_id", "subvec"]
+    # deterministic: a second training run lands on identical floats
+    again = similarity.ivfpq_codebook(
+        resid, m_subs=4, k_codes=8, train="kmeans", iterations=3
+    )
+    snap = lambda df: sorted(
+        (r["m"], r["code_id"], tuple(r["subvec"])) for r in df.collect()
+    )
+    assert snap(trained) == snap(again)
+    assert mse(trained) < mse(toy) * 0.8, "k-means did not cut quantization error"
+
+
+def test_ivfpq_codebook_rejects_bad_train(spark):
+    import pytest
+
+    from selium_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    cents = similarity.make_centroids(emb, n=1)
+    resid = similarity.ivfpq_residuals(emb, cents)
+    with pytest.raises(ValueError, match="train must be"):
+        similarity.ivfpq_codebook(resid, train="mlp")
