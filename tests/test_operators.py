@@ -316,6 +316,36 @@ def test_text_pin_escape_hatch(spark, op):
     assert run(True) == run(False)
 
 
+@pytest.mark.parametrize("fold", ["decimal", "window"])
+def test_bigram_prob_window_matches_join(spark, fold):
+    """prob='window' (r12, the occ-floor rewrite): window-sum
+    marginals over the single pair aggregate must be bit-identical to
+    the legacy pinned-join derivation, under BOTH per-doc folds."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat ran"),
+            (2, "a dog and a cat and a bird"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+            (4, "cat cat cat dog dog bird"),
+            (5, "x"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    win = sorted(
+        map(tuple, text.bigram_interp_logppl(docs, fold=fold, prob="window").collect())
+    )
+    join = sorted(
+        map(tuple, text.bigram_interp_logppl(docs, fold=fold, prob="join").collect())
+    )
+    assert win == join and len(win) == 4  # the 1-token doc has no bigrams
+
+
+def test_bigram_rejects_bad_prob(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="prob must be"):
+        text.bigram_interp_logppl(docs, prob="magic")
+
+
 def test_lang_id_and_quality(spark):
     df = spark.createDataFrame(
         [(1, "the cat sat on the mat and it is a cat"), (2, "der hund ist ein hund und das ist gut")],
