@@ -1099,6 +1099,7 @@ def remove_dup_spans(
     id_col: str = "doc_id",
     out_col: str = "clean_text",
     storage: str = "persist",
+    build: str = "twopass",
 ) -> DataFrame:
     """Duplicated-span REMOVAL — the rewrite half of "Deduplicating
     Training Data Makes Language Models Better" (Lee et al. 2022) at
@@ -1109,33 +1110,39 @@ def remove_dup_spans(
     their one short gram (ngrams_all semantics), so boilerplate
     shorter than the shingle width is still removable.
 
-    Plan — the corpus text is tokenized and scanned exactly ONCE (the
-    DSIR double-traversal lesson applied at design time): a single
-    posexplode emits one row per token position carrying BOTH the
-    token and the n-gram starting there (null past the last start),
-    and that positional table is persisted and pinned with a count()
-    (the dedup.lsh_candidate_pairs blacklist-mode pattern) before its
-    three consumers fan out — the hot-shingle distinct-doc count
-    (map-side-combinable, keyed on shingle), the join-back + interval
-    explode + distinct that yields covered token positions (bounded by
-    n x covered starts), and the marked per-doc fold. Without the pin
-    each shuffle consumer re-runs the tokenize+ngram subtree. The fold
+    Plan — ``build`` picks the construction (r12 rewrite, r11 verdict
+    task #3: the carried positional-build floor):
+
+    - ``"twopass"`` (default): NO pin anywhere. The hot-shingle set
+      comes from a cheap NON-positional first pass — explode of the
+      per-doc-DISTINCT shingles, so a plain count(*) per shingle IS
+      the distinct-doc count (the dup_span_stats device: map-side
+      combinable, no count_distinct) — and the two positional
+      consumers (covered-interval build, marked fold) each rebuild a
+      COLUMN-PRUNED posexplode subtree: (pos, sh, _len) for coverage,
+      (pos, w) for the fold. Two cheap codegen'd traversals beat one
+      full-width materialization: the r11 pinned build spent 5.7 of
+      8.7 s writing the positional table to storage. Measured at the
+      100x SF (ABAB, clearCache between reps): 11.4 vs 27.0 s
+      warm-min, and base sf0.1 8.2 -> 3.3 s. The stop-shingle
+      pre-filter idea this experiment was carried under is moot in
+      this shape: the hot aggregation it would have trimmed is the
+      CHEAP branch here (per-doc-distinct + partial agg), not the
+      floor.
+    - ``"pinned"``: the r8-r11 shape — one positional posexplode
+      persisted and pinned with a count() before its three consumers
+      fan out. ``storage`` picks the pin: ``"persist"`` caches in
+      executor storage (lives until ``clearCache()``);
+      ``"checkpoint"`` routes through ``dedup._truncate_lineage`` (a
+      reliable ``checkpoint()`` when a checkpoint dir is set — fast
+      cluster storage — else an eager ``localCheckpoint()``).
+      Kept for A/B and for corpora where re-tokenization is
+      genuinely expensive relative to storage (not this one).
+
+    Both builds are output-identical (parity-tested). The fold
     re-assembles uncovered (pos, token) structs with array_sort —
     bounded by document size, never corpus size. Nothing touches the
     driver.
-
-    ``storage`` picks how the positional table is pinned:
-    ``"persist"`` (default) caches it in executor storage — note the
-    cache lives until ``spark.catalog.clearCache()`` (repeated
-    invocations in one session, e.g. bench loops, accumulate pinned
-    storage). ``"checkpoint"`` routes through the iterative-loop
-    device (``dedup._truncate_lineage``): a reliable ``checkpoint()``
-    to the configured checkpoint dir when one is set (the 100 TB path
-    — the positional table is larger than the corpus and should live
-    on fast cluster storage, not executor memory), else an eager
-    ``localCheckpoint()`` whose blocks the ContextCleaner frees once
-    the frame is unreferenced — no session-lifetime pinning either
-    way.
 
     Returns (id, n_tokens, n_kept, out_col); a fully-covered doc keeps
     an empty string rather than vanishing (a zero-token doc has no
@@ -1145,6 +1152,8 @@ def remove_dup_spans(
         raise ValueError(
             f"storage must be 'persist' or 'checkpoint', got {storage!r}"
         )
+    if build not in ("twopass", "pinned"):
+        raise ValueError(f"build must be 'twopass' or 'pinned', got {build!r}")
     toks = tokens(text_col)
     grams = ngrams_all(text_col, n)
     padded = F.concat(
@@ -1161,7 +1170,15 @@ def remove_dup_spans(
         F.size(toks).alias("_len"),
         F.posexplode(zipped).alias("pos", "_z"),
     ).select(id_col, "_len", "pos", "_z.w", "_z.sh")
-    if storage == "checkpoint":
+    if build == "twopass":
+        hot = (
+            df.select(F.explode(F.array_distinct(grams)).alias("sh"))
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_nd"))
+            .where(F.col("_nd") >= min_docs)
+            .select("sh")
+        )
+    elif storage == "checkpoint":
         from .dedup import _truncate_lineage
 
         base = _truncate_lineage(base)
@@ -1169,13 +1186,14 @@ def remove_dup_spans(
         base = base.persist()
         # pin: tokenize+ngram executes once, consumers read the cache
         base.count()
-    hot = (
-        base.where(F.col("sh").isNotNull())
-        .groupBy("sh")
-        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
-        .where(F.col("_nd") >= min_docs)
-        .select("sh")
-    )
+    if build == "pinned":
+        hot = (
+            base.where(F.col("sh").isNotNull())
+            .groupBy("sh")
+            .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+            .where(F.col("_nd") >= min_docs)
+            .select("sh")
+        )
     covered = (
         base.where(F.col("sh").isNotNull())
         .join(hot, "sh")

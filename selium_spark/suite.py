@@ -6903,9 +6903,10 @@ def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span REMOVAL (the rewrite half of Lee et al. 2022;
     text_span_dedup is the reporting half): every token position
     covered by a word 5-gram shared by >= 2 distinct docs is cut and
-    the survivors re-join in position order. Two corpus scans total —
-    the positional shingle table (hot set + covered positions) and the
-    positional token table (marked fold)."""
+    the survivors re-join in position order. Three column-pruned
+    corpus scans, no pin (r12 twopass build): a non-positional
+    distinct-shingle pass for the hot set, then the covered-interval
+    and marked-fold positional passes."""
     docs = _t(spark, sf_dir, "documents")
     return text.remove_dup_spans(docs, n=5, min_docs=2)
 

@@ -368,16 +368,16 @@ def test_budget_head_running_sum_stays_bucket_partitioned(spark):
     ), "running-sum window lost its bucket partitioning"
 
 
-def test_remove_dup_spans_single_scan_and_no_cartesian(spark):
-    """remove_dup_spans tokenizes the corpus exactly ONCE: the pinned
-    positional table serves all three consumers from cache
-    (InMemoryTableScan), so exactly one parquet scan of
-    (doc_id, text) appears — the DSIR double-traversal lesson — and no
-    cartesian product is planned."""
+def test_remove_dup_spans_three_pruned_scans_no_pin(spark):
+    """remove_dup_spans build='twopass' (r12): NO persisted pin —
+    exactly three column-pruned corpus scans (the non-positional hot
+    pass reads text only; the covered and marked positional passes
+    read doc_id+text), no InMemoryTableScan left pinning executor
+    storage for the session, and no cartesian product."""
     p = plan_of(spark, "text_remove_dup_spans")
     scans = [rs for rs in p.read_schemas if "text" in rs]
-    assert len(scans) == 1, f"expected 1 corpus scan, saw {len(scans)}: {p.read_schemas}"
-    assert "InMemoryTableScan" in p.text
+    assert len(scans) == 3, f"expected 3 corpus scans, saw {len(scans)}: {p.read_schemas}"
+    assert "InMemoryTableScan" not in p.text
     assert not p.has_cartesian
 
 

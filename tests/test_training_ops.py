@@ -610,22 +610,25 @@ def test_remove_dup_spans_cuts_shared_spans_only(spark):
     # the 3-token doc's single short gram is shared by docs 4 and 5
     assert out[4].clean_text == "" and out[5].clean_text == ""
     assert all(out[i].n_tokens - out[i].n_kept >= 0 for i in out)
-    # storage='checkpoint' (builder TODO #6 / round-6 verdict task #8):
-    # lineage-truncated positional table, identical output, and no
-    # persisted cache left pinning executor storage for the session
-    chk = {
-        r.doc_id: r
-        for r in text.remove_dup_spans(
-            docs, n=5, min_docs=2, storage="checkpoint"
-        ).collect()
-    }
-    assert {i: (r.clean_text, r.n_kept) for i, r in chk.items()} == {
-        i: (r.clean_text, r.n_kept) for i, r in out.items()
-    }
+    # cross-build parity (r12): `out` is the default twopass build;
+    # the legacy pinned build — both storage flavors — must agree
+    for storage in ("persist", "checkpoint"):
+        chk = {
+            r.doc_id: r
+            for r in text.remove_dup_spans(
+                docs, n=5, min_docs=2, build="pinned", storage=storage
+            ).collect()
+        }
+        assert {i: (r.clean_text, r.n_kept) for i, r in chk.items()} == {
+            i: (r.clean_text, r.n_kept) for i, r in out.items()
+        }, storage
+    spark.catalog.clearCache()  # drop the pinned build's persist
     import pytest
 
     with pytest.raises(ValueError):
         text.remove_dup_spans(docs, storage="bogus")
+    with pytest.raises(ValueError):
+        text.remove_dup_spans(docs, build="onepass")
 
 
 def test_token_budget_select_boundary(spark):
