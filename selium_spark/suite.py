@@ -1828,6 +1828,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, centroids, query_vec, k=10, n_probe=2)
 
 
+def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plain-IVF materialized serving path, value-graded (r12 —
+    the ivfpq twin's device on the uncompressed index): write the
+    assignment table partitionBy(cluster_id)
+    (similarity.ivf_index_write), then answer the probe FROM THE
+    WRITTEN INDEX — partition-pruned scan of n_probe/K of the files
+    over raw vectors (the exact-rank flavor; the ivfpq index is the
+    compressed-code flavor). Same oracle as ann_ivf_topk: results are
+    equal by construction."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = similarity.make_centroids(emb, n=8)
+    query_vec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    path = tempfile.mkdtemp(prefix="selium_ivf_idx_")
+    similarity.ivf_index_write(emb, centroids, path)
+    return similarity.ivf_index_topk(
+        spark, path, centroids, query_vec, k=10, n_probe=2
+    )
+
+
 SQL_ANN_IVF = f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
@@ -8104,6 +8128,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_pagerank_canonical": dedup_pagerank_canonical,
     "ann_bruteforce_topk": ann_bruteforce_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_index_topk": ann_ivf_index_topk,
     "ann_rhp_pairs": ann_rhp_pairs,
     "ann_pq_topk": ann_pq_topk,
     "ann_recall_ivf": ann_recall_ivf,
@@ -8379,6 +8404,7 @@ WHERE value % 2 = 0"""
     "dedup_groups": SQL_DEDUP_GROUPS,
     "ann_bruteforce_topk": SQL_ANN_BRUTE,
     "ann_ivf_topk": SQL_ANN_IVF,
+    "ann_ivf_index_topk": SQL_ANN_IVF,
     "ann_rhp_pairs": SQL_ANN_RHP,
     "ann_recall_ivf": SQL_ANN_RECALL,
     "ann_pq_topk": SQL_PQ_TOPK,

@@ -411,3 +411,12 @@ def test_ann_ivfpq_index_topk_partition_pruned(spark):
     p = plan_of(spark, "ann_ivfpq_index_topk")
     assert "PartitionFilters" in p.text
     assert "cluster_id" in p.text.split("PartitionFilters", 1)[1][:300]
+
+
+def test_ann_ivf_index_topk_partition_pruned(spark):
+    """The plain-IVF graded index read (r12): the suite construction's
+    probed-list isin filter must compile to PartitionFilters on the
+    partitionBy(cluster_id) layout."""
+    p = plan_of(spark, "ann_ivf_index_topk")
+    assert "PartitionFilters" in p.text
+    assert "cluster_id" in p.text.split("PartitionFilters", 1)[1][:300]
