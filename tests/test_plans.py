@@ -196,6 +196,7 @@ _INTENTIONAL_CARTESIAN = {
     "text_pmi_collocations",         # 1-row bigram-total scalar crossed
                                      # into the pair table
     "ann_ivfpq_topk",                # centroid assign + probe x codebook
+    "ann_ivfpq_index_topk",          # same smalls over the written index (r12)
                                      # smalls (r11; all broadcast,
                                      # BuildLeft pinned off by its own
                                      # plan test)
