@@ -18,6 +18,7 @@ Maps selium's control plane onto Spark:
 from __future__ import annotations
 
 import time
+import weakref
 from dataclasses import dataclass
 from typing import Callable
 
@@ -205,10 +206,43 @@ class QueryHandle:
         self.query.stop()
 
 
+# (engine weakref, session weakref, listener) for every live Engine's
+# loss listener. Listeners registered on spark.streams are held by the
+# JVM forever; without a sweep, every Engine constructed on a long-lived
+# session leaks one Python callback that receives EVERY future progress
+# event — per-event Py4J fan-out grows without bound (observed: a
+# 200-test session starving a fresh query's events past a 60 s
+# deadline). The sweep runs at Engine construction: listeners whose
+# Engine has been garbage-collected are deregistered from their session.
+_LISTENER_REGISTRY: list[tuple[weakref.ref, weakref.ref, LossMetricsListener]] = []
+
+
+def _sweep_stale_listeners() -> None:
+    kept = []
+    for eng_ref, sess_ref, listener in _LISTENER_REGISTRY:
+        if eng_ref() is not None:
+            kept.append((eng_ref, sess_ref, listener))
+            continue
+        sess = sess_ref()
+        if sess is not None:
+            try:
+                sess.streams.removeListener(listener)
+            except Exception:
+                pass  # session already stopped
+    _LISTENER_REGISTRY[:] = kept
+
+
 class Engine:
-    """Named-query runtime over a StreamCatalog."""
+    """Named-query runtime over a StreamCatalog.
+
+    Deterministic teardown: call :meth:`close` (or use the Engine as a
+    context manager) to stop queries and deregister the loss listener.
+    Engines that are simply dropped are swept at the next Engine
+    construction (see ``_sweep_stale_listeners``).
+    """
 
     def __init__(self, spark: SparkSession, catalog: StreamCatalog | None = None):
+        _sweep_stale_listeners()
         self.spark = spark
         self.catalog = catalog or StreamCatalog(spark)
         self.queries: dict[str, QueryHandle] = {}
@@ -216,6 +250,28 @@ class Engine:
         self.late_counters: dict[str, object] = {}
         self._singletons: dict[str, object] = {}
         spark.streams.addListener(self.loss_listener)
+        _LISTENER_REGISTRY.append(
+            (weakref.ref(self), weakref.ref(spark), self.loss_listener)
+        )
+
+    def close(self) -> None:
+        """Stop all queries and deregister the loss listener (P2 for
+        the engine itself). Idempotent."""
+        self.stop_all()
+        for i, (eng_ref, _sess_ref, listener) in enumerate(_LISTENER_REGISTRY):
+            if eng_ref() is self and listener is self.loss_listener:
+                del _LISTENER_REGISTRY[i]
+                break
+        try:
+            self.spark.streams.removeListener(self.loss_listener)
+        except Exception:
+            pass
+
+    def __enter__(self) -> "Engine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
 
     # -- loss accounting (S3 Drop-mode, extended to event-time late) ------
     def late_counter(self, name: str):

@@ -185,3 +185,39 @@ def test_foreach_concurrent_sink_streaming(spark, tmp_path):
     h.query.processAllAvailable()
     h.stop()
     assert len(glob.glob(f"{probe}/*")) == 6
+
+
+def test_engine_listener_lifecycle_bounded(spark):
+    """Engines must not leak their loss listeners on the shared
+    session: a leaked StreamingQueryListener receives EVERY future
+    progress event through the Py4J callback server, so a long-lived
+    session constructing Engines (each pytest here, every notebook
+    re-run in production) accumulates per-event fan-out without bound
+    — observed starving a fresh query's progress events past a 60 s
+    deadline ~200 tests into a session. close() deregisters eagerly;
+    dropped Engines are swept at the next Engine construction."""
+    import gc
+
+    from selium_spark.engine import _LISTENER_REGISTRY
+
+    jcount = lambda: len(spark.streams._jsqm.listListeners())  # noqa: E731
+    # flush listeners leaked by earlier tests' dropped Engines so the
+    # deltas below are not offset by a sweep firing mid-measurement
+    gc.collect()
+    Engine(spark).close()
+    base = jcount()
+    engines = [Engine(spark) for _ in range(4)]
+    assert jcount() - base == 4
+
+    engines[0].close()
+    assert jcount() - base == 3
+    engines[0].close()  # idempotent
+    assert jcount() - base == 3
+
+    del engines
+    gc.collect()
+    with Engine(spark) as eng:
+        # construction swept the three dropped engines' listeners
+        assert jcount() - base == 1
+        assert sum(1 for r, _, _ in _LISTENER_REGISTRY if r() is eng) == 1
+    assert jcount() - base == 0
