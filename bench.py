@@ -169,6 +169,13 @@ HEADLINE = [
     "stream_attr_last_touch",
     "stream_attr_multi_touch",
     "stream_attr_position_touch",
+    # round 12: materialized-index ANN probes, BPE tokenizer training
+    # + its streaming apply twin
+    "ann_ivf_index_topk",
+    "ann_ivfpq_index_topk",
+    "text_bpe_merges",
+    "text_bpe_tokenize",
+    "stream_bpe_tokenize",
 ]
 
 

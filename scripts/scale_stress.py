@@ -148,6 +148,12 @@ QUERY_SET = [
     # hold as rows multiply
     "q_asof_keyless_market",
     "q_asof_keyless_nearest",
+    # r12: BPE — training is one corpus scan into the word-freq table
+    # (replicated corpus: same vocab, freqs x N) + constant-size
+    # vocab-table iterations, so its ratio should be the scan's;
+    # tokenize adds the linear per-doc apply
+    "text_bpe_merges",
+    "text_bpe_tokenize",
 ]
 
 

@@ -1325,3 +1325,143 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich, Haddow & Birch 2016, "Neural Machine
+# Translation of Rare Words with Subword Units"). The training-data
+# pipeline's tokenizer-fitting step: learn the top-k byte-pair merges
+# from the corpus, then tokenize with them. The reference engine's
+# pipelines tokenize inside wasm guests (examples/pipelines, see
+# pipelines.py); merge TRAINING is corpus-scale aggregation and belongs
+# in the engine.
+#
+# Scale shape: one corpus scan builds the word-FREQUENCY table (the
+# classic BPE trick — pair statistics over distinct words weighted by
+# frequency, never over raw tokens), checkpointed once; each merge
+# iteration is one pass over that vocab-bounded table plus a
+# TakeOrdered(1) argmax. Everything is JVM string expressions — no
+# Python UDFs, no shuffle beyond the pair groupBy.
+# ---------------------------------------------------------------------------
+
+# Symbol separator inside a word's working representation. U+0001 is
+# reserved: corpus text must not contain it (the synthetic corpus and
+# any sane text corpus satisfy this; pre-clean with translate() if not).
+BPE_SEP = "\x01"
+
+
+def _bpe_char_split(w: Column) -> Column:
+    """word -> its initial symbol string: characters joined by BPE_SEP."""
+    return F.concat_ws(BPE_SEP, F.filter(F.split(w, ""), lambda ch: ch != ""))
+
+
+def _bpe_merge_expr(sym: Column, left: str, right: str) -> Column:
+    """Apply one merge (left, right) -> left||right to a symbol string.
+
+    Pure string rewriting, no lambda fold: double the separators so
+    every symbol owns BOTH its boundary separators, then a plain
+    replace of the doubled pair pattern is exactly BPE's greedy
+    left-to-right non-overlapping merge (Java and DuckDB replace()
+    share that contract, which is what makes the trained merges
+    value-oracle-able). E.g. merging (a,a) in "a·a·a":
+    "·a··a··a·" -> "·aa··a·" -> collapse -> "aa·a".
+    """
+    s2 = BPE_SEP * 2
+    doubled = F.concat(
+        F.lit(BPE_SEP), F.replace(sym, F.lit(BPE_SEP), F.lit(s2)), F.lit(BPE_SEP)
+    )
+    merged = F.replace(
+        doubled,
+        F.lit(BPE_SEP + left + s2 + right + BPE_SEP),
+        F.lit(BPE_SEP + left + right + BPE_SEP),
+    )
+    return F.btrim(F.replace(merged, F.lit(s2), F.lit(BPE_SEP)), F.lit(BPE_SEP))
+
+
+def bpe_word_table(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One corpus scan -> (sym, freq): every distinct whitespace word
+    as its char-split symbol string with its corpus occurrence count.
+    This is the table BPE trains on — vocab-bounded, map-side
+    combinable, orders of magnitude smaller than the corpus."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(_bpe_char_split(F.col("w")).alias("sym"), "freq")
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+    pin: bool = True,
+    checkpoint_every: int = 16,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from the corpus. Returns the
+    k-row merge table (rank, lft, rgt, merged, pair_freq) in training
+    order — the tokenizer model, value-graded like the k-means
+    centroids (suite ``text_bpe_merges``).
+
+    Per iteration: adjacent-pair counts over the CURRENT word table
+    (arrays_zip of the symbol array with its own tail, exploded,
+    freq-weighted groupBy), global argmax via TakeOrderedAndProject
+    (ties break on (lft, rgt) ASC — binary collation in both engines),
+    then the merge applied as a stacked JVM replace expression
+    (_bpe_merge_expr). The word table is checkpointed once up front
+    (``pin``; vocab-bounded, so this is cheap and makes the corpus
+    scan happen exactly once) and re-checkpointed every
+    ``checkpoint_every`` merges so neither the expression stack nor
+    the lineage grows O(num_merges^2) for production-sized vocabularies
+    (the per-iteration K-row device from similarity.kmeans_centroids,
+    applied to the table that actually mutates here).
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    spark = df.sparkSession
+    cur = bpe_word_table(df, text_col)
+    cur = _pin(cur, pin)
+    rows: list[tuple[int, str, str, str, int]] = []
+    for i in range(num_merges):
+        syms = F.split(F.col("sym"), BPE_SEP)
+        n_pairs = F.greatest(F.size(syms) - 1, F.lit(0))
+        pairs = F.arrays_zip(
+            F.slice(syms, 1, n_pairs).alias("l"),
+            F.slice(syms, 2, n_pairs).alias("r"),
+        )
+        top = (
+            cur.select(F.explode(pairs).alias("z"), "freq")
+            .select(F.col("z.l").alias("lft"), F.col("z.r").alias("rgt"), "freq")
+            .groupBy("lft", "rgt")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("lft").asc(), F.col("rgt").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # every word is a single symbol — nothing left to merge
+        lft, rgt, cnt = top[0]["lft"], top[0]["rgt"], int(top[0]["cnt"])
+        rows.append((i + 1, lft, rgt, lft + rgt, cnt))
+        cur = cur.withColumn("sym", _bpe_merge_expr(F.col("sym"), lft, rgt))
+        if pin and (i + 1) % checkpoint_every == 0 and i + 1 < num_merges:
+            cur = cur.localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        rows, "rank bigint, lft string, rgt string, merged string, pair_freq bigint"
+    )
+
+
+def bpe_apply(col: str | Column, rules: list[tuple[str, str]]) -> Column:
+    """Tokenize a text column with trained merges: whitespace words ->
+    char symbols -> the merges replayed in training order -> flat
+    subword-token array. ``rules`` is the collected model (k (lft, rgt)
+    tuples — model-bounded driver state, like the centroid rows the
+    IVF probes broadcast). Pure per-row expression work: stateless,
+    append-legal in streaming (suite ``stream_bpe_tokenize``)."""
+
+    def word_tokens(w: Column) -> Column:
+        s = _bpe_char_split(w)
+        for lft, rgt in rules:
+            s = _bpe_merge_expr(s, lft, rgt)
+        return F.split(s, BPE_SEP)
+
+    return F.flatten(F.transform(tokens(col), word_tokens))

@@ -6870,6 +6870,169 @@ LIMIT 100
 """
 
 
+# --- BPE tokenizer training (text.bpe_train_merges; Sennrich 2016) --------
+
+_BPE_K = 6  # graded merge count (the oracle unrolls this many iterations)
+_BPE_SEP = "\x01"  # must equal text.BPE_SEP
+
+
+def _bpe_merge_sql(s: str, lft: str, rgt: str) -> str:
+    """One greedy BPE merge as DuckDB string rewriting — the exact
+    mirror of text._bpe_merge_expr (doubled separators, one replace,
+    collapse, trim). ``lft``/``rgt`` are SQL string expressions."""
+    sep, s2 = _BPE_SEP, _BPE_SEP * 2
+    return (
+        f"trim(replace(replace('{sep}' || replace({s}, '{sep}', '{s2}') || '{sep}', "
+        f"'{sep}' || {lft} || '{s2}' || {rgt} || '{sep}', "
+        f"'{sep}' || {lft} || {rgt} || '{sep}'), '{s2}', '{sep}'), '{sep}')"
+    )
+
+
+def _bpe_iter_sql(i: int) -> str:
+    """One unrolled BPE training iteration: freq-weighted adjacent-pair
+    counts over words{i}, deterministic argmax (cnt DESC, lft, rgt —
+    binary collation in both engines), merge applied -> words{i+1}."""
+    sep = _BPE_SEP
+    return f"""
+pairs{i} AS (
+  SELECT z[1] AS lft, z[2] AS rgt, SUM(freq) AS cnt
+  FROM (SELECT freq, unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)])) AS z
+        FROM (SELECT freq, string_split(sym, '{sep}') AS syms FROM words{i}))
+  WHERE z[1] IS NOT NULL AND z[2] IS NOT NULL
+  GROUP BY 1, 2
+),
+best{i} AS (
+  SELECT {i + 1}::BIGINT AS rank, lft, rgt, cnt FROM pairs{i}
+  ORDER BY cnt DESC, lft, rgt LIMIT 1
+),
+words{i + 1} AS (
+  SELECT {_bpe_merge_sql("sym", "b.lft", "b.rgt")} AS sym, freq
+  FROM words{i} CROSS JOIN best{i} b
+)"""
+
+
+_SQL_BPE_WORDS0 = f"""
+words0 AS (
+  SELECT rtrim(regexp_replace(w, '(.)', '\\1{_BPE_SEP}', 'g'), '{_BPE_SEP}') AS sym,
+         COUNT(*)::BIGINT AS freq
+  FROM (SELECT unnest({SQL_TOKS}) AS w FROM documents) t(w)
+  GROUP BY 1
+)"""
+
+_SQL_BPE_TRAIN_BODY = (
+    "WITH "
+    + _SQL_BPE_WORDS0
+    + ","
+    + ",".join(_bpe_iter_sql(i) for i in range(_BPE_K))
+)
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (text.bpe_train_merges; Sennrich 2016):
+    the top-6 byte-pair merges learned from the corpus's word-frequency
+    table — one corpus scan for the vocab-bounded word table, then one
+    pass over it per merge plus a TakeOrdered(1) argmax. The trained
+    model itself is the value-graded output (like emb_kmeans_assign's
+    trained assignment); exact integer pair counts make the iterative
+    training cross-engine bit-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_train_merges(docs, num_merges=_BPE_K)
+
+
+SQL_BPE_MERGES = (
+    _SQL_BPE_TRAIN_BODY
+    + f"""
+SELECT rank, lft, rgt, lft || rgt AS merged, cnt::BIGINT AS pair_freq
+FROM ({' UNION ALL '.join(f'SELECT * FROM best{i}' for i in range(_BPE_K))})
+ORDER BY rank
+"""
+)
+
+
+def _sql_bpe_apply(word_expr: str) -> str:
+    """Char-split ``word_expr`` then replay the 6 trained merges in
+    rank order (scalar subqueries against best0..best5)."""
+    sep = _BPE_SEP
+    s = f"rtrim(regexp_replace({word_expr}, '(.)', '\\1{sep}', 'g'), '{sep}')"
+    for i in range(_BPE_K):
+        s = _bpe_merge_sql(
+            s, f"(SELECT lft FROM best{i})", f"(SELECT rgt FROM best{i})"
+        )
+    return s
+
+
+def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the self-trained BPE merges
+    (text.bpe_apply): per-doc subword-token counts beside the
+    whitespace word counts. The 6-rule model is a driver-side collect
+    (model-bounded, like the IVF centroid rows); the apply itself is
+    pure per-row JVM string expressions — no UDF, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = text.bpe_train_merges(docs, num_merges=_BPE_K)
+    rules = [(r["lft"], r["rgt"]) for r in merges.collect()]
+    toks = text.bpe_apply("text", rules)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe"),
+        text.token_count("text").cast("long").alias("n_ws"),
+    )
+
+
+SQL_BPE_TOKENIZE = (
+    _SQL_BPE_TRAIN_BODY
+    + f""",
+w AS (SELECT doc_id, unnest({SQL_TOKS}) AS wd FROM documents),
+app AS (
+  SELECT doc_id, len(string_split({_sql_bpe_apply('wd')}, '{_BPE_SEP}')) AS n
+  FROM w
+),
+per_doc AS (SELECT doc_id, SUM(n) AS n_bpe, COUNT(*) AS n_ws FROM app GROUP BY 1)
+SELECT d.doc_id, COALESCE(s.n_bpe, 0)::BIGINT AS n_bpe,
+       COALESCE(s.n_ws, 0)::BIGINT AS n_ws
+FROM documents d LEFT JOIN per_doc s USING (doc_id)
+"""
+)
+
+
+def stream_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BPE tokenization: documents replayed as a file stream
+    through text.bpe_apply with merges trained on the batch table
+    beforehand (the deployment shape: tokenizer trained offline, then
+    applied to the ingest stream). Pure per-row literal-rule map — no
+    state store, APPEND-legal, emission equals the batch tokenize
+    (full value oracle), the text sibling of stream_ivfpq_encode."""
+    from .streaming.replay import replay_to_memory
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = text.bpe_train_merges(docs, num_merges=_BPE_K)
+    rules = [(r["lft"], r["rgt"]) for r in merges.collect()]
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.select(
+            "doc_id", F.size(text.bpe_apply("text", rules)).cast("long").alias("n_bpe")
+        )
+
+    return replay_to_memory(
+        spark, f"{sf_dir}/documents.parquet", schema, transform, output_mode="append"
+    )
+
+
+SQL_STREAM_BPE_TOKENIZE = (
+    _SQL_BPE_TRAIN_BODY
+    + f""",
+w AS (SELECT doc_id, unnest({SQL_TOKS}) AS wd FROM documents),
+app AS (
+  SELECT doc_id, len(string_split({_sql_bpe_apply('wd')}, '{_BPE_SEP}')) AS n
+  FROM w
+),
+per_doc AS (SELECT doc_id, SUM(n) AS n_bpe FROM app GROUP BY 1)
+SELECT d.doc_id, COALESCE(s.n_bpe, 0)::BIGINT AS n_bpe
+FROM documents d LEFT JOIN per_doc s USING (doc_id)
+"""
+)
+
+
 def layout_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over orders (layout.zorder_key):
     interleave the customer-key and price dimensions into one sortable
@@ -8264,6 +8427,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mad_daily_outliers": mad_daily_outliers,
     "rank_global_curriculum": rank_global_curriculum,
     "text_pmi_collocations": text_pmi_collocations,
+    "text_bpe_merges": text_bpe_merges,
+    "text_bpe_tokenize": text_bpe_tokenize,
+    "stream_bpe_tokenize": stream_bpe_tokenize,
     "layout_zorder_cluster": layout_zorder_cluster,
     "text_remove_dup_spans": text_remove_dup_spans,
     "text_budget_head": text_budget_head,
@@ -8482,6 +8648,9 @@ WHERE value % 2 = 0"""
     "mad_daily_outliers": SQL_MAD,
     "rank_global_curriculum": SQL_GLOBAL_RANK,
     "text_pmi_collocations": SQL_PMI,
+    "text_bpe_merges": SQL_BPE_MERGES,
+    "text_bpe_tokenize": SQL_BPE_TOKENIZE,
+    "stream_bpe_tokenize": SQL_STREAM_BPE_TOKENIZE,
     "layout_zorder_cluster": SQL_ZORDER,
     "text_remove_dup_spans": SQL_REMOVE_DUP_SPANS,
     "text_budget_head": SQL_BUDGET_HEAD,

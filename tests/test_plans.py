@@ -421,3 +421,16 @@ def test_ann_ivf_index_topk_partition_pruned(spark):
     p = plan_of(spark, "ann_ivf_index_topk")
     assert "PartitionFilters" in p.text
     assert "cluster_id" in p.text.split("PartitionFilters", 1)[1][:300]
+
+
+def test_bpe_tokenize_apply_is_narrow(spark):
+    """The BPE apply (text_bpe_tokenize's scoring side and the whole
+    streaming twin) must stay a single-scan zero-exchange narrow map —
+    trained rules are literal JVM replace expressions, never a UDF or
+    a join. Training's word-table jobs run at build time (argmax
+    collects), so the RETURNED plan is apply-only."""
+    p = plan_of(spark, "text_bpe_tokenize")
+    assert p.n_exchanges == 0, p.text
+    assert len(p.read_schemas) == 1, p.read_schemas
+    assert "Python" not in p.text  # no BatchEvalPython / ArrowEval
+    assert not p.has_cartesian

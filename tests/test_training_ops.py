@@ -744,3 +744,100 @@ def test_ivfpq_centroid_argmax_tie_breaks_to_smaller_id(spark):
         emb, cents.collect(), cb.collect(), m_subs=1
     )
     assert {r["cluster_id"] for r in stateless.collect()} == {0}
+
+
+def _py_bpe(word_freqs: dict[str, int], k: int):
+    """Reference BPE trainer (Sennrich 2016, the dict-of-word-freqs
+    formulation) for parity checks: greedy argmax with (lft, rgt)
+    lexicographic tie-break, merges applied left-to-right."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (lft, rgt), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, lft, rgt, lft + rgt, cnt))
+        out = {}
+        for syms, f in words.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                    merged.append(lft + rgt)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            out[tuple(merged)] = out.get(tuple(merged), 0) + f
+        words = out
+    return merges
+
+
+def test_bpe_train_merges_hand_example(spark):
+    """The classic Sennrich corpus: low x5, lower x2, newest x6,
+    widest x3 — merges must be es(9), est(9), lo(7), low(7), then
+    the three-way 6-count tie breaking lexicographically to (e, w)."""
+    from selium_spark.operators import text as t
+
+    df = _docs(spark, [
+        (1, " ".join(["low"] * 5 + ["lower"] * 2), "s"),
+        (2, " ".join(["newest"] * 6 + ["widest"] * 3), "s"),
+    ])
+    got = [tuple(r) for r in t.bpe_train_merges(df, num_merges=5).collect()]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+        (5, "e", "w", "ew", 6),
+    ]
+
+
+def test_bpe_matches_python_reference(spark):
+    """Spark trainer == the dict-formulation reference on an adversarial
+    vocabulary: overlapping repeats (greedy left-to-right: 'aaaa' under
+    (a,a) -> [aa, aa]), single-char words (no pairs), and merges whose
+    result is a prefix of another symbol."""
+    from selium_spark.operators import text as t
+
+    corpus = {"aaaa": 4, "aab": 3, "ab": 5, "a": 7, "banana": 2, "bandana": 2}
+    text_line = " ".join(w for w, f in corpus.items() for _ in range(f))
+    df = _docs(spark, [(1, text_line, "s")])
+    got = [tuple(r) for r in t.bpe_train_merges(df, num_merges=6).collect()]
+    assert got == _py_bpe(corpus, 6)
+
+
+def test_bpe_apply_greedy_and_exhaustion(spark):
+    """bpe_apply replays merges in rank order with greedy
+    left-to-right semantics; a word exhausted to one symbol passes
+    through later merges unchanged; empty text -> zero tokens."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import text as t
+
+    df = _docs(spark, [(1, "aaa ab a", "s"), (2, "", "s")])
+    toks = t.bpe_apply("text", [("a", "a"), ("a", "b")])
+    rows = {r["doc_id"]: r["toks"] for r in
+            df.select("doc_id", toks.alias("toks")).collect()}
+    # aaa -> greedy (a,a): [aa, a]; ab -> [ab]; a -> [a]
+    assert rows[1] == ["aa", "a", "ab", "a"]
+    assert rows[2] == []
+    n = df.select(F.size(toks).alias("n")).collect()
+    assert sorted(r["n"] for r in n) == [0, 4]
+
+
+def test_bpe_train_stops_when_no_pairs_left(spark):
+    """Training stops early when the vocabulary is exhausted: 'ab'
+    collapses to one symbol after merge 1, leaving no adjacent pairs
+    — asking for 3 merges returns just the 1 that exists. A corpus of
+    single-char words yields an empty merge table outright."""
+    from selium_spark.operators import text as t
+
+    df = _docs(spark, [(1, "ab ab c", "s")])
+    got = [tuple(r) for r in t.bpe_train_merges(df, num_merges=3).collect()]
+    assert got == [(1, "a", "b", "ab", 2)]
+    singles = _docs(spark, [(1, "a b c a b", "s")])
+    assert t.bpe_train_merges(singles, num_merges=3).count() == 0
