@@ -197,14 +197,45 @@ FAST_EXTRA_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_FAST_REPS", "4"))
 #: queries instead of tainting the whole run).
 _query_load: dict[str, float] = {}
 
+#: max hypervisor steal% observed across each query's samples. loadavg
+#: only sees LOCAL runnable tasks; on this (VM) box the co-tenant
+#: signal that actually moves multi-core stage times is /proc/stat
+#: steal — measured at 11.9% under a full 32-way burn on a
+#: loadavg-quiet box (r12), i.e. a ~12% parallel-throughput haircut
+#: invisible to every pre-r12 suspect heuristic. The canary absorbs
+#: steal sub-proportionally (its ~35 ms tasks leave much of its wall to
+#: driver/scheduler overhead), so steal is recorded directly, per query
+#: and run-wide.
+_query_steal: dict[str, float] = {}
+
+
+def _stat_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(v) for v in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return None
+
+
+def _steal_pct(before, after) -> float | None:
+    if not before or not after or after[1] <= before[1]:
+        return None
+    return round(100.0 * (after[0] - before[0]) / (after[1] - before[1]), 1)
+
 
 def run_one(spark, name: str) -> float:
     _query_load[name] = max(_query_load.get(name, 0.0), os.getloadavg()[0])
+    j0 = _stat_jiffies()
     t0 = time.time()
     df = QUERIES[name](spark, SF_DIR)
     df.write.format("noop").mode("overwrite").save()
     dt = time.time() - t0
     _query_load[name] = max(_query_load[name], os.getloadavg()[0])
+    sp = _steal_pct(j0, _stat_jiffies())
+    if sp is not None:
+        _query_steal[name] = max(_query_steal.get(name, 0.0), sp)
     return dt
 
 
@@ -396,6 +427,7 @@ def round_over_round(
 def main() -> None:
     spark = get_spark(app_name="selium_bench", cpus=CPUS, shuffle_partitions=CPUS)
     load_start = os.getloadavg()
+    steal_run_start = _stat_jiffies()
     # warm the JVM: parquet reader, codegen'd agg + join paths (JIT cost
     # lands here, not in the first measured query)
     from pyspark.sql import functions as F
@@ -502,6 +534,19 @@ def main() -> None:
                 # means co-tenant steal, and the numbers are suspect
                 "loadavg_start": [round(x, 1) for x in load_start],
                 "loadavg_end": [round(x, 1) for x in os.getloadavg()],
+                # hypervisor steal over the WHOLE run (r12): the
+                # co-tenant signal loadavg cannot see. >~5% means every
+                # multi-core stage time in this line carries roughly
+                # that haircut; compare rounds' steal_pct before
+                # reading delta_canary_norm as a code movement.
+                "steal_pct": _steal_pct(steal_run_start, _stat_jiffies()),
+                # per-query spikes (max over the query's samples; only
+                # readings above the run-wide background are listed)
+                "steal_spikes": {
+                    q: v
+                    for q, v in sorted(_query_steal.items())
+                    if v >= 15.0
+                },
                 # per-query attribution: queries whose surrounding 1-min
                 # loadavg peaked well above our own core count ran under
                 # co-tenant steal — discount THOSE readings, not the run
