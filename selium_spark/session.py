@@ -57,6 +57,20 @@ def get_spark(
         # (ns -> us truncation, matching DuckDB's timestamp semantics).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.shuffle.spill.compress", "true")
+        # Generated-class cache (r12): the default 100 entries thrash
+        # under this engine's operator mix — a 127-query sweep emits
+        # ~2.6k codegen'd sources, so every repeated execution in a
+        # long-lived session re-runs janino + JIT for classes the
+        # session already built (measured: 2597 recompiles and 678.5 s
+        # for a warm full-headline sweep at the default vs 43 and
+        # 395.6 s at 10000 — 1.7x; cold sweeps equal within box noise).
+        # Entries are compiled-class references (~10 KB bytecode each),
+        # so the ceiling is ~100 MB of metaspace at full fill —
+        # scale-neutral driver state, env-tunable for small drivers.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "10000"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
