@@ -431,20 +431,49 @@ def make_centroids(
     )
 
 
+def _distribute_for_index_write(
+    df: DataFrame, id_col: str, salt_files: int
+) -> DataFrame:
+    """Cluster rows by ``cluster_id`` before a ``partitionBy`` write
+    (r12, guide §6): without this, EVERY scan task writes one file per
+    cluster it happens to hold — K x T files at scale (thousands of
+    tasks x thousands of inverted lists = millions of tiny files, the
+    classic partitioned-write explosion). Hash-distributing first puts
+    each cluster in one task, so each partition dir gets ONE
+    well-sized file; AQE coalesces the exchange away from tiny inputs.
+
+    ``salt_files > 1`` splits each cluster across that many writer
+    tasks/files (deterministic ``pmod(xxhash64(id), n)`` salt — guide
+    §2.5: never rand()) — the escape hatch for hot inverted lists
+    (the --ann --skew harness's 30%-hot list would otherwise hand one
+    writer 30% of the corpus)."""
+    if salt_files > 1:
+        salted = df.withColumn(
+            "_idx_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_files))
+        )
+        return salted.repartition("cluster_id", "_idx_salt").drop("_idx_salt")
+    return df.repartition("cluster_id")
+
+
 def ivf_index_write(
     emb: DataFrame,
     centroids: DataFrame,
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt_files: int = 1,
 ) -> None:
     """Materialize the IVF index: assignment table written
     ``partitionBy(cluster_id)`` so a probe is a partition-pruned scan
     (~n_probe/K of the files) — THE 100 TB ANN layout. One pass over
-    the corpus; no shuffle beyond the write's own partitioning."""
+    the corpus plus the hash-distribute exchange that keeps the file
+    count at one per cluster (x ``salt_files``) instead of one per
+    (scan task x cluster) — see :func:`_distribute_for_index_write`."""
     assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
     (
-        assigned.select(id_col, vec_col, "cluster_id")
+        _distribute_for_index_write(
+            assigned.select(id_col, vec_col, "cluster_id"), id_col, salt_files
+        )
         .write.mode("overwrite")
         .partitionBy("cluster_id")
         .parquet(path)
@@ -897,6 +926,7 @@ def ivfpq_index_write(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt_files: int = 1,
 ) -> None:
     """Materialize the IVFADC index: (id, m, code_id) written
     ``partitionBy(cluster_id)`` — the 100 TB layout where a probe is a
@@ -904,13 +934,17 @@ def ivfpq_index_write(
     m_subs-byte-ish codes. Feed the partitioned read straight into
     :func:`ivfpq_adc_topk`: its probed-list ``isin`` filter compiles
     to PartitionFilters on this layout (asserted in test_scale_ops).
-    One corpus pass (assign + residual + encode fused); no shuffle
-    beyond the write's own partitioning."""
+    One corpus pass (assign + residual + encode fused) plus the
+    hash-distribute exchange that keeps the file count at one per
+    cluster (x ``salt_files``) instead of one per (scan task x
+    cluster) — see :func:`_distribute_for_index_write`."""
     m_subs = codebook.agg(F.max("m")).first()[0] + 1
     resid = ivfpq_residuals(emb, centroids, id_col=id_col, vec_col=vec_col)
     encoded = ivfpq_encode(resid, codebook, m_subs=m_subs, id_col=id_col)
     (
-        encoded.select(id_col, "cluster_id", "m", "code_id")
+        _distribute_for_index_write(
+            encoded.select(id_col, "cluster_id", "m", "code_id"), id_col, salt_files
+        )
         .write.mode("overwrite")
         .partitionBy("cluster_id")
         .parquet(path)

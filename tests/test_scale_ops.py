@@ -479,3 +479,40 @@ def test_ivfpq_codebook_rejects_bad_train(spark):
     resid = similarity.ivfpq_residuals(emb, cents)
     with pytest.raises(ValueError, match="train must be"):
         similarity.ivfpq_codebook(resid, train="mlp")
+
+
+def test_index_write_one_file_per_cluster(spark, tmp_path):
+    """r12 file-layout contract (guide §6): the index writers
+    hash-distribute by cluster before partitionBy, so a MULTI-task
+    input writes one file per cluster dir (x salt_files), not one per
+    (task x cluster) — the small-files explosion a bare partitionBy
+    produces at scale."""
+    import glob
+
+    from selium_spark.operators import similarity
+    from selium_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").repartition(8)
+    cents = similarity.make_centroids(emb, n=4)
+
+    idx = str(tmp_path / "ivf_idx")
+    similarity.ivf_index_write(emb, cents, idx)
+    per_dir = [
+        len(glob.glob(d + "/*.parquet"))
+        for d in glob.glob(idx + "/cluster_id=*")
+    ]
+    assert per_dir and max(per_dir) == 1
+
+    idx2 = str(tmp_path / "ivf_idx_salted")
+    similarity.ivf_index_write(emb, cents, idx2, salt_files=2)
+    per_dir2 = [
+        len(glob.glob(d + "/*.parquet"))
+        for d in glob.glob(idx2 + "/cluster_id=*")
+    ]
+    # hot clusters may split across up to salt_files writers
+    assert per_dir2 and 1 <= max(per_dir2) <= 2
+
+    # read-back equivalence: layout only, rows unchanged
+    a = sorted(tuple(r) for r in spark.read.parquet(idx).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(idx2).collect())
+    assert a == b
