@@ -1491,39 +1491,52 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured point on the MMDS r-vs-b S-curve for this corpus.
 
     Evaluation runs EAGERLY inside this callable (round-7 verdict task
-    #4): the shared signature and the verified truth set are persisted
-    for exactly the two jobs that consume them and unpersisted in a
-    ``finally`` — no session-lifetime cache pin across repeated
-    suite/bench invocations (the prior blacklist-mode persist idiom
-    leaked until clearCache). The two counts it returns are scalars,
-    so the result ships as a one-row local relation; the bench harness
-    times the whole callable, so nothing escapes measurement."""
+    #4): the shared signature is persisted for exactly the two banding
+    consumers and unpersisted in a ``finally`` — no session-lifetime
+    cache pin across repeated suite/bench invocations. The two counts
+    it returns are scalars, so the result ships as a one-row local
+    relation; the bench harness times the whole callable, so nothing
+    escapes measurement.
+
+    r13 (guide §2.4, verdict task #5): truth and caught are counted in
+    ONE job — a left join of the verified truth pairs against the
+    production pairs (distinct by construction: ``lsh_candidate_pairs``
+    ends in ``.distinct()``, so the join cannot fan out) with
+    conditional aggregation, replacing the r12 shape's persisted truth
+    table + ``count()`` job + semi-join ``count()`` job. One fewer job,
+    and the truth table no longer needs a persist at all."""
     docs = _t(spark, sf_dir, "documents")
     # the 8-minhash signature is banded TWO ways — compute it once,
     # pin it, and feed both bandings (the single-computation lesson)
     sig = dedup.minhash_signature(docs, k=8, shingle_n=3).persist()
-    truth = None
     try:
         sig.count()  # materialize BEFORE the two consumers fan out
         wide = dedup.lsh_candidate_pairs(
             docs, k=8, bands=8, shingle_n=3,
             max_band_size=LSH_MAX_BAND, sig_df=sig,
         )
-        truth = (
-            dedup.ngram_jaccard_pairs(docs, wide, n=3, threshold=0.2)
-            .select("id_a", "id_b")
-            .persist()
-        )
-        prod = dedup.lsh_candidate_pairs(
-            docs, k=8, bands=4, shingle_n=3,
-            max_band_size=LSH_MAX_BAND, sig_df=sig,
+        truth = dedup.ngram_jaccard_pairs(
+            docs, wide, n=3, threshold=0.2
         ).select("id_a", "id_b")
-        n_true = truth.count()
-        n_caught = truth.join(prod, ["id_a", "id_b"], "left_semi").count()
+        prod = (
+            dedup.lsh_candidate_pairs(
+                docs, k=8, bands=4, shingle_n=3,
+                max_band_size=LSH_MAX_BAND, sig_df=sig,
+            )
+            .select("id_a", "id_b")
+            .withColumn("_hit", F.lit(1))
+        )
+        row = (
+            truth.join(prod, ["id_a", "id_b"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_true"),
+                F.count("_hit").alias("n_caught"),
+            )
+            .first()
+        )
+        n_true, n_caught = row["n_true"], row["n_caught"]
     finally:
         sig.unpersist()
-        if truth is not None:
-            truth.unpersist()
     return spark.createDataFrame(
         [(n_true, n_caught)], "n_true long, n_caught long"
     ).select(
