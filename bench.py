@@ -281,6 +281,36 @@ def canary_once(spark) -> float:
     return time.time() - t0
 
 
+def canary32_once(spark) -> float:
+    """Second box-speed canary (r13, judge task #2): a FIXED,
+    embarrassingly-parallel 32-task workload with NO shuffle beyond the
+    singleton final aggregate — pure per-core JVM compute, so its wall
+    tracks 32-way throughput (and hypervisor steal) proportionally,
+    which the original canary's ~35 ms tasks under-weight. It is also
+    insensitive to codegen-cache effects by construction: its one plan
+    compiles on the warm-up invocation and stays cached (the r12
+    cache fix invalidated `delta_canary_norm` because the ORIGINAL
+    canary's classes were being evicted and recompiled per sweep).
+
+    DO NOT EDIT this workload — its only value is being identical
+    across rounds.
+    """
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    df = spark.range(0, 256_000_000, 1, 32)
+    h = F.xxhash64(F.col("id"))
+    # every term is pmod-bounded BEFORE the sum so the aggregate can
+    # never overflow a long under ANSI (256M rows x <1e6 < 2^63)
+    out = df.select(
+        F.sum(F.pmod(F.xxhash64(h, F.lit(1)), F.lit(1_000_003))).alias("a"),
+        F.sum(F.pmod(F.xxhash64(h, F.lit(2)), F.lit(999_983))).alias("b"),
+        F.sum(F.pmod(h, F.lit(997))).alias("c"),
+    )
+    out.write.format("noop").mode("overwrite").save()
+    return time.time() - t0
+
+
 def session_trim(spark) -> None:
     """Between-sweep session-aging mitigation (r10, judge task #5):
     clear the SQL cache and nudge BOTH collectors. Long single-session
@@ -338,7 +368,10 @@ def retime_suspects(
 
 
 def round_over_round(
-    timings: dict, canary_sec: float, repo_dir: str | None = None
+    timings: dict,
+    canary_sec: float,
+    repo_dir: str | None = None,
+    canary32_sec: float | None = None,
 ) -> dict | None:
     """Canary-normalized round-over-round delta (r11, judge task #3 —
     BENCH_r10 recorded the canary but the comparison was still raw
@@ -390,9 +423,11 @@ def round_over_round(
             for m in re.finditer(r'"(\w+)": (-?\d+(?:\.\d+)?)', tail)
         }
         cm = re.search(r'"canary_sec": (\d+(?:\.\d+)?)', tail)
+        cm32 = re.search(r'"canary32_sec": (\d+(?:\.\d+)?)', tail)
         prev = {
             "queries": scraped,
             "canary_sec": float(cm.group(1)) if cm else None,
+            "canary32_sec": float(cm32.group(1)) if cm32 else None,
         }
     prev_q = prev.get("queries") or {}
     shared = sorted(
@@ -415,11 +450,22 @@ def round_over_round(
         "delta_raw": round(lfl_now / lfl_prev, 4) if lfl_prev > 0 else None,
         "canary_prev_sec": prev.get("canary_sec"),
         "delta_canary_norm": None,
+        # r13: second normalizer from the compile-free 32-way canary —
+        # immune to codegen-cache effects and weights multi-core
+        # throughput proportionally (judge task #2). None until the
+        # previous round's line carries canary32_sec.
+        "canary32_prev_sec": prev.get("canary32_sec"),
+        "delta_canary32_norm": None,
     }
     prev_canary = prev.get("canary_sec")
     if prev_canary and canary_sec and lfl_prev > 0:
         out["delta_canary_norm"] = round(
             (lfl_now / lfl_prev) * (prev_canary / canary_sec), 4
+        )
+    prev_c32 = prev.get("canary32_sec")
+    if prev_c32 and canary32_sec and lfl_prev > 0:
+        out["delta_canary32_norm"] = round(
+            (lfl_now / lfl_prev) * (prev_c32 / canary32_sec), 4
         )
     return out
 
@@ -450,9 +496,12 @@ def main() -> None:
     # box-speed canary at every sweep boundary (r10): one warm-up,
     # then a sample before each sweep and after the last
     canary_samples: list[float] = []
+    canary32_samples: list[float] = []
     canary_once(spark)
+    canary32_once(spark)  # warm-up: compiles+caches its one plan
     for sweep in range(SWEEPS + 1):
         canary_samples.append(round(canary_once(spark), 3))
+        canary32_samples.append(round(canary32_once(spark), 3))
         for name in HEADLINE:
             if name in errors:
                 continue
@@ -463,6 +512,7 @@ def main() -> None:
                 print(f"bench error {name}: {exc}", file=sys.stderr)
         session_trim(spark)
     canary_samples.append(round(canary_once(spark), 3))
+    canary32_samples.append(round(canary32_once(spark), 3))
     for name in HEADLINE:
         post_warm = samples[name][1:]
         if name in errors or not post_warm:
@@ -523,11 +573,19 @@ def main() -> None:
                 # headline number (box) vs stayed put (code).
                 "canary_sec": round(min(canary_samples), 3),
                 "canary_samples": canary_samples,
+                # r13 second canary (judge task #2): compile-free,
+                # shuffle-free, 32 equal tasks — proportional to
+                # multi-core throughput and immune to codegen-cache
+                # effects. DO NOT EDIT canary32_once.
+                "canary32_sec": round(min(canary32_samples), 3),
+                "canary32_samples": canary32_samples,
                 # like-for-like vs the previous round's recorded line,
                 # both raw and canary-normalized (r11): the normalized
                 # ratio divides out box speed — < 1 means code faster
                 "round_over_round": round_over_round(
-                    timings, min(canary_samples)
+                    timings,
+                    min(canary_samples),
+                    canary32_sec=min(canary32_samples),
                 ),
                 "stream_rows_per_sec": stream_rps,
                 # a contaminated run self-identifies: loadavg >> 32
