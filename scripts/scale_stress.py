@@ -168,6 +168,12 @@ ANN_QUERY_SET = [
     "ann_ivf_topk",
     "ann_pq_topk",
     "ann_bruteforce_topk",
+    # r13: the materialized-index paths — under --skew the 30%-hot
+    # inverted list drives the size-aware auto-salted index WRITE
+    # (similarity._distribute_for_index_write), the single-writer
+    # stall case the r12 default (salt_files=1) would strangle on
+    "ann_ivf_index_topk",
+    "ann_ivfpq_index_topk",
 ]
 
 

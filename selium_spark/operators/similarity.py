@@ -16,6 +16,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -431,8 +433,22 @@ def make_centroids(
     )
 
 
+#: "auto" salting splits a cluster across ceil(rows / this) writer
+#: tasks/files. 4M rows of code/vector rows is ~128-512 MB of parquet
+#: at O(32-128 B)/row — the guide §6 output-file sweet spot. Env-
+#: tunable for deployments whose rows are wider.
+INDEX_TARGET_ROWS_PER_FILE = int(
+    os.environ.get("SPARK_GRAFT_INDEX_TARGET_ROWS", str(4_000_000))
+)
+
+
 def _distribute_for_index_write(
-    df: DataFrame, id_col: str, salt_files: int
+    df: DataFrame,
+    id_col: str,
+    salt_files: int | str,
+    target_rows_per_file: int | None = None,
+    count_df: DataFrame | None = None,
+    rows_multiplier: int = 1,
 ) -> DataFrame:
     """Cluster rows by ``cluster_id`` before a ``partitionBy`` write
     (r12, guide §6): without this, EVERY scan task writes one file per
@@ -442,11 +458,56 @@ def _distribute_for_index_write(
     each cluster in one task, so each partition dir gets ONE
     well-sized file; AQE coalesces the exchange away from tiny inputs.
 
-    ``salt_files > 1`` splits each cluster across that many writer
+    ``salt_files > 1`` splits EVERY cluster across that many writer
     tasks/files (deterministic ``pmod(xxhash64(id), n)`` salt — guide
     §2.5: never rand()) — the escape hatch for hot inverted lists
     (the --ann --skew harness's 30%-hot list would otherwise hand one
-    writer 30% of the corpus)."""
+    writer 30% of the corpus).
+
+    ``salt_files="auto"`` (r13, the size-aware default — r12 verdict
+    defect #5: the fixed default of 1 funnels a hot list through ONE
+    writer task at scale): per-cluster row counts are aggregated in
+    one extra map-side-combinable job (K result rows — the counts
+    collapse to one row per cluster before they reach the driver), and
+    each cluster is salted into ``ceil(rows / target_rows_per_file)``
+    writers. Uniform small clusters keep exactly one file each (the
+    r12 contract); only clusters that would overflow the §6 file-size
+    band split, and into exactly as many files as their size needs.
+    Cost: one extra pass over the assignment pipeline for the counts —
+    at 100 TB, persist the assignment across the two passes (or accept
+    the recompute) per deployment storage economics. ``count_df``
+    (with ``rows_multiplier``) lets a caller whose write pipeline fans
+    out AFTER assignment (ivfpq: m_subs code rows per vector) count
+    clusters on the cheap pre-fan-out table instead of re-running the
+    expensive tail.
+    """
+    if salt_files == "auto":
+        import math
+
+        target = target_rows_per_file or INDEX_TARGET_ROWS_PER_FILE
+        counts = (
+            (count_df if count_df is not None else df)
+            .groupBy("cluster_id")
+            .agg((F.count(F.lit(1)) * rows_multiplier).alias("_n"))
+            .collect()
+        )
+        salts = {
+            r["cluster_id"]: max(1, math.ceil(r["_n"] / target)) for r in counts
+        }
+        if not salts or max(salts.values()) == 1:
+            return df.repartition("cluster_id")
+        n_map = F.create_map(
+            *[
+                lit
+                for cid in sorted(salts)
+                for lit in (F.lit(cid), F.lit(salts[cid]))
+            ]
+        )
+        salted = df.withColumn(
+            "_idx_salt",
+            F.pmod(F.xxhash64(F.col(id_col)), n_map[F.col("cluster_id")]),
+        )
+        return salted.repartition("cluster_id", "_idx_salt").drop("_idx_salt")
     if salt_files > 1:
         salted = df.withColumn(
             "_idx_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_files))
@@ -461,7 +522,7 @@ def ivf_index_write(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    salt_files: int = 1,
+    salt_files: int | str = "auto",
 ) -> None:
     """Materialize the IVF index: assignment table written
     ``partitionBy(cluster_id)`` so a probe is a partition-pruned scan
@@ -470,14 +531,16 @@ def ivf_index_write(
     count at one per cluster (x ``salt_files``) instead of one per
     (scan task x cluster) — see :func:`_distribute_for_index_write`."""
     assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
-    (
-        _distribute_for_index_write(
-            assigned.select(id_col, vec_col, "cluster_id"), id_col, salt_files
-        )
-        .write.mode("overwrite")
-        .partitionBy("cluster_id")
-        .parquet(path)
-    )
+    writer = _distribute_for_index_write(
+        assigned.select(id_col, vec_col, "cluster_id"), id_col, salt_files
+    ).write.mode("overwrite")
+    if salt_files == "auto":
+        # belt for the salt's braces: two salt groups of one hot
+        # cluster can hash into the SAME writer task, where the
+        # partitionBy merges them into one file — rolling at the
+        # target keeps every file inside the §6 size band regardless
+        writer = writer.option("maxRecordsPerFile", str(INDEX_TARGET_ROWS_PER_FILE))
+    writer.partitionBy("cluster_id").parquet(path)
 
 
 def ivf_index_topk(
@@ -926,7 +989,7 @@ def ivfpq_index_write(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    salt_files: int = 1,
+    salt_files: int | str = "auto",
 ) -> None:
     """Materialize the IVFADC index: (id, m, code_id) written
     ``partitionBy(cluster_id)`` — the 100 TB layout where a probe is a
@@ -941,14 +1004,21 @@ def ivfpq_index_write(
     m_subs = codebook.agg(F.max("m")).first()[0] + 1
     resid = ivfpq_residuals(emb, centroids, id_col=id_col, vec_col=vec_col)
     encoded = ivfpq_encode(resid, codebook, m_subs=m_subs, id_col=id_col)
-    (
-        _distribute_for_index_write(
-            encoded.select(id_col, "cluster_id", "m", "code_id"), id_col, salt_files
-        )
-        .write.mode("overwrite")
-        .partitionBy("cluster_id")
-        .parquet(path)
-    )
+    writer = _distribute_for_index_write(
+        encoded.select(id_col, "cluster_id", "m", "code_id"),
+        id_col,
+        salt_files,
+        # cluster sizes come from the pre-encode residual table (one
+        # row per vector, x m_subs code rows after the fan-out) so the
+        # counting pass skips the expensive encode tail
+        count_df=resid.select("cluster_id"),
+        rows_multiplier=m_subs,
+    ).write.mode("overwrite")
+    if salt_files == "auto":
+        # see ivf_index_write: bound file size under salt-group/task
+        # collisions
+        writer = writer.option("maxRecordsPerFile", str(INDEX_TARGET_ROWS_PER_FILE))
+    writer.partitionBy("cluster_id").parquet(path)
 
 
 def ivfpq_adc_topk(
