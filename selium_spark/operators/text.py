@@ -879,6 +879,7 @@ def hashed_ngram_features(
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     hash_fn: str = "md5",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Explode each document into its hashed unigram+bigram feature
     buckets: one row per feature occurrence, ``bucket`` in
@@ -892,6 +893,10 @@ def hashed_ngram_features(
     Scale shape: pure map-side expression work then explode — feature
     rows never shuffle until the caller aggregates them, and the
     aggregate target is B buckets (constant), not the vocabulary.
+
+    ``carry_cols`` (r13): extra per-doc columns to ride along on every
+    feature row — lets dsir's shared-scan mode keep a target-membership
+    flag without a second corpus pass.
     """
     from .sketches import hash52
 
@@ -913,8 +918,9 @@ def hashed_ngram_features(
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.explode(feats).alias("feat"),
-    ).select(id_col, bucket.alias("bucket"))
+    ).select(id_col, *carry_cols, bucket.alias("bucket"))
 
 
 def _bucket_log_probs(
@@ -945,13 +951,14 @@ def _bucket_log_probs(
 
 def dsir_importance(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 1024,
     alpha: float = 1.0,
     round_to: int = 9,
     hash_fn: str = "md5",
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """Per-document DSIR importance weight: the MEAN over the doc's
     hashed-ngram features of log p_target(bucket) - log p_raw(bucket)
@@ -975,18 +982,58 @@ def dsir_importance(
     collapse to B rows (constant) and broadcast back.
     The target corpus is typically tiny (a quality sample) but nothing
     requires it. Weights are rounded so JVM/libm ulp differences can't
-    flip a downstream ordering the oracle disagrees with."""
+    flip a downstream ordering the oracle disagrees with.
+
+    ``target_filter`` (r13, guide §2.3 — verdict task #8): when the
+    target corpus is a FILTERED SUBSET of ``raw`` (the common "steer
+    toward a quality slice" deployment, e.g. lang == 'en'), pass the
+    predicate here with ``target=None`` instead of passing the
+    filtered DataFrame. The membership flag rides the ONE feature
+    explode into the persisted per-(doc, bucket) table, and the target
+    distribution aggregates from that table — the second
+    tokenize+hash scan of the target slice disappears entirely. Output
+    is identical by construction: sum of flagged per-(doc,bucket)
+    counts == the filtered subset's feature occurrences."""
+    if (target is None) == (target_filter is None):
+        raise ValueError("pass exactly one of target / target_filter")
     spark = raw.sparkSession
     rng = spark.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
     # one shuffle on (doc, bucket); duplicate features per doc compress
     # here, and the mean over feature OCCURRENCES becomes the
     # cnt-weighted mean — identical values, fewer joined rows
-    per_db = (
-        hashed_ngram_features(raw, text_col, id_col, n_buckets, hash_fn)
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
-    )
+    if target_filter is not None:
+        feats = hashed_ngram_features(
+            raw.withColumn("_tgt", target_filter),
+            text_col,
+            id_col,
+            n_buckets,
+            hash_fn,
+            carry_cols=("_tgt",),
+        )
+        # _tgt is constant per doc, so grouping by it keeps the
+        # (doc, bucket) cardinality unchanged
+        per_db = (
+            feats.groupBy(id_col, "_tgt", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
+        )
+        tgt_counts = (
+            per_db.where(F.col("_tgt"))
+            .groupBy("bucket")
+            .agg(F.sum("c").alias("c"))
+        )
+    else:
+        per_db = (
+            hashed_ngram_features(raw, text_col, id_col, n_buckets, hash_fn)
+            .groupBy(id_col, "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .persist()
+        )
+        tgt_counts = (
+            hashed_ngram_features(target, text_col, id_col, n_buckets, hash_fn)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     # No eager count() barrier needed (unlike the blacklist pattern):
     # the denominator consumer feeds a BROADCAST exchange, which Spark
     # executes as its own job BEFORE the probe stage can start, so the
@@ -994,11 +1041,6 @@ def dsir_importance(
     # reads it — sequencing is structural, not racy, and skipping the
     # extra barrier job saves ~0.4 s of fixed cost per invocation.
     raw_counts = per_db.groupBy("bucket").agg(F.sum("c").alias("c"))
-    tgt_counts = (
-        hashed_ngram_features(target, text_col, id_col, n_buckets, hash_fn)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
     ratios = (
         _bucket_log_probs(rng, tgt_counts, n_buckets, alpha, "lp_t")
         .join(_bucket_log_probs(rng, raw_counts, n_buckets, alpha, "lp_r"), "bucket")
@@ -1018,7 +1060,7 @@ def dsir_importance(
 
 def dsir_resample(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -1026,6 +1068,7 @@ def dsir_resample(
     alpha: float = 1.0,
     round_to: int = 9,
     hash_fn: str = "md5",
+    target_filter: Column | None = None,
 ) -> DataFrame:
     """DSIR selection: Gumbel top-k over the importance weights — the
     paper's sampling-without-replacement trick. Key = weight + Gumbel
@@ -1038,7 +1081,8 @@ def dsir_resample(
     from .sketches import hash52
 
     w = dsir_importance(
-        raw, target, text_col, id_col, n_buckets, alpha, round_to, hash_fn
+        raw, target, text_col, id_col, n_buckets, alpha, round_to, hash_fn,
+        target_filter=target_filter,
     )
     # the Gumbel uniform stays md5 in BOTH modes: it is one hash per
     # DOC (not per feature), so it is never the floor, and keeping it
