@@ -76,4 +76,37 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # getOrCreate() silently returns the EXISTING session when one is
+    # already live in this JVM, ignoring builder configs that are
+    # static (codegen cache, driver memory, master). Read the
+    # static-at-startup ones back and warn on mismatch so an A/B
+    # script (or a second get_spark with different env) cannot run
+    # with a stale value while appearing configured (r12 ADVICE).
+    requested = {
+        "spark.sql.codegen.cache.maxEntries": os.environ.get(
+            "SPARK_GRAFT_CODEGEN_CACHE", "10000"
+        ),
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        **{
+            k: v
+            for k, v in (extra_conf or {}).items()
+            if k.startswith(("spark.driver.", "spark.sql.codegen.cache."))
+        },
+    }
+    for key, want in requested.items():
+        try:
+            got = spark.conf.get(key)
+        except Exception:
+            continue
+        if got != want:
+            import warnings
+
+            warnings.warn(
+                f"get_spark: {key}={got!r} in the live session; the "
+                f"requested {want!r} was ignored because a SparkSession "
+                "already exists in this process (static conf). Stop the "
+                "session (or a fresh process) to apply it.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return spark
