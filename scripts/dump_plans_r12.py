@@ -11,6 +11,15 @@ Constructions that are not a single DataFrame plan (streaming folds,
 iterative trainers with driver loops) are documented in
 OPTIMIZATION_r12.md instead; for the ANN index reads the 'before' is
 the on-the-fly twin's plan (the r11 serving path).
+
+r13 hygiene fix (r12 verdict defect #3): the SQL cache is cleared
+BEFORE each plan is constructed — an earlier dump's persist()
+otherwise substitutes its InMemoryRelation into later plans (the
+cache manager matches subtrees across queries), which is how the r12
+text_remove_dup_spans_after dump came out showing the pinned relation
+the rewrite had removed. Each dump takes a CONSTRUCTOR thunk so a
+build that persists at construction time (build="pinned") still shows
+its own pin, never a predecessor's.
 """
 
 from __future__ import annotations
@@ -29,7 +38,9 @@ SF = "/root/testdata/sf0.01"
 OUT = "/root/repo/plans/r12"
 
 
-def dump(df, fname: str) -> None:
+def dump(spark, make_df, fname: str) -> None:
+    spark.catalog.clearCache()
+    df = make_df()
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
@@ -50,44 +61,48 @@ def main() -> None:
     if legacy_quality:
         # run from the r11-verdict worktree: dump the regex-based
         # quality_features plan as text_budget_head_before
-        dump(QUERIES["text_budget_head"](spark, SF), "text_budget_head_before.txt")
-        dump(QUERIES["text_quality"](spark, SF), "text_quality_before.txt")
+        dump(spark, lambda: QUERIES["text_budget_head"](spark, SF), "text_budget_head_before.txt")
+        dump(spark, lambda: QUERIES["text_quality"](spark, SF), "text_quality_before.txt")
         return
 
     # text_bigram_ppl: r11 join-derivation vs r12 window marginals
     dump(
-        text.bigram_interp_logppl(docs, lam=0.7, prob="join"),
+        spark,
+        lambda: text.bigram_interp_logppl(docs, lam=0.7, prob="join"),
         "text_bigram_ppl_before.txt",
     )
-    dump(QUERIES["text_bigram_ppl"](spark, SF), "text_bigram_ppl_after.txt")
+    dump(spark, lambda: QUERIES["text_bigram_ppl"](spark, SF), "text_bigram_ppl_after.txt")
 
     # text_remove_dup_spans: r11 pinned positional build vs r12 twopass
     dump(
-        text.remove_dup_spans(docs, n=5, min_docs=2, build="pinned"),
+        spark,
+        lambda: text.remove_dup_spans(docs, n=5, min_docs=2, build="pinned"),
         "text_remove_dup_spans_before.txt",
     )
     dump(
-        QUERIES["text_remove_dup_spans"](spark, SF),
+        spark,
+        lambda: QUERIES["text_remove_dup_spans"](spark, SF),
         "text_remove_dup_spans_after.txt",
     )
 
     # quality translate rewrite: after plans (before comes from the
     # r11 worktree via --legacy-quality)
-    dump(QUERIES["text_budget_head"](spark, SF), "text_budget_head_after.txt")
-    dump(QUERIES["text_quality"](spark, SF), "text_quality_after.txt")
+    dump(spark, lambda: QUERIES["text_budget_head"](spark, SF), "text_budget_head_after.txt")
+    dump(spark, lambda: QUERIES["text_quality"](spark, SF), "text_quality_after.txt")
 
     # materialized ANN index reads (new graded queries): before = the
     # on-the-fly r11 serving path, after = the partition-pruned read
-    dump(QUERIES["ann_ivf_topk"](spark, SF), "ann_ivf_index_topk_before.txt")
-    dump(QUERIES["ann_ivf_index_topk"](spark, SF), "ann_ivf_index_topk_after.txt")
-    dump(QUERIES["ann_ivfpq_topk"](spark, SF), "ann_ivfpq_index_topk_before.txt")
+    dump(spark, lambda: QUERIES["ann_ivf_topk"](spark, SF), "ann_ivf_index_topk_before.txt")
+    dump(spark, lambda: QUERIES["ann_ivf_index_topk"](spark, SF), "ann_ivf_index_topk_after.txt")
+    dump(spark, lambda: QUERIES["ann_ivfpq_topk"](spark, SF), "ann_ivfpq_index_topk_before.txt")
     dump(
-        QUERIES["ann_ivfpq_index_topk"](spark, SF),
+        spark,
+        lambda: QUERIES["ann_ivfpq_index_topk"](spark, SF),
         "ann_ivfpq_index_topk_after.txt",
     )
 
     # BPE family (new): the apply path's zero-exchange plan
-    dump(QUERIES["text_bpe_tokenize"](spark, SF), "text_bpe_tokenize_after.txt")
+    dump(spark, lambda: QUERIES["text_bpe_tokenize"](spark, SF), "text_bpe_tokenize_after.txt")
 
 
 if __name__ == "__main__":
