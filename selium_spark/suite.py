@@ -1491,52 +1491,49 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured point on the MMDS r-vs-b S-curve for this corpus.
 
     Evaluation runs EAGERLY inside this callable (round-7 verdict task
-    #4): the shared signature is persisted for exactly the two banding
-    consumers and unpersisted in a ``finally`` — no session-lifetime
-    cache pin across repeated suite/bench invocations. The two counts
-    it returns are scalars, so the result ships as a one-row local
-    relation; the bench harness times the whole callable, so nothing
-    escapes measurement.
+    #4): the shared signature and the verified truth set are persisted
+    for exactly the two jobs that consume them and unpersisted in a
+    ``finally`` — no session-lifetime cache pin across repeated
+    suite/bench invocations. The two counts it returns are scalars, so
+    the result ships as a one-row local relation; the bench harness
+    times the whole callable, so nothing escapes measurement.
 
-    r13 (guide §2.4, verdict task #5): truth and caught are counted in
-    ONE job — a left join of the verified truth pairs against the
-    production pairs (distinct by construction: ``lsh_candidate_pairs``
-    ends in ``.distinct()``, so the join cannot fan out) with
-    conditional aggregation, replacing the r12 shape's persisted truth
-    table + ``count()`` job + semi-join ``count()`` job. One fewer job,
-    and the truth table no longer needs a persist at all."""
+    r13 one-pass experiments (verdict task #5) — MEASURED-REJECTED,
+    shape kept: (a) fusing the two counting jobs into one left-join +
+    conditional aggregation (no truth persist) ran 3.68 -> 5.80 s
+    warm-min in an interleaved ABAB at sf0.1/32c — losing the tiny
+    persisted truth table makes the verification subtree part of one
+    big join plan and costs more than the second job saved; (b) a
+    union + groupBy(id_a,id_b) + max-flags aggregation (no join at
+    all) ran 7.74 -> 10.70 s same-minutes under burst load. Both
+    parity-verified (256/256) before rejection; numbers in
+    OPTIMIZATION_r13.md §5."""
     docs = _t(spark, sf_dir, "documents")
     # the 8-minhash signature is banded TWO ways — compute it once,
     # pin it, and feed both bandings (the single-computation lesson)
     sig = dedup.minhash_signature(docs, k=8, shingle_n=3).persist()
+    truth = None
     try:
         sig.count()  # materialize BEFORE the two consumers fan out
         wide = dedup.lsh_candidate_pairs(
             docs, k=8, bands=8, shingle_n=3,
             max_band_size=LSH_MAX_BAND, sig_df=sig,
         )
-        truth = dedup.ngram_jaccard_pairs(
-            docs, wide, n=3, threshold=0.2
-        ).select("id_a", "id_b")
-        prod = (
-            dedup.lsh_candidate_pairs(
-                docs, k=8, bands=4, shingle_n=3,
-                max_band_size=LSH_MAX_BAND, sig_df=sig,
-            )
+        truth = (
+            dedup.ngram_jaccard_pairs(docs, wide, n=3, threshold=0.2)
             .select("id_a", "id_b")
-            .withColumn("_hit", F.lit(1))
+            .persist()
         )
-        row = (
-            truth.join(prod, ["id_a", "id_b"], "left")
-            .agg(
-                F.count(F.lit(1)).alias("n_true"),
-                F.count("_hit").alias("n_caught"),
-            )
-            .first()
-        )
-        n_true, n_caught = row["n_true"], row["n_caught"]
+        prod = dedup.lsh_candidate_pairs(
+            docs, k=8, bands=4, shingle_n=3,
+            max_band_size=LSH_MAX_BAND, sig_df=sig,
+        ).select("id_a", "id_b")
+        n_true = truth.count()
+        n_caught = truth.join(prod, ["id_a", "id_b"], "left_semi").count()
     finally:
         sig.unpersist()
+        if truth is not None:
+            truth.unpersist()
     return spark.createDataFrame(
         [(n_true, n_caught)], "n_true long, n_caught long"
     ).select(
@@ -6256,10 +6253,21 @@ def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 1024 buckets (constant-size, broadcast back); the only
     corpus-scaled shuffle is the per-doc aggregate, and selection is
     TakeOrderedAndProject — the published recipe for steering a 100 TB
-    crawl toward a quality domain, Spark-shaped."""
+    crawl toward a quality domain, Spark-shaped.
+
+    r13 (verdict task #8, guide §2.3): the target is a filtered subset
+    of the corpus, so the membership predicate rides the ONE feature
+    explode (text.dsir_importance target_filter mode) and the target
+    distribution aggregates from the persisted per-(doc,bucket) table
+    — the r12 shape's second tokenize+hash scan of the en-slice is
+    gone. Output identical by construction (parity-verified at
+    sf0.001/sf0.01/x100); measured 14.0 -> 12.11 s warm-min at x100
+    (~13% — the scan share of the pass), with the two-DataFrame mode
+    kept for non-subset targets."""
     docs = _t(spark, sf_dir, "documents")
-    target = docs.where(F.col("lang") == "en")
-    return text.dsir_resample(docs, target, k=50)
+    return text.dsir_resample(
+        docs, None, k=50, target_filter=F.col("lang") == "en"
+    )
 
 
 # Mirrors text.hashed_ngram_features / dsir_importance / dsir_resample:
@@ -7247,9 +7255,16 @@ def stream_attr_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             state_buckets=256,
         )
 
+    # shuffle_partitions=8 pins the state-store partition count to the
+    # data size like every sibling twin (r13, verdict task #3: without
+    # the pin this replay inherited the SESSION's count — 32 in the
+    # bench session — and the 32-partition x sweep-aged-session
+    # interaction produced the r12 19.06 s reading; isolated ABAB shows
+    # 8 vs 32 flat, full-sweep context shows 8 consistently fast)
     snap = replay_to_memory(
         spark, f"{sf_dir}/events.parquet", schema, transform,
         output_mode="update",
+        shuffle_partitions=8,
     )
     return snap.na.fill({"touch_id": -1, "gap_s": -1})
 
@@ -7772,9 +7787,12 @@ def stream_attr_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             touch_type="click", conv_type="purchase", max_gap_s=3600,
         )
 
+    # shuffle_partitions=8: state partitions sized to data, not the
+    # session's core count (see stream_attr_last_touch)
     return replay_to_memory(
         spark, f"{sf_dir}/events.parquet", schema, transform,
         output_mode="update",
+        shuffle_partitions=8,
     )
 
 
@@ -7830,9 +7848,12 @@ def stream_attr_position_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             weighting="position",
         )
 
+    # shuffle_partitions=8: state partitions sized to data, not the
+    # session's core count (see stream_attr_last_touch)
     return replay_to_memory(
         spark, f"{sf_dir}/events.parquet", schema, transform,
         output_mode="update",
+        shuffle_partitions=8,
     )
 
 
