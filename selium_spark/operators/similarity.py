@@ -441,6 +441,28 @@ INDEX_TARGET_ROWS_PER_FILE = int(
     os.environ.get("SPARK_GRAFT_INDEX_TARGET_ROWS", str(4_000_000))
 )
 
+#: "auto" salting skips its per-cluster counting pass when the INPUT
+#: corpus's optimizer-estimated size is below this (default 1 GiB): a
+#: sub-GiB corpus cannot put any cluster outside the guide §6 file-size
+#: band even if ONE cluster held every row, so the counting job's
+#: answer could not change the layout — measured +0.65/+0.74 s per
+#: index build at sf0.1 for a pass that always answered "salt nothing"
+#: (OPTIMIZATION_r13.md §7). The gate reads the SCAN-rooted input plan
+#: (accurate, file-size-based), never the encode tail (whose join/
+#: explode stats overestimate absurdly — 2.9 TB observed for a 0.8 MB
+#: corpus).
+INDEX_AUTO_SALT_MIN_BYTES = int(
+    os.environ.get("SPARK_GRAFT_INDEX_AUTO_SALT_MIN_BYTES", str(1 << 30))
+)
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Optimizer-estimated size of a DataFrame's plan, or None."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
 
 def _distribute_for_index_write(
     df: DataFrame,
@@ -530,6 +552,12 @@ def ivf_index_write(
     the corpus plus the hash-distribute exchange that keeps the file
     count at one per cluster (x ``salt_files``) instead of one per
     (scan task x cluster) — see :func:`_distribute_for_index_write`."""
+    if salt_files == "auto":
+        est = _plan_size_bytes(emb)
+        if est is not None and est < INDEX_AUTO_SALT_MIN_BYTES:
+            # sub-threshold corpus: the counting pass cannot change
+            # the layout — skip it (see INDEX_AUTO_SALT_MIN_BYTES)
+            salt_files = 1
     assigned = ivf_assign(emb, centroids, id_col=id_col, vec_col=vec_col)
     writer = _distribute_for_index_write(
         assigned.select(id_col, vec_col, "cluster_id"), id_col, salt_files
@@ -1001,6 +1029,13 @@ def ivfpq_index_write(
     hash-distribute exchange that keeps the file count at one per
     cluster (x ``salt_files``) instead of one per (scan task x
     cluster) — see :func:`_distribute_for_index_write`."""
+    if salt_files == "auto":
+        est = _plan_size_bytes(emb)
+        if est is not None and est < INDEX_AUTO_SALT_MIN_BYTES:
+            # sub-threshold corpus: skip the counting pass (the code
+            # rows are narrower than the raw vectors, so the emb scan
+            # bounds the index size) — see INDEX_AUTO_SALT_MIN_BYTES
+            salt_files = 1
     m_subs = codebook.agg(F.max("m")).first()[0] + 1
     resid = ivfpq_residuals(emb, centroids, id_col=id_col, vec_col=vec_col)
     encoded = ivfpq_encode(resid, codebook, m_subs=m_subs, id_col=id_col)
