@@ -455,6 +455,20 @@ INDEX_AUTO_SALT_MIN_BYTES = int(
     os.environ.get("SPARK_GRAFT_INDEX_AUTO_SALT_MIN_BYTES", str(1 << 30))
 )
 
+#: "auto" salting estimates per-cluster sizes from a deterministic
+#: 1-in-N hash sample (``pmod(xxhash64(id), N) == 0`` — guide §2.5,
+#: never rand()) instead of counting every row: the exact count
+#: re-runs the assignment pipeline (broadcast join + per-vector argmin
+#:  window), i.e. it DOUBLES the build's dominant cost — measured
+#: 12.65 -> 56.95 s warm-min on the 100x hot-list corpus before
+#: sampling (OPTIMIZATION_r13.md §7). Salt counts only need the size
+#: ORDER (ceil(est/target)); ±sampling error moves a cluster by at
+#: most one salt, and the writers' ``maxRecordsPerFile`` backstop
+#: bounds file size exactly regardless. 1 disables sampling (exact).
+INDEX_SALT_SAMPLE_MOD = int(
+    os.environ.get("SPARK_GRAFT_INDEX_SALT_SAMPLE_MOD", "100")
+)
+
 
 def _plan_size_bytes(df: DataFrame) -> int | None:
     """Optimizer-estimated size of a DataFrame's plan, or None."""
@@ -507,10 +521,20 @@ def _distribute_for_index_write(
         import math
 
         target = target_rows_per_file or INDEX_TARGET_ROWS_PER_FILE
+        src = count_df if count_df is not None else df
+        mult = rows_multiplier
+        if INDEX_SALT_SAMPLE_MOD > 1:
+            # deterministic hash sample: the id filter pushes below
+            # the assignment window (vec_id is its partition key), so
+            # the counting job touches ~1/N of the corpus
+            src = src.where(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(INDEX_SALT_SAMPLE_MOD))
+                == 0
+            )
+            mult = rows_multiplier * INDEX_SALT_SAMPLE_MOD
         counts = (
-            (count_df if count_df is not None else df)
-            .groupBy("cluster_id")
-            .agg((F.count(F.lit(1)) * rows_multiplier).alias("_n"))
+            src.groupBy("cluster_id")
+            .agg((F.count(F.lit(1)) * mult).alias("_n"))
             .collect()
         )
         salts = {
@@ -1046,7 +1070,7 @@ def ivfpq_index_write(
         # cluster sizes come from the pre-encode residual table (one
         # row per vector, x m_subs code rows after the fan-out) so the
         # counting pass skips the expensive encode tail
-        count_df=resid.select("cluster_id"),
+        count_df=resid.select(id_col, "cluster_id"),
         rows_multiplier=m_subs,
     ).write.mode("overwrite")
     if salt_files == "auto":
