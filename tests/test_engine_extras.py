@@ -134,6 +134,13 @@ def test_foreach_concurrent_overlaps_and_processes_all(spark, tmp_path):
         with open(f"{probe}/{row.id}", "w") as f:
             f.write("done")
 
+    # warm the Python worker path OUTSIDE the timed window: the bound
+    # below measures within-task overlap, and a cold worker spin-up
+    # (~1-3 s on a loaded box) would dominate it (surfaced when the
+    # r13 fast-set trim removed the module's earlier worker-warming
+    # tests from the default run order)
+    foreach_concurrent(spark.range(1).coalesce(1), lambda row: None, 2)
+
     t0 = time.monotonic()
     foreach_concurrent(df, effect, max_concurrency=4)
     wall = time.monotonic() - t0
