@@ -63,6 +63,76 @@ def main() -> None:
     dump(spark, dsir_before, "text_dsir_select_before.txt")
     dump(spark, dsir_after, "text_dsir_select_after.txt")
 
+    # session 2: remove_dup_spans twopass (r12 shape) vs fold (r13)
+    def spans_before():
+        return text.remove_dup_spans(docs, n=5, min_docs=2, build="twopass")
+
+    def spans_after():
+        return text.remove_dup_spans(docs, n=5, min_docs=2, build="fold")
+
+    dump(spark, spans_before, "text_remove_dup_spans_before.txt")
+    dump(spark, spans_after, "text_remove_dup_spans_after.txt")
+
+    # session 2: q2 pair-distinct semi-join prefilter. The "before" is
+    # the r12 shape reconstructed inline (the suite now ships "after").
+    from selium_spark.suite import QUERIES
+
+    def q2_before():
+        part = load_table(spark, SF, "part").where(
+            F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+        )
+        ps = (
+            load_table(spark, SF, "lineitem")
+            .select("l_partkey", "l_suppkey")
+            .distinct()
+        )
+        sup = (
+            load_table(spark, SF, "supplier")
+            .join(
+                F.broadcast(load_table(spark, SF, "nation")),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            )
+            .join(
+                F.broadcast(load_table(spark, SF, "region")),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            )
+            .where(F.col("r_name") == "EUROPE")
+        )
+        cand = (
+            F.broadcast(part)
+            .join(ps, F.col("p_partkey") == F.col("l_partkey"))
+            .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(
+                "p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name"
+            )
+        )
+        min_bal = cand.groupBy(F.col("p_partkey").alias("mb_partkey")).agg(
+            F.min("s_acctbal").alias("min_bal")
+        )
+        return (
+            cand.join(
+                min_bal,
+                (F.col("p_partkey") == F.col("mb_partkey"))
+                & (F.col("s_acctbal") == F.col("min_bal")),
+            )
+            .select(
+                "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "s_suppkey"
+            )
+            .orderBy(
+                F.col("s_acctbal").desc(),
+                F.col("p_partkey").asc(),
+                F.col("s_suppkey").asc(),
+            )
+            .limit(100)
+        )
+
+    dump(spark, q2_before, "q2_min_cost_supplier_before.txt")
+    dump(
+        spark,
+        lambda: QUERIES["q2_min_cost_supplier"](spark, SF),
+        "q2_min_cost_supplier_after.txt",
+    )
+
 
 if __name__ == "__main__":
     main()

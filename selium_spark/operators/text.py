@@ -1189,6 +1189,15 @@ def remove_dup_spans(
       this shape: the hot aggregation it would have trimmed is the
       CHEAP branch here (per-doc-distinct + partial agg), not the
       floor.
+    - ``"fold"`` (r13): the twopass hot set, then ONE positional pass
+      that ships only (id, covered-interval) metadata — per-doc
+      covered-position arrays aggregate doc-level, join back to the
+      corpus doc-level, and the cut applies in place with
+      array_except + transform (order-preserving, no per-doc sort).
+      No token row ever crosses an exchange; the twopass shape
+      shuffled token-level rows twice (covered distinct + marked join
+      + collect_list fold). Guide §8 / §2.3: decide with small rows,
+      touch the payload once.
     - ``"pinned"``: the r8-r11 shape — one positional posexplode
       persisted and pinned with a count() before its three consumers
       fan out. ``storage`` picks the pin: ``"persist"`` caches in
@@ -1212,10 +1221,71 @@ def remove_dup_spans(
         raise ValueError(
             f"storage must be 'persist' or 'checkpoint', got {storage!r}"
         )
-    if build not in ("twopass", "pinned"):
-        raise ValueError(f"build must be 'twopass' or 'pinned', got {build!r}")
+    if build not in ("twopass", "pinned", "fold"):
+        raise ValueError(
+            f"build must be 'twopass', 'pinned' or 'fold', got {build!r}"
+        )
     toks = tokens(text_col)
     grams = ngrams_all(text_col, n)
+    if build == "fold":
+        # r13: decide with small rows, touch the payload once (guide
+        # §8 / §2.3). The twopass shape still shuffled TOKEN-level rows
+        # twice (covered (id,pos) distinct; marked (id,pos,w) left join
+        # + groupBy collect_list + per-doc array_sort). Here the
+        # positional pass carries only (id, pos-interval) metadata:
+        # hot-shingle hits aggregate into ONE covered-position array
+        # per doc, and the fold applies that array to the token array
+        # in place — array_except(sequence(0, len-1), covered) keeps
+        # order and needs no sort, no token ever crosses an exchange,
+        # and the only corpus-payload join is doc-level. Exchanges:
+        # hot agg + interval agg + doc join (broadcast at bench scale)
+        # vs twopass's 4 token-level ones. Output identical to the
+        # other builds (parity-tested): n_tokens = token count, fully
+        # covered docs keep '', zero-token docs are absent.
+        hot = (
+            df.select(F.explode(F.array_distinct(grams)).alias("sh"))
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_nd"))
+            .where(F.col("_nd") >= min_docs)
+            .select("sh")
+        )
+        cov = (
+            df.select(
+                F.col(id_col),
+                F.size(toks).alias("_len"),
+                F.posexplode(grams).alias("pos", "sh"),
+            )
+            .join(hot, "sh")
+            .select(
+                id_col,
+                F.sequence(
+                    F.col("pos"),
+                    F.least(F.col("pos") + F.lit(n - 1), F.col("_len") - 1),
+                ).alias("_iv"),
+            )
+            .groupBy(id_col)
+            .agg(F.flatten(F.collect_list("_iv")).alias("_cov"))
+        )
+        kept = F.array_except(
+            F.sequence(F.lit(0), F.size("_toks") - F.lit(1)),
+            F.coalesce(F.col("_cov"), F.array().cast("array<int>")),
+        )
+        return (
+            df.select(F.col(id_col), toks.alias("_toks"))
+            .where(F.size("_toks") > 0)
+            .join(cov, id_col, "left")
+            .select(
+                id_col,
+                F.size("_toks").cast("long").alias("n_tokens"),
+                F.size(kept).cast("long").alias("n_kept"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        kept, lambda p: F.element_at(F.col("_toks"), p + 1)
+                    ),
+                ).alias(out_col),
+            )
+        )
     padded = F.concat(
         grams,
         F.array_repeat(

@@ -3686,7 +3686,23 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part").where(
         F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
     )
-    ps = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    # r13: semi-join the selective part filter into lineitem BEFORE the
+    # pair distinct (guide §2.3 — aggregate/distinct fewer bytes): the
+    # distinct's exchange carries only pairs whose part survives, ~5%
+    # of lineitem, instead of every (l_partkey, l_suppkey). A no-op on
+    # the result: the downstream inner join with `part` drops the same
+    # rows (part is unique on p_partkey), just after the shuffle
+    # instead of before it.
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "leftsemi",
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     sup = (
         _t(spark, sf_dir, "supplier")
         .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -3699,15 +3715,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    min_bal = cand.groupBy(F.col("p_partkey").alias("mb_partkey")).agg(
-        F.min("s_acctbal").alias("min_bal")
-    )
+    # r13: per-part MIN as a window over cand instead of the r1-r12
+    # aggregate + self-join — the DataFrame self-join canonicalized as
+    # TWO copies of the whole cand subtree (the lineitem pair-distinct
+    # executed twice, 20 scans in the plan dump). One window exchange
+    # on p_partkey replaces both (guide §2.4); rows where s_acctbal
+    # equals the partition min are exactly the join's output.
+    from pyspark.sql import Window as _W
+
+    min_w = F.min("s_acctbal").over(_W.partitionBy("p_partkey"))
     return (
-        cand.join(
-            min_bal,
-            (F.col("p_partkey") == F.col("mb_partkey"))
-            & (F.col("s_acctbal") == F.col("min_bal")),
-        )
+        cand.withColumn("_min_bal", min_w)
+        .where(F.col("s_acctbal") == F.col("_min_bal"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "s_suppkey")
         .orderBy(F.col("s_acctbal").desc(), F.col("p_partkey").asc(), F.col("s_suppkey").asc())
         .limit(100)
@@ -7112,11 +7131,13 @@ def text_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_span_dedup is the reporting half): every token position
     covered by a word 5-gram shared by >= 2 distinct docs is cut and
     the survivors re-join in position order. Three column-pruned
-    corpus scans, no pin (r12 twopass build): a non-positional
-    distinct-shingle pass for the hot set, then the covered-interval
-    and marked-fold positional passes."""
+    corpus scans, no pin (r13 fold build): a non-positional
+    distinct-shingle pass for the hot set, ONE positional pass that
+    aggregates covered-position arrays per doc (intervals only — no
+    token string ever crosses an exchange), and the doc-level fold
+    that applies the arrays in place (array_except + transform)."""
     docs = _t(spark, sf_dir, "documents")
-    return text.remove_dup_spans(docs, n=5, min_docs=2)
+    return text.remove_dup_spans(docs, n=5, min_docs=2, build="fold")
 
 
 SQL_REMOVE_DUP_SPANS = r"""

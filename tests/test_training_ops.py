@@ -610,8 +610,18 @@ def test_remove_dup_spans_cuts_shared_spans_only(spark):
     # the 3-token doc's single short gram is shared by docs 4 and 5
     assert out[4].clean_text == "" and out[5].clean_text == ""
     assert all(out[i].n_tokens - out[i].n_kept >= 0 for i in out)
-    # cross-build parity (r12): `out` is the default twopass build;
-    # the legacy pinned build — both storage flavors — must agree
+    # cross-build parity (r12/r13): `out` is the default twopass
+    # build; the r13 doc-level fold build and the legacy pinned build
+    # — both storage flavors — must all agree
+    fold = {
+        r.doc_id: r
+        for r in text.remove_dup_spans(
+            docs, n=5, min_docs=2, build="fold"
+        ).collect()
+    }
+    assert {i: (r.clean_text, r.n_kept, r.n_tokens) for i, r in fold.items()} == {
+        i: (r.clean_text, r.n_kept, r.n_tokens) for i, r in out.items()
+    }
     for storage in ("persist", "checkpoint"):
         chk = {
             r.doc_id: r
