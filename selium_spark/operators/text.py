@@ -1564,6 +1564,60 @@ def bpe_train_merges(
     )
 
 
+def bpe_token_counts(
+    df: DataFrame,
+    rules: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc BPE subword counts ``(id, n_bpe, n_ws)`` — the BATCH
+    counting device for :func:`bpe_apply` (r13, guide §1.2 "don't
+    compute things you throw away"): when only the per-doc COUNT is
+    needed, the merge rules don't have to rewrite every token
+    occurrence (6 merges x ~5 string copies each). The merge stack
+    runs once per DISTINCT word (Heaps' law: vocab << occurrences),
+    the per-word subword count broadcast-joins back onto the exploded
+    tokens, and one doc-level sum re-aggregates. Identical numbers by
+    construction: n_bpe = sum over occurrences of n_sub(word) =
+    size(flatten(transform(tokens, apply))); a zero-token doc keeps
+    (0, 0) via the left join, matching size(flatten([])) = 0.
+
+    Streaming twins must keep :func:`bpe_apply`'s per-row map (a
+    groupBy is not append-legal); this is the batch half only. The
+    vocab table is corpus-sublinear but not constant — the planner
+    falls back to a shuffled join past the broadcast threshold, which
+    still beats per-occurrence rewriting whenever vocab << tokens.
+    """
+
+    def n_sub(w: Column) -> Column:
+        s = _bpe_char_split(w)
+        for lft, rgt in rules:
+            s = _bpe_merge_expr(s, lft, rgt)
+        return F.size(F.split(s, BPE_SEP))
+
+    words = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_w"))
+    per_word = words.select("_w").distinct().select(
+        "_w", n_sub(F.col("_w")).alias("_n")
+    )
+    per_doc = (
+        words.join(F.broadcast(per_word), "_w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").cast("long").alias("n_bpe"),
+            F.count(F.lit(1)).cast("long").alias("n_ws"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bpe", F.lit(0)).cast("long").alias("n_bpe"),
+            F.coalesce("n_ws", F.lit(0)).cast("long").alias("n_ws"),
+        )
+    )
+
+
 def bpe_apply(col: str | Column, rules: list[tuple[str, str]]) -> Column:
     """Tokenize a text column with trained merges: whitespace words ->
     char symbols -> the merges replayed in training order -> flat

@@ -7002,20 +7002,21 @@ def _sql_bpe_apply(word_expr: str) -> str:
 
 
 def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenize the corpus with the self-trained BPE merges
-    (text.bpe_apply): per-doc subword-token counts beside the
-    whitespace word counts. The 6-rule model is a driver-side collect
-    (model-bounded, like the IVF centroid rows); the apply itself is
-    pure per-row JVM string expressions — no UDF, no shuffle."""
+    """Tokenize the corpus with the self-trained BPE merges: per-doc
+    subword-token counts beside the whitespace word counts. The 6-rule
+    model is a driver-side collect (model-bounded, like the IVF
+    centroid rows); the counting runs the merge stack once per
+    DISTINCT word and re-aggregates per doc (text.bpe_token_counts —
+    vocab << occurrences), numbers identical to the per-row
+    text.bpe_apply map the streaming twin keeps."""
     docs = _t(spark, sf_dir, "documents")
     merges = text.bpe_train_merges(docs, num_merges=_BPE_K)
     rules = [(r["lft"], r["rgt"]) for r in merges.collect()]
-    toks = text.bpe_apply("text", rules)
-    return docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("n_bpe"),
-        text.token_count("text").cast("long").alias("n_ws"),
-    )
+    # r13: counts only -> run the merge stack once per DISTINCT word
+    # and re-aggregate (text.bpe_token_counts), instead of rewriting
+    # every token occurrence per row; numbers identical, the streaming
+    # twin keeps the per-row bpe_apply map (append-legal)
+    return text.bpe_token_counts(docs, rules)
 
 
 SQL_BPE_TOKENIZE = (

@@ -424,13 +424,38 @@ def test_ann_ivf_index_topk_partition_pruned(spark):
 
 
 def test_bpe_tokenize_apply_is_narrow(spark):
-    """The BPE apply (text_bpe_tokenize's scoring side and the whole
-    streaming twin) must stay a single-scan zero-exchange narrow map —
-    trained rules are literal JVM replace expressions, never a UDF or
-    a join. Training's word-table jobs run at build time (argmax
-    collects), so the RETURNED plan is apply-only."""
-    p = plan_of(spark, "text_bpe_tokenize")
+    """The BPE apply expression (the whole streaming twin's plan) must
+    stay a single-scan zero-exchange narrow map — trained rules are
+    literal JVM replace expressions, never a UDF or a join. Training's
+    word-table jobs run at build time (argmax collects). The batch
+    text_bpe_tokenize query switched to the distinct-word counting
+    device in r13 (see its own test below); this pins the per-row
+    apply the streaming twin still plans."""
+    from pyspark.sql import functions as F
+
+    from selium_spark.operators import text
+    from selium_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    rules = [("t", "h"), ("th", "e"), ("a", "n")]  # literal stand-ins
+    p = summarize(
+        docs.select(
+            "doc_id",
+            F.size(text.bpe_apply("text", rules)).cast("long").alias("n_bpe"),
+        )
+    )
     assert p.n_exchanges == 0, p.text
     assert len(p.read_schemas) == 1, p.read_schemas
     assert "Python" not in p.text  # no BatchEvalPython / ArrowEval
+    assert not p.has_cartesian
+
+
+def test_bpe_tokenize_counts_via_broadcast_vocab(spark):
+    """Batch text_bpe_tokenize (r13): the merge stack runs once per
+    DISTINCT word and the per-word counts BROADCAST back onto the
+    exploded tokens — never a shuffle of the corpus keyed on word for
+    the re-attach, no Python nodes, no cartesian."""
+    p = plan_of(spark, "text_bpe_tokenize")
+    assert p.n_broadcast_joins >= 1, p.text
+    assert "Python" not in p.text
     assert not p.has_cartesian
