@@ -16,6 +16,7 @@
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -28,6 +29,42 @@ from ..sources.layout import fan_out
 
 def _dbl(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
+
+
+def _num_sql(v) -> str:
+    """SQL literal text for one int/float, type-faithful to F.lit:
+    integral -> INT when it fits else BIGINT (the parser's own rule,
+    matching py4j's int/long conversion); float -> repr (shortest
+    round-trip decimal, Double.parseDouble-exact) with a D suffix
+    (scientific notation is already DOUBLE)."""
+    if isinstance(v, bool):
+        raise TypeError("bool literal not supported")
+    if isinstance(v, int):
+        return str(v)
+    f = float(v)
+    if not math.isfinite(f):
+        raise ValueError(f"non-finite literal {f!r}")
+    r = repr(f)
+    return r if ("e" in r or "E" in r) else r + "D"
+
+
+def _array_lit(values: list) -> Column:
+    """Literal (possibly nested) numeric array as ONE parsed SQL
+    expression. ``F.lit(list)`` fans out to one py4j round trip per
+    ELEMENT — the stateless encoders' nested centroid/codebook tables
+    (8x64 + 8x16x8 values) cost ~10k driver round trips, ~1.5-2 s of
+    wall, per query CONSTRUCTION (r13 session-2 cProfile); one parsed
+    string builds the identical literal tree JVM-side. Values must be
+    finite ints/floats; type rules match F.lit (see _num_sql)."""
+    if not values:
+        raise ValueError("empty literal array")
+
+    def render(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        return _num_sql(v)
+
+    return F.expr(render(list(values)))
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -805,8 +842,8 @@ def pq_encode_stateless(
 
     def code_for(m: int) -> Column:
         subs_m = sorted(by_m[m])
-        ids_m = F.lit([cid for cid, _ in subs_m])
-        vecs_m = F.lit([sv for _, sv in subs_m])
+        ids_m = _array_lit([cid for cid, _ in subs_m])
+        vecs_m = _array_lit([sv for _, sv in subs_m])
         esub = F.slice(vec, m * sub_d + 1, sub_d)
         cands = F.zip_with(
             vecs_m,
@@ -1214,8 +1251,8 @@ def ivfpq_encode_stateless(
         (int(r["centroid_id"]), [float(x) for x in r["centroid_vec"]])
         for r in centroid_rows
     )
-    cid_lit = F.lit([cid for cid, _ in cents])
-    cvec_lit = F.lit([cv for _, cv in cents])
+    cid_lit = _array_lit([cid for cid, _ in cents])
+    cvec_lit = _array_lit([cv for _, cv in cents])
     n_cents = len(cents)
     by_m: dict[int, list] = {}
     for r in codebook_rows:
@@ -1243,8 +1280,8 @@ def ivfpq_encode_stateless(
 
     def code_for(m: int, rcol: Column) -> Column:
         subs_m = sorted(by_m[m])
-        ids_m = F.lit([cid for cid, _ in subs_m])
-        vecs_m = F.lit([sv for _, sv in subs_m])
+        ids_m = _array_lit([cid for cid, _ in subs_m])
+        vecs_m = _array_lit([sv for _, sv in subs_m])
         esub = F.slice(rcol, m * sub_d + 1, sub_d)
         cands = F.zip_with(
             vecs_m,

@@ -71,6 +71,18 @@ def get_spark(
             "spark.sql.codegen.cache.maxEntries",
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "10000"),
         )
+        # PySpark's per-call error-context capture (r13 session 2):
+        # with dataFrameDebugging on (the default), EVERY decorated
+        # DataFrame/Column API call pays a Python stack walk plus py4j
+        # round trips (conf read + PySparkCurrentOrigin.set/clear) —
+        # pure driver-side construction overhead on every query build,
+        # at any scale. Off, errors lose the user-code call-site
+        # decoration; results are unchanged. Env-escape for debugging
+        # sessions: SPARK_GRAFT_DF_DEBUGGING=true.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
