@@ -133,6 +133,73 @@ def main() -> None:
         "q2_min_cost_supplier_after.txt",
     )
 
+    # session 2: ivf_assign per-row argmax (S2.3) — the "before" is the
+    # r12 K-fanout join + row_number window, monkeypatched in
+    from pyspark.sql import Window
+
+    from selium_spark.operators import similarity
+    from selium_spark.operators.similarity import cosine
+
+    new_assign = similarity.ivf_assign
+
+    def old_assign(
+        emb,
+        centroids,
+        id_col="vec_id",
+        vec_col="embedding",
+        cid_col="centroid_id",
+        cvec_col="centroid_vec",
+    ):
+        scored = emb.join(F.broadcast(centroids)).withColumn(
+            "c_score", F.round(cosine(F.col(vec_col), F.col(cvec_col)), 6)
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("c_score").desc(), F.col(cid_col).asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col(cid_col).alias("cluster_id"),
+                F.col("c_score"),
+            )
+        )
+
+    def ivf_with(impl):
+        def make():
+            similarity.ivf_assign = impl
+            try:
+                return QUERIES["ann_ivf_topk"](spark, SF)
+            finally:
+                similarity.ivf_assign = new_assign
+
+        return make
+
+    dump(spark, ivf_with(old_assign), "ann_ivf_topk_before.txt")
+    dump(spark, ivf_with(new_assign), "ann_ivf_topk_after.txt")
+
+    # session 2: text_bpe_tokenize distinct-word counting device (S2.5)
+    from selium_spark.operators import text as text_ops
+
+    def bpe_before():
+        merges = text_ops.bpe_train_merges(docs, num_merges=6)
+        rules = [(r["lft"], r["rgt"]) for r in merges.collect()]
+        toks = text_ops.bpe_apply("text", rules)
+        return docs.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_bpe"),
+            text_ops.token_count("text").cast("long").alias("n_ws"),
+        )
+
+    dump(spark, bpe_before, "text_bpe_tokenize_before.txt")
+    dump(
+        spark,
+        lambda: QUERIES["text_bpe_tokenize"](spark, SF),
+        "text_bpe_tokenize_after.txt",
+    )
+
 
 if __name__ == "__main__":
     main()
